@@ -1,0 +1,121 @@
+"""Pure-DataFrame connected components (alternating large-star / small-star).
+
+Replaces the reference's GraphFrames dependency
+(``DBSCAN.py:157,169-172``: tuple-id vertices + ``connectedComponents()``,
+checkpoint dir required) with the two-phase star-contraction algorithm of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SoCC'14):
+O(log n) rounds, each round two groupBy-join passes — no jar, no Pregel,
+partitions by node id, so it holds at cluster scale where a
+driver-side BFS (the reference's abandoned checkpoint draft, cells 5-9)
+cannot.
+
+large-star: every node links its larger neighbors to the minimum of its
+neighborhood (incl. itself).  small-star: every node links its smaller
+neighbors (and itself) to that minimum.  Labels only decrease; fixpoint
+is a star forest whose centers are component minima.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u > v) pairs, no self-loops, distinct."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) both orientations; for each node n: attach neighbors > n to
+    min(N(n) ∪ {n})."""
+    both = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr_min = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        both.join(nbr_min, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Edges oriented big->small; for each node n attach its smaller
+    neighbors and itself to min(N(n) ∪ {n})."""
+    oriented = _canonical(edges)  # u > v
+    nbr_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        oriented.join(nbr_min, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = oriented.join(nbr_min, "u").select("u", F.col("m").alias("v")).distinct()
+    return (
+        relink.union(self_link)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Labels every vertex with the minimum vertex id of its component.
+
+    ``edges``: DataFrame with ``src``/``dst`` (undirected; self-loops and
+    duplicates tolerated). ``vertices`` (optional): DataFrame with
+    ``id_col`` — isolated vertices get their own id as component.
+    Returns ``DataFrame(id, component)``.
+
+    Each round localCheckpoints the edge set — lineage truncation, the
+    discipline the reference needed ``setCheckpointDir`` for
+    (``DBSCAN.py:171``) and its k-means notebook lacked entirely
+    (unbounded ``.union().cache()`` chains, SURVEY.md §3.2).
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    e = _canonical(e).localCheckpoint(eager=True)
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.col("u") + F.col("v")), F.lit(0)).alias("s"),
+        ).first()
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # Star forest: u(>v) -> center v. Node that appears only as center maps to itself.
+    labels = (
+        e.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+        .groupBy(id_col)
+        .agg(F.min("component").alias("component"))
+    )
+    centers = e.select(F.col("v").alias(id_col)).distinct().withColumn(
+        "component", F.col(id_col)
+    )
+    labels = labels.unionByName(
+        centers.join(labels.select(id_col), id_col, "left_anti")
+    )
+
+    if vertices is not None:
+        vs = vertices.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+        labels = vs.join(labels, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    return labels

@@ -1,0 +1,175 @@
+"""Grid-bucketed ε-distance join — the scalable replacement for the
+reference's cartesian self-join (``DBSCAN.py:161``:
+``rdd.cartesian(rdd).filter(dist < eps)``), which is O(n²) and crashed
+the reference's JVM at 10^4 rows (hs_err_pid*.log, BASELINE.md).
+
+Strategy (pure DataFrame — Catalyst plans a shuffled hash equi-join):
+
+1. every point gets a grid cell id ``floor(coord / eps)`` per dimension;
+2. the *probe* side explodes each point into its 3^d neighboring cells;
+3. equi-join build.home_cell == probe.neighbor_cell;
+4. exact distance post-filter ``dist < eps``.
+
+Any pair within ε (L1 or L2) differs by < ε per coordinate, so the
+build point's home cell is always one of the probe point's 3^d
+neighbor cells — and exactly one of them, so no pair dedup is needed.
+Cost is O(n · 3^d + candidate pairs); with cell-sized buckets the
+candidate set is near-linear for non-adversarial data.
+
+Scale posture: the equi-join shuffles both sides partitioned by cell id.
+Dense cells (skew) are split by AQE skew-join handling (enabled in
+session.py); at extreme density a cell's points all pairwise match
+anyway, so the output itself is the lower bound. Self-pairs and both
+orientations (a,b)/(b,a) are produced to match the reference's
+cartesian semantics — neighbor counts *include self* (SURVEY.md §2.2 P3).
+"""
+
+from __future__ import annotations
+
+from itertools import product
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.functions.distance import l1_distance, l2_distance
+
+
+def _metric_fn(metric: str):
+    if metric == "l1":
+        return l1_distance
+    if metric == "l2":
+        return l2_distance
+    raise ValueError(f"unknown metric {metric!r} (use 'l1' or 'l2')")
+
+
+def _dim_of(df: DataFrame, features: str) -> int:
+    row = df.select(F.size(F.col(features)).alias("d")).first()
+    if row is None:
+        raise ValueError("cannot infer dimension of an empty DataFrame")
+    return int(row["d"])
+
+
+def _cell(features: str, eps: float) -> Column:
+    return F.transform(F.col(features), lambda x: F.floor(x / F.lit(float(eps))))
+
+
+def _neighbor_offsets(dim: int) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.lit(o) for o in offs])
+            for offs in product((-1, 0, 1), repeat=dim)
+        ]
+    )
+
+
+def eps_join(
+    build: DataFrame,
+    probe: DataFrame,
+    eps: float,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+    keep_distance: bool = True,
+) -> DataFrame:
+    """All pairs (a from ``build``, b from ``probe``) with dist(a,b) < eps.
+
+    Returns ``a_id, b_id[, distance]``. Strict ``<`` matches the
+    reference (``DBSCAN.py:161``).
+    """
+    dist = _metric_fn(metric)
+    if dim is None:
+        dim = _dim_of(build, features)
+
+    a = build.select(
+        F.col(id_col).alias("a_id"),
+        F.col(features).alias("a_features"),
+        _cell(features, eps).alias("_cell"),
+    )
+    b = probe.select(
+        F.col(id_col).alias("b_id"),
+        F.col(features).alias("b_features"),
+        _cell(features, eps).alias("_bcell"),
+    ).withColumn(
+        "_probe_cell",
+        F.explode(
+            F.transform(
+                _neighbor_offsets(dim),
+                lambda off: F.zip_with("_bcell", off, lambda c, o: c + o),
+            )
+        ),
+    )
+
+    pairs = a.join(b, a["_cell"] == b["_probe_cell"]).withColumn(
+        "distance", dist("a_features", "b_features")
+    ).where(F.col("distance") < F.lit(float(eps)))
+
+    cols = ["a_id", "b_id"] + (["distance"] if keep_distance else [])
+    return pairs.select(*cols)
+
+
+def eps_self_join(
+    points: DataFrame,
+    eps: float,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+    include_self: bool = True,
+    unique_pairs: bool = False,
+    keep_distance: bool = True,
+) -> DataFrame:
+    """ε-neighborhood self-join (SURVEY.md §2.3 J1).
+
+    Default emits self-pairs and both orientations — the reference's
+    cartesian semantics, where a point's neighbor count includes itself
+    and duplicate rows. ``unique_pairs=True`` keeps only ``a_id < b_id``
+    (the checkpoint draft's ``smaller()`` intent, done correctly on a
+    total order — SURVEY.md §2.2 P6).
+    """
+    pairs = eps_join(
+        points, points, eps,
+        metric=metric, features=features, id_col=id_col, dim=dim,
+        keep_distance=keep_distance,
+    )
+    if unique_pairs:
+        return pairs.where(F.col("a_id") < F.col("b_id"))
+    if not include_self:
+        return pairs.where(F.col("a_id") != F.col("b_id"))
+    return pairs
+
+
+def neighbor_counts(
+    points: DataFrame,
+    eps: float,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-point ε-neighborhood size, **including self** (reference
+    ``reduceByKey`` list length at ``DBSCAN.py:161``). Never materializes
+    neighbor lists — count only, partial-aggregated map-side."""
+    pairs = eps_self_join(
+        points, eps, metric=metric, features=features, id_col=id_col, dim=dim,
+        keep_distance=False,
+    )
+    return pairs.groupBy(F.col("a_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_neighbors")
+    )
+
+
+def core_points(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Points with >= min_pts ε-neighbors (HAVING filter, SURVEY.md §2.2 P3)."""
+    counts = neighbor_counts(
+        points, eps, metric=metric, features=features, id_col=id_col, dim=dim
+    )
+    return counts.where(F.col("n_neighbors") >= F.lit(int(min_pts)))

@@ -1,0 +1,106 @@
+"""Driver-testdata star schema + derived points views (FIXTURES.md §4).
+
+Points views are computed *identically* in Spark and in the DuckDB oracle
+SQL, so features are integer-quantized with ``round()`` where exact value
+hash-matching matters (float L1 comparisons at an eps boundary would be
+engine-dependent otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pts_lineitem(id, features[3], sensitive) — clustering fixture.
+
+    The driver's synthetic lineitem repeats (l_orderkey, l_linenumber)
+    pairs, so the id is disambiguated with a within-group rank:
+    ``id = l_orderkey*1000 + l_linenumber*100 + row_number`` ordered by
+    the value columns (deterministic: full ties have identical
+    features, so any permutation is the same point set).
+    features = round(quantity), round(extendedprice/1000), round(discount*100)
+    — integer-valued doubles so L1 comparisons hash-match the oracle.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey", "l_linenumber")
+        .orderBy("l_quantity", "l_extendedprice", "l_discount")
+    )
+    return li.select(
+        (
+            F.col("l_orderkey") * 1000
+            + F.col("l_linenumber") * 100
+            + F.row_number().over(w)
+        ).alias("id"),
+        F.array(
+            F.round(F.col("l_quantity"), 0),
+            F.round(F.col("l_extendedprice") / 1000.0, 0),
+            F.round(F.col("l_discount") * 100.0, 0),
+        ).alias("features"),
+        F.col("l_linenumber").cast("long").alias("sensitive"),
+    )
+
+
+# The same view as ANSI SQL for the DuckDB oracle (kept adjacent so the two
+# definitions cannot drift).
+PTS_LINEITEM_SQL = """
+SELECT l_orderkey * 1000 + l_linenumber * 100
+         + row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                              ORDER BY l_quantity, l_extendedprice, l_discount) AS id,
+       round(l_quantity, 0) AS f0,
+       round(l_extendedprice / 1000.0, 0) AS f1,
+       round(l_discount * 100.0, 0) AS f2,
+       CAST(l_linenumber AS BIGINT) AS sensitive
+FROM lineitem
+"""
+
+
+def points_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pts_customer(id, features[2], sensitive) — small clustering fixture.
+
+    Mirrors the reference's 2-QI ``data.csv`` shape (FIXTURES.md §1):
+    features = round(acctbal/100), nationkey; sensitive = length of segment.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.array(
+            F.round(F.col("c_acctbal") / 100.0, 0),
+            F.col("c_nationkey").cast("double"),
+        ).alias("features"),
+        F.length("c_mktsegment").cast("long").alias("sensitive"),
+    )
+
+
+PTS_CUSTOMER_SQL = """
+SELECT c_custkey AS id,
+       round(c_acctbal / 100.0, 0) AS f0,
+       CAST(c_nationkey AS DOUBLE) AS f1,
+       CAST(length(c_mktsegment) AS BIGINT) AS sensitive
+FROM customer
+"""
