@@ -1,0 +1,257 @@
+"""Centroid generalization (k-anonymization) + ε-sweep metrics.
+
+Rebuilds the reference's anonymization stage declaratively:
+
+- per-cluster centroid  = per-dimension mean (``calc_error``/``anonymize``,
+  ``DBSCAN.py:86-117``) — a single groupBy with one ``avg`` per dimension
+  (map-side partial agg; no ``collect_list`` of whole clusters, so no
+  group can exceed executor memory);
+- noise points take their *nearest* centroid via a broadcast
+  nested-loop argmin join (``assign_nearest`` over a broadcast list,
+  ``DBSCAN.py:126-133,187-192``) — here ``crossJoin(broadcast(centroids))``
+  + ``min_by``; tie-break = lowest cluster id (the reference's strict
+  ``<`` keeps the first-seen centroid, which is list order — a total
+  order makes it deterministic);
+- information-loss metrics per ε (``eps_records``, ``DBSCAN.py:135-152``).
+
+The ε-sweep computes the pair set ONCE at max ε and filters per ε
+(neighbors at ε ⊆ neighbors at ε' > ε) — turning the reference's
+Σ O(n²) sweep into one grid join (SURVEY.md §4 'iterative compute').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.functions.distance import l1_distance, l2_distance
+from dbscan_pyspark_spark.operators.components import connected_components
+from dbscan_pyspark_spark.operators.eps_join import _dim_of, _metric_fn, eps_self_join
+
+
+def cluster_centroids(
+    points: DataFrame,
+    labels: DataFrame,
+    features: str = "features",
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """DataFrame(cluster_id, centroid array<double>, n_members).
+
+    ``labels`` rows with NULL cluster are ignored (noise).
+    """
+    if dim is None:
+        dim = _dim_of(points, features)
+    joined = points.join(
+        labels.where(F.col(cluster_col).isNotNull()).select(id_col, cluster_col),
+        id_col,
+    )
+    aggs = [F.avg(F.col(features)[i]).alias(f"_c{i}") for i in range(dim)] + [
+        F.count(F.lit(1)).alias("n_members")
+    ]
+    g = joined.groupBy(cluster_col).agg(*aggs)
+    return g.select(
+        cluster_col,
+        F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+        "n_members",
+    )
+
+
+def assign_nearest(
+    points: DataFrame,
+    centroids: DataFrame,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Broadcast nearest-centroid join (SURVEY.md §2.3 J2/J3).
+
+    DataFrame(id, cluster_id, distance): each point mapped to its
+    closest centroid. Centroid sets are small by construction (bounded
+    by n/k clusters), so the build side is an explicit ``broadcast`` —
+    no shuffle of the points side at any scale.
+    """
+    dist = _metric_fn(metric)
+    c = F.broadcast(
+        centroids.select(
+            F.col(cluster_col).alias("_cid"), F.col(centroid_col).alias("_centroid")
+        )
+    )
+    paired = points.crossJoin(c).select(
+        F.col(id_col),
+        F.col("_cid"),
+        dist(features, "_centroid").alias("_d"),
+    )
+    # argmin with deterministic tie-break on cluster id
+    return paired.groupBy(id_col).agg(
+        F.min_by("_cid", F.struct("_d", "_cid")).alias(cluster_col),
+        F.min("_d").alias("distance"),
+    )
+
+
+def anonymize(
+    points: DataFrame,
+    labels: DataFrame,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    sensitive_col: str = "sensitive",
+    dim: int | None = None,
+) -> DataFrame:
+    """Replace each point's quasi-identifiers by its cluster centroid.
+
+    Clustered points take their own cluster's centroid; noise points the
+    nearest cluster centroid (``DBSCAN.py:200-205`` union). Output:
+    DataFrame(id, features, an_features, sensitive, cluster_id, is_noise)
+    — the sensitive attribute rides through untouched (``DBSCAN.py:84``).
+    """
+    cents = cluster_centroids(points, labels, features=features, id_col=id_col, dim=dim)
+    lab = labels.select(id_col, "cluster_id", "is_noise")
+    pts = points.join(lab, id_col)
+
+    clustered = (
+        pts.where(~F.col("is_noise"))
+        .join(cents.select("cluster_id", "centroid"), "cluster_id")
+    )
+    noise = pts.where(F.col("is_noise")).drop("cluster_id")
+    noise_assigned = noise.join(
+        assign_nearest(noise, cents, metric=metric, features=features, id_col=id_col)
+        .select(id_col, "cluster_id"),
+        id_col,
+    ).join(cents.select("cluster_id", "centroid"), "cluster_id")
+
+    out_cols = [
+        F.col(id_col),
+        F.col(features),
+        F.col("centroid").alias("an_features"),
+        F.col(sensitive_col),
+        F.col("cluster_id"),
+        F.col("is_noise"),
+    ]
+    return clustered.select(*out_cols).unionByName(noise_assigned.select(*out_cols))
+
+
+def information_loss(
+    points: DataFrame,
+    labels: DataFrame,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> DataFrame:
+    """One-row metrics frame per the reference's eps_records
+    (``DBSCAN.py:135-152``): n_clusters, n_noise, cluster_error
+    (Σ dist(pt, own centroid)), noise_error (Σ dist(noise, nearest
+    centroid)), total_error.
+
+    Degenerate ε with no clusters at all reproduces the reference's
+    ``[eps, 0, n, 0, inf, inf]`` row (``DBSCAN.py:163-168``)."""
+    dist = _metric_fn(metric)
+    spark = points.sparkSession
+    if labels.where(F.col("cluster_id").isNotNull()).isEmpty():
+        n = points.count()
+        inf = float("inf")
+        return spark.createDataFrame(
+            [(0, n, 0.0, inf, inf)],
+            "n_clusters long, n_noise long, cluster_error double, "
+            "noise_error double, total_error double",
+        )
+    an = anonymize(points, labels, metric=metric, features=features, id_col=id_col, dim=dim)
+    return an.agg(
+        F.count_distinct(F.when(~F.col("is_noise"), F.col("cluster_id"))).alias(
+            "n_clusters"
+        ),
+        F.sum(F.when(F.col("is_noise"), 1).otherwise(0)).alias("n_noise"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_noise"), dist(features, "an_features"))), F.lit(0.0)
+        ).alias("cluster_error"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_noise"), dist(features, "an_features"))), F.lit(0.0)
+        ).alias("noise_error"),
+    ).select(
+        "n_clusters",
+        "n_noise",
+        "cluster_error",
+        "noise_error",
+        (F.col("cluster_error") + F.col("noise_error")).alias("total_error"),
+    )
+
+
+def eps_sweep(
+    points: DataFrame,
+    eps_values: list[float],
+    min_pts: int,
+    min_cluster_size: int | None = None,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> tuple[DataFrame, float]:
+    """Sweep ε over ``eps_values`` (the reference's outer loop,
+    ``DBSCAN.py:158``), computing the ε-pair set ONCE at max ε.
+
+    Returns (metrics DataFrame with one row per ε, best_eps) where best
+    minimizes total_error — ties to the smaller ε, matching the
+    reference's strict ``<`` best-so-far update (``DBSCAN.py:200``).
+    """
+    if min_cluster_size is None:
+        min_cluster_size = min_pts
+    if dim is None:
+        dim = _dim_of(points, features)
+    max_eps = max(eps_values)
+    all_pairs = eps_self_join(
+        points, max_eps, metric=metric, features=features, id_col=id_col, dim=dim
+    ).persist()
+
+    spark = points.sparkSession
+    rows = []
+    try:
+        for eps in sorted(eps_values):
+            pairs = all_pairs.where(F.col("distance") < F.lit(float(eps)))
+            counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n"))
+            cores = counts.where(F.col("n") >= min_pts).select(
+                F.col("a_id").alias("core_id")
+            )
+            edges = pairs.join(cores, pairs["a_id"] == cores["core_id"]).select(
+                F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+            )
+            labels = connected_components(
+                edges, vertices=points.select(id_col), id_col=id_col
+            )
+            sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
+            labels = (
+                labels.join(sizes, "component")
+                .select(
+                    id_col,
+                    F.when(
+                        F.col("_n") >= min_cluster_size, F.col("component")
+                    ).alias("cluster_id"),
+                )
+                .withColumn("is_noise", F.col("cluster_id").isNull())
+            )
+            m = information_loss(
+                points, labels, metric=metric, features=features, id_col=id_col, dim=dim
+            ).first()
+            rows.append(
+                (
+                    float(eps),
+                    m["n_clusters"],
+                    m["n_noise"],
+                    float(m["cluster_error"]),
+                    float(m["noise_error"]),
+                    float(m["total_error"]),
+                )
+            )
+    finally:
+        all_pairs.unpersist()
+
+    metrics = spark.createDataFrame(
+        rows,
+        "eps double, n_clusters long, n_noise long, cluster_error double, "
+        "noise_error double, total_error double",
+    )
+    best = min(rows, key=lambda r: (r[5], r[0]))[0]
+    return metrics, best
