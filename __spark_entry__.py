@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship DBSCAN anonymization pipeline at sf0.001.
+``queries()``     — one callable per implemented operator (SURVEY.md §2
+                    + §2.10 extensions), run by the driver at sf0.01.
+``oracle_sql()``  — the DuckDB-equivalent ANSI SQL per query. Queries
+                    whose semantics are iterative/approximate (DBSCAN
+                    labels, IVF ANN, k-member k-means) are registered
+                    without an oracle -> rows-only check, as the
+                    contract allows.
+
+Exact-match discipline: every float that reaches an output is either
+integer-valued by construction, decimal-cast before summing (exact,
+order-independent), or rounded AFTER deterministic arithmetic in BOTH
+engines (see sources/tables.py for the shared points views).
 """
 
 from __future__ import annotations
@@ -12,27 +20,696 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.anonymize import anonymize, assign_nearest
+from dbscan_pyspark_spark.operators.dbscan import dbscan
+from dbscan_pyspark_spark.operators.dedup import (
+    exact_dedup,
+    minhash_bands,
+    minhash_near_dup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from dbscan_pyspark_spark.operators.eps_join import (
+    core_points,
+    eps_self_join,
+    neighbor_counts,
+)
+from dbscan_pyspark_spark.operators.events import session_agg, sliding_agg, tumbling_agg
+from dbscan_pyspark_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+from dbscan_pyspark_spark.operators.windows import (
+    anti_top_k_per_group,
+    argmin_row,
+    top_k_per_group,
+)
+from dbscan_pyspark_spark.functions.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    normalized,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from dbscan_pyspark_spark.sources.tables import (
+    PTS_CUSTOMER_SQL,
+    PTS_LINEITEM_SQL,
+    load_table,
+    points_from_customer,
+    points_from_lineitem,
+)
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """DBSCAN ε-clustering + k-anonymization of the lineitem point cloud
+    at sf0.001 — the reference's main pipeline (DBSCAN.py) end-to-end:
+    grid ε-join -> core points -> connected components -> centroid
+    generalization with sensitive-attribute passthrough."""
+    pts = points_from_lineitem(spark, "/root/testdata/sf0.001")
+    labels = dbscan(pts, eps=4.0, min_pts=8, min_cluster_size=8)
+    return anonymize(pts, labels)
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+KNN_CENTROIDS = [(0, 0.0, 5.0), (1, 25.0, 12.0), (2, 60.0, 20.0)]
+EPS_C, MINPTS_C = 3.0, 4
+
+
+def _knn_centroids_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(cid, [c0, c1]) for cid, c0, c1 in KNN_CENTROIDS],
+        "cluster_id int, centroid array<double>",
+    )
+
+
+def _dec(c: str, t: str = "decimal(18,4)") -> F.Column:
+    return F.col(c).cast(t)
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- scans + aggregation (S1, A2-A6, F1) ----
+    def q1_pricing_summary(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(_dec("l_quantity", "decimal(12,2)")).alias("sum_qty"),
+                F.sum(_dec("l_extendedprice", "decimal(14,2)")).alias("sum_base_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    # ---- multi-way broadcast join + agg (J-family via Catalyst) ----
+    def nation_revenue(spark, sf):
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.sum(_dec("o_totalprice", "decimal(16,2)")).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    q["nation_revenue"] = nation_revenue
+
+    # ---- semi / anti joins (noise split shape, SURVEY §2.3) ----
+    def customers_with_big_orders(spark, sf):
+        c = load_table(spark, sf, "customer")
+        o = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 200000)
+        return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+            "c_custkey", "c_nationkey"
+        )
+
+    q["customers_with_big_orders"] = customers_with_big_orders
+
+    def customers_without_orders(spark, sf):
+        # anti-join = the noise split of SURVEY §2.3; threshold keeps the
+        # result non-empty on the synthetic data (every customer has
+        # *some* order)
+        c = load_table(spark, sf, "customer")
+        o = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+        return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+            "c_custkey", "c_acctbal"
+        )
+
+    q["customers_without_orders"] = customers_without_orders
+
+    # ---- grid ε-join family (J1, P2, P3, A2) on pts_customer ----
+    def eps_neighbor_counts(spark, sf):
+        pts = points_from_customer(spark, sf)
+        return neighbor_counts(pts, EPS_C)
+
+    q["eps_neighbor_counts"] = eps_neighbor_counts
+
+    def eps_core_points(spark, sf):
+        pts = points_from_customer(spark, sf)
+        return core_points(pts, EPS_C, MINPTS_C)
+
+    q["eps_core_points"] = eps_core_points
+
+    def eps_pairs(spark, sf):
+        pts = points_from_customer(spark, sf)
+        return eps_self_join(pts, EPS_C, unique_pairs=True)
+
+    q["eps_pairs"] = eps_pairs
+
+    # ---- broadcast NL nearest-centroid argmin join (J2/J3) ----
+    def knn_assign(spark, sf):
+        pts = points_from_customer(spark, sf)
+        return assign_nearest(pts, _knn_centroids_df(spark))
+
+    q["knn_assign"] = knn_assign
+
+    # ---- per-group centroid + cost (A3, A4/A5) ----
+    def group_centroids(spark, sf):
+        pts = points_from_customer(spark, sf)
+        return pts.groupBy("sensitive").agg(
+            F.round(F.avg(F.col("features")[0]), 4).alias("c0"),
+            F.round(F.avg(F.col("features")[1]), 4).alias("c1"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+
+    q["group_centroids"] = group_centroids
+
+    def group_cost(spark, sf):
+        pts = points_from_customer(spark, sf)
+        cents = pts.groupBy("sensitive").agg(
+            F.avg(F.col("features")[0]).alias("c0"),
+            F.avg(F.col("features")[1]).alias("c1"),
+        )
+        return (
+            pts.join(cents, "sensitive")
+            .groupBy("sensitive")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.abs(F.col("features")[0] - F.col("c0"))
+                        + F.abs(F.col("features")[1] - F.col("c1"))
+                    ),
+                    4,
+                ).alias("l1_cost")
+            )
+        )
+
+    q["group_cost"] = group_cost
+
+    # ---- window top-k keep / release (W1, W2) ----
+    TOPK_ORDER = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_quantity").desc(),
+        F.col("l_discount").desc(),
+        F.col("l_linenumber"),
+    ]
+
+    def topk_lineitems_per_order(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return top_k_per_group(li, ["l_orderkey"], TOPK_ORDER, 2, rank_col="rank").select(
+            "l_orderkey",
+            "l_linenumber",
+            _dec("l_extendedprice", "decimal(14,2)").alias("price"),
+            "rank",
+        )
+
+    q["topk_lineitems_per_order"] = topk_lineitems_per_order
+
+    def released_lineitems(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        out = anti_top_k_per_group(li, ["l_orderkey"], TOPK_ORDER, 2, rank_col="rank")
+        return out.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n_released"),
+            F.sum(_dec("l_quantity", "decimal(12,2)")).alias("released_qty"),
+        )
+
+    q["released_lineitems"] = released_lineitems
+
+    # ---- union (U1/U2) ----
+    def union_segments(spark, sf):
+        c = load_table(spark, sf, "customer")
+        hi = c.where(F.col("c_acctbal") >= 5000).select(
+            "c_custkey", F.lit("high").alias("band")
+        )
+        lo = c.where(F.col("c_acctbal") < 0).select(
+            "c_custkey", F.lit("negative").alias("band")
+        )
+        return hi.unionByName(lo)
+
+    q["union_segments"] = union_segments
+
+    # ---- group-count HAVING (P4/P5) ----
+    def busy_customers(spark, sf):
+        o = load_table(spark, sf, "orders")
+        return (
+            o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .where(F.col("n_orders") >= 12)
+        )
+
+    q["busy_customers"] = busy_customers
+
+    # ---- global argmin (W3) ----
+    def poorest_customer(spark, sf):
+        c = load_table(spark, sf, "customer")
+        return argmin_row(
+            c.select("c_custkey", _dec("c_acctbal", "decimal(12,2)").alias("acctbal")),
+            [F.col("acctbal"), F.col("c_custkey")],
+        )
+
+    q["poorest_customer"] = poorest_customer
+
+    # ---- text analysis extensions ----
+    def doc_fingerprints(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+    q["doc_fingerprints"] = doc_fingerprints
+
+    def dedup_exact_docs(spark, sf):
+        return exact_dedup(load_table(spark, sf, "documents"))
+
+    q["dedup_exact_docs"] = dedup_exact_docs
+
+    def token_stats(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+            F.round(F.length("text") / token_count("text"), 4).alias("avg_token_len"),
+            F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        )
+
+    q["token_stats"] = token_stats
+
+    def lang_id_heuristic(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return d.select("doc_id", lang_id("text").alias("lang_pred"))
+
+    q["lang_id_heuristic"] = lang_id_heuristic
+
+    def near_dup_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), threshold=0.3, n=3
+        )
+
+    q["near_dup_jaccard"] = near_dup_jaccard
+
+    def minhash_band_signatures(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return minhash_bands(minhash_signatures(d, num_hashes=16, n=3), rows_per_band=4)
+
+    q["minhash_band_signatures"] = minhash_band_signatures
+
+    def minhash_near_dups(spark, sf):
+        return minhash_near_dup_pairs(
+            load_table(spark, sf, "documents"),
+            threshold=0.3,
+            num_hashes=16,
+            rows_per_band=4,
+            n=3,
+        )
+
+    q["minhash_near_dups"] = minhash_near_dups
+
+    def simhash_docs(spark, sf):
+        return simhash64(load_table(spark, sf, "documents"))
+
+    q["simhash_docs"] = simhash_docs
+
+    # ---- similarity search ----
+    def embedding_cosine_topk(spark, sf):
+        e = load_table(spark, sf, "embeddings")
+        qe = e.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x * 1000, 0).cast("long")
+            ).alias("qemb"),
+        )
+        queries_df = qe.where(F.col("vec_id") % 100 == 0)
+        return cosine_topk(
+            qe, queries_df, k=5, vec_col="qemb", include_self=False
+        )
+
+    q["embedding_cosine_topk"] = embedding_cosine_topk
+
+    # ---- event-time windows ----
+    def events_hourly(spark, sf):
+        ev = load_table(spark, sf, "events")
+        return tumbling_agg(ev, "1 hour", group_cols=["event_type"])
+
+    q["events_hourly"] = events_hourly
+
+    def events_sliding(spark, sf):
+        ev = load_table(spark, sf, "events")
+        return sliding_agg(ev, "1 hour", "30 minutes")
+
+    q["events_sliding"] = events_sliding
+
+    def events_sessions(spark, sf):
+        ev = load_table(spark, sf, "events")
+        return session_agg(ev, "30 minutes")
+
+    q["events_sessions"] = events_sessions
+
+    # ---- iterative / approximate: rows-only checks (no oracle) ----
+    def dbscan_customer(spark, sf):
+        pts = points_from_customer(spark, sf)
+        return dbscan(pts, eps=EPS_C, min_pts=MINPTS_C, min_cluster_size=MINPTS_C)
+
+    q["dbscan_customer"] = dbscan_customer
+
+    def ivf_ann_topk(spark, sf):
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        queries_df = e.where(F.col("vec_id") % 100 == 0)
+        return ivf_cosine_topk(e, queries_df, k=5, n_cells=8, nprobe=3)
+
+    q["ivf_ann_topk"] = ivf_ann_topk
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_SHINGLES_CTE = f"""
+norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+)
+"""
+
+_SIZES_CTE = "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"
+
+
+def _lang_case() -> str:
+    hits = {
+        lang: (
+            "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+            f"t -> lower(t) IN ({', '.join(repr(w) for w in words)})))"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = sorted(hits)  # alphabetical tie-break
+    cols = ", ".join(f"{hits[lang]} AS h_{lang}" for lang in langs)
+    total = " + ".join(f"h_{lang}" for lang in langs)
+    case = "CASE WHEN " + " <= 0 AND ".join(f"h_{lang}" for lang in langs)
+    # argmax, alphabetical tie-break: first lang whose hits >= all others
+    conds = []
+    for lang in langs:
+        ge = " AND ".join(
+            f"h_{lang} >= h_{other}" for other in langs if other != lang
+        )
+        conds.append(f"WHEN {ge} THEN '{lang}'")
+    return f"""
+SELECT doc_id,
+       CASE WHEN ({total}) = 0 THEN 'und' {' '.join(conds)} END AS lang_pred
+FROM (SELECT doc_id, {cols} FROM documents) s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ", ".join(repr(w) for w in STOPWORDS)
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "nation_revenue": """
+SELECT r_name, n_name,
+       sum(CAST(o_totalprice AS DECIMAL(16,2))) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "customers_with_big_orders": """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+        "eps_neighbor_counts": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL})
+SELECT a.id, count(*) AS n_neighbors
+FROM pts a JOIN pts b
+  ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+GROUP BY a.id
+""",
+        "eps_core_points": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL})
+SELECT a.id, count(*) AS n_neighbors
+FROM pts a JOIN pts b
+  ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+GROUP BY a.id HAVING count(*) >= {MINPTS_C}
+""",
+        "eps_pairs": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL})
+SELECT a.id AS a_id, b.id AS b_id,
+       abs(a.f0 - b.f0) + abs(a.f1 - b.f1) AS distance
+FROM pts a JOIN pts b
+  ON a.id < b.id
+ AND abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+""",
+        "knn_assign": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL}),
+c(cid, c0, c1) AS (VALUES {', '.join(f'({cid}, {c0}, {c1})' for cid, c0, c1 in KNN_CENTROIDS)}),
+d AS (
+  SELECT pts.id, c.cid, abs(f0 - c0) + abs(f1 - c1) AS dist FROM pts, c
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM d
+)
+SELECT id, CAST(cid AS INTEGER) AS cluster_id, dist AS distance FROM r WHERE rn = 1
+""",
+        "group_centroids": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL})
+SELECT sensitive, round(avg(f0), 4) AS c0, round(avg(f1), 4) AS c1,
+       count(*) AS n_members
+FROM pts GROUP BY sensitive
+""",
+        "group_cost": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL}),
+cents AS (SELECT sensitive, avg(f0) AS c0, avg(f1) AS c1 FROM pts GROUP BY sensitive)
+SELECT pts.sensitive,
+       round(sum(abs(f0 - c0) + abs(f1 - c1)), 4) AS l1_cost
+FROM pts JOIN cents ON pts.sensitive = cents.sensitive
+GROUP BY pts.sensitive
+""",
+        "topk_lineitems_per_order": """
+WITH r AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_quantity DESC, l_discount DESC, l_linenumber
+         ) AS rank
+  FROM lineitem
+)
+SELECT * FROM r WHERE rank <= 2
+""",
+        "released_lineitems": """
+WITH r AS (
+  SELECT l_orderkey, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_quantity DESC, l_discount DESC, l_linenumber
+         ) AS rank
+  FROM lineitem
+)
+SELECT l_orderkey, count(*) AS n_released,
+       sum(CAST(l_quantity AS DECIMAL(12,2))) AS released_qty
+FROM r WHERE rank > 2 GROUP BY l_orderkey
+""",
+        "union_segments": """
+SELECT c_custkey, 'high' AS band FROM customer WHERE c_acctbal >= 5000
+UNION ALL
+SELECT c_custkey, 'negative' AS band FROM customer WHERE c_acctbal < 0
+""",
+        "busy_customers": """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING count(*) >= 12
+""",
+        "poorest_customer": """
+SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+FROM customer ORDER BY acctbal, c_custkey LIMIT 1
+""",
+        "doc_fingerprints": f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+""",
+        "dedup_exact_docs": f"""
+SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "token_stats": f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       round(length(text) / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4) AS avg_token_len,
+       round(
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+              THEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   t -> lower(t) IN ({sw})))
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END, 4) AS stopword_ratio
+FROM documents
+""",
+        "lang_id_heuristic": _lang_case(),
+        "near_dup_jaccard": f"""
+WITH {_SHINGLES_CTE}, {_SIZES_CTE},
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.3
+""",
+        "minhash_band_signatures": f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, u.h,
+         min(md5(CAST(u.h AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, unnest(range(0, 16)) AS u(h)
+  GROUP BY doc_id, u.h
+)
+SELECT doc_id, h // 4 AS band,
+       md5(string_agg(minhash, '|' ORDER BY h)) AS band_hash
+FROM sig GROUP BY doc_id, h // 4
+""",
+        "minhash_near_dups": f"""
+WITH {_SHINGLES_CTE}, {_SIZES_CTE},
+sig AS (
+  SELECT doc_id, u.h,
+         min(md5(CAST(u.h AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh, unnest(range(0, 16)) AS u(h)
+  GROUP BY doc_id, u.h
+),
+bands AS (
+  SELECT doc_id, h // 4 AS band,
+         md5(string_agg(minhash, '|' ORDER BY h)) AS band_hash
+  FROM sig GROUP BY doc_id, h // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT cand.a_id, cand.b_id, count(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.a_id
+  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.shingle = sa.shingle
+  GROUP BY cand.a_id, cand.b_id
+)
+SELECT common.a_id, common.b_id,
+       round(n_common / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes za ON za.doc_id = common.a_id
+JOIN sizes zb ON zb.doc_id = common.b_id
+WHERE round(n_common / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE), 6) >= 0.3
+""",
+        "simhash_docs": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+hashed AS (SELECT doc_id, md5(tok) AS hhex FROM tok),
+bits AS (
+  SELECT doc_id, u.b,
+         CASE WHEN (
+           (strpos('0123456789abcdef', substr(hhex, CAST(u.b // 4 AS INTEGER) + 1, 1)) - 1)
+           & (1 << CAST(3 - u.b % 4 AS INTEGER))
+         ) > 0 THEN 1 ELSE -1 END AS w
+  FROM hashed, unnest(range(0, 64)) AS u(b)
+),
+agg AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM agg GROUP BY doc_id
+""",
+        "embedding_cosine_topk": """
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qemb
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, qemb AS qv FROM qe WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> e.qemb[i] * q.qv[i]))
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> e.qemb[i] * e.qemb[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])) AS DOUBLE))),
+           6) AS score
+  FROM qe e, q WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - u.k * INTERVAL '30 minutes' AS window_start,
+         value
+  FROM events, unnest(range(0, 2)) AS u(k)
+)
+SELECT window_start, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM w GROUP BY 1
+""",
+        "events_sessions": """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+    }

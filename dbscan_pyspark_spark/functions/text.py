@@ -1,0 +1,131 @@
+"""Text-analysis column expressions (north-star extensions, SURVEY.md §2.10).
+
+Everything here is a pure ``pyspark.sql.functions`` composition (JVM-side,
+codegen-friendly) designed to be re-expressible in ANSI SQL for the DuckDB
+oracle: tokenization, n-gram shingles, quality stats, fingerprinting, and
+an n-gram/stopword language-ID heuristic. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small function-word profile per language. The scoring is a plain
+# count-of-profile-hits ratio — deterministic and SQL-expressible.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """A BPE-ish regex segmentation: word pieces, numbers, punctuation
+    runs — the common pre-tokenizer shape (letters+ | digits+ | other)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"), 0)
+
+
+def normalized(text: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to single spaces, trim —
+    the canonical form used for fingerprints and exact near-dup."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles from a *materialized* token-array column.
+
+    ``toks`` must be a bound column, not an expression: Spark does no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so an expression there would be re-evaluated once per
+    array element (measured 10x slowdown on the documents table).
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text, as strings.
+
+    Convenience form over an inline expression — fine for one-off use,
+    but hot paths should materialize the token column and call
+    :func:`shingles_from_tokens` (see note there).
+    """
+    return shingles_from_tokens(F.split(normalized(text), " "), n)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic [0,1] quality: length band + mean token length band +
+    low punctuation density. Deterministic arithmetic only."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    len_band = F.when((n_chars >= 100) & (n_chars <= 2000), 1.0).when(
+        n_chars >= 30, 0.5
+    ).otherwise(0.0)
+    tok_band = F.when((mean_tok >= 3.0) & (mean_tok <= 12.0), 1.0).otherwise(0.5)
+    return F.round((len_band + tok_band + (1.0 - punct_ratio)) / 3.0, 4)
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map of language -> profile-hit count over the token set."""
+    toks = tokens(text)
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(words))).alias("hits"),
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    return F.array(*pairs)
+
+
+def lang_id(text: Column | str, default: str = "und") -> Column:
+    """argmax language by profile hits; ties to alphabetical lang;
+    'und' when no profile word occurs at all."""
+    scores = lang_scores(text)
+    best = F.array_min(
+        F.transform(scores, lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")))
+    )
+    total = F.aggregate(scores, F.lit(0), lambda acc, s: acc + s["hits"])
+    return F.when(total > 0, best["lang"]).otherwise(F.lit(default))

@@ -3,8 +3,8 @@
 Pipeline (all DataFrame ops — SURVEY.md §3.1 rebuilt declaratively):
 
 1. ε-pairs via the grid-bucketed self-join (not cartesian);
-2. core points: neighbor count (incl. self) >= min_pts
-   (``DBSCAN.py:161``, HAVING semantics — P3);
+2. core points: neighbor count (incl. self and duplicate rows) >=
+   min_pts (``DBSCAN.py:161``, HAVING semantics — P3);
 3. edges core -> every ε-neighbor (``flattenPair``, ``DBSCAN.py:119-124,162``);
 4. undirected connected components over those edges, vertices = all
    points (``DBSCAN.py:157,169-172``) — or, with ``variant='scc'``,
@@ -14,6 +14,18 @@ Pipeline (all DataFrame ops — SURVEY.md §3.1 rebuilt declaratively):
    of mutually-reachable core points, border points fall out;
 5. components with >= min_cluster_size members are clusters, everything
    else is noise (``DBSCAN.py:176-181`` — the anonymity k, not min_pts).
+
+Scale design — duplicate contraction (on by default): points sharing a
+feature vector are interchangeable (same neighbors, same core status,
+same component), so the join/CC graph runs over *distinct* vectors
+weighted by multiplicity and labels are broadcast back by vector
+equality. Low-cardinality/quantized data (the anonymization use case —
+integer quasi-identifiers) contracts orders of magnitude; continuous
+data contracts to ~n and costs one extra groupBy. All counts use
+multiplicities, so the result is bit-identical to the uncontracted run:
+neighbor counts still include self and duplicate rows, and an edgeless
+duplicate group is still |group| singleton components, not one
+component of size |group|.
 
 Note the reference quirk, preserved on purpose: because edges run core ->
 *all* neighbors, two cores farther than ε apart can merge through a
@@ -26,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.operators.components import connected_components
-from dbscan_pyspark_spark.operators.eps_join import eps_self_join
+from dbscan_pyspark_spark.operators.eps_join import eps_join
 
 
 def dbscan(
@@ -39,6 +51,7 @@ def dbscan(
     id_col: str = "id",
     dim: int | None = None,
     variant: str = "cc",
+    contract_duplicates: bool = True,
 ) -> DataFrame:
     """Cluster ``points`` -> DataFrame(id, cluster_id, is_noise).
 
@@ -52,46 +65,85 @@ def dbscan(
     if variant not in ("cc", "scc"):
         raise ValueError(f"variant must be 'cc' or 'scc', got {variant!r}")
 
-    pairs = eps_self_join(
-        points, eps, metric=metric, features=features, id_col=id_col, dim=dim,
+    if contract_duplicates:
+        reps = points.groupBy(features).agg(
+            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult")
+        )
+    else:
+        reps = points.select(features, id_col).withColumn("_mult", F.lit(1))
+    reps = reps.persist()
+
+    pairs = eps_join(
+        reps, reps, eps, metric=metric, features=features, id_col=id_col, dim=dim,
         keep_distance=False,
     )
-    # Reused by both the core-count agg and the edge build: one shuffle.
-    pairs = pairs.persist()
+    # b-side multiplicity: how many original rows each neighbor rep stands for
+    mult_b = reps.select(F.col(id_col).alias("b_id"), F.col("_mult").alias("_mult_b"))
+    pairs = pairs.join(mult_b, "b_id").persist()
     try:
-        counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_neighbors"))
+        counts = pairs.groupBy("a_id").agg(F.sum("_mult_b").alias("n_neighbors"))
         cores = counts.where(F.col("n_neighbors") >= F.lit(int(min_pts))).select(
             F.col("a_id").alias("core_id")
         )
 
-        # Edges: core -> neighbor. Broadcast-friendly only when cores are few;
-        # in general this is an equi-join on a_id — same partitioning as the
-        # groupBy above, so AQE reuses the shuffle.
         edges = pairs.join(cores, pairs["a_id"] == cores["core_id"]).select(
             F.col("a_id").alias("src"), F.col("b_id").alias("dst")
         )
         if variant == "scc":
             # Directed mutual reachability == both orientations present ==
-            # core-core ε-pairs. Equivalent to edges ∩ reverse(edges).
+            # core-core ε-pairs.
             rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             edges = edges.intersect(rev)
+        edges = edges.persist()
+
+        # Reps that appear in no edge expand to singleton components per
+        # ORIGINAL row (an edgeless duplicate group is |group| singletons).
+        participating = (
+            edges.select(F.col("src").alias(id_col))
+            .union(edges.select(F.col("dst").alias(id_col)))
+            .distinct()
+        )
 
         labels = connected_components(
-            edges, vertices=points.select(id_col), id_col=id_col
+            edges, vertices=participating, id_col=id_col
+        )
+        # component mass = sum of member multiplicities (original rows)
+        sizes = (
+            labels.join(reps.select(id_col, "_mult"), id_col)
+            .groupBy("component")
+            .agg(F.sum("_mult").alias("_n"))
+        )
+        rep_labels = labels.join(sizes, "component").select(
+            F.col(id_col).alias("_rep_id"),
+            F.when(
+                F.col("_n") >= F.lit(int(min_cluster_size)), F.col("component")
+            ).alias("cluster_id"),
+            F.lit(True).alias("_in_graph"),
         )
 
-        sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
-        out = (
-            labels.join(sizes, "component")
-            .select(
-                F.col(id_col),
-                F.when(F.col("_n") >= F.lit(int(min_cluster_size)), F.col("component"))
-                .alias("cluster_id"),
+        # Expand back to original rows by feature equality.
+        rep_map = reps.select(
+            F.col(features).alias("_rep_features"), F.col(id_col).alias("_rep_id")
+        ).join(rep_labels, "_rep_id", "left")
+        out = points.join(
+            rep_map, points[features] == rep_map["_rep_features"], "left"
+        ).select(
+            points[id_col],
+            # edgeless rep (no CC row): every original row is a singleton
+            # component -> cluster of itself iff min_cluster_size <= 1
+            F.when(
+                F.col("_in_graph").isNull() & F.lit(min_cluster_size <= 1),
+                points[id_col],
             )
-            .withColumn("is_noise", F.col("cluster_id").isNull())
-        )
-        # Materialize before unpersisting the pair set feeding the CC loop.
+            .otherwise(F.col("cluster_id"))
+            .alias("cluster_id"),
+        ).withColumn("is_noise", F.col("cluster_id").isNull())
         out = out.localCheckpoint(eager=True)
     finally:
         pairs.unpersist()
+        reps.unpersist()
+        try:
+            edges.unpersist()
+        except Exception:
+            pass
     return out

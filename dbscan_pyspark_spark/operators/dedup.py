@@ -1,0 +1,278 @@
+"""Deduplication operators (north-star extensions, SURVEY.md §2.10).
+
+Four tiers, all shuffle-conscious:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on the
+  16-byte digest, never on the document body;
+- **n-gram Jaccard**: shingle-explode + equi-join on shingle, group on
+  the pair — the candidate set is bounded by shared shingles, not n²;
+- **MinHash + LSH banding**: signatures from portable md5 hashes (so the
+  DuckDB oracle can reproduce them bit-for-bit), band-bucket equi-join
+  for candidates, exact Jaccard verification after;
+- **SimHash**: 64-bit token-hash aggregate; near-dups share the simhash
+  (or a band of it).
+
+At 100 TB the only wide exchanges are equi-joins/groupBys on digests,
+shingles, or (band_id, band_hash) buckets — all fine-grained keys that
+hash-partition evenly; no cross join appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.functions.text import (
+    fingerprint,
+    normalized,
+    shingles_from_tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One surviving row per distinct normalized text: the minimum id
+    (deterministic, unlike dropDuplicates' arbitrary winner).
+    Returns DataFrame(fingerprint, doc_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # A small-file scan can arrive as one partition; the shingle explode
+    # multiplies rows ~100x, so spread the input first (cheap relative
+    # to the explode; on a real cluster the scan is already wide).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, id_col)
+    # two-step select: tokens land in a bound column before the
+    # shingle lambda touches them (see shingles_from_tokens)
+    return (
+        df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_toks"))
+        .select(F.col(id_col), F.explode(shingles_from_tokens("_toks", n)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs with n-gram-shingle Jaccard >= threshold.
+
+    DataFrame(a_id, b_id, jaccard) with a_id < b_id. Exact (not
+    approximate): |A ∩ B| via shingle equi-join, |A ∪ B| = |A|+|B|-∩.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Portable MinHash: hash_i(doc) = min over shingles of
+    md5(i || ':' || shingle). md5 is identical in Spark / DuckDB /
+    everywhere, so signatures are engine-independent (hash-match-able),
+    at the cost of being string mins.
+
+    WIDE layout — one row per doc, columns ``m0..m{k-1}`` — so all k
+    mins are partial-aggregated in ONE groupBy over the shingle rows;
+    the k-fold row explode a long layout needs (k x shuffle volume)
+    never happens. Returns DataFrame(doc_id, m0, ..., m{k-1})."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))).alias(f"m{h}")
+        for h in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(
+    signatures: DataFrame,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding over wide signatures: band b's hash = md5 of the
+    '|'-joined minhashes m_{b*r}..m_{b*r+r-1}. One narrow projection +
+    posexplode; no shuffle at all. DataFrame(doc_id, band, band_hash)."""
+    sig_cols = [c for c in signatures.columns if c.startswith("m")]
+    n_bands = len(sig_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"m{b * rows_per_band + i}")
+                        for i in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        id_col, F.posexplode(bands).alias("band", "band_hash")
+    ).withColumn("band", F.col("band").cast("long"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup: candidates share >= 1 band bucket, then the
+    *exact* shingle Jaccard verifies. DataFrame(a_id, b_id, jaccard).
+
+    The band equi-join is the only wide exchange over candidates —
+    at scale this is the standard shingle->minhash->band->bucket-join
+    pipeline; the verification join touches only candidate pairs.
+    """
+    bands = minhash_bands(
+        minhash_signatures(df, num_hashes, n, text_col, id_col), rows_per_band, id_col
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
+        )
+        .distinct()
+    )
+
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # verification touches only candidate docs: semi-join prune first
+    sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
+        cand.select("a_id").distinct(), "a_id", "left_semi"
+    )
+    sb = sh.select(F.col(id_col).alias("b_id"), "shingle").join(
+        cand.select("b_id").distinct(), "b_id", "left_semi"
+    )
+    common = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
+        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over normalized tokens, from md5 bits (portable).
+
+    bit_b(simhash) = 1 iff sum over distinct tokens of (+1 if bit_b of
+    md5(token) else -1) > 0. Returned as DataFrame(doc_id, simhash
+    string of 64 '0'/'1' chars) — a bit-string survives every engine's
+    type system unscathed, unlike signed 64-bit ints.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(normalized(text_col), " "))).alias("tok"),
+    ).withColumn("hhex", F.md5("tok"))
+    bits = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        "hhex",
+    ).select(
+        id_col,
+        "b",
+        # hex digit at position b/4, bit (3 - b%4) within it
+        (
+            F.when(
+                (
+                    F.conv(
+                        F.col("hhex").substr(
+                            (F.col("b") / 4).cast("int") + 1, F.lit(1)
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("int")
+                    # bit weight 8/4/2/1 for position b%4 within the hex digit
+                    .bitwiseAND(
+                        F.element_at(
+                            F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)),
+                            (F.col("b") % 4).cast("int") + 1,
+                        )
+                    )
+                )
+                > 0,
+                1,
+            ).otherwise(-1)
+        ).alias("w"),
+    )
+    agg = bits.groupBy(id_col, "b").agg(F.sum("w").alias("s"))
+    return (
+        agg.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "s"))),
+                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
+                ),
+            ).alias("simhash")
+        )
+    )

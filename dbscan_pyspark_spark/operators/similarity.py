@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two paths, sharing one scoring expression:
+
+- **brute-force top-k** — correctness baseline: broadcast the (small)
+  query set against every row, JVM-side cosine via ``zip_with`` /
+  ``aggregate``, per-query window top-k. The big side is never
+  shuffled: broadcast + map-side score + partial top-k.
+- **IVF-style bucketed ANN** — the scale path: every vector is assigned
+  to its nearest of C coarse centroids (broadcast argmin); queries probe
+  only their ``nprobe`` nearest cells, so the candidate set shrinks
+  ~C/nprobe-fold. Same grid-prune idea as the ε-join
+  (eps_join.py) applied to vector space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.functions.distance import cosine_similarity, l2_distance_sq
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    DataFrame(query_id, vec_id, score, rank). Score is rounded to 6
+    digits *before* ranking so the ordering (and ties broken by
+    neighbor id) is engine-independent — the DuckDB oracle ranks the
+    same way.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), F.col(vec_col).alias("_qvec")
+        )
+    )
+    scored = vectors.crossJoin(q).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(vec_col, "_qvec"), 6).alias("score"),
+    )
+    if not include_self:
+        scored = scored.where(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """K-means coarse quantizer trained with plain DataFrame Lloyd steps
+    (broadcast centroids, argmin assign, re-average). Deterministic:
+    init = the n_cells sample rows with the smallest ids.
+    Returns DataFrame(cell, centroid array<double>)."""
+    src = vectors
+    if sample_fraction:
+        src = src.sample(fraction=sample_fraction, seed=seed)
+    dim_row = src.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty vectors")
+    dim = int(dim_row["d"])
+
+    init = (
+        src.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(vec_col).alias("centroid"))
+        .rdd.map(lambda r: r["centroid"])
+        .collect()
+    )
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(init)],
+        "cell int, centroid array<double>",
+    )
+    for _ in range(max_iter):
+        assigned = _assign_cells(src, cents, id_col, vec_col)
+        aggs = [F.avg(F.col(vec_col)[i]).alias(f"_c{i}") for i in range(dim)]
+        cents = (
+            src.join(assigned, id_col)
+            .groupBy("cell")
+            .agg(*aggs)
+            .select(
+                "cell",
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+            )
+        )
+        cents = cents.localCheckpoint(eager=True)
+    return cents
+
+
+def _assign_cells(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cvec")))
+    return (
+        vectors.crossJoin(c)
+        .select(
+            id_col,
+            "cell",
+            l2_distance_sq(vec_col, "_cvec").alias("_d"),
+        )
+        .groupBy(id_col)
+        .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell"))
+    )
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's ``nprobe`` nearest IVF
+    cells. Output schema matches :func:`cosine_topk`; recall < 1.0 by
+    design. The scan side is partitioned by cell, so each query touches
+    ~nprobe/n_cells of the data — the 100 TB path."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, n_cells, id_col, vec_col)
+    cells = _assign_cells(vectors, centroids, id_col, vec_col)
+    indexed = vectors.join(cells, id_col)
+
+    c = F.broadcast(centroids.select("cell", F.col("centroid").alias("_cvec")))
+    qcells = (
+        queries.crossJoin(c)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            "cell",
+            l2_distance_sq(vec_col, "_cvec").alias("_d"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("_d", "cell")
+            ),
+        )
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "cell")
+    )
+
+    scored = indexed.join(F.broadcast(qcells), "cell").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity(vec_col, "_qvec"), 6).alias("score"),
+    ).where(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -28,6 +28,9 @@ _SQL_CONF = {
     # Whole files of driver testdata are small; on a cluster leave default.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # The driver testdata's events.ts is parquet TIMESTAMP(NANOS) which
+    # Spark cannot map natively; read as long and convert (tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
