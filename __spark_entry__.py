@@ -395,6 +395,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    def kmember_clusters(spark, sf):
+        from dbscan_pyspark_spark.operators.kmember import (
+            kmember_anonymize,
+            kmember_kmeans,
+        )
+
+        pts = points_from_customer(spark, sf)
+        res = kmember_kmeans(pts, k=50, n_clusters=12, max_iter=4)
+        return kmember_anonymize(pts, res)
+
+    q["kmember_clusters"] = kmember_clusters
+
+    def multimodal_stats(spark, sf):
+        from dbscan_pyspark_spark.operators.multimodal import (
+            decode_media,
+            media_from_documents,
+            media_stats,
+        )
+
+        media = media_from_documents(load_table(spark, sf, "documents"))
+        decode_media(media).count()  # exercise the Arrow decode stage
+        return media_stats(media)
+
+    q["multimodal_stats"] = multimodal_stats
+
     return q
 
 
@@ -694,6 +719,18 @@ WITH w AS (
 SELECT window_start, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,4))) AS sum_value
 FROM w GROUP BY 1
+""",
+        "multimodal_stats": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT modality, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(n_bytes), 4) AS avg_bytes
+FROM media GROUP BY modality
 """,
         "events_sessions": """
 WITH d AS (

@@ -63,15 +63,19 @@ def shingles_from_tokens(toks: Column | str, n: int = 3) -> Column:
     """
     toks = F.col(toks) if isinstance(toks, str) else toks
     k = F.size(toks) - (n - 1)
-    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    # guard: sequence(1,0) would DESCEND ([1,0]) and ANSI element_at
+    # throws on out-of-range — short texts get an empty shingle set
+    return F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

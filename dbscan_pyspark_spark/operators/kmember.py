@@ -1,0 +1,266 @@
+"""k-member constrained k-means (reference pipeline 2,
+``k-means.ipynb:cell0``): Lloyd's iterations under the constraint that
+every cluster keeps >= k members, for k-anonymity.
+
+The reference runs the repair inside the assignment step as a driver
+loop of RDD jobs — 30 restarts x 20 iterations x a multi-job while-loop
+(SURVEY.md §3.2: thousands of jobs for 10k rows, with an unbounded
+``.union().cache()`` lineage chain). Here each Lloyd iteration is one
+DataFrame pass (broadcast argmin assign) and the constraint repair is a
+bounded loop of window-ranked moves:
+
+  release:   clusters > k give up their farthest-beyond-k members (W2);
+  claim:     each released point goes to its nearest *deficient*
+             centroid (broadcast argmin);
+  cap:       each deficient cluster accepts only the (k - count)
+             nearest claimants (W1), so no cluster overshoots back
+             below feasibility.
+
+Feasible inputs (n >= k * n_clusters) terminate: every round either
+fills a deficient cluster or strictly shrinks the deficiency total.
+Lineage is truncated per round (localCheckpoint) — the discipline the
+notebook lacked.
+
+Deviations from the reference, on purpose (SURVEY.md §7 flag list):
+- convergence uses |drift| (the notebook's live version sums *signed*
+  diffs and can "converge" on cancellation — F6 bug, cell0:L58-67);
+- the repair-exit test is ``deficient > 0`` not the notebook's ``> 1``
+  (cell0:L107 leaves one cluster under-filled);
+- restarts/cluster-count search is an explicit helper
+  (:func:`kmember_search`), not 600 hardcoded driver jobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.anonymize import assign_nearest
+from dbscan_pyspark_spark.operators.eps_join import _dim_of
+
+
+@dataclass
+class KMemberResult:
+    assignments: DataFrame  # (id, cluster_id, distance)
+    centroids: DataFrame  # (cluster_id, centroid, n_members)
+    cost: float
+    n_iter: int
+
+
+def _recompute_centroids(
+    points: DataFrame, assign: DataFrame, id_col: str, features: str, dim: int
+) -> DataFrame:
+    aggs = [F.avg(F.col(features)[i]).alias(f"_c{i}") for i in range(dim)] + [
+        F.count(F.lit(1)).alias("n_members")
+    ]
+    return (
+        points.join(assign.select(id_col, "cluster_id"), id_col)
+        .groupBy("cluster_id")
+        .agg(*aggs)
+        .select(
+            "cluster_id",
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
+def _repair(
+    points: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    features: str,
+    max_rounds: int,
+) -> DataFrame:
+    """Enforce 'every cluster >= k members' by ranked moves."""
+    for _ in range(max_rounds):
+        counts = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_cnt"))
+        deficient = counts.where(F.col("_cnt") < k)
+        if deficient.isEmpty():
+            return assign
+
+        # farthest-beyond-k members of surplus clusters are up for grabs
+        surplus_ids = counts.where(F.col("_cnt") > k).select("cluster_id")
+        surplus_members = assign.join(surplus_ids, "cluster_id", "left_semi")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("distance").asc(), F.col(id_col).asc()
+        )
+        released = (
+            surplus_members.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > k)
+            .select(id_col)
+        )
+
+        # claim: nearest deficient centroid per released point
+        deficient_cents = centroids.join(deficient, "cluster_id", "left_semi")
+        claims = assign_nearest(
+            points.join(released, id_col, "left_semi"),
+            deficient_cents,
+            metric=metric,
+            features=features,
+            id_col=id_col,
+        )  # (id, cluster_id, distance) vs deficient centroids
+
+        # cap: each deficient cluster takes only its (k - cnt) nearest claimants
+        need = deficient.select("cluster_id", (F.lit(k) - F.col("_cnt")).alias("_need"))
+        wc = Window.partitionBy("cluster_id").orderBy(
+            F.col("distance").asc(), F.col(id_col).asc()
+        )
+        accepted = (
+            claims.join(need, "cluster_id")
+            .withColumn("_rn", F.row_number().over(wc))
+            .where(F.col("_rn") <= F.col("_need"))
+            .select(id_col, "cluster_id", "distance")
+        )
+
+        moved = accepted.select(id_col)
+        assign = (
+            assign.join(moved, id_col, "left_anti")
+            .unionByName(accepted)
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k-member repair did not converge in {max_rounds} rounds")
+
+
+def kmember_kmeans(
+    points: DataFrame,
+    k: int,
+    n_clusters: int | None = None,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> KMemberResult:
+    """Cluster with every cluster >= k members (k-anonymity).
+
+    ``n_clusters`` defaults to the reference's upper search bound
+    ``n // k`` (``cell0:L12-13``, py2 floor division). Init = seeded
+    random sample, as ``takeSample(False, want_cluster)`` (W4).
+    """
+    if dim is None:
+        dim = _dim_of(points, features)
+    n = points.count()
+    if n_clusters is None:
+        n_clusters = max(n // k, 1)
+    if n < k * n_clusters:
+        raise ValueError(
+            f"infeasible: n={n} < k*n_clusters={k * n_clusters}"
+        )
+
+    spark = points.sparkSession
+    init_rows = (
+        points.select(id_col, features)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_clusters)
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in r[features]], 0) for i, r in enumerate(init_rows)],
+        "cluster_id int, centroid array<double>, n_members long",
+    )
+
+    assign = None
+    n_iter = 0
+    for n_iter in range(1, max_iter + 1):
+        assign = assign_nearest(
+            points, centroids, metric=metric, features=features, id_col=id_col
+        )
+        assign = _repair(
+            points, assign, centroids, k, metric, id_col, features,
+            max_rounds=2 * n_clusters + 8,
+        )
+        new_centroids = _recompute_centroids(
+            points, assign, id_col, features, dim
+        ).localCheckpoint(eager=True)
+
+        # |drift|: max L1 movement of any centroid (abs version of F6)
+        drift_row = (
+            centroids.select("cluster_id", F.col("centroid").alias("_old"))
+            .join(new_centroids, "cluster_id")
+            .select(
+                F.aggregate(
+                    F.zip_with("_old", "centroid", lambda a, b: F.abs(a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("_d")
+            )
+            .agg(F.max("_d").alias("m"))
+            .first()
+        )
+        centroids = new_centroids
+        if drift_row["m"] is not None and drift_row["m"] < tol:
+            break
+
+    # final distances against the final centroids
+    final_assign = (
+        assign.select(id_col, "cluster_id")
+        .join(points.select(id_col, features), id_col)
+        .join(F.broadcast(centroids.select("cluster_id", "centroid")), "cluster_id")
+    )
+    from dbscan_pyspark_spark.operators.eps_join import _metric_fn
+
+    dist = _metric_fn(metric)
+    final_assign = final_assign.select(
+        id_col, "cluster_id", dist(features, "centroid").alias("distance")
+    )
+    cost = final_assign.agg(F.sum("distance").alias("c")).first()["c"]
+    return KMemberResult(
+        assignments=final_assign.localCheckpoint(eager=True),
+        centroids=centroids,
+        cost=float(cost) if cost is not None else 0.0,
+        n_iter=n_iter,
+    )
+
+
+def kmember_anonymize(
+    points: DataFrame,
+    result: KMemberResult,
+    features: str = "features",
+    id_col: str = "id",
+) -> DataFrame:
+    """The reference's parquet output shape (``cell0:L69-71``): one row
+    per input point carrying its cluster's centroid values."""
+    return (
+        points.select(id_col)
+        .join(result.assignments.select(id_col, "cluster_id"), id_col)
+        .join(F.broadcast(result.centroids.select("cluster_id", "centroid")), "cluster_id")
+        .select(id_col, "cluster_id", F.col("centroid").alias("an_features"))
+    )
+
+
+def kmember_search(
+    points: DataFrame,
+    k: int,
+    candidates: list[int] | None = None,
+    restarts: int = 2,
+    max_iter: int = 10,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+) -> KMemberResult:
+    """Cluster-count / restart search (the reference's outer loops,
+    ``cell0:L12-15,75-77``: want_cluster in [3n/4k .. n/k], 30 restarts)
+    reduced to an explicit candidate sweep returning the min-cost run."""
+    n = points.count()
+    if candidates is None:
+        lo, hi = (3 * n) // (4 * k), n // k
+        candidates = sorted({max(c, 1) for c in (lo, (lo + hi) // 2, hi)})
+    best: KMemberResult | None = None
+    for c in candidates:
+        for r in range(restarts):
+            res = kmember_kmeans(
+                points, k, n_clusters=c, max_iter=max_iter, seed=42 + r,
+                metric=metric, features=features, id_col=id_col,
+            )
+            if best is None or res.cost < best.cost:
+                best = res
+    assert best is not None
+    return best

@@ -1,0 +1,5 @@
+from dbscan_pyspark_spark.streaming.events import (  # noqa: F401
+    read_event_stream,
+    streaming_session_agg,
+    streaming_tumbling_agg,
+)

@@ -1,0 +1,90 @@
+"""Structured Streaming wrappers over the batch event-window operators.
+
+The reference has no streaming at all (SURVEY.md §2.8); this layer makes
+the batch semantics of ``operators/events.py`` incremental: the same
+``window``/``session_window`` aggregations run under a watermark so
+state is bounded and late data inside the watermark still lands in its
+window. Tested with file sources + memory sinks (tests/test_streaming.py);
+in production the source is Kafka/files and the sink a Delta/parquet
+table — only ``readStream``/``writeStream`` endpoints change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-based event stream (the simplest exactly-once source)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def streaming_tumbling_agg(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling count/sum — append-mode capable: a window
+    closes (and emits exactly once) when the watermark passes its end."""
+    keys = [F.window(ts_col, duration)] + [F.col(c) for c in (group_cols or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *(group_cols or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked sessionization: ``session_window`` state merges as
+    events arrive and finalizes once the watermark passes gap-end."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

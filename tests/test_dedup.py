@@ -1,0 +1,74 @@
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "The quick brown fox jumps over the lazy dog near the river bank!"),  # exact dup after norm
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (4, "completely different words about spark dataframes and shuffles here"),
+    (5, "another unrelated document mentioning joins aggregates and windows"),
+]
+
+
+def _jaccard(a, b, n=3):
+    def sh(t):
+        toks = t.lower().replace("!", " ").split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = {r["doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    # docs 1 and 2 normalize identically -> survivor is min id 1, 2 copies
+    assert out[1] == 2
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_ngram_jaccard_matches_python(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    exp_13 = _jaccard(DOCS[0][1], DOCS[2][1])
+    assert abs(got[(1, 3)] - exp_13) < 1e-6
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_minhash_finds_near_dups(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(df, threshold=0.2).collect()
+    }
+    # identical docs always collide in every band
+    assert pairs[(1, 2)] == 1.0
+    # jaccard reported by minhash verification is the EXACT jaccard
+    if (1, 3) in pairs:
+        assert abs(pairs[(1, 3)] - _jaccard(DOCS[0][1], DOCS[2][1])) < 1e-6
+    # unrelated docs never verified in
+    assert (1, 4) not in pairs
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    out = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in out.values())
+    assert out[1] == out[2]  # identical token sets
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    # near-dup pair closer in hamming space than unrelated pair
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
