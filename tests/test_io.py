@@ -1,0 +1,37 @@
+"""Sources & sinks (S1-S6): CSV points roundtrip mirroring the
+reference's data.csv shape (FIXTURES.md §1)."""
+
+import os
+
+from dbscan_pyspark_spark.sources.io import read_csv_points, write_csv, write_json, write_parquet
+
+
+def test_read_csv_points_shape(spark, tmp_path):
+    p = str(tmp_path / "data.csv")
+    with open(p, "w") as f:
+        # 3 int cols: 2 QI + sensitive, like the reference's data.csv
+        f.write("10,150,1\n20,160,2\n10,150,1\n")
+    pts = read_csv_points(spark, p, dimension=2)
+    rows = pts.collect()
+    assert len(rows) == 3
+    assert len({r["id"] for r in rows}) == 3  # surrogate ids unique even for dup rows
+    feats = sorted(tuple(r["features"]) for r in rows)
+    assert feats == [(10.0, 150.0), (10.0, 150.0), (20.0, 160.0)]
+    assert {r["sensitive"] for r in rows} == {1, 2}
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.5)], ["k", "v"])
+    pq = str(tmp_path / "out_parquet")
+    js = str(tmp_path / "out_json")
+    cs = str(tmp_path / "out_csv")
+    write_parquet(df, pq)
+    write_json(df, js)
+    write_csv(df, cs, single_file=True)
+    assert spark.read.parquet(pq).count() == 2
+    assert spark.read.json(js).count() == 2
+    back = spark.read.option("header", True).csv(cs)
+    assert back.count() == 2 and set(back.columns) == {"k", "v"}
+    # overwrite mode really overwrites
+    write_parquet(df.limit(1), pq)
+    assert spark.read.parquet(pq).count() == 1

@@ -1,0 +1,82 @@
+"""Physical-plan discipline: the properties SURVEY.md §4 says Catalyst
+must deliver once we phrase operators declaratively. These assertions
+are the 100 TB posture made checkable."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.anonymize import assign_nearest
+from dbscan_pyspark_spark.operators.eps_join import core_points, eps_self_join
+from dbscan_pyspark_spark.plans.inspect import (
+    assert_no_cartesian,
+    broadcast_join_count,
+    pushed_filters,
+    scan_columns,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+from dbscan_pyspark_spark.sources.tables import load_table, points_from_customer
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_column_pushdown(spark):
+    li = (
+        load_table(spark, SF, "lineitem")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    filters = pushed_filters(li)
+    assert any("GreaterThan(l_quantity,40.0)" in f for f in filters)
+    cols = scan_columns(li)
+    # scan reads only the two projected columns, not all 11
+    assert cols and set(cols[0]) == {"l_orderkey", "l_quantity"}
+
+
+def test_q1_prunes_scan(spark):
+    import __spark_entry__ as m
+
+    q1 = m.queries()["q1_pricing_summary"](spark, SF)
+    cols = scan_columns(q1)[0]
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+    }
+    assert shuffle_count(q1) <= 1  # single agg exchange
+
+
+def test_joins_broadcast_small_dims(spark):
+    import __spark_entry__ as m
+
+    nr = m.queries()["nation_revenue"](spark, SF)
+    assert broadcast_join_count(nr) >= 2  # nation + region at minimum
+    assert_no_cartesian(nr)
+
+
+def test_eps_join_is_not_cartesian(spark):
+    pts = points_from_customer(spark, SF)
+    pairs = eps_self_join(pts, 3.0)
+    assert_no_cartesian(pairs)
+
+
+def test_core_points_single_agg_shuffle(spark):
+    pts = points_from_customer(spark, SF)
+    cp = core_points(pts, 3.0, 4)
+    assert shuffle_count(cp) <= 1
+    assert_no_cartesian(cp)
+
+
+def test_assign_nearest_broadcasts_centroids(spark):
+    pts = points_from_customer(spark, SF)
+    cents = spark.createDataFrame(
+        [(0, [0.0, 5.0]), (1, [25.0, 12.0])], "cluster_id int, centroid array<double>"
+    )
+    an = assign_nearest(pts, cents)
+    assert broadcast_join_count(an) >= 1
+    assert_no_cartesian(an)
+
+
+def test_codegen_active_on_agg_path(spark):
+    import __spark_entry__ as m
+
+    q1 = m.queries()["q1_pricing_summary"](spark, SF)
+    assert wholestage_codegen_spans(q1) >= 1
