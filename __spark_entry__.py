@@ -107,12 +107,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             li.groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(_dec("l_quantity", "decimal(12,2)")).alias("sum_qty"),
-                F.sum(_dec("l_extendedprice", "decimal(14,2)")).alias("sum_base_price"),
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
+                F.round(F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double"), 2).alias("sum_qty"),
+                F.round(F.sum(_dec("l_extendedprice", "decimal(14,2)")).cast("double"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
                 ).alias("sum_disc_price"),
                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -134,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
             .groupBy("r_name", "n_name")
             .agg(
-                F.sum(_dec("o_totalprice", "decimal(16,2)")).alias("revenue"),
+                F.round(F.sum(_dec("o_totalprice", "decimal(16,2)")).cast("double"), 2).alias("revenue"),
                 F.count(F.lit(1)).alias("n_orders"),
             )
         )
@@ -235,7 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top_k_per_group(li, ["l_orderkey"], TOPK_ORDER, 2, rank_col="rank").select(
             "l_orderkey",
             "l_linenumber",
-            _dec("l_extendedprice", "decimal(14,2)").alias("price"),
+            F.round(F.col("l_extendedprice"), 2).alias("price"),
             "rank",
         )
 
@@ -246,7 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = anti_top_k_per_group(li, ["l_orderkey"], TOPK_ORDER, 2, rank_col="rank")
         return out.groupBy("l_orderkey").agg(
             F.count(F.lit(1)).alias("n_released"),
-            F.sum(_dec("l_quantity", "decimal(12,2)")).alias("released_qty"),
+            F.round(F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double"), 2).alias("released_qty"),
         )
 
     q["released_lineitems"] = released_lineitems
@@ -275,11 +278,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["busy_customers"] = busy_customers
 
+    # ---- grouping sets / set ops / distinct aggs (SURVEY §2.4/§2.6:
+    # absent in the reference, Catalyst built-ins we expose) ----
+    def rollup_pricing(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.round(F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double"), 2).alias("sum_qty"),
+            )
+        )
+
+    q["rollup_pricing"] = rollup_pricing
+
+    def cube_order_status(spark, sf):
+        o = load_table(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(_dec("o_totalprice", "decimal(16,2)")).cast("double"), 2).alias("total"),
+            )
+        )
+
+    q["cube_order_status"] = cube_order_status
+
+    def part_types_intersect(spark, sf):
+        p = load_table(spark, sf, "part")
+        big = p.where(F.col("p_size") > 40).select("p_name")
+        pricey = p.where(F.col("p_retailprice") > 995).select("p_name")
+        return big.intersect(pricey)
+
+    q["part_types_intersect"] = part_types_intersect
+
+    def part_types_except(spark, sf):
+        p = load_table(spark, sf, "part")
+        big = p.where(F.col("p_size") > 40).select("p_name")
+        pricey = p.where(F.col("p_retailprice") > 995).select("p_name")
+        # subtract == SQL EXCEPT (set difference); exceptAll would keep a
+        # name whose 'big' multiplicity exceeds its 'pricey' multiplicity
+        return big.subtract(pricey)
+
+    q["part_types_except"] = part_types_except
+
+    def distinct_nations_per_segment(spark, sf):
+        c = load_table(spark, sf, "customer")
+        return c.groupBy("c_mktsegment").agg(
+            F.count_distinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+
+    q["distinct_nations_per_segment"] = distinct_nations_per_segment
+
     # ---- global argmin (W3) ----
     def poorest_customer(spark, sf):
         c = load_table(spark, sf, "customer")
         return argmin_row(
-            c.select("c_custkey", _dec("c_acctbal", "decimal(12,2)").alias("acctbal")),
+            c.select("c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal")),
             [F.col("acctbal"), F.col("c_custkey")],
         )
 
@@ -475,9 +531,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
@@ -485,7 +541,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
         "nation_revenue": """
 SELECT r_name, n_name,
-       sum(CAST(o_totalprice AS DECIMAL(16,2))) AS revenue,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -551,7 +607,7 @@ GROUP BY pts.sensitive
         "topk_lineitems_per_order": """
 WITH r AS (
   SELECT l_orderkey, l_linenumber,
-         CAST(l_extendedprice AS DECIMAL(14,2)) AS price,
+         round(l_extendedprice, 2) AS price,
          row_number() OVER (
            PARTITION BY l_orderkey
            ORDER BY l_extendedprice DESC, l_quantity DESC, l_discount DESC, l_linenumber
@@ -570,7 +626,7 @@ WITH r AS (
   FROM lineitem
 )
 SELECT l_orderkey, count(*) AS n_released,
-       sum(CAST(l_quantity AS DECIMAL(12,2))) AS released_qty
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS released_qty
 FROM r WHERE rank > 2 GROUP BY l_orderkey
 """,
         "union_segments": """
@@ -582,8 +638,33 @@ SELECT c_custkey, 'negative' AS band FROM customer WHERE c_acctbal < 0
 SELECT o_custkey, count(*) AS n_orders FROM orders
 GROUP BY o_custkey HAVING count(*) >= 12
 """,
+        "rollup_pricing": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "cube_order_status": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "part_types_intersect": """
+SELECT p_name FROM part WHERE p_size > 40
+INTERSECT
+SELECT p_name FROM part WHERE p_retailprice > 995
+""",
+        "part_types_except": """
+SELECT p_name FROM part WHERE p_size > 40
+EXCEPT
+SELECT p_name FROM part WHERE p_retailprice > 995
+""",
+        "distinct_nations_per_segment": """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+""",
         "poorest_customer": """
-SELECT c_custkey, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal
 FROM customer ORDER BY acctbal, c_custkey LIMIT 1
 """,
         "doc_fingerprints": f"""
