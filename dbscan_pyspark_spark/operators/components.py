@@ -62,6 +62,39 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(e: DataFrame, id_col: str) -> DataFrame:
+    """Small-graph fast path: collect canonical edges, union-find on the
+    driver, return (id, component). Chosen adaptively by observed edge
+    count — the same strategy-by-size philosophy as AQE. A 100 TB run
+    whose *contracted* cluster graph fits in driver memory (it usually
+    does: components, not rows) also takes this path."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in e.collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    labels = [(x, find(x)) for x in parent]
+    return e.sparkSession.createDataFrame(
+        labels, f"{id_col} long, component long"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -69,6 +102,7 @@ def connected_components(
     dst: str = "dst",
     id_col: str = "id",
     max_iter: int = 50,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Labels every vertex with the minimum vertex id of its component.
 
@@ -77,6 +111,9 @@ def connected_components(
     ``id_col`` — isolated vertices get their own id as component.
     Returns ``DataFrame(id, component)``.
 
+    Adaptive execution: if the canonical edge set has <= ``driver_threshold``
+    rows it is solved by driver union-find (one job, O(E α)); larger
+    graphs run distributed star-contraction (O(log n) shuffling rounds).
     Each round localCheckpoints the edge set — lineage truncation, the
     discipline the reference needed ``setCheckpointDir`` for
     (``DBSCAN.py:171``) and its k-means notebook lacked entirely
@@ -84,6 +121,16 @@ def connected_components(
     """
     e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
     e = _canonical(e).localCheckpoint(eager=True)
+
+    if driver_threshold > 0 and e.count() <= driver_threshold:
+        labels = _driver_union_find(e, id_col)
+        if vertices is not None:
+            vs = vertices.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+            labels = vs.join(labels, id_col, "left").select(
+                F.col(id_col),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
+        return labels
 
     prev_sig = None
     for _ in range(max_iter):

@@ -42,11 +42,15 @@ def test_random_graph_matches_union_find(spark):
     expected = _uf_components(n, edges)
     edf = spark.createDataFrame(edges, ["src", "dst"]).repartition(4)
     vdf = spark.createDataFrame([(i,) for i in range(n)], ["id"])
-    got = {
-        r["id"]: r["component"]
-        for r in connected_components(edf, vertices=vdf).collect()
-    }
-    assert got == expected
+    # both physical strategies must agree with the oracle
+    for thr in (5_000_000, 0):  # driver union-find / distributed star-contraction
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, vertices=vdf, driver_threshold=thr
+            ).collect()
+        }
+        assert got == expected, f"strategy threshold={thr}"
 
 
 def test_self_loops_and_duplicates(spark):
