@@ -435,6 +435,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessions"] = events_sessions
 
+    def events_props_extract(spark, sf):
+        # semi-structured: JSON field extraction in the data path
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.select(
+                "event_type",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg("k"), 4).alias("avg_k"),
+                F.sum("k").alias("sum_k"),
+            )
+        )
+
+    q["events_props_extract"] = events_props_extract
+
+    def orders_by_month(spark, sf):
+        o = load_table(spark, sf, "orders")
+        return (
+            o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum(_dec("o_totalprice", "decimal(16,2)")).cast("double"), 2).alias("revenue"),
+            )
+        )
+
+    q["orders_by_month"] = orders_by_month
+
     # ---- iterative / approximate: rows-only checks (no oracle) ----
     def dbscan_customer(spark, sf):
         pts = points_from_customer(spark, sf)
@@ -800,6 +830,17 @@ WITH w AS (
 SELECT window_start, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,4))) AS sum_value
 FROM w GROUP BY 1
+""",
+        "events_props_extract": """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+FROM events GROUP BY event_type
+""",
+        "orders_by_month": """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS revenue
+FROM orders GROUP BY 1
 """,
         "multimodal_stats": """
 WITH media AS (

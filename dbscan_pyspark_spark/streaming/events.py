@@ -65,6 +65,20 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — state is
+    bounded by the watermark instead of growing forever, which is the
+    only dedup shape that survives an unbounded stream."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def streaming_session_agg(
     events: DataFrame,
     gap: str = "30 minutes",
