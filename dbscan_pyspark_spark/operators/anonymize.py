@@ -191,7 +191,15 @@ def eps_sweep(
     dim: int | None = None,
 ) -> tuple[DataFrame, float]:
     """Sweep ε over ``eps_values`` (the reference's outer loop,
-    ``DBSCAN.py:158``), computing the ε-pair set ONCE at max ε.
+    ``DBSCAN.py:158``), computing the pair set ONCE at max ε.
+
+    Scale design: the whole sweep runs on the *contracted* point set
+    (distinct feature vectors weighted by multiplicity — see dbscan.py):
+    one grid join at max ε over reps, then per ε only filters, weighted
+    aggregations and a CC fixpoint on the rep graph. Per-point metrics
+    are exact because duplicates share features:
+    Σ_points dist = Σ_reps mult·dist, and centroids are
+    multiplicity-weighted means.
 
     Returns (metrics DataFrame with one row per ε, best_eps) where best
     minimizes total_error — ties to the smaller ε, matching the
@@ -201,52 +209,138 @@ def eps_sweep(
         min_cluster_size = min_pts
     if dim is None:
         dim = _dim_of(points, features)
+    dist = _metric_fn(metric)
     max_eps = max(eps_values)
-    all_pairs = eps_self_join(
-        points, max_eps, metric=metric, features=features, id_col=id_col, dim=dim
-    ).persist()
-
     spark = points.sparkSession
+
+    reps = (
+        points.groupBy(features)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult"))
+        .persist()
+    )
+    from dbscan_pyspark_spark.operators.eps_join import eps_join
+
+    mult_b = reps.select(F.col(id_col).alias("b_id"), F.col("_mult").alias("_mult_b"))
+    all_pairs = (
+        eps_join(reps, reps, max_eps, metric=metric, features=features,
+                 id_col=id_col, dim=dim)
+        .join(mult_b, "b_id")
+        .persist()
+    )
+    n_total = points.count()
+    inf = float("inf")
+
     rows = []
     try:
         for eps in sorted(eps_values):
             pairs = all_pairs.where(F.col("distance") < F.lit(float(eps)))
-            counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n"))
+            counts = pairs.groupBy("a_id").agg(F.sum("_mult_b").alias("n"))
             cores = counts.where(F.col("n") >= min_pts).select(
                 F.col("a_id").alias("core_id")
             )
             edges = pairs.join(cores, pairs["a_id"] == cores["core_id"]).select(
                 F.col("a_id").alias("src"), F.col("b_id").alias("dst")
             )
-            labels = connected_components(
-                edges, vertices=points.select(id_col), id_col=id_col
+            participating = (
+                edges.select(F.col("src").alias(id_col))
+                .union(edges.select(F.col("dst").alias(id_col)))
+                .distinct()
             )
-            sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("_n"))
-            labels = (
-                labels.join(sizes, "component")
+            labels = connected_components(edges, vertices=participating, id_col=id_col)
+            sizes = (
+                labels.join(reps.select(id_col, "_mult"), id_col)
+                .groupBy("component")
+                .agg(F.sum("_mult").alias("_n"))
+            )
+            # reps in the graph: cluster if component mass >= k, else noise.
+            # Edgeless reps: every original row is its own singleton
+            # component -> noise whenever min_cluster_size > 1.
+            rep_labels = (
+                reps.select(id_col, features, "_mult")
+                .join(
+                    labels.join(sizes, "component").select(
+                        id_col,
+                        F.when(
+                            F.col("_n") >= min_cluster_size, F.col("component")
+                        ).alias("cluster_id"),
+                        F.lit(True).alias("_in_graph"),
+                    ),
+                    id_col,
+                    "left",
+                )
                 .select(
                     id_col,
+                    features,
+                    "_mult",
                     F.when(
-                        F.col("_n") >= min_cluster_size, F.col("component")
-                    ).alias("cluster_id"),
+                        F.col("_in_graph").isNull() & F.lit(min_cluster_size <= 1),
+                        F.col(id_col),
+                    )
+                    .otherwise(F.col("cluster_id"))
+                    .alias("cluster_id"),
                 )
-                .withColumn("is_noise", F.col("cluster_id").isNull())
+                .persist()
             )
-            m = information_loss(
-                points, labels, metric=metric, features=features, id_col=id_col, dim=dim
-            ).first()
+
+            clustered = rep_labels.where(F.col("cluster_id").isNotNull())
+            if clustered.isEmpty():
+                rows.append((float(eps), 0, n_total, 0.0, inf, inf))
+                rep_labels.unpersist()
+                continue
+
+            # weighted centroids
+            cents = (
+                clustered.groupBy("cluster_id")
+                .agg(
+                    *[
+                        (
+                            F.sum(F.col(features)[i] * F.col("_mult"))
+                            / F.sum("_mult")
+                        ).alias(f"_c{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .select(
+                    "cluster_id",
+                    F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+                )
+            )
+            cluster_stats = (
+                clustered.join(cents, "cluster_id")
+                .agg(
+                    F.count_distinct("cluster_id").alias("n_clusters"),
+                    F.sum(F.col("_mult") * dist(features, "centroid")).alias("err"),
+                )
+                .first()
+            )
+            noise = rep_labels.where(F.col("cluster_id").isNull())
+            noise_stats = (
+                assign_nearest(
+                    noise, cents, metric=metric, features=features, id_col=id_col
+                )
+                .join(noise.select(id_col, "_mult"), id_col)
+                .agg(
+                    F.coalesce(F.sum("_mult"), F.lit(0)).alias("n_noise"),
+                    F.coalesce(F.sum(F.col("_mult") * F.col("distance")), F.lit(0.0)).alias("err"),
+                )
+                .first()
+            )
+            ce = float(cluster_stats["err"] or 0.0)
+            ne = float(noise_stats["err"] or 0.0)
             rows.append(
                 (
                     float(eps),
-                    m["n_clusters"],
-                    m["n_noise"],
-                    float(m["cluster_error"]),
-                    float(m["noise_error"]),
-                    float(m["total_error"]),
+                    int(cluster_stats["n_clusters"]),
+                    int(noise_stats["n_noise"]),
+                    ce,
+                    ne,
+                    ce + ne,
                 )
             )
+            rep_labels.unpersist()
     finally:
         all_pairs.unpersist()
+        reps.unpersist()
 
     metrics = spark.createDataFrame(
         rows,
