@@ -38,7 +38,13 @@ from dbscan_pyspark_spark.operators.eps_join import (
     neighbor_counts,
 )
 from dbscan_pyspark_spark.operators.events import session_agg, sliding_agg, tumbling_agg
-from dbscan_pyspark_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+from dbscan_pyspark_spark.operators.joins import asof_join, range_join
+from dbscan_pyspark_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_cosine_topk,
+    rp_lsh_near_dup_pairs,
+)
 from dbscan_pyspark_spark.operators.windows import (
     anti_top_k_per_group,
     argmin_row,
@@ -50,6 +56,7 @@ from dbscan_pyspark_spark.functions.text import (
     fingerprint,
     lang_id,
     normalized,
+    quality_score,
     stopword_ratio,
     token_count,
     tokens,
@@ -365,6 +372,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_stats"] = token_stats
 
+    def doc_quality(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            F.round(
+                F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+                / F.length("text"),
+                4,
+            ).alias("punct_ratio"),
+        )
+
+    q["doc_quality"] = doc_quality
+
     def lang_id_heuristic(spark, sf):
         d = load_table(spark, sf, "documents")
         return d.select("doc_id", lang_id("text").alias("lang_pred"))
@@ -415,6 +436,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_cosine_topk"] = embedding_cosine_topk
+
+    def embedding_near_dups(spark, sf):
+        # quantize to longs so the dot products are exact in both engines
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x * 1000, 0).cast("long")
+            ).alias("qemb"),
+        )
+        return cosine_near_dup_pairs(e, threshold=0.4, vec_col="qemb")
+
+    q["embedding_near_dups"] = embedding_near_dups
+
+    # ---- temporal joins (as-of, bounded range) ----
+    def events_asof_error(spark, sf):
+        ev = load_table(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = (
+            ev.where(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("err_value"))
+        )
+        out = asof_join(
+            clicks, errors, on=["user_id"], value_cols=["err_value"]
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ts_r").alias("err_ts"),
+            F.col("err_value_r").alias("err_value"),
+        )
+
+    q["events_asof_error"] = events_asof_error
+
+    def events_error_context(spark, sf):
+        ev = load_table(spark, sf, "events")
+        errors = ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        pairs = range_join(
+            errors,
+            ev,
+            on=["user_id"],
+            lower_seconds=-300.0,
+            upper_seconds=0.0,
+        )
+        return pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
+            F.count(F.lit(1)).alias("n_prior"),
+            F.sum(_dec("r_value")).alias("sum_value"),
+        )
+
+    q["events_error_context"] = events_error_context
+
+    # ---- supplier-side joins ----
+    def supplier_nation_revenue(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        return (
+            li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["supplier_nation_revenue"] = supplier_nation_revenue
+
+    def shipping_priority(spark, sf):
+        c = load_table(spark, sf, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+        )
+        li = load_table(spark, sf, "lineitem").where(
+            F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+        )
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    q["shipping_priority"] = shipping_priority
 
     # ---- event-time windows ----
     def events_hourly(spark, sf):
@@ -471,6 +601,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dbscan(pts, eps=EPS_C, min_pts=MINPTS_C, min_cluster_size=MINPTS_C)
 
     q["dbscan_customer"] = dbscan_customer
+
+    def embedding_near_dups_lsh(spark, sf):
+        # random-hyperplane LSH scale path; output is a recall<1 subset
+        # of embedding_near_dups, so it gets the rows-only check
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        return rp_lsh_near_dup_pairs(
+            e, threshold=0.4, n_planes=16, rows_per_band=4
+        )
+
+    q["embedding_near_dups_lsh"] = embedding_near_dups_lsh
 
     def ivf_ann_topk(spark, sf):
         e = load_table(spark, sf, "embeddings").select(
@@ -717,6 +859,30 @@ SELECT doc_id,
               ELSE 0.0 END, 4) AS stopword_ratio
 FROM documents
 """,
+        "doc_quality": """
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, punct,
+         CASE WHEN n_toks > 0 THEN n_chars / CAST(n_toks AS DOUBLE) ELSE 0.0 END AS mean_tok,
+         CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio
+  FROM s
+)
+SELECT doc_id,
+       round((
+           (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0
+                 WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 12.0 THEN 1.0 ELSE 0.5 END)
+         + (1.0 - punct_ratio)
+       ) / 3.0, 4) AS quality,
+       round(punct_ratio, 4) AS punct_ratio
+FROM m
+""",
         "lang_id_heuristic": _lang_case(),
         "near_dup_jaccard": f"""
 WITH {_SHINGLES_CTE}, {_SIZES_CTE},
@@ -814,6 +980,68 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+""",
+        "embedding_near_dups": """
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qemb
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(
+         list_sum(list_transform(range(1, 65), i -> a.qemb[i] * b.qemb[i]))
+         / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
+         6) AS score
+FROM qe a JOIN qe b ON a.vec_id < b.vec_id
+WHERE round(
+         list_sum(list_transform(range(1, 65), i -> a.qemb[i] * b.qemb[i]))
+         / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
+         6) >= 0.4
+""",
+        "events_asof_error": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+err AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, e.ts AS err_ts, e.err_value
+FROM clicks c ASOF LEFT JOIN err e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+        "events_error_context": """
+SELECT a.event_id, count(*) AS n_prior,
+       sum(CAST(b.value AS DECIMAL(18,4))) AS sum_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts - INTERVAL 300 SECOND
+ AND b.ts < a.ts
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+""",
+        "supplier_nation_revenue": """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "shipping_priority": """
+SELECT l_orderkey, o_orderdate,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
 """,
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -60,6 +60,119 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup: every pair (a_id < b_id) with
+    round(cosine, 6) >= threshold.
+
+    This is the *correctness baseline* — an all-pairs upper-triangle
+    scan, O(n^2) by definition. It exists to (a) oracle-check the LSH
+    path and (b) serve bounded inputs (a partition, a dedup bucket).
+    For the 100 TB path use :func:`rp_lsh_near_dup_pairs`, whose output
+    is a high-recall subset of this one.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_av")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bv")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_similarity("_av", "_bv"), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def rp_lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup — the scale path for embedding
+    dedup (north-star §2.10): sign-of-projection bit signature, banded
+    like MinHash-LSH, bucket equi-join for candidates, exact cosine
+    verification after.
+
+    The only wide exchange is the equi-join on (band, band_bits) — a
+    fine-grained key that hash-partitions evenly; vectors are never
+    all-pairs joined. Output is a subset of
+    :func:`cosine_near_dup_pairs` (recall < 1 by design; collision
+    probability per plane is 1 - theta/pi).
+    Deterministic: hyperplanes from a fixed-seed RNG, broadcast as
+    literal arrays into the plan.
+    """
+    import numpy as np
+
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty vectors")
+    dim = int(dim_row["d"])
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(w)) for w in planes[p]]),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    n_bands = n_planes // rows_per_band
+    bands = F.array(
+        *[
+            F.concat(*sig_bits[bd * rows_per_band : (bd + 1) * rows_per_band])
+            for bd in range(n_bands)
+        ]
+    )
+    banded = vectors.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(bands).alias("band", "bits")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"a.{vec_col}").alias("_av"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col(f"b.{vec_col}").alias("_bv"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.round(cosine_similarity("_av", "_bv"), 6).alias("score"),
+    ).where(F.col("score") >= threshold)
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
