@@ -78,7 +78,10 @@ def _driver_union_find(e: DataFrame, id_col: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for u, v in e.collect():
+    # Arrow transfer: a plain collect() pays per-Row pickle cost, ~10x
+    # slower at hundreds of thousands of edges.
+    pdf = e.toPandas()
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         if u not in parent:
             parent[u] = u
         if v not in parent:
@@ -89,10 +92,13 @@ def _driver_union_find(e: DataFrame, id_col: str) -> DataFrame:
                 parent[rv] = ru
             else:
                 parent[ru] = rv
-    labels = [(x, find(x)) for x in parent]
-    return e.sparkSession.createDataFrame(
-        labels, f"{id_col} long, component long"
+    import pandas as pd
+
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {id_col: nodes, "component": [find(x) for x in nodes]}, dtype="int64"
     )
+    return e.sparkSession.createDataFrame(out, f"{id_col} long, component long")
 
 
 def connected_components(

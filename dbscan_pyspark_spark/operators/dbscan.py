@@ -65,6 +65,10 @@ def dbscan(
     if variant not in ("cc", "scc"):
         raise ValueError(f"variant must be 'cc' or 'scc', got {variant!r}")
 
+    # The input lineage (often a window/exchange-bearing view) feeds both
+    # the contraction and the final expansion join — cache it once.
+    points = points.persist()
+
     if contract_duplicates:
         reps = points.groupBy(features).agg(
             F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult")
@@ -73,13 +77,13 @@ def dbscan(
         reps = points.select(features, id_col).withColumn("_mult", F.lit(1))
     reps = reps.persist()
 
+    # b-side multiplicity (how many original rows each neighbor rep
+    # stands for) rides through the cell join as payload — joining it
+    # onto the pair set afterwards would shuffle the pairs a second time.
     pairs = eps_join(
         reps, reps, eps, metric=metric, features=features, id_col=id_col, dim=dim,
-        keep_distance=False,
-    )
-    # b-side multiplicity: how many original rows each neighbor rep stands for
-    mult_b = reps.select(F.col(id_col).alias("b_id"), F.col("_mult").alias("_mult_b"))
-    pairs = pairs.join(mult_b, "b_id").persist()
+        keep_distance=False, payload_b=["_mult"],
+    ).withColumnRenamed("b__mult", "_mult_b").persist()
     try:
         counts = pairs.groupBy("a_id").agg(F.sum("_mult_b").alias("n_neighbors"))
         cores = counts.where(F.col("n_neighbors") >= F.lit(int(min_pts))).select(
@@ -142,6 +146,7 @@ def dbscan(
     finally:
         pairs.unpersist()
         reps.unpersist()
+        points.unpersist()
         try:
             edges.unpersist()
         except Exception:

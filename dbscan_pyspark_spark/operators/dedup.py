@@ -107,6 +107,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Portable MinHash: hash_i(doc) = min over shingles of
     md5(i || ':' || shingle). md5 is identical in Spark / DuckDB /
@@ -116,8 +117,11 @@ def minhash_signatures(
     WIDE layout — one row per doc, columns ``m0..m{k-1}`` — so all k
     mins are partial-aggregated in ONE groupBy over the shingle rows;
     the k-fold row explode a long layout needs (k x shuffle volume)
-    never happens. Returns DataFrame(doc_id, m0, ..., m{k-1})."""
-    sh = _doc_shingles(df, text_col, id_col, n)
+    never happens. Returns DataFrame(doc_id, m0, ..., m{k-1}).
+
+    ``shingles``: pass a (cached) ``_doc_shingles`` output to avoid
+    re-running the normalize+explode lineage."""
+    sh = shingles if shingles is not None else _doc_shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))).alias(f"m{h}")
         for h in range(num_hashes)
@@ -170,8 +174,14 @@ def minhash_near_dup_pairs(
     at scale this is the standard shingle->minhash->band->bucket-join
     pipeline; the verification join touches only candidate pairs.
     """
+    # One cached shingle relation feeds the signature build AND both
+    # verification sides — otherwise the normalize+explode lineage runs
+    # three times (measured ~1s each at 5k docs).
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
     bands = minhash_bands(
-        minhash_signatures(df, num_hashes, n, text_col, id_col), rows_per_band, id_col
+        minhash_signatures(df, num_hashes, n, text_col, id_col, shingles=sh),
+        rows_per_band,
+        id_col,
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -187,7 +197,6 @@ def minhash_near_dup_pairs(
         .distinct()
     )
 
-    sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # verification touches only candidate docs: semi-join prune first
     sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(

@@ -71,15 +71,20 @@ def eps_join(
     id_col: str = "id",
     dim: int | None = None,
     keep_distance: bool = True,
+    payload_b: list[str] | None = None,
 ) -> DataFrame:
     """All pairs (a from ``build``, b from ``probe``) with dist(a,b) < eps.
 
-    Returns ``a_id, b_id[, distance]``. Strict ``<`` matches the
-    reference (``DBSCAN.py:161``).
+    Returns ``a_id, b_id[, distance][, payload_b cols]``. Strict ``<``
+    matches the reference (``DBSCAN.py:161``). ``payload_b`` columns of
+    ``probe`` ride through the cell join (prefixed ``b_``) — cheaper
+    than re-joining them onto the pair set afterwards, which would be a
+    second shuffle of the (much larger) pair relation.
     """
     dist = _metric_fn(metric)
     if dim is None:
         dim = _dim_of(build, features)
+    payload_b = payload_b or []
 
     a = build.select(
         F.col(id_col).alias("a_id"),
@@ -89,6 +94,7 @@ def eps_join(
     b = probe.select(
         F.col(id_col).alias("b_id"),
         F.col(features).alias("b_features"),
+        *[F.col(c).alias(f"b_{c}") for c in payload_b],
         _cell(features, eps).alias("_bcell"),
     ).withColumn(
         "_probe_cell",
@@ -104,7 +110,11 @@ def eps_join(
         "distance", dist("a_features", "b_features")
     ).where(F.col("distance") < F.lit(float(eps)))
 
-    cols = ["a_id", "b_id"] + (["distance"] if keep_distance else [])
+    cols = (
+        ["a_id", "b_id"]
+        + (["distance"] if keep_distance else [])
+        + [f"b_{c}" for c in payload_b]
+    )
     return pairs.select(*cols)
 
 
