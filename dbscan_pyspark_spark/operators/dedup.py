@@ -108,6 +108,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    with_size: bool = False,
 ) -> DataFrame:
     """Portable MinHash: hash_i(doc) = min over shingles of
     md5(i || ':' || shingle). md5 is identical in Spark / DuckDB /
@@ -119,13 +120,17 @@ def minhash_signatures(
     the k-fold row explode a long layout needs (k x shuffle volume)
     never happens. Returns DataFrame(doc_id, m0, ..., m{k-1}).
 
-    ``shingles``: pass a (cached) ``_doc_shingles`` output to avoid
-    re-running the normalize+explode lineage."""
+    ``shingles``: pass a ``_doc_shingles`` output to reuse its lineage.
+    ``with_size``: also emit ``n_sh`` (shingle count per doc) — it rides
+    the same groupBy for free, saving the separate shingle pass a
+    Jaccard denominator would otherwise need."""
     sh = shingles if shingles is not None else _doc_shingles(df, text_col, id_col, n)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))).alias(f"m{h}")
         for h in range(num_hashes)
     ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -174,15 +179,18 @@ def minhash_near_dup_pairs(
     at scale this is the standard shingle->minhash->band->bucket-join
     pipeline; the verification join touches only candidate pairs.
     """
-    # One cached shingle relation feeds the signature build AND both
-    # verification sides — otherwise the normalize+explode lineage runs
-    # three times (measured ~1s each at 5k docs).
-    sh = _doc_shingles(df, text_col, id_col, n).persist()
-    bands = minhash_bands(
-        minhash_signatures(df, num_hashes, n, text_col, id_col, shingles=sh),
-        rows_per_band,
-        id_col,
-    )
+    # The candidate set is referenced three times below (pairs + two
+    # semi-join prunes); without materialization Catalyst would run the
+    # whole signature->band->self-join subtree three times (measured 3x
+    # wall at sf0.1). It is tiny (pairs of near-dups), so an eager
+    # localCheckpoint both materializes it once and truncates lineage.
+    # The signature relation (1 row/doc) is persisted for the same
+    # reason; n_sh rides its groupBy so the Jaccard denominators need
+    # no extra shingle pass.
+    sig = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, with_size=True
+    ).persist()
+    bands = minhash_bands(sig, rows_per_band, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -195,9 +203,11 @@ def minhash_near_dup_pairs(
             F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id")
         )
         .distinct()
+        .localCheckpoint()
     )
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sig.select(id_col, "n_sh")
     # verification touches only candidate docs: semi-join prune first
     sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
         cand.select("a_id").distinct(), "a_id", "left_semi"
