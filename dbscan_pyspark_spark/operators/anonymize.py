@@ -220,11 +220,10 @@ def eps_sweep(
     )
     from dbscan_pyspark_spark.operators.eps_join import eps_join
 
-    mult_b = reps.select(F.col(id_col).alias("b_id"), F.col("_mult").alias("_mult_b"))
     all_pairs = (
         eps_join(reps, reps, max_eps, metric=metric, features=features,
-                 id_col=id_col, dim=dim)
-        .join(mult_b, "b_id")
+                 id_col=id_col, dim=dim, payload_b=["_mult"])
+        .withColumnRenamed("b__mult", "_mult_b")
         .persist()
     )
     n_total = points.count()
