@@ -31,13 +31,25 @@ from itertools import product
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbscan_pyspark_spark.functions.distance import l1_distance, l2_distance
+from dbscan_pyspark_spark.functions.distance import (
+    l1_distance,
+    l1_distance_fixed,
+    l2_distance,
+    l2_distance_fixed,
+)
 
 
-def _metric_fn(metric: str):
+def _metric_fn(metric: str, dim: int | None = None):
+    """Distance expression builder; with a known ``dim`` the unrolled
+    codegen-friendly form is used (~3x faster per candidate pair than
+    the interpreted higher-order-function form)."""
     if metric == "l1":
+        if dim is not None:
+            return lambda a, b: l1_distance_fixed(a, b, dim)
         return l1_distance
     if metric == "l2":
+        if dim is not None:
+            return lambda a, b: l2_distance_fixed(a, b, dim)
         return l2_distance
     raise ValueError(f"unknown metric {metric!r} (use 'l1' or 'l2')")
 
@@ -72,6 +84,7 @@ def eps_join(
     dim: int | None = None,
     keep_distance: bool = True,
     payload_b: list[str] | None = None,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """All pairs (a from ``build``, b from ``probe``) with dist(a,b) < eps.
 
@@ -80,10 +93,18 @@ def eps_join(
     ``probe`` ride through the cell join (prefixed ``b_``) — cheaper
     than re-joining them onto the pair set afterwards, which would be a
     second shuffle of the (much larger) pair relation.
+
+    ``unique_pairs``: only emit the ``a_id < b_id`` orientation, with
+    the id comparison inside the join condition — the cheap long
+    compare prunes half the candidate cells *before* the expensive
+    per-pair distance expression runs. Self-pairs vanish too. For a
+    self-join this halves distance evaluations; callers that need
+    symmetric counts mirror the pair list (a union is a narrow map,
+    not a new join).
     """
-    dist = _metric_fn(metric)
     if dim is None:
         dim = _dim_of(build, features)
+    dist = _metric_fn(metric, dim)
     payload_b = payload_b or []
 
     a = build.select(
@@ -106,7 +127,10 @@ def eps_join(
         ),
     )
 
-    pairs = a.join(b, a["_cell"] == b["_probe_cell"]).withColumn(
+    cond = a["_cell"] == b["_probe_cell"]
+    if unique_pairs:
+        cond = cond & (a["a_id"] < b["b_id"])
+    pairs = a.join(b, cond).withColumn(
         "distance", dist("a_features", "b_features")
     ).where(F.col("distance") < F.lit(float(eps)))
 
@@ -137,13 +161,17 @@ def eps_self_join(
     (the checkpoint draft's ``smaller()`` intent, done correctly on a
     total order — SURVEY.md §2.2 P6).
     """
+    if unique_pairs:
+        return eps_join(
+            points, points, eps,
+            metric=metric, features=features, id_col=id_col, dim=dim,
+            keep_distance=keep_distance, unique_pairs=True,
+        )
     pairs = eps_join(
         points, points, eps,
         metric=metric, features=features, id_col=id_col, dim=dim,
         keep_distance=keep_distance,
     )
-    if unique_pairs:
-        return pairs.where(F.col("a_id") < F.col("b_id"))
     if not include_self:
         return pairs.where(F.col("a_id") != F.col("b_id"))
     return pairs
@@ -159,14 +187,24 @@ def neighbor_counts(
 ) -> DataFrame:
     """Per-point ε-neighborhood size, **including self** (reference
     ``reduceByKey`` list length at ``DBSCAN.py:161``). Never materializes
-    neighbor lists — count only, partial-aggregated map-side."""
+    neighbor lists — count only, partial-aggregated map-side.
+
+    Runs the join once per *unordered* pair (half the distance
+    evaluations) and mirrors counts by a 3-leg union: each a<b pair
+    contributes to both endpoints, and every point contributes its own
+    self-pair. Same shuffle volume as the symmetric join, half the
+    join-side compute."""
     pairs = eps_self_join(
         points, eps, metric=metric, features=features, id_col=id_col, dim=dim,
-        keep_distance=False,
+        keep_distance=False, unique_pairs=True,
     )
-    return pairs.groupBy(F.col("a_id").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_neighbors")
-    )
+    # explode, not a 2-leg union: a union would reference (and re-run)
+    # the join subtree once per leg — Catalyst does not CSE across
+    # union branches.
+    legs = pairs.select(
+        F.explode(F.array("a_id", "b_id")).alias(id_col)
+    ).unionAll(points.select(id_col))
+    return legs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_neighbors"))
 
 
 def core_points(
