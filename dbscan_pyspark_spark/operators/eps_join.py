@@ -74,6 +74,25 @@ def _neighbor_offsets(dim: int) -> Column:
     )
 
 
+def _half_offset_entries(dim: int) -> Column:
+    """Zero offset (flagged) + the lexicographically-positive half of the
+    3^d neighbor offsets: (3^d+1)/2 entries instead of 3^d.
+
+    For any unordered pair with cell delta δ != 0, exactly one of δ/−δ is
+    lex-positive, so the pair matches exactly once; same-cell pairs (δ=0)
+    are de-duplicated by the id order in the join condition."""
+    zero = (0,) * dim
+    entries = [
+        F.struct(
+            F.array(*[F.lit(o) for o in offs]).alias("off"),
+            F.lit(offs == zero).alias("z"),
+        )
+        for offs in product((-1, 0, 1), repeat=dim)
+        if offs >= zero
+    ]
+    return F.array(*entries)
+
+
 def eps_join(
     build: DataFrame,
     probe: DataFrame,
@@ -83,33 +102,45 @@ def eps_join(
     id_col: str = "id",
     dim: int | None = None,
     keep_distance: bool = True,
+    payload_a: list[str] | None = None,
     payload_b: list[str] | None = None,
     unique_pairs: bool = False,
 ) -> DataFrame:
     """All pairs (a from ``build``, b from ``probe``) with dist(a,b) < eps.
 
-    Returns ``a_id, b_id[, distance][, payload_b cols]``. Strict ``<``
-    matches the reference (``DBSCAN.py:161``). ``payload_b`` columns of
-    ``probe`` ride through the cell join (prefixed ``b_``) — cheaper
-    than re-joining them onto the pair set afterwards, which would be a
-    second shuffle of the (much larger) pair relation.
+    Returns ``a_id, b_id[, distance][, payload cols]``. Strict ``<``
+    matches the reference (``DBSCAN.py:161``). ``payload_a`` /
+    ``payload_b`` columns of build/probe ride through the cell join
+    (prefixed ``a_`` / ``b_``) — cheaper than re-joining them onto the
+    pair set afterwards, which would be a second shuffle of the (much
+    larger) pair relation.
 
-    ``unique_pairs``: only emit the ``a_id < b_id`` orientation, with
-    the id comparison inside the join condition — the cheap long
-    compare prunes half the candidate cells *before* the expensive
-    per-pair distance expression runs. Self-pairs vanish too. For a
-    self-join this halves distance evaluations; callers that need
-    symmetric counts mirror the pair list (a union is a narrow map,
-    not a new join).
+    ``unique_pairs`` (self-joins): emit each unordered pair once, with
+    ``a_id < b_id`` in the output. The probe side explodes to only the
+    lexicographically-positive half of the neighbor offsets —
+    (3^d+1)/2 cells instead of 3^d — so the candidate-pair build, its
+    shuffle, AND the per-pair distance evaluations are all halved, not
+    just post-filtered. Self-pairs vanish. Callers that need symmetric
+    counts mirror the pair list (a narrow map over the result, not a
+    second join). Payloads must be identical on both sides (the
+    orientation of a surviving pair is cell-determined, so payload
+    columns swap with the ids when canonicalizing).
     """
     if dim is None:
         dim = _dim_of(build, features)
     dist = _metric_fn(metric, dim)
+    payload_a = payload_a or []
     payload_b = payload_b or []
+    if unique_pairs and payload_a != payload_b:
+        raise ValueError(
+            "unique_pairs requires payload_a == payload_b (pair orientation "
+            "is cell-determined; payloads swap with ids)"
+        )
 
     a = build.select(
         F.col(id_col).alias("a_id"),
         F.col(features).alias("a_features"),
+        *[F.col(c).alias(f"a_{c}") for c in payload_a],
         _cell(features, eps).alias("_cell"),
     )
     b = probe.select(
@@ -117,26 +148,66 @@ def eps_join(
         F.col(features).alias("b_features"),
         *[F.col(c).alias(f"b_{c}") for c in payload_b],
         _cell(features, eps).alias("_bcell"),
-    ).withColumn(
-        "_probe_cell",
-        F.explode(
-            F.transform(
-                _neighbor_offsets(dim),
-                lambda off: F.zip_with("_bcell", off, lambda c, o: c + o),
-            )
-        ),
     )
 
-    cond = a["_cell"] == b["_probe_cell"]
     if unique_pairs:
-        cond = cond & (a["a_id"] < b["b_id"])
+        b = b.withColumn(
+            "_e",
+            F.explode(
+                F.transform(
+                    _half_offset_entries(dim),
+                    lambda e: F.struct(
+                        F.zip_with("_bcell", e["off"], lambda c, o: c + o).alias("pc"),
+                        e["z"].alias("z"),
+                    ),
+                )
+            ),
+        )
+        # same-cell (zero-offset) matches de-dup on id order; cross-cell
+        # matches are already unique because only one of ±δ is exploded.
+        cond = (a["_cell"] == b["_e"]["pc"]) & (
+            ~b["_e"]["z"] | (a["a_id"] < b["b_id"])
+        )
+    else:
+        b = b.withColumn(
+            "_probe_cell",
+            F.explode(
+                F.transform(
+                    _neighbor_offsets(dim),
+                    lambda off: F.zip_with("_bcell", off, lambda c, o: c + o),
+                )
+            ),
+        )
+        cond = a["_cell"] == b["_probe_cell"]
+
     pairs = a.join(b, cond).withColumn(
         "distance", dist("a_features", "b_features")
     ).where(F.col("distance") < F.lit(float(eps)))
 
+    if unique_pairs:
+        # canonicalize to a_id < b_id (cross-cell pairs come out in
+        # cell order, not id order); payloads swap alongside.
+        swap = F.col("a_id") > F.col("b_id")
+        cols = [
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        ]
+        if keep_distance:
+            cols.append(F.col("distance"))
+        for c in payload_a:
+            cols.append(
+                F.when(swap, F.col(f"b_{c}")).otherwise(F.col(f"a_{c}")).alias(f"a_{c}")
+            )
+        for c in payload_b:
+            cols.append(
+                F.when(swap, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}")).alias(f"b_{c}")
+            )
+        return pairs.select(*cols)
+
     cols = (
         ["a_id", "b_id"]
         + (["distance"] if keep_distance else [])
+        + [f"a_{c}" for c in payload_a]
         + [f"b_{c}" for c in payload_b]
     )
     return pairs.select(*cols)
