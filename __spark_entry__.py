@@ -88,6 +88,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 KNN_CENTROIDS = [(0, 0.0, 5.0), (1, 25.0, 12.0), (2, 60.0, 20.0)]
 EPS_C, MINPTS_C = 3.0, 4
+ANON_W, ANON_K = 5.0, 8  # anonymize_cells: grid width / min cluster size
 
 
 def _knn_centroids_df(spark: SparkSession) -> DataFrame:
@@ -231,6 +232,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["group_cost"] = group_cost
+
+    # ---- full anonymization pipeline, oracled end-to-end (A3-A5, J2,
+    # U1, S3 semantics: centroid generalization + nearest-centroid noise
+    # reassignment + sensitive passthrough). Clustering here is a
+    # deterministic grid partition (cells of width 5; cells with >= 8
+    # members are clusters) so the whole pipeline is SQL-expressible and
+    # value-hashable — the CC-based clustering is covered rows-only by
+    # dbscan_customer. ----
+    def anonymize_cells(spark, sf):
+        pts = points_from_customer(spark, sf)
+        cells = pts.withColumn(
+            "cell",
+            F.concat_ws(
+                ":",
+                F.floor(F.col("features")[0] / ANON_W).cast("long"),
+                F.floor(F.col("features")[1] / ANON_W).cast("long"),
+            ),
+        )
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+        labels = cells.join(sizes, "cell").select(
+            "id",
+            F.when(F.col("_n") >= ANON_K, F.col("cell")).alias("cluster_id"),
+            (F.col("_n") < ANON_K).alias("is_noise"),
+        )
+        out = anonymize(pts, labels)
+        return out.select(
+            "id",
+            F.round(F.col("an_features")[0], 4).alias("an0"),
+            F.round(F.col("an_features")[1], 4).alias("an1"),
+            "sensitive",
+            "cluster_id",
+            F.col("is_noise").cast("int").alias("is_noise"),
+        )
+
+    q["anonymize_cells"] = anonymize_cells
 
     # ---- window top-k keep / release (W1, W2) ----
     TOPK_ORDER = [
@@ -602,6 +638,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dbscan_customer"] = dbscan_customer
 
+    def dbscan_scc_customer(spark, sf):
+        # directed strongly-connected-components variant (J5,
+        # DBSCAN-strongly-connected-component.py:174): clusters are sets
+        # of mutually-reachable core points. Iterative -> rows-only.
+        pts = points_from_customer(spark, sf)
+        return dbscan(
+            pts, eps=EPS_C, min_pts=MINPTS_C, min_cluster_size=MINPTS_C,
+            variant="scc",
+        )
+
+    q["dbscan_scc_customer"] = dbscan_scc_customer
+
+    def eps_sweep_metrics(spark, sf):
+        # the reference's outer ε-loop (DBSCAN.py:158, eps_records at
+        # :135-152): one grid join at max ε, per-ε filters + weighted
+        # metrics. Iterative CC per ε -> rows-only.
+        from dbscan_pyspark_spark.operators.anonymize import eps_sweep
+
+        pts = points_from_customer(spark, sf)
+        metrics, _best = eps_sweep(pts, [2.0, 3.0], MINPTS_C)
+        return metrics
+
+    q["eps_sweep_metrics"] = eps_sweep_metrics
+
     def embedding_near_dups_lsh(spark, sf):
         # random-hyperplane LSH scale path; output is a recall<1 subset
         # of embedding_near_dups, so it gets the rows-only check
@@ -750,6 +810,45 @@ SELECT a.id AS a_id, b.id AS b_id,
 FROM pts a JOIN pts b
   ON a.id < b.id
  AND abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+""",
+        "anonymize_cells": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL}),
+cells AS (
+  SELECT id, f0, f1, sensitive,
+         concat(CAST(floor(f0 / {ANON_W}) AS BIGINT), ':',
+                CAST(floor(f1 / {ANON_W}) AS BIGINT)) AS cell
+  FROM pts
+),
+sizes AS (
+  SELECT cell, count(*) AS n, avg(f0) AS c0, avg(f1) AS c1
+  FROM cells GROUP BY cell
+),
+cents AS (SELECT cell AS cluster_id, c0, c1 FROM sizes WHERE n >= {ANON_K}),
+clustered AS (
+  SELECT c.id, c.sensitive, c.cell AS cluster_id, s.c0, s.c1
+  FROM cells c JOIN sizes s USING (cell) WHERE s.n >= {ANON_K}
+),
+noise AS (
+  SELECT c.id, c.f0, c.f1, c.sensitive
+  FROM cells c JOIN sizes s USING (cell) WHERE s.n < {ANON_K}
+),
+assigned AS (
+  SELECT id, sensitive, cluster_id, c0, c1 FROM (
+    SELECT n.id, n.sensitive, ct.cluster_id, ct.c0, ct.c1,
+           row_number() OVER (
+             PARTITION BY n.id
+             ORDER BY abs(n.f0 - ct.c0) + abs(n.f1 - ct.c1), ct.cluster_id
+           ) AS rn
+    FROM noise n CROSS JOIN cents ct
+  ) WHERE rn = 1
+)
+SELECT id, round(c0, 4) AS an0, round(c1, 4) AS an1, sensitive, cluster_id,
+       0 AS is_noise
+FROM clustered
+UNION ALL
+SELECT id, round(c0, 4) AS an0, round(c1, 4) AS an1, sensitive, cluster_id,
+       1 AS is_noise
+FROM assigned
 """,
         "knn_assign": f"""
 WITH pts AS ({PTS_CUSTOMER_SQL}),

@@ -187,8 +187,12 @@ def minhash_near_dup_pairs(
     # The signature relation (1 row/doc) is persisted for the same
     # reason; n_sh rides its groupBy so the Jaccard denominators need
     # no extra shingle pass.
+    # One shingle relation serves both the signature groupBy and the
+    # exact-Jaccard verification joins — normalize/split/explode over
+    # the corpus runs once, not twice.
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
     sig = minhash_signatures(
-        df, num_hashes, n, text_col, id_col, with_size=True
+        df, num_hashes, n, text_col, id_col, shingles=sh, with_size=True
     ).persist()
     bands = minhash_bands(sig, rows_per_band, id_col)
     a, b = bands.alias("a"), bands.alias("b")
@@ -206,7 +210,6 @@ def minhash_near_dup_pairs(
         .localCheckpoint()
     )
 
-    sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sig.select(id_col, "n_sh")
     # verification touches only candidate docs: semi-join prune first
     sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
