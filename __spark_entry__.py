@@ -269,16 +269,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["anonymize_cells"] = anonymize_cells
 
     # ---- window top-k keep / release (W1, W2) ----
-    TOPK_ORDER = [
-        F.col("l_extendedprice").desc(),
-        F.col("l_quantity").desc(),
-        F.col("l_discount").desc(),
-        F.col("l_linenumber"),
-    ]
+    # built lazily: Column construction needs an active SparkContext in
+    # Spark 4 classic, and queries() must be callable before the driver
+    # creates its session.
+    def TOPK_ORDER():
+        return [
+            F.col("l_extendedprice").desc(),
+            F.col("l_quantity").desc(),
+            F.col("l_discount").desc(),
+            F.col("l_linenumber"),
+        ]
 
     def topk_lineitems_per_order(spark, sf):
         li = load_table(spark, sf, "lineitem")
-        return top_k_per_group(li, ["l_orderkey"], TOPK_ORDER, 2, rank_col="rank").select(
+        return top_k_per_group(li, ["l_orderkey"], TOPK_ORDER(), 2, rank_col="rank").select(
             "l_orderkey",
             "l_linenumber",
             F.round(F.col("l_extendedprice"), 2).alias("price"),
@@ -289,7 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def released_lineitems(spark, sf):
         li = load_table(spark, sf, "lineitem")
-        out = anti_top_k_per_group(li, ["l_orderkey"], TOPK_ORDER, 2, rank_col="rank")
+        out = anti_top_k_per_group(li, ["l_orderkey"], TOPK_ORDER(), 2, rank_col="rank")
         return out.groupBy("l_orderkey").agg(
             F.count(F.lit(1)).alias("n_released"),
             F.round(F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double"), 2).alias("released_qty"),

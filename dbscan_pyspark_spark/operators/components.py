@@ -63,41 +63,47 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _driver_union_find(e: DataFrame, id_col: str) -> DataFrame:
-    """Small-graph fast path: collect canonical edges, union-find on the
+    """Small-graph fast path: collect edges, solve components on the
     driver, return (id, component). Chosen adaptively by observed edge
     count — the same strategy-by-size philosophy as AQE. A 100 TB run
     whose *contracted* cluster graph fits in driver memory (it usually
-    does: components, not rows) also takes this path."""
-    parent: dict[int, int] = {}
+    does: components, not rows) also takes this path.
 
-    def find(x: int) -> int:
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
+    Vectorized hooking + pointer jumping over numpy arrays (O(E) per
+    round, O(log n) rounds) — ~10x the per-edge Python union-find loop
+    at hundreds of thousands of edges. Duplicate / mirrored edges and
+    self-loops are all tolerated. Components are labeled by their
+    minimum member id: links always hook the larger dense index to the
+    smaller, and dense indices are id-sorted (np.unique)."""
+    import numpy as np
+    import pandas as pd
 
     # Arrow transfer: a plain collect() pays per-Row pickle cost, ~10x
     # slower at hundreds of thousands of edges.
     pdf = e.toPandas()
-    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
-        if u not in parent:
-            parent[u] = u
-        if v not in parent:
-            parent[v] = v
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            if ru < rv:
-                parent[rv] = ru
-            else:
-                parent[ru] = rv
-    import pandas as pd
+    u = pdf["u"].to_numpy(dtype="int64", copy=False)
+    v = pdf["v"].to_numpy(dtype="int64", copy=False)
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    eu, ev = inv[: len(u)], inv[len(u):]
+    parent = np.arange(len(ids))
 
-    nodes = list(parent)
-    out = pd.DataFrame(
-        {id_col: nodes, "component": [find(x) for x in nodes]}, dtype="int64"
-    )
+    while True:
+        # full path compression (pointer jumping to fixpoint)
+        while True:
+            grand = parent[parent]
+            if np.array_equal(grand, parent):
+                break
+            parent = grand
+        pu, pv = parent[eu], parent[ev]
+        hooks = pu != pv
+        if not hooks.any():
+            break
+        lo = np.minimum(pu[hooks], pv[hooks])
+        hi = np.maximum(pu[hooks], pv[hooks])
+        # min-accumulate handles multiple hooks onto the same root
+        np.minimum.at(parent, hi, lo)
+
+    out = pd.DataFrame({id_col: ids, "component": ids[parent]})
     return e.sparkSession.createDataFrame(out, f"{id_col} long, component long")
 
 
