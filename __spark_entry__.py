@@ -193,6 +193,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eps_pairs"] = eps_pairs
 
+    # ---- neighbor-list collect (A1: reduceByKey list concat,
+    # DBSCAN.py:161) — emitted as a sorted comma-joined string so the
+    # value hash is engine-portable ----
+    def eps_neighbor_ids(spark, sf):
+        pts = points_from_customer(spark, sf)
+        pairs = eps_self_join(pts, EPS_C, keep_distance=False)
+        return pairs.groupBy(F.col("a_id").alias("id")).agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("b_id").cast("string"))), ","
+            ).alias("neighbor_ids")
+        )
+
+    q["eps_neighbor_ids"] = eps_neighbor_ids
+
     # ---- broadcast NL nearest-centroid argmin join (J2/J3) ----
     def knn_assign(spark, sf):
         pts = points_from_customer(spark, sf)
@@ -796,6 +810,15 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         "eps_neighbor_counts": f"""
 WITH pts AS ({PTS_CUSTOMER_SQL})
 SELECT a.id, count(*) AS n_neighbors
+FROM pts a JOIN pts b
+  ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+GROUP BY a.id
+""",
+        "eps_neighbor_ids": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL})
+SELECT a.id,
+       string_agg(CAST(b.id AS VARCHAR), ',' ORDER BY CAST(b.id AS VARCHAR))
+         AS neighbor_ids
 FROM pts a JOIN pts b
   ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
 GROUP BY a.id
