@@ -708,7 +708,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         pts = points_from_customer(spark, sf)
-        res = kmember_kmeans(pts, k=50, n_clusters=12, max_iter=4)
+        # size the k-anonymity parameter to the scale factor so the same
+        # entry runs at any sf (k*n_clusters must not exceed n)
+        n = pts.count()
+        k = max(2, min(50, n // 24))
+        res = kmember_kmeans(pts, k=k, n_clusters=12, max_iter=4)
         return kmember_anonymize(pts, res)
 
     q["kmember_clusters"] = kmember_clusters

@@ -80,3 +80,21 @@ def test_codegen_active_on_agg_path(spark):
 
     q1 = m.queries()["q1_pricing_summary"](spark, SF)
     assert wholestage_codegen_spans(q1) >= 1
+
+
+def test_no_contract_query_degenerates_to_cartesian(spark):
+    """Every contract query's physical plan is cartesian-free — the
+    reference's fatal mistake (DBSCAN.py:161) can't re-enter through any
+    registered operator. BroadcastNestedLoop against bounded build sides
+    (centroid/query sets) stays allowed, as in assert_no_cartesian."""
+    import __spark_entry__ as m
+
+    failures = []
+    for name, fn in m.queries().items():
+        try:
+            assert_no_cartesian(fn(spark, SF))
+        except AssertionError:
+            failures.append(name)
+        except Exception as e:  # plan construction itself failed
+            failures.append(f"{name} (error: {e})")
+    assert not failures, f"cartesian/failed plans: {failures}"
