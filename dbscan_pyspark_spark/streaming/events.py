@@ -79,6 +79,48 @@ def streaming_exact_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_user_ewma(
+    events: DataFrame,
+    alpha: float = 0.5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user exponentially-weighted moving average of ``value``.
+
+    The EWMA recurrence (``e <- alpha*v + (1-alpha)*e`` in event-time
+    order) is order-dependent — no watermarked windowed aggregation can
+    express it — so this is the genuine custom-state path: Arrow-batched
+    per-group pandas transitions with the (count, ewma) state carried
+    across micro-batches by the state store. Emits one updated row per
+    user per micro-batch (output mode ``update``).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, ew = state.get if state.exists else (0, None)
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        for v in pdf[value_col]:
+            v = float(v)
+            ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
+            n += 1
+        if ew is not None:
+            state.update((n, float(ew)))
+            yield pd.DataFrame(
+                {user_col: [key[0]], "n_events": [n], "ewma": [float(ew)]}
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{user_col} long, n_events long, ewma double",
+        stateStructType="n long, ewma double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_session_agg(
     events: DataFrame,
     gap: str = "30 minutes",

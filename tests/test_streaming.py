@@ -31,6 +31,13 @@ def stream_dir(tmp_path_factory):
     with open(os.path.join(d, "part2.json"), "w") as f:
         for r in ROWS[2:]:
             f.write(json.dumps(r) + "\n")
+    # the file source orders micro-batches by modification time; force
+    # part1 strictly older so per-file triggers process it first
+    import time
+
+    now = time.time()
+    os.utime(os.path.join(d, "part1.json"), (now - 60, now - 60))
+    os.utime(os.path.join(d, "part2.json"), (now, now))
     return str(d)
 
 
@@ -61,6 +68,32 @@ def test_streaming_tumbling_matches_batch(spark, stream_dir):
         return sorted((r["window_start"], r["n_events"], float(r["sum_value"])) for r in rows)
 
     assert key(got) == key(batch)
+
+
+def test_streaming_user_ewma_state_across_batches(spark, stream_dir):
+    """applyInPandasWithState carries (count, ewma) across micro-batches:
+    with one file per trigger, user 10's values arrive 1.0, 2.0 (batch 1)
+    then 3.0 (batch 2); alpha=0.5 gives 1.0 -> 1.5 -> 2.25 only if batch
+    2 resumed from batch 1's state."""
+    from dbscan_pyspark_spark.streaming.events import streaming_user_ewma
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        streaming_user_ewma(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_ewma").collect()
+    final = {}
+    for r in rows:
+        if r["n_events"] >= final.get(r["user_id"], (0, None))[0]:
+            final[r["user_id"]] = (r["n_events"], r["ewma"])
+    assert final[10] == (3, 2.25)
+    assert final[20] == (1, 4.0)
 
 
 def test_streaming_sessions(spark, stream_dir):
