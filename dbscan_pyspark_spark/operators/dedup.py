@@ -253,48 +253,34 @@ def simhash64(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(normalized(text_col), " "))).alias("tok"),
     ).withColumn("hhex", F.md5("tok"))
-    bits = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
-        "hhex",
-    ).select(
-        id_col,
-        "b",
-        # hex digit at position b/4, bit (3 - b%4) within it
-        (
-            F.when(
-                (
-                    F.conv(
-                        F.col("hhex").substr(
-                            (F.col("b") / 4).cast("int") + 1, F.lit(1)
-                        ),
-                        16,
-                        10,
-                    )
-                    .cast("int")
-                    # bit weight 8/4/2/1 for position b%4 within the hex digit
-                    .bitwiseAND(
-                        F.element_at(
-                            F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)),
-                            (F.col("b") % 4).cast("int") + 1,
-                        )
-                    )
-                )
-                > 0,
-                1,
-            ).otherwise(-1)
-        ).alias("w"),
+
+    # 16 hex digits materialized once per token (each digit carries 4
+    # signature bits); the 64 bit-counters are then 64 wide SUM
+    # aggregates over one row per token — map-side partial-aggregated,
+    # with NO 64x bit-explode of the token relation (the naive layout;
+    # 64x the shuffle at corpus scale).
+    digit_cols = [
+        F.conv(F.col("hhex").substr(d + 1, 1), 16, 10).cast("int").alias(f"_d{d}")
+        for d in range(16)
+    ]
+    digits = toks.select(id_col, *digit_cols)
+
+    def weight(b: int) -> F.Column:
+        # bit b lives in hex digit b//4 with weight 8 >> (b % 4)
+        mask = 8 >> (b % 4)
+        return F.when(
+            F.col(f"_d{b // 4}").bitwiseAND(F.lit(mask)) > 0, 1
+        ).otherwise(-1)
+
+    sums = digits.groupBy(id_col).agg(
+        *[F.sum(weight(b)).alias(f"_s{b}") for b in range(64)]
     )
-    agg = bits.groupBy(id_col, "b").agg(F.sum("w").alias("s"))
-    return (
-        agg.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "s"))),
-                    lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-                ),
-            ).alias("simhash")
-        )
+    return sums.select(
+        id_col,
+        F.concat(
+            *[
+                F.when(F.col(f"_s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(64)
+            ]
+        ).alias("simhash"),
     )
