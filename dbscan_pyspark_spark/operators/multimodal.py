@@ -158,6 +158,51 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
     return df.mapInPandas(batches, schema=_FRAME_FIELDS)
 
 
+_RESIZED_FIELDS = (
+    "media_id long, modality string, content binary, mime string, "
+    "meta struct<width:int,height:int,duration_ms:bigint,sample_rate:int>"
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 32, height: int = 32, decode_mode: str = "fake"
+) -> DataFrame:
+    """Resize stage (image): binary -> binary at (width, height), meta
+    updated. Output schema equals the input media schema, so stages
+    compose (resize |> extract_features |> ...).
+
+    Fake mode derives a deterministic ``width*height``-byte payload by
+    striding the source bytes (shape-true: downstream stages see the
+    new byte count and meta); real mode is the PIL plug point."""
+
+    def batches(it):
+        import pandas as pd
+
+        target = width * height
+        for pdf in it:
+            if decode_mode == "real":
+                raise NotImplementedError("real image resizing requires PIL")
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                payload = content or b"\x00"
+                step = max(len(payload) // target, 1)
+                contents.append((payload * (target // len(payload) + 1))[::step][:target])
+                meta = dict(meta) if meta is not None else {}
+                meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": contents,
+                    "mime": pdf["mime"],
+                    "meta": metas,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=_RESIZED_FIELDS)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only rollup — projects the binary column away BEFORE the
     shuffle, which is the pattern every wide op over media tables must

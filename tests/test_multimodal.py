@@ -54,6 +54,25 @@ def test_frame_sampling_one_to_many(spark, media):
     assert all(1 <= r["n"] <= 4 and r["lo"] == 0 for r in rows)
 
 
+def test_resize_composes_with_downstream_stages(spark, media):
+    from dbscan_pyspark_spark.operators.multimodal import resize_media
+
+    resized = resize_media(media, width=8, height=4)
+    rows = resized.collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert len(r["content"]) == 8 * 4
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+    # schema-compatible with the media schema: downstream stages compose
+    feats = extract_features(resize_media(media, 8, 4), dim=4).collect()
+    assert all(len(r["feature"]) == 4 for r in feats)
+    # deterministic
+    again = resize_media(media, width=8, height=4).collect()
+    assert {r["media_id"]: bytes(r["content"]) for r in rows} == {
+        r["media_id"]: bytes(r["content"]) for r in again
+    }
+
+
 def test_media_stats_projects_binary_away(spark, media):
     out = {r["modality"]: r["n_items"] for r in media_stats(media).collect()}
     assert sum(out.values()) == media.count()
