@@ -600,6 +600,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shipping_priority"] = shipping_priority
 
+    # ---- correlated scalar subquery shape (TPC-H Q17): small-quantity
+    # lineitems vs their part's average — per-part avg joined back ----
+    def small_qty_revenue(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        avg_qty = li.groupBy("l_partkey").agg(
+            (F.avg("l_quantity") * 0.5).alias("_half_avg")
+        )
+        return (
+            li.join(avg_qty, "l_partkey")
+            .where(F.col("l_quantity") < F.col("_half_avg"))
+            .agg(
+                F.round(
+                    F.sum(_dec("l_extendedprice", "decimal(14,2)")).cast("double"), 2
+                ).alias("small_qty_revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["small_qty_revenue"] = small_qty_revenue
+
+    # ---- top-n report (TPC-H Q10 shape): customers by returned-item
+    # revenue, deterministic tie-break ----
+    def returned_item_customers(spark, sf):
+        li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20)
+        )
+
+    q["returned_item_customers"] = returned_item_customers
+
+    # ---- correlated EXISTS (semi-join with inequality correlation):
+    # users whose click was later followed by an error event ----
+    def users_click_then_error(spark, sf):
+        ev = load_table(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("_cts")
+        )
+        errors = ev.where(F.col("event_type") == "error").select(
+            F.col("user_id").alias("_eu"), F.col("ts").alias("_ets")
+        )
+        return (
+            clicks.join(
+                errors,
+                (clicks["user_id"] == errors["_eu"]) & (errors["_ets"] > clicks["_cts"]),
+                "left_semi",
+            )
+            .select("user_id")
+            .distinct()
+        )
+
+    q["users_click_then_error"] = users_click_then_error
+
     # ---- event-time windows ----
     def events_hourly(spark, sf):
         ev = load_table(spark, sf, "events")
@@ -802,6 +870,37 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+""",
+        "small_qty_revenue": """
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 2)
+         AS small_qty_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < half_avg
+""",
+        "returned_item_customers": """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "users_click_then_error": """
+SELECT DISTINCT c.user_id
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.user_id = c.user_id AND e.event_type = 'error' AND e.ts > c.ts
+  )
 """,
         "customers_with_big_orders": """
 SELECT c_custkey, c_nationkey FROM customer
