@@ -409,6 +409,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprints"] = doc_fingerprints
 
+    def doc_winnow_fingerprints(spark, sf):
+        from dbscan_pyspark_spark.operators.dedup import winnow_fingerprints
+
+        # deterministic cost bound (a bare LIMIT picks engine-dependent rows)
+        docs = load_table(spark, sf, "documents").where(F.col("doc_id") < 500)
+        return winnow_fingerprints(docs, k=8, w=4)
+
+    q["doc_winnow_fingerprints"] = doc_winnow_fingerprints
+
     def dedup_exact_docs(spark, sf):
         return exact_dedup(load_table(spark, sf, "documents"))
 
@@ -1070,6 +1079,31 @@ FROM customer ORDER BY acctbal, c_custkey LIMIT 1
 """,
         "doc_fingerprints": f"""
 SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+""",
+        "doc_winnow_fingerprints": f"""
+WITH d AS (
+  SELECT doc_id, {_NORM} AS norm FROM documents WHERE doc_id < 500
+),
+gi AS (
+  SELECT doc_id, norm, unnest(generate_series(1, length(norm) - 7)) AS i
+  FROM d WHERE length(norm) >= 8
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(substr(norm, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT AS h
+  FROM gi
+),
+s AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM g
+)
+SELECT doc_id,
+       string_agg(DISTINCT CAST(m AS VARCHAR), ',' ORDER BY CAST(m AS VARCHAR))
+         AS fingerprints,
+       count(DISTINCT m) AS n_selected
+FROM s GROUP BY doc_id
 """,
         "dedup_exact_docs": f"""
 SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies

@@ -239,6 +239,58 @@ def minhash_near_dup_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash fingerprinting scheme): hash every character
+    k-gram of the normalized text, slide a w-gram window, keep each
+    window's minimum hash. The selected set is a position-robust
+    document signature — shared substrings of length >= k+w-1
+    guarantee a shared fingerprint.
+
+    Portable hashes (first 8 md5 hex digits as uint32) so the DuckDB
+    oracle reproduces them bit-for-bit. Returns
+    DataFrame(doc_id, fingerprints, n_selected) with ``fingerprints``
+    a comma-joined string-sorted distinct hash list (engine-portable
+    value hashing). Documents shorter than k normalized chars are
+    dropped. The gram explode is ~|doc| rows per document — narrow data
+    (id, pos, long), partition-local until the final per-doc groupBy.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), normalized(text_col).alias("_norm"))
+    grams = (
+        base.where(F.length("_norm") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_norm") - (k - 1)),
+                    lambda i: F.col("_norm").substr(i, F.lit(k)),
+                )
+            ).alias("pos", "gram"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    sel = grams.select(id_col, F.min("h").over(win).alias("_m"))
+    return sel.groupBy(id_col).agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("_m").cast("string"))), ","
+        ).alias("fingerprints"),
+        F.count_distinct("_m").alias("n_selected"),
+    )
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -72,3 +72,27 @@ def test_simhash_properties(spark):
 
     # near-dup pair closer in hamming space than unrelated pair
     assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    from dbscan_pyspark_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, shared + " and then some unique tail text here"),
+        (2, "a totally different beginning before " + shared),
+        (3, "nothing in common with the others at all whatsoever friend"),
+        (4, "tiny"),  # shorter than k after normalization -> dropped
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnow_fingerprints(df, k=8, w=4).collect()}
+    assert 4 not in out  # short doc dropped
+    f1 = set(out[1]["fingerprints"].split(","))
+    f2 = set(out[2]["fingerprints"].split(","))
+    f3 = set(out[3]["fingerprints"].split(","))
+    # winnowing guarantee: a shared substring of length >= k+w-1 yields
+    # at least one shared selected hash
+    assert f1 & f2
+    # overlap with the shared-substring pair far exceeds the unrelated doc
+    assert len(f1 & f2) > len(f1 & f3)
+    assert out[1]["n_selected"] == len(f1)
