@@ -83,6 +83,10 @@ def main() -> None:
         "events_sessions": lambda: session_agg(
             load_table(spark, sf_dir, "events"), "30 minutes"
         ).count(),
+        # as-of temporal join (merge-scan window formulation)
+        "events_asof": run_entry_query("events_asof_error"),
+        # winnowing rolling-hash fingerprints (k-gram explode + window min)
+        "winnow_fingerprints": run_entry_query("doc_winnow_fingerprints"),
     }
 
     times: dict[str, float] = {}
