@@ -79,6 +79,25 @@ def test_dbscan_random_matches_oracle(spark):
         assert got == expected
 
 
+def test_dbscan_pair_strategies_identical(spark):
+    """'half' (unique-pairs + mirror) and 'symmetric' produce
+    bit-identical labels — and both match the brute-force oracle —
+    so the auto crossover can never change results."""
+    rng = random.Random(23)
+    pts = [
+        (i, [float(rng.randint(0, 20)), float(rng.randint(0, 20))])
+        for i in range(120)
+    ] + [(1000 + i, [5.0, 5.0]) for i in range(10)]  # duplicate group
+    df = spark.createDataFrame(pts, ["id", "features"]).repartition(4)
+    expected = _oracle(pts, 3.0, 6, 6)
+    for strategy in ("symmetric", "half"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dbscan(df, 3.0, 6, 6, pair_strategy=strategy).collect()
+        }
+        assert got == expected, strategy
+
+
 def test_dbscan_scc_variant_smaller_clusters(spark):
     # core-core mutual edges only: border points fall out as noise
     rng = random.Random(5)
