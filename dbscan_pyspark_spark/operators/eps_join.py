@@ -255,27 +255,72 @@ def neighbor_counts(
     features: str = "features",
     id_col: str = "id",
     dim: int | None = None,
+    contract_duplicates: bool = True,
 ) -> DataFrame:
-    """Per-point ε-neighborhood size, **including self** (reference
-    ``reduceByKey`` list length at ``DBSCAN.py:161``). Never materializes
-    neighbor lists — count only, partial-aggregated map-side.
+    """Per-point ε-neighborhood size, **including self and duplicate
+    rows** (reference ``reduceByKey`` list length at ``DBSCAN.py:161``).
+    Never materializes neighbor lists — count only, partial-aggregated
+    map-side.
 
     Runs the join once per *unordered* pair (half the distance
     evaluations) and mirrors counts by a 3-leg union: each a<b pair
-    contributes to both endpoints, and every point contributes its own
-    self-pair. Same shuffle volume as the symmetric join, half the
-    join-side compute."""
-    pairs = eps_self_join(
-        points, eps, metric=metric, features=features, id_col=id_col, dim=dim,
-        keep_distance=False, unique_pairs=True,
+    contributes to both endpoints, and every vector contributes its own
+    self-pair(s).
+
+    ``contract_duplicates``: run the join over *distinct* feature
+    vectors weighted by multiplicity and broadcast counts back by
+    vector equality (the dbscan.py contraction). Quantized data (the
+    anonymization use case) contracts many-fold — the customer point
+    cloud at sf0.1 is 15k rows over ~2.7k vectors, a ~30x drop in
+    candidate pairs. Counts are bit-identical to the uncontracted run.
+    """
+    if not contract_duplicates:
+        pairs = eps_self_join(
+            points, eps, metric=metric, features=features, id_col=id_col, dim=dim,
+            keep_distance=False, unique_pairs=True,
+        )
+        # explode, not a 2-leg union: a union would reference (and
+        # re-run) the join subtree once per leg — Catalyst does not CSE
+        # across union branches.
+        legs = pairs.select(
+            F.explode(F.array("a_id", "b_id")).alias(id_col)
+        ).unionAll(points.select(id_col))
+        return legs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_neighbors"))
+
+    # rep id = min member id: deterministic, so the id is consistent
+    # even when the (unpersisted) contraction subtree is re-executed in
+    # different join branches — exchange reuse makes that rare, but
+    # correctness must not depend on it.
+    reps = points.groupBy(features).agg(
+        F.min(id_col).alias("_rid"),
+        F.count(F.lit(1)).alias("_mult"),
     )
-    # explode, not a 2-leg union: a union would reference (and re-run)
-    # the join subtree once per leg — Catalyst does not CSE across
-    # union branches.
+    pairs = eps_join(
+        reps, reps, eps, metric=metric, features=features, id_col="_rid", dim=dim,
+        keep_distance=False, payload_a=["_mult"], payload_b=["_mult"],
+        unique_pairs=True,
+    )
     legs = pairs.select(
-        F.explode(F.array("a_id", "b_id")).alias(id_col)
-    ).unionAll(points.select(id_col))
-    return legs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_neighbors"))
+        F.explode(
+            F.array(
+                F.struct(F.col("a_id").alias("pid"), F.col("b__mult").alias("m")),
+                F.struct(F.col("b_id").alias("pid"), F.col("a__mult").alias("m")),
+            )
+        ).alias("e")
+    ).select("e.pid", "e.m")
+    counts = (
+        legs.unionAll(
+            reps.select(F.col("_rid").alias("pid"), F.col("_mult").alias("m"))
+        )
+        .groupBy("pid")
+        .agg(F.sum("m").alias("n_neighbors"))
+    )
+    rep_n = reps.select(features, "_rid").join(
+        counts, reps["_rid"] == counts["pid"]
+    ).select(F.col(features).alias("_rep_features"), "n_neighbors")
+    return points.join(
+        rep_n, points[features] == rep_n["_rep_features"]
+    ).select(F.col(id_col), "n_neighbors")
 
 
 def core_points(
