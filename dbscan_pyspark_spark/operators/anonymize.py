@@ -66,15 +66,21 @@ def assign_nearest(
     id_col: str = "id",
     cluster_col: str = "cluster_id",
     centroid_col: str = "centroid",
+    dim: int | None = None,
 ) -> DataFrame:
     """Broadcast nearest-centroid join (SURVEY.md §2.3 J2/J3).
 
     DataFrame(id, cluster_id, distance): each point mapped to its
     closest centroid. Centroid sets are small by construction (bounded
     by n/k clusters), so the build side is an explicit ``broadcast`` —
-    no shuffle of the points side at any scale.
+    no shuffle of the points side at any scale. The distance expression
+    is evaluated |points| x |centroids| times, so the unrolled
+    fixed-dimension form matters here: the dimension is inferred from
+    the (small) centroid side when not given.
     """
-    dist = _metric_fn(metric)
+    if dim is None:
+        dim = _dim_of(centroids, centroid_col)
+    dist = _metric_fn(metric, dim)
     c = F.broadcast(
         centroids.select(
             F.col(cluster_col).alias("_cid"), F.col(centroid_col).alias("_centroid")
@@ -149,7 +155,9 @@ def information_loss(
 
     Degenerate ε with no clusters at all reproduces the reference's
     ``[eps, 0, n, 0, inf, inf]`` row (``DBSCAN.py:163-168``)."""
-    dist = _metric_fn(metric)
+    if dim is None:
+        dim = _dim_of(points, features)
+    dist = _metric_fn(metric, dim)
     spark = points.sparkSession
     if labels.where(F.col("cluster_id").isNotNull()).isEmpty():
         n = points.count()
@@ -209,7 +217,7 @@ def eps_sweep(
         min_cluster_size = min_pts
     if dim is None:
         dim = _dim_of(points, features)
-    dist = _metric_fn(metric)
+    dist = _metric_fn(metric, dim)
     max_eps = max(eps_values)
     spark = points.sparkSession
 

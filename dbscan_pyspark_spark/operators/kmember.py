@@ -207,7 +207,7 @@ def kmember_kmeans(
     )
     from dbscan_pyspark_spark.operators.eps_join import _metric_fn
 
-    dist = _metric_fn(metric)
+    dist = _metric_fn(metric, dim)
     final_assign = final_assign.select(
         id_col, "cluster_id", dist(features, "centroid").alias("distance")
     )
