@@ -392,6 +392,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct_nations_per_segment"] = distinct_nations_per_segment
 
+    # ---- exact percentiles (Catalyst built-in surface; SURVEY §2.4
+    # notes the reference has no approximate/ordered aggregates at all) ----
+    def quantity_percentiles(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias(
+                "price_p99"
+            ),
+        )
+
+    q["quantity_percentiles"] = quantity_percentiles
+
     # ---- global argmin (W3) ----
     def poorest_customer(spark, sf):
         c = load_table(spark, sf, "customer")
@@ -1072,6 +1086,13 @@ SELECT p_name FROM part WHERE p_retailprice > 995
 SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
        count(*) AS n_customers
 FROM customer GROUP BY c_mktsegment
+""",
+        "quantity_percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+FROM lineitem GROUP BY l_returnflag
 """,
         "poorest_customer": """
 SELECT c_custkey, round(c_acctbal, 2) AS acctbal

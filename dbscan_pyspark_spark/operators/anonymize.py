@@ -79,7 +79,13 @@ def assign_nearest(
     the (small) centroid side when not given.
     """
     if dim is None:
-        dim = _dim_of(centroids, centroid_col)
+        # the centroid side is the cheap probe, but it can be legitimately
+        # empty (zero clusters -> every point is noise); fall back to the
+        # points side rather than failing plan construction.
+        try:
+            dim = _dim_of(centroids, centroid_col)
+        except ValueError:
+            dim = _dim_of(points, features)
     dist = _metric_fn(metric, dim)
     c = F.broadcast(
         centroids.select(
@@ -114,6 +120,8 @@ def anonymize(
     DataFrame(id, features, an_features, sensitive, cluster_id, is_noise)
     — the sensitive attribute rides through untouched (``DBSCAN.py:84``).
     """
+    if dim is None:
+        dim = _dim_of(points, features)
     cents = cluster_centroids(points, labels, features=features, id_col=id_col, dim=dim)
     lab = labels.select(id_col, "cluster_id", "is_noise")
     pts = points.join(lab, id_col)
@@ -124,8 +132,9 @@ def anonymize(
     )
     noise = pts.where(F.col("is_noise")).drop("cluster_id")
     noise_assigned = noise.join(
-        assign_nearest(noise, cents, metric=metric, features=features, id_col=id_col)
-        .select(id_col, "cluster_id"),
+        assign_nearest(
+            noise, cents, metric=metric, features=features, id_col=id_col, dim=dim
+        ).select(id_col, "cluster_id"),
         id_col,
     ).join(cents.select("cluster_id", "centroid"), "cluster_id")
 

@@ -331,9 +331,11 @@ def core_points(
     features: str = "features",
     id_col: str = "id",
     dim: int | None = None,
+    contract_duplicates: bool = True,
 ) -> DataFrame:
     """Points with >= min_pts ε-neighbors (HAVING filter, SURVEY.md §2.2 P3)."""
     counts = neighbor_counts(
-        points, eps, metric=metric, features=features, id_col=id_col, dim=dim
+        points, eps, metric=metric, features=features, id_col=id_col, dim=dim,
+        contract_duplicates=contract_duplicates,
     )
     return counts.where(F.col("n_neighbors") >= F.lit(int(min_pts)))

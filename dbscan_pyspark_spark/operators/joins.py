@@ -25,6 +25,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: explicit salting for when AQE's
+    skew-join splitting can't help (skew concentrated in ONE key value
+    whose matching right rows still fit memory, or a build side just
+    over the broadcast threshold).
+
+    Left rows get a deterministic salt in ``[0, n_salts)`` (xxhash64 of
+    the whole row — no RNG, so the plan is replayable); the right side
+    is replicated ``n_salts`` times with every salt value. Joining on
+    ``on + [salt]`` spreads each hot key over ``n_salts`` tasks at the
+    cost of an ``n_salts``-fold right-side inflation — use when
+    ``|right| * n_salts`` is still small relative to the skewed left.
+    Result set is identical to ``left.join(right, on, how)`` for
+    ``how`` in ('inner', 'left'): every left row matches exactly the
+    right replica carrying its own salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports 'inner'/'left', got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(int(n_salts))
+    ).cast("int")
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(int(n_salts))]))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

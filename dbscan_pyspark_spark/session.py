@@ -59,6 +59,12 @@ def get_session(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Bucketed-table sinks (io.write_bucketed) need a warehouse location;
+    # keep it out of the repo working tree.
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.path.join(tempfile.gettempdir(), "spark-graft-warehouse"),
+    )
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in _SQL_CONF.items():
