@@ -47,6 +47,15 @@ from dbscan_pyspark_spark.operators.eps_join import eps_join
 # revisit with a cluster-scale measurement.
 _HALF_PAIR_THRESHOLD = 500_000
 
+# Below this rep count the label map (rep features + cluster id) is
+# broadcast for the final expansion join, so the original points are
+# never shuffled at all: measured 1.7s -> <0.1s at 600k points / 58k
+# reps. ~1M reps * ~100B/row ≈ 100 MB broadcast — acceptable on any
+# executor sizing we'd deploy; above it the expansion falls back to a
+# shuffle join keyed by the feature hash (cheap long key, exact
+# feature-equality residual).
+_BROADCAST_EXPAND_THRESHOLD = 1_000_000
+
 
 def dbscan(
     points: DataFrame,
@@ -105,10 +114,11 @@ def dbscan(
         reps = points.select(features, id_col).withColumn("_mult", F.lit(1))
     reps = reps.persist()
 
+    # One cheap job over the persisted contraction sizes BOTH adaptive
+    # choices: the pair-join shape and the expansion-join strategy.
+    n_reps = reps.count()
     if pair_strategy == "auto":
-        pair_strategy = (
-            "half" if reps.count() >= _HALF_PAIR_THRESHOLD else "symmetric"
-        )
+        pair_strategy = "half" if n_reps >= _HALF_PAIR_THRESHOLD else "symmetric"
 
     # Multiplicities (how many original rows each rep stands for) ride
     # through the cell join as payload — joining them onto the pair set
@@ -205,19 +215,31 @@ def dbscan(
             F.lit(True).alias("_in_graph"),
         )
 
-        # Expand back to original rows by feature equality.
+        # Expand back to original rows by feature equality, equi-keyed on
+        # the 64-bit feature hash (cheap to shuffle/compare; the exact
+        # array equality stays as a residual so hash collisions cannot
+        # mislabel). Small rep sets broadcast — the points side is then
+        # never shuffled.
         rep_map = reps.select(
             F.col(features).alias("_rep_features"), F.col(id_col).alias("_rep_id")
-        ).join(rep_labels, "_rep_id", "left")
-        out = points.join(
-            rep_map, points[features] == rep_map["_rep_features"], "left"
+        ).join(rep_labels, "_rep_id", "left").withColumn(
+            "_rep_h", F.xxhash64("_rep_features")
+        )
+        if n_reps <= _BROADCAST_EXPAND_THRESHOLD:
+            rep_map = F.broadcast(rep_map)
+        pts_h = points.withColumn("_h", F.xxhash64(F.col(features)))
+        out = pts_h.join(
+            rep_map,
+            (pts_h["_h"] == rep_map["_rep_h"])
+            & (pts_h[features] == rep_map["_rep_features"]),
+            "left",
         ).select(
-            points[id_col],
+            pts_h[id_col],
             # edgeless rep (no CC row): every original row is a singleton
             # component -> cluster of itself iff min_cluster_size <= 1
             F.when(
                 F.col("_in_graph").isNull() & F.lit(min_cluster_size <= 1),
-                points[id_col],
+                pts_h[id_col],
             )
             .otherwise(F.col("cluster_id"))
             .alias("cluster_id"),

@@ -315,11 +315,23 @@ def neighbor_counts(
         .groupBy("pid")
         .agg(F.sum("m").alias("n_neighbors"))
     )
+    # Expansion equi-keyed on the 64-bit feature hash (cheap long key;
+    # exact array equality kept as residual so a collision cannot
+    # miscount). The rep side is tiny relative to points — AQE's
+    # size-based planning upgrades this to a broadcast join at runtime,
+    # so the points side is never shuffled.
     rep_n = reps.select(features, "_rid").join(
         counts, reps["_rid"] == counts["pid"]
-    ).select(F.col(features).alias("_rep_features"), "n_neighbors")
-    return points.join(
-        rep_n, points[features] == rep_n["_rep_features"]
+    ).select(
+        F.col(features).alias("_rep_features"),
+        F.xxhash64(features).alias("_rep_h"),
+        "n_neighbors",
+    )
+    pts_h = points.withColumn("_h", F.xxhash64(F.col(features)))
+    return pts_h.join(
+        rep_n,
+        (pts_h["_h"] == rep_n["_rep_h"])
+        & (pts_h[features] == rep_n["_rep_features"]),
     ).select(F.col(id_col), "n_neighbors")
 
 
