@@ -845,6 +845,45 @@ sh AS (
 _SIZES_CTE = "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"
 
 
+def _minhash_ctes(num_hashes: int = 16, rows_per_band: int = 4) -> str:
+    """sig + bands CTEs mirroring dedup.minhash_signatures /
+    minhash_bands bit-for-bit: one md5-derived integer per shingle
+    (DuckDB hex-cast == Spark conv base 16), the same fixed-seed
+    (A_i, B_i) universal-hash constants, min per hash in a single wide
+    GROUP BY, band hash = md5 of the '|'-joined minhash ints."""
+    from dbscan_pyspark_spark.operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n         ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+            band=b,
+            cols=", ".join(
+                f"m{b * rows_per_band + i}" for i in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+based AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS x
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM based GROUP BY doc_id
+),
+bands AS (
+  {band_rows}
+)"""
+
+
 def _lang_case() -> str:
     hits = {
         lang: (
@@ -1183,30 +1222,11 @@ JOIN sizes sb ON sb.doc_id = b_id
 WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.3
 """,
         "minhash_band_signatures": f"""
-WITH {_SHINGLES_CTE},
-sig AS (
-  SELECT doc_id, u.h,
-         min(md5(CAST(u.h AS VARCHAR) || ':' || shingle)) AS minhash
-  FROM sh, unnest(range(0, 16)) AS u(h)
-  GROUP BY doc_id, u.h
-)
-SELECT doc_id, h // 4 AS band,
-       md5(string_agg(minhash, '|' ORDER BY h)) AS band_hash
-FROM sig GROUP BY doc_id, h // 4
+WITH {_SHINGLES_CTE}, {_minhash_ctes(16, 4)}
+SELECT doc_id, band, band_hash FROM bands
 """,
         "minhash_near_dups": f"""
-WITH {_SHINGLES_CTE}, {_SIZES_CTE},
-sig AS (
-  SELECT doc_id, u.h,
-         min(md5(CAST(u.h AS VARCHAR) || ':' || shingle)) AS minhash
-  FROM sh, unnest(range(0, 16)) AS u(h)
-  GROUP BY doc_id, u.h
-),
-bands AS (
-  SELECT doc_id, h // 4 AS band,
-         md5(string_agg(minhash, '|' ORDER BY h)) AS band_hash
-  FROM sig GROUP BY doc_id, h // 4
-),
+WITH {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM bands a JOIN bands b

@@ -6,9 +6,10 @@ Four tiers, all shuffle-conscious:
   16-byte digest, never on the document body;
 - **n-gram Jaccard**: shingle-explode + equi-join on shingle, group on
   the pair — the candidate set is bounded by shared shingles, not n²;
-- **MinHash + LSH banding**: signatures from portable md5 hashes (so the
-  DuckDB oracle can reproduce them bit-for-bit), band-bucket equi-join
-  for candidates, exact Jaccard verification after;
+- **MinHash + LSH banding**: signatures from a universal-hash family
+  over one portable md5-derived integer per shingle (so the DuckDB
+  oracle can reproduce them bit-for-bit), band-bucket equi-join for
+  candidates, exact Jaccard verification after;
 - **SimHash**: 64-bit token-hash aggregate; near-dups share the simhash
   (or a band of it).
 
@@ -19,7 +20,7 @@ hash-partition evenly; no cross join appears anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.functions.text import (
@@ -101,6 +102,38 @@ def ngram_jaccard_pairs(
     )
 
 
+# Universal-hash family for MinHash: h_i(x) = (A_i * x + B_i) mod P over
+# a 32-bit prime. A_i < 2^31 and x < P < 2^32 keep every product inside
+# signed-64 range (no overflow under ANSI mode). Constants come from a
+# fixed-seed PRNG so signatures are reproducible across engines — the
+# DuckDB oracle embeds the same (A, B) list.
+MINHASH_P = 4_294_967_291  # largest 32-bit prime
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs; prefix-stable (params(8) is a
+    prefix of params(16)), so mixed-width callers agree."""
+    import random
+
+    rng = random.Random(0xDB5CA)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_base_hash(shingle: Column | str) -> Column:
+    """Engine-portable 60-bit integer hash of a shingle, reduced mod P:
+    the first 15 hex chars of md5, parsed as an integer. DuckDB computes
+    the identical value via CAST(concat('0x', substring(md5(s),1,15)) AS
+    BIGINT) % P — one md5 per shingle, NOT one per (shingle, i)."""
+    c = F.col(shingle) if isinstance(shingle, str) else shingle
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 16,
@@ -111,27 +144,33 @@ def minhash_signatures(
     with_size: bool = False,
 ) -> DataFrame:
     """Portable MinHash: hash_i(doc) = min over shingles of
-    md5(i || ':' || shingle). md5 is identical in Spark / DuckDB /
-    everywhere, so signatures are engine-independent (hash-match-able),
-    at the cost of being string mins.
+    (A_i * base(shingle) + B_i) mod P, with base() one md5-derived
+    integer per shingle. Engine-independent (the DuckDB oracle
+    reproduces it bit-for-bit) and ~k times cheaper than hashing each
+    shingle k times: one md5 + k integer fmas per shingle row.
 
     WIDE layout — one row per doc, columns ``m0..m{k-1}`` — so all k
     mins are partial-aggregated in ONE groupBy over the shingle rows;
     the k-fold row explode a long layout needs (k x shuffle volume)
-    never happens. Returns DataFrame(doc_id, m0, ..., m{k-1}).
+    never happens. Returns DataFrame(doc_id, m0, ..., m{k-1}) with
+    ``long`` minhashes.
 
     ``shingles``: pass a ``_doc_shingles`` output to reuse its lineage.
     ``with_size``: also emit ``n_sh`` (shingle count per doc) — it rides
     the same groupBy for free, saving the separate shingle pass a
     Jaccard denominator would otherwise need."""
     sh = shingles if shingles is not None else _doc_shingles(df, text_col, id_col, n)
+    # base hash lands in a bound column so the md5 runs once per row,
+    # not once per aggregate (no CSE across aggregate expressions).
+    based = sh.select(id_col, shingle_base_hash("shingle").alias("_x"))
+    params = minhash_params(num_hashes)
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(h)), F.col("shingle")))).alias(f"m{h}")
-        for h in range(num_hashes)
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{h}")
+        for h, (a, b) in enumerate(params)
     ]
     if with_size:
         aggs.append(F.count(F.lit(1)).alias("n_sh"))
-    return sh.groupBy(id_col).agg(*aggs)
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(
