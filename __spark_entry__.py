@@ -63,7 +63,6 @@ from dbscan_pyspark_spark.functions.text import (
 )
 from dbscan_pyspark_spark.sources.tables import (
     PTS_CUSTOMER_SQL,
-    PTS_LINEITEM_SQL,
     load_table,
     points_from_customer,
     points_from_lineitem,

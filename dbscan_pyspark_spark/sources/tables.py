@@ -47,26 +47,20 @@ def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pts_lineitem(id, features[3], sensitive) — clustering fixture.
 
     The driver's synthetic lineitem repeats (l_orderkey, l_linenumber)
-    pairs, so the id is disambiguated with a within-group rank:
-    ``id = l_orderkey*1000 + l_linenumber*100 + row_number`` ordered by
-    the value columns (deterministic: full ties have identical
-    features, so any permutation is the same point set).
+    pairs, so no natural key is unique; the id is
+    ``monotonically_increasing_id`` — partition-stable, computed inline
+    during the scan, NO shuffle (an earlier window-rank id cost a full
+    sort-shuffle of the table before clustering even started). No
+    oracle query consumes these ids (the SQL-matched point view is
+    pts_customer), and DBSCAN's observable outputs — cluster sizes,
+    noise split, centroid math — are invariant to which duplicate row
+    carries which id.
     features = round(quantity), round(extendedprice/1000), round(discount*100)
-    — integer-valued doubles so L1 comparisons hash-match the oracle.
+    — integer-valued doubles so L1 comparisons are engine-exact.
     """
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
-    w = (
-        Window.partitionBy("l_orderkey", "l_linenumber")
-        .orderBy("l_quantity", "l_extendedprice", "l_discount")
-    )
     return li.select(
-        (
-            F.col("l_orderkey") * 1000
-            + F.col("l_linenumber") * 100
-            + F.row_number().over(w)
-        ).alias("id"),
+        F.monotonically_increasing_id().alias("id"),
         F.array(
             F.round(F.col("l_quantity"), 0),
             F.round(F.col("l_extendedprice") / 1000.0, 0),
@@ -74,20 +68,6 @@ def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features"),
         F.col("l_linenumber").cast("long").alias("sensitive"),
     )
-
-
-# The same view as ANSI SQL for the DuckDB oracle (kept adjacent so the two
-# definitions cannot drift).
-PTS_LINEITEM_SQL = """
-SELECT l_orderkey * 1000 + l_linenumber * 100
-         + row_number() OVER (PARTITION BY l_orderkey, l_linenumber
-                              ORDER BY l_quantity, l_extendedprice, l_discount) AS id,
-       round(l_quantity, 0) AS f0,
-       round(l_extendedprice / 1000.0, 0) AS f1,
-       round(l_discount * 100.0, 0) AS f2,
-       CAST(l_linenumber AS BIGINT) AS sensitive
-FROM lineitem
-"""
 
 
 def points_from_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
