@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.operators.anonymize import anonymize, assign_nearest
@@ -39,6 +39,11 @@ from dbscan_pyspark_spark.operators.eps_join import (
 )
 from dbscan_pyspark_spark.operators.events import session_agg, sliding_agg, tumbling_agg
 from dbscan_pyspark_spark.operators.joins import asof_join, range_join
+from dbscan_pyspark_spark.operators.pipeline import (
+    dedup_keep_best,
+    hash_split,
+    pack_documents,
+)
 from dbscan_pyspark_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_topk,
@@ -338,6 +343,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["busy_customers"] = busy_customers
 
+    # ---- window family beyond top-k (SURVEY §2.5 notes the reference
+    # has no lead/lag, ranking, or frame-spec windows — Catalyst
+    # built-ins we expose as first-class surface) ----
+    def events_prev_gap(spark, sf):
+        ev = load_table(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts"))
+        return ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+
+    q["events_prev_gap"] = events_prev_gap
+
+    def orders_rank_in_month(spark, sf):
+        o = load_table(spark, sf, "orders")
+        month = F.date_trunc("month", "o_orderdate")
+        w = Window.partitionBy(month).orderBy(F.col("o_totalprice").desc())
+        return o.select(
+            month.alias("month"),
+            "o_orderkey",
+            "o_totalprice",
+            F.dense_rank().over(w).alias("rnk"),
+        ).where(F.col("rnk") <= 3)
+
+    q["orders_rank_in_month"] = orders_rank_in_month
+
+    def cumulative_customer_revenue(spark, sf):
+        o = load_table(spark, sf, "orders")
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum(_dec("o_totalprice", "decimal(16,2)")).over(w).cast("double"),
+                2,
+            ).alias("cum_spend"),
+        )
+
+    q["cumulative_customer_revenue"] = cumulative_customer_revenue
+
+    def grouping_sets_pricing(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        ).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double"), 2
+            ).alias("sum_qty"),
+        )
+
+    q["grouping_sets_pricing"] = grouping_sets_pricing
+
+    def pivot_orders_priority(spark, sf):
+        o = load_table(spark, sf, "orders")
+        return (
+            o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["F", "O", "P"])
+        )
+
+    q["pivot_orders_priority"] = pivot_orders_priority
+
     # ---- grouping sets / set ops / distinct aggs (SURVEY §2.4/§2.6:
     # absent in the reference, Catalyst built-ins we expose) ----
     def rollup_pricing(spark, sf):
@@ -435,6 +515,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_dedup(load_table(spark, sf, "documents"))
 
     q["dedup_exact_docs"] = dedup_exact_docs
+
+    def dedup_keep_best_docs(spark, sf):
+        # exact dedup keeping the best (longest, then lowest-id) copy of
+        # each duplicate group — the crawl-snapshot policy
+        return dedup_keep_best(load_table(spark, sf, "documents"))
+
+    q["dedup_keep_best_docs"] = dedup_keep_best_docs
+
+    # ---- training-pipeline ops: deterministic split + sequence packing ----
+    def doc_splits(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return hash_split(
+            d, splits=[("train", 8), ("val", 1), ("test", 1)]
+        ).select("doc_id", "split")
+
+    q["doc_splits"] = doc_splits
+
+    def doc_pack_bins(spark, sf):
+        d = load_table(spark, sf, "documents")
+        return pack_documents(d, capacity=512, n_shards=8).select(
+            "doc_id", "shard", "bin", "n_tokens"
+        )
+
+    q["doc_pack_bins"] = doc_pack_bins
 
     def token_stats(spark, sf):
         d = load_table(spark, sf, "documents")
@@ -1100,6 +1204,46 @@ SELECT c_custkey, 'negative' AS band FROM customer WHERE c_acctbal < 0
 SELECT o_custkey, count(*) AS n_orders FROM orders
 GROUP BY o_custkey HAVING count(*) >= 12
 """,
+        "events_prev_gap": """
+SELECT event_id, user_id, event_type,
+       lag(event_type) OVER w AS prev_type,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "orders_rank_in_month": """
+SELECT * FROM (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         o_orderkey, o_totalprice,
+         dense_rank() OVER (
+           PARTITION BY date_trunc('month', o_orderdate)
+           ORDER BY o_totalprice DESC
+         ) AS rnk
+  FROM orders
+) s WHERE rnk <= 3
+""",
+        "cumulative_customer_revenue": """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 2) AS cum_spend
+FROM orders
+""",
+        "grouping_sets_pricing": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+        "pivot_orders_priority": """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
         "rollup_pricing": """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
@@ -1167,6 +1311,42 @@ FROM s GROUP BY doc_id
         "dedup_exact_docs": f"""
 SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1
+""",
+        "dedup_keep_best_docs": f"""
+WITH f AS (
+  SELECT *, md5({_NORM}) AS fp, length(text) AS score FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY fp ORDER BY score DESC, doc_id ASC
+  ) AS rn FROM f
+)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1
+""",
+        "doc_splits": """
+SELECT doc_id,
+       CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS b
+  FROM documents
+) s
+""",
+        "doc_pack_bins": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS INTEGER) AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY shard ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 512.0) AS BIGINT) AS bin,
+       n_tokens
+FROM t
 """,
         "token_stats": f"""
 SELECT doc_id,

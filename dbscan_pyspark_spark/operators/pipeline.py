@@ -1,0 +1,129 @@
+"""Training-data pipeline operators (north-star extensions, SURVEY.md §2.10).
+
+The ops a large-scale pretraining-data pipeline runs after dedup/quality
+scoring, expressed as pure DataFrame compositions so Catalyst keeps them
+JVM-side and shuffle-minimal:
+
+- ``hash_split`` — deterministic train/val/test assignment from an
+  engine-portable md5-derived hash of the document id. No shuffle at
+  all: a projection over the scan. The same document lands in the same
+  split on any cluster size, any engine, any run.
+- ``pack_documents`` — contiguous token-budget packing ("sequence
+  packing"): shard documents by id-hash, order each shard, and cut bins
+  where the running token count crosses the context-window capacity.
+  One window per shard — the shards exist precisely so the sort/window
+  is per-partition parallel instead of a global total order (the 100 TB
+  posture: a global ORDER BY over all documents is the anti-pattern).
+- ``dedup_keep_best`` — exact dedup that keeps the *best* row of each
+  duplicate group (by an integer score, default content length) rather
+  than an arbitrary one: fingerprint groupBy + per-group top-1 window.
+
+All three are SQL-expressible and carry DuckDB oracles in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.functions.text import fingerprint, token_count
+
+
+def portable_hash(value: Column | str, salt: str = "") -> Column:
+    """Engine-portable nonnegative 60-bit hash: first 15 hex chars of
+    ``md5(salt || ':' || value)`` parsed as an integer. DuckDB computes
+    the identical value via ``CAST(concat('0x', substring(md5(..),1,15))
+    AS BIGINT)`` (same trick as dedup.shingle_base_hash)."""
+    c = F.col(value) if isinstance(value, str) else value
+    keyed = F.concat(F.lit(salt), F.lit(":"), c.cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 15), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int]] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic split label by hashed id.
+
+    ``splits`` is ``[(name, weight), ...]``; weights are integer
+    percents of the hash space (bucket = hash mod total_weight, ranges
+    assigned in list order). Pure projection — no shuffle, no RNG, so
+    re-runs and incremental loads agree row-by-row.
+    """
+    splits = splits or [("train", 98), ("val", 1), ("test", 1)]
+    total = sum(w for _, w in splits)
+    bucket = portable_hash(id_col, salt=salt) % F.lit(total)
+    expr = None
+    lo = 0
+    for name, w in splits:
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    return df.withColumn("split", expr)
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Contiguous greedy packing of documents into fixed-token bins.
+
+    Within each of ``n_shards`` id-keyed shards, documents are taken in
+    id order and a bin boundary is cut whenever the *exclusive* running
+    token count crosses a multiple of ``capacity`` — the streaming
+    concat-and-chunk strategy production packers use (a true bin-packing
+    argmin is neither deterministic under parallelism nor needed).
+
+    Returns ``df`` + ``n_tokens, shard, bin`` where ``(shard, bin)``
+    identifies the pack. The window sort is per-shard (id hash), so the
+    physical plan is a hash-partitioned sort, not a global order — each
+    executor packs its shards independently at any scale.
+    """
+    toks = (
+        F.col(token_col) if token_col else token_count(text_col)
+    ).alias("n_tokens")
+    out = df.withColumn("n_tokens", toks).withColumn(
+        "shard", (F.col(id_col) % F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return out.withColumn(
+        "bin", F.floor(prev / F.lit(capacity)).cast("long")
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Exact near-identical dedup keeping the best representative.
+
+    Groups rows by normalized-content fingerprint and keeps the one with
+    the highest ``score`` (default: raw text length — "longest version
+    wins", the common choice for crawl snapshots), ties broken by lowest
+    id for determinism. One shuffle on the fingerprint; the window top-1
+    avoids materializing duplicate groups as arrays.
+    """
+    score = score if score is not None else F.length(F.col(text_col))
+    fp = df.withColumn("_fp", fingerprint(text_col)).withColumn("_score", score)
+    w = Window.partitionBy("_fp").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_score", "_rn")
+    )

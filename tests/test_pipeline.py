@@ -1,0 +1,111 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.pipeline import (
+    dedup_keep_best,
+    hash_split,
+    pack_documents,
+    portable_hash,
+)
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", portable_hash("doc_id", salt="split").alias("h")
+        ).collect()
+    }
+    want = {
+        i: duckdb.sql(
+            "SELECT CAST(concat('0x', substring(md5('split:' || CAST("
+            f"{i} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        ).fetchone()[0]
+        for i in range(50)
+    }
+    assert got == want
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = hash_split(df, splits=[("train", 8), ("val", 1), ("test", 1)])
+    rows = out.groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in rows}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > counts["val"]
+    # same assignment on re-run (pure function of the id)
+    again = {
+        r["doc_id"]: r["split"] for r in hash_split(df).select("doc_id", "split").collect()
+    }
+    once = {
+        r["doc_id"]: r["split"] for r in hash_split(df).select("doc_id", "split").collect()
+    }
+    assert again == once
+
+
+def test_pack_documents_respects_capacity_boundaries(spark):
+    # 6 docs of 10 tokens each, one shard: capacity 25 -> exclusive
+    # cumsums 0,10,20,30,40,50 -> bins 0,0,0,1,1,2
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, capacity=25, n_shards=1).orderBy("doc_id")
+    got = [(r["doc_id"], r["shard"], r["bin"], r["n_tokens"]) for r in out.collect()]
+    assert got == [
+        (0, 0, 0, 10),
+        (1, 0, 0, 10),
+        (2, 0, 0, 10),
+        (3, 0, 1, 10),
+        (4, 0, 1, 10),
+        (5, 0, 2, 10),
+    ]
+
+
+def test_pack_documents_shards_pack_independently(spark):
+    rows = [(i, " ".join(["t"] * 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, capacity=20, n_shards=4)
+    # every shard starts at bin 0 and bins are contiguous per shard
+    per_shard = (
+        out.groupBy("shard")
+        .agg(
+            F.min("bin").alias("lo"),
+            F.max("bin").alias("hi"),
+            F.count_distinct("bin").alias("nbins"),
+        )
+        .collect()
+    )
+    assert len(per_shard) == 4
+    for r in per_shard:
+        assert r["lo"] == 0
+        assert r["nbins"] == r["hi"] + 1
+
+
+def test_dedup_keep_best_keeps_longest_then_lowest_id(spark):
+    rows = [
+        (1, "hello world"),
+        (2, "Hello,   WORLD!!"),  # same fingerprint, longer raw text
+        (3, "hello world"),       # same fingerprint, tie with 1 on length
+        (4, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_keep_best(df).collect())
+    assert kept == [2, 4]
+    # score override: keep lowest id regardless of length
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup_keep_best(df, score=-F.col("doc_id")).collect()
+    )
+    assert kept2 == [1, 4]
+
+
+def test_dedup_keep_best_preserves_schema(spark):
+    rows = [(1, "a b c", "en"), (2, "a  b c", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dedup_keep_best(df)
+    assert out.columns == ["doc_id", "text", "lang"]
+    assert out.count() == 1
