@@ -924,6 +924,189 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_stats"] = multimodal_stats
 
+    # ---- TPC-H Q7 shape: nation-pair trade volume. Two broadcast dims
+    # joined twice under different aliases; the fact-side join keys
+    # (l_suppkey, o_custkey) reach the scan as pushed filters ----
+    def nation_pair_trade(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        s = load_table(spark, sf, "supplier")
+        c = load_table(spark, sf, "customer")
+        n1 = load_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = load_table(spark, sf, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n1), s["s_nationkey"] == n1["s_nk"])
+            .join(F.broadcast(n2), c["c_nationkey"] == n2["c_nk"])
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
+                ).alias("volume"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["nation_pair_trade"] = nation_pair_trade
+
+    # ---- TPC-H Q12 shape: conditional aggregation (sum of CASE) over a
+    # fact-to-fact join; map-side partial aggregation keeps the shuffle
+    # at |groups| rows ----
+    def priority_linestatus_counts(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )
+
+    q["priority_linestatus_counts"] = priority_linestatus_counts
+
+    # ---- TPC-H Q14 shape: promo revenue share — a global ratio of two
+    # conditional decimal sums, single-row output ----
+    def promo_revenue_share(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        p = load_table(spark, sf, "part")
+        disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        return (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(
+                F.round(
+                    (
+                        F.lit(100.0)
+                        * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                        / F.sum(disc).cast("double")
+                    ),
+                    6,
+                ).alias("promo_share_pct"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["promo_revenue_share"] = promo_revenue_share
+
+    # ---- TPC-H Q18 shape: HAVING on a fact aggregate, then join the
+    # surviving keys back (large-volume orders). The HAVING output is
+    # tiny -> broadcast back against orders/customer ----
+    def large_order_customers(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.round(F.sum(_dec("l_quantity", "decimal(12,2)")).cast("double"), 2).alias("sum_qty"))
+            .where(F.col("sum_qty") > 300)
+        )
+        return (
+            o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        )
+
+    q["large_order_customers"] = large_order_customers
+
+    # ---- TPC-H Q19 shape: disjunction of conjunctive predicates across
+    # the join — Catalyst extracts the common join key and pushes the
+    # per-branch filters below it ----
+    def disjunctive_part_revenue(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        p = load_table(spark, sf, "part")
+        branch1 = (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        branch2 = (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        return (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .where(branch1 | branch2)
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["disjunctive_part_revenue"] = disjunctive_part_revenue
+
+    # ---- TPC-H Q22 shape: scalar subquery (global avg) + anti join ----
+    def wealthy_inactive_customers(spark, sf):
+        c = load_table(spark, sf, "customer")
+        # round the scalar threshold so a last-ulp difference in the two
+        # engines' float summation order can't flip a boundary row
+        avg_bal = round(
+            c.where(F.col("c_acctbal") > 0)
+            .agg(F.avg("c_acctbal").alias("ab"))
+            .collect()[0]["ab"],
+            2,
+        )
+        big_orders = load_table(spark, sf, "orders").where(
+            F.col("o_totalprice") > 250000
+        )
+        return (
+            c.where(F.col("c_acctbal") > avg_bal)
+            .join(big_orders, c["c_custkey"] == big_orders["o_custkey"], "left_anti")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_custs"),
+                F.round(F.sum(_dec("c_acctbal", "decimal(14,2)")).cast("double"), 2).alias("total_bal"),
+            )
+        )
+
+    q["wealthy_inactive_customers"] = wealthy_inactive_customers
+
+    # ---- higher-order array functions over embeddings: per-label L2
+    # norm stats. aggregate() is a sequential left fold, so the
+    # per-row double math is order-deterministic in both engines ----
+    def embedding_norm_stats(spark, sf):
+        e = load_table(spark, sf, "embeddings").select(
+            "label", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        norm = F.sqrt(
+            F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return (
+            e.select("label", F.round(norm, 6).alias("norm"))
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.round(F.avg("norm"), 4).alias("avg_norm"),
+                F.round(F.max("norm"), 4).alias("max_norm"),
+                F.round(F.min("norm"), 4).alias("min_norm"),
+            )
+        )
+
+    q["embedding_norm_stats"] = embedding_norm_stats
+
     return q
 
 
@@ -1581,5 +1764,75 @@ s AS (
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,4))) AS sum_value
 FROM s GROUP BY user_id, sid
+""",
+        "nation_pair_trade": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM o_orderdate) AS INTEGER) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+""",
+        "priority_linestatus_counts": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+""",
+        "promo_revenue_share": """
+SELECT round(
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+       6) AS promo_share_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+        "large_order_customers": """
+WITH big AS (
+  SELECT l_orderkey,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "disjunctive_part_revenue": """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+""",
+        "wealthy_inactive_customers": """
+SELECT c_nationkey, count(*) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+GROUP BY c_nationkey
+""",
+        "embedding_norm_stats": """
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS norm
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       round(avg(norm), 4) AS avg_norm,
+       round(max(norm), 4) AS max_norm,
+       round(min(norm), 4) AS min_norm
+FROM n GROUP BY label
 """,
     }
