@@ -121,6 +121,50 @@ def streaming_user_ewma(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same key whose timestamp falls in
+    ``[left.ts, left.ts + upper]``.
+
+    Both the per-side watermarks AND the time-range join condition are
+    load-bearing: together they bound the join state the engine must
+    retain (a side can discard buffered rows once the other side's
+    watermark passes the interval), which is what makes this run
+    indefinitely on unbounded streams. Without the range bound Spark
+    would keep every row forever. Append-mode output; ``how`` may be
+    ``'inner'`` or a watermark-side outer join (``'leftOuter'``).
+    """
+    l = left.withWatermark(ts_col, left_watermark).select(
+        F.col(key_col),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("event_type").alias("l_event_type"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.withWatermark(ts_col, right_watermark).select(
+        F.col(key_col).alias("_rk"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_event_type"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col(key_col) == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop("_rk")
+
+
 def streaming_session_agg(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -96,6 +96,55 @@ def test_streaming_user_ewma_state_across_batches(spark, stream_dir):
     assert final[20] == (1, 4.0)
 
 
+def test_streaming_interval_join_matches_batch(spark, stream_dir):
+    """Stream-stream interval join (clicks -> later same-user events
+    within 1 hour) under availableNow triggers must equal the batch
+    join on the same files."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.events import streaming_interval_join
+
+    clicks = read_event_stream(spark, stream_dir).where(
+        F.col("event_type") == "click"
+    )
+    others = read_event_stream(spark, stream_dir).where(
+        F.col("event_type") != "click"
+    )
+    joined = streaming_interval_join(clicks, others, upper="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ijoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM t_ijoin").collect()
+    )
+
+    batch = spark.read.json(stream_dir).withColumn("ts", F.to_timestamp("ts"))
+    bl = batch.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    br = batch.where(F.col("event_type") != "click").select(
+        F.col("user_id").alias("_rk"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    expected = sorted(
+        (r["l_event_id"], r["r_event_id"])
+        for r in bl.join(
+            br,
+            (F.col("user_id") == F.col("_rk"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_streaming_sessions(spark, stream_dir):
     stream = read_event_stream(spark, stream_dir)
     got = _run_stream(
