@@ -807,6 +807,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sliding"] = events_sliding
 
+    def events_rollup_cascade(spark, sf):
+        # hypertable-style continuous aggregate: minute grain from raw,
+        # hour from minute, day from hour — the oracle aggregates raw
+        # directly per grain, proving the cascade is exact
+        from dbscan_pyspark_spark.operators.events import rollup_cascade
+
+        ev = load_table(spark, sf, "events")
+        return rollup_cascade(ev)
+
+    q["events_rollup_cascade"] = events_rollup_cascade
+
     def events_sessions(spark, sf):
         ev = load_table(spark, sf, "events")
         return session_agg(ev, "30 minutes")
@@ -1714,6 +1725,17 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,4))) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "events_rollup_cascade": """
+SELECT '1 minute' AS grain, date_trunc('minute', ts) AS window_start,
+       count(*) AS n_events, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT '1 hour', date_trunc('hour', ts), count(*), sum(CAST(value AS DECIMAL(18,4)))
+FROM events GROUP BY 2
+UNION ALL
+SELECT '1 day', date_trunc('day', ts), count(*), sum(CAST(value AS DECIMAL(18,4)))
+FROM events GROUP BY 2
 """,
         "events_sliding": """
 WITH w AS (

@@ -58,3 +58,21 @@ def test_sessions_gap(spark):
     # user 20: 10 and 55 -> two sessions (45min gap >= 30min)
     u20 = sorted(by_user[20])
     assert len(u20) == 2
+
+
+def test_rollup_cascade_matches_direct(spark):
+    """Each cascaded grain must equal aggregating raw directly at that
+    grain (counts and decimal sums are exactly re-aggregable)."""
+    from dbscan_pyspark_spark.operators.events import rollup_cascade
+
+    df = spark.createDataFrame(EVENTS, COLS)
+    got = {
+        (r["grain"], r["window_start"]): (r["n_events"], float(r["sum_value"]))
+        for r in rollup_cascade(df, ("1 minute", "1 hour", "1 day")).collect()
+    }
+    for dur in ("1 minute", "1 hour", "1 day"):
+        direct = {
+            (dur, r["window_start"]): (r["n_events"], float(r["sum_value"]))
+            for r in tumbling_agg(df, dur).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == dur} == direct
