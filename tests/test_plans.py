@@ -95,6 +95,30 @@ def test_codegen_active_on_agg_path(spark):
     assert wholestage_codegen_spans(q1) >= 1
 
 
+def test_nation_pair_trade_broadcasts_all_dims(spark):
+    """Q7 shape: both nation aliases + supplier + customer build sides
+    broadcast; the only exchange left is the final aggregation."""
+    import __spark_entry__ as m
+
+    df = m.queries()["nation_pair_trade"](spark, SF)
+    assert broadcast_join_count(df) >= 4
+    assert shuffle_count(df) <= 1
+    assert_no_cartesian(df)
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """Q19 shape: Catalyst must split the cross-table OR into per-side
+    residuals and push them into BOTH parquet scans — the difference
+    between scanning 100 TB and scanning the qualifying slivers."""
+    import __spark_entry__ as m
+
+    df = m.queries()["disjunctive_part_revenue"](spark, SF)
+    filters = pushed_filters(df)
+    assert any("Or(And(" in f and "l_quantity" in f for f in filters), filters
+    assert any("EqualTo(p_brand,Brand#1)" in f for f in filters), filters
+    assert_no_cartesian(df)
+
+
 def test_no_contract_query_degenerates_to_cartesian(spark):
     """Every contract query's physical plan is cartesian-free — the
     reference's fatal mistake (DBSCAN.py:161) can't re-enter through any
