@@ -1118,6 +1118,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_norm_stats"] = embedding_norm_stats
 
+    # ---- deterministic stratified sampling (training-data mix
+    # rebalancing): portable-hash keep decision, no RNG, no shuffle ----
+    def doc_stratified_sample(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import stratified_sample
+
+        docs = load_table(spark, sf, "documents")
+        return stratified_sample(
+            docs, {"en": 25, "de": 100, "zh": 50}, default_rate=10
+        ).select("doc_id", "lang", "source")
+
+    q["doc_stratified_sample"] = doc_stratified_sample
+
+    # ---- the SQL entry path: the same engine surface via spark.sql
+    # over registered views (Catalyst plans SQL and DataFrame code
+    # identically; this proves the SQL front door works) ----
+    def sql_segment_revenue(spark, sf):
+        load_table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+        load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+        return spark.sql(
+            """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS revenue
+            FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            """
+        )
+
+    q["sql_segment_revenue"] = sql_segment_revenue
+
+    # ---- ntile ranking windows (W-family): per-nation balance
+    # quartiles, deterministic tie-break, aggregated output ----
+    def customer_balance_quartiles(spark, sf):
+        c = load_table(spark, sf, "customer")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.col("c_acctbal").desc(), F.col("c_custkey")
+        )
+        return (
+            c.withColumn("quartile", F.ntile(4).over(w))
+            .groupBy("c_nationkey", "quartile")
+            .agg(
+                F.count(F.lit(1)).alias("n_custs"),
+                F.round(F.sum(_dec("c_acctbal", "decimal(14,2)")).cast("double"), 2).alias("total_bal"),
+            )
+        )
+
+    q["customer_balance_quartiles"] = customer_balance_quartiles
+
     return q
 
 
@@ -1856,5 +1903,31 @@ SELECT label, count(*) AS n_vecs,
        round(max(norm), 4) AS max_norm,
        round(min(norm), 4) AS min_norm
 FROM n GROUP BY label
+""",
+        "doc_stratified_sample": """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST(concat('0x', substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 AS b
+  FROM documents
+) s
+WHERE b < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 100 WHEN 'zh' THEN 50 ELSE 10 END
+""",
+        "sql_segment_revenue": """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "customer_balance_quartiles": """
+WITH q AS (
+  SELECT c_nationkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile, count(*) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2) AS total_bal
+FROM q GROUP BY c_nationkey, quartile
 """,
     }

@@ -103,6 +103,34 @@ def pack_documents(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by hashed id.
+
+    ``rates`` maps stratum value -> integer percent kept (e.g.
+    ``{"en": 50, "de": 100}``); strata not listed keep ``default_rate``
+    percent. The keep decision is ``portable_hash(id) % 100 < rate`` —
+    a pure projection + filter (no RNG, no shuffle, no sort), so the
+    sample is reproducible row-by-row across runs, engines, and cluster
+    sizes, and composable with ``hash_split`` (different salt ->
+    independent hash). This is how a training-data pipeline rebalances
+    language/source mixes at 100 TB: the filter rides the scan.
+    """
+    bucket = portable_hash(id_col, salt=salt) % F.lit(100)
+    rate = None
+    for value, pct in rates.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        rate = F.when(cond, pct) if rate is None else rate.when(cond, pct)
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    return df.where(bucket < rate)
+
+
 def dedup_keep_best(
     df: DataFrame,
     text_col: str = "text",

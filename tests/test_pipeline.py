@@ -109,3 +109,27 @@ def test_dedup_keep_best_preserves_schema(spark):
     out = dedup_keep_best(df)
     assert out.columns == ["doc_id", "text", "lang"]
     assert out.count() == 1
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from dbscan_pyspark_spark.operators.pipeline import stratified_sample
+
+    rows = [(i, f"doc {i}", ["en", "de", "xx"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rates = {"en": 100, "de": 30}
+    kept1 = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    kept2 = sorted(r["doc_id"] for r in stratified_sample(df, rates).collect())
+    assert kept1 == kept2  # no RNG: bit-identical re-runs
+    by_lang = {
+        lang: [i for i in kept1 if rows[i][2] == lang] for lang in ("en", "de", "xx")
+    }
+    assert len(by_lang["en"]) == 100       # rate 100 keeps every row
+    assert len(by_lang["xx"]) == 0         # default rate 0 drops the stratum
+    assert 10 <= len(by_lang["de"]) <= 60  # ~30% of 100, hash-binomial spread
+
+    # independent of hash_split's hash (different salt): the de sample is
+    # not correlated with split assignment
+    from dbscan_pyspark_spark.operators.pipeline import hash_split
+
+    splits = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert any(splits[i] == "train" for i in by_lang["de"])
