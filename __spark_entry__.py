@@ -349,7 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_prev_gap(spark, sf):
         ev = load_table(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        us = F.unix_micros(F.col("ts"))
+        # ts may be TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The cast
+        # offset cancels in the gap difference.
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
         return ev.select(
             "event_id",
             "user_id",

@@ -155,8 +155,11 @@ def range_join(
     if width <= 0:
         raise ValueError("upper_seconds must exceed lower_seconds")
 
-    le = F.unix_micros(F.col(left_ts))
-    re = F.unix_micros(F.col(right_ts))
+    # cast("timestamp") first: no-op for TIMESTAMP, and lifts
+    # TIMESTAMP_NTZ (which unix_micros rejects) via the session zone —
+    # offset cancels in every interval comparison below.
+    le = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    re = F.unix_micros(F.col(right_ts).cast("timestamp"))
 
     def _bucket(x):  # exact floor-div in long arithmetic (no double floor)
         w = F.lit(width)
