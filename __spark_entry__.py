@@ -774,6 +774,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["returned_item_customers"] = returned_item_customers
 
+    # ---- EXISTS-per-group (TPC-H Q4 shape, adapted: no l_commitdate in
+    # the synthetic schema, so the EXISTS tests for a returned lineitem):
+    # order count per priority where at least one item came back ----
+    def priority_order_check(spark, sf):
+        o = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem").where(
+            F.col("l_returnflag") == "R"
+        )
+        return (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        )
+
+    q["priority_order_check"] = priority_order_check
+
+    # ---- pure filter-agg (TPC-H Q6): revenue delta from discount band.
+    # Fully pushes to the scan: two range predicates + one equality band,
+    # no join, no shuffle beyond the final single-row agg ----
+    def forecast_revenue(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                            "decimal(18,4)"
+                        )
+                    ).cast("double"),
+                    4,
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["forecast_revenue"] = forecast_revenue
+
+    # ---- view + global-max scalar subquery (TPC-H Q15): the supplier(s)
+    # whose quarterly revenue equals the maximum. The revenue aggregate is
+    # computed ONCE and self-joined against its own max (broadcast 1-row)
+    # rather than recomputed per row ----
+    def top_revenue_supplier(spark, sf):
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        s = load_table(spark, sf, "supplier")
+        rev = li.groupBy("l_suppkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("_rev")
+        )
+        mx = rev.agg(F.max("_rev").alias("_mx"))
+        return (
+            rev.join(F.broadcast(mx), rev["_rev"] == mx["_mx"])
+            .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+            .select(
+                "s_suppkey",
+                "s_name",
+                F.round(F.col("_rev").cast("double"), 4).alias("total_revenue"),
+            )
+        )
+
+    q["top_revenue_supplier"] = top_revenue_supplier
+
+    # ---- sole-fault attribution (TPC-H Q21 shape, adapted): suppliers
+    # who were the ONLY supplier with a returned item on a multi-supplier
+    # order. The textbook EXISTS/NOT-EXISTS double self-correlation is
+    # re-expressed as ONE per-order aggregate (distinct-supplier counts +
+    # the unique offender) — one shuffle on l_orderkey instead of two
+    # correlated self-joins of lineitem, which is the formulation that
+    # survives 100 TB ----
+    def sole_returner_suppliers(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        s = load_table(spark, sf, "supplier")
+        r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        per_order = li.groupBy("l_orderkey").agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(r_supp).alias("_n_r"),
+            F.max(r_supp).alias("_offender"),
+        )
+        return (
+            per_order.where((F.col("_n_supp") > 1) & (F.col("_n_r") == 1))
+            .groupBy("_offender")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .join(F.broadcast(s), F.col("_offender") == s["s_suppkey"])
+            .select("s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20)
+        )
+
+    q["sole_returner_suppliers"] = sole_returner_suppliers
+
     # ---- correlated EXISTS (semi-join with inequality correlation):
     # users whose click was later followed by an error event ----
     def users_click_then_error(spark, sf):
@@ -1747,6 +1849,50 @@ FROM events a JOIN events b
  AND b.ts < a.ts
 WHERE a.event_type = 'error'
 GROUP BY a.event_id
+""",
+        "priority_order_check": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "forecast_revenue": """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+        "top_revenue_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 4) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+""",
+        "sole_returner_suppliers": """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS offender
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON offender = s_suppkey
+WHERE n_supp > 1 AND n_r = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
 """,
         "supplier_nation_revenue": """
 SELECT n_name,
