@@ -1010,6 +1010,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk"] = ivf_ann_topk
 
+    # ---- approximate aggregates (sketches) — estimator outputs are
+    # engine-specific, so rows-only here; tests/test_sketches.py bounds
+    # the error against the exact answers. At 100 TB these replace the
+    # exact distinct/percentile shuffles: HLL++ and KLL merge
+    # map-side, so the wide exchange carries sketches, not values ----
+    def approx_event_stats(spark, sf):
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_users"),
+                F.percentile_approx(
+                    F.col("value").cast("double"), [0.5, 0.95, 0.99], 10_000
+                ).alias("value_quantiles"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["approx_event_stats"] = approx_event_stats
+
     def kmember_clusters(spark, sf):
         from dbscan_pyspark_spark.operators.kmember import (
             kmember_anonymize,
