@@ -598,6 +598,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_near_dups"] = minhash_near_dups
 
+    # ---- full near-dup DEDUP: pairs -> connected components ->
+    # keep-best per duplicate cluster. The oracle rebuilds the component
+    # labels with a recursive closure CTE (the pair graph is tiny) ----
+    def dedup_near_docs(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import near_dup_dedup
+
+        out = near_dup_dedup(
+            load_table(spark, sf, "documents"),
+            threshold=0.3,
+            num_hashes=16,
+            rows_per_band=4,
+            n=3,
+        )
+        return out.select("doc_id", "dup_group", "dup_group_size")
+
+    q["dedup_near_docs"] = dedup_near_docs
+
     def simhash_docs(spark, sf):
         return simhash64(load_table(spark, sf, "documents"))
 
@@ -1790,6 +1807,54 @@ FROM common
 JOIN sizes za ON za.doc_id = common.a_id
 JOIN sizes zb ON zb.doc_id = common.b_id
 WHERE round(n_common / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE), 6) >= 0.3
+""",
+        "dedup_near_docs": f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT cand.a_id, cand.b_id, count(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.a_id
+  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.shingle = sa.shingle
+  GROUP BY cand.a_id, cand.b_id
+),
+pairs AS (
+  SELECT common.a_id, common.b_id
+  FROM common
+  JOIN sizes za ON za.doc_id = common.a_id
+  JOIN sizes zb ON zb.doc_id = common.b_id
+  WHERE round(n_common / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE), 6) >= 0.3
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+  UNION SELECT a_id, a_id FROM pairs
+  UNION SELECT b_id, b_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS dup_group FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.dup_group, d.doc_id) AS dup_group,
+         length(d.text) AS sc
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+sized AS (SELECT dup_group, count(*) AS dup_group_size FROM labeled GROUP BY dup_group),
+best AS (
+  SELECT doc_id, dup_group,
+         row_number() OVER (PARTITION BY dup_group ORDER BY sc DESC, doc_id) AS rn
+  FROM labeled
+)
+SELECT b.doc_id, b.dup_group, s.dup_group_size
+FROM best b JOIN sized s ON b.dup_group = s.dup_group
+WHERE b.rn = 1
 """,
         "simhash_docs": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

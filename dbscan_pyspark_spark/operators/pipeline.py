@@ -131,6 +131,54 @@ def stratified_sample(
     return df.where(bucket < rate)
 
 
+def near_dup_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Full near-duplicate dedup: MinHash-LSH pairs -> connected
+    components -> keep the best document per duplicate cluster.
+
+    Near-duplication is transitive in practice (A~B, B~C usually means
+    one crawl family), so survivors are chosen per *component* of the
+    near-dup graph, not per pair — the standard shape of a corpus dedup
+    stage. Returns the surviving rows with two extra columns:
+    ``dup_group`` (min doc id of the component) and ``dup_group_size``.
+
+    ``score`` picks the representative (default text length — longest
+    wins), ties by lowest id. Scale: the pair graph is tiny relative to
+    the corpus (near-dups only), so components run on the contracted
+    graph, and the survivors filter is a broadcast-friendly semi join.
+    """
+    from dbscan_pyspark_spark.operators.components import connected_components
+    from dbscan_pyspark_spark.operators.dedup import minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(
+        df, threshold, num_hashes, rows_per_band, n, text_col, id_col
+    )
+    comp = connected_components(pairs, src="a_id", dst="b_id", id_col=id_col)
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "dup_group", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    score = score if score is not None else F.length(F.col(text_col))
+    w = Window.partitionBy("dup_group").orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "dup_group_size", F.count(F.lit(1)).over(Window.partitionBy("dup_group"))
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     text_col: str = "text",

@@ -133,3 +133,32 @@ def test_stratified_sample_deterministic_and_rated(spark):
 
     splits = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
     assert any(splits[i] == "train" for i in by_lang["de"])
+
+
+def test_near_dup_dedup_transitive_family(spark):
+    from dbscan_pyspark_spark.operators.pipeline import near_dup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        # A-family: 1~2 and 2~3 heavily overlap -> one component {1,2,3}
+        (1, base + " version one"),
+        (2, base + " version one extended with a tail"),  # longest -> survivor
+        (3, base + " version one extra"),
+        # B-family: exact pairs
+        (4, "completely different text about sparkling distributed engines ok"),
+        (5, "completely different text about sparkling distributed engines ok"),
+        # C: unique
+        (6, "nothing like the others at all in any way shape or form here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = near_dup_dedup(
+        df, threshold=0.3, num_hashes=32, rows_per_band=4, n=3
+    ).collect()
+    by_group = {r["dup_group"]: r for r in out}
+    # A-family collapsed to one survivor: the longest text, group min id 1
+    assert by_group[1]["doc_id"] == 2 and by_group[1]["dup_group_size"] == 3
+    # B-family: doc 4 wins (tie on length -> lowest id)
+    assert by_group[4]["doc_id"] == 4 and by_group[4]["dup_group_size"] == 2
+    # C survives alone
+    assert by_group[6]["doc_id"] == 6 and by_group[6]["dup_group_size"] == 1
+    assert len(out) == 3
