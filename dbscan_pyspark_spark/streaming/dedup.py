@@ -1,0 +1,174 @@
+"""Streaming near-duplicate filtering over a document stream.
+
+The ingestion-time counterpart of ``operators/pipeline.py::near_dup_dedup``
+(the reference has no streaming at all — SURVEY.md §2.8; this is north-star
+surface): each micro-batch is MinHash-signed, checked against the signature
+store of every previously *accepted* document, deduped against itself, and
+the survivors' signatures are appended to the store. First-accepted wins
+across batches; within a batch the exact batch semantics of
+``near_dup_dedup`` apply (components of the verified near-dup graph,
+longest text survives).
+
+Scale/state design:
+
+- The store holds ONE wide signature row per accepted doc (k longs) — not
+  shingles, not text. Matching against it is estimate-based (fraction of
+  equal minhash positions >= threshold), the standard trade at corpus
+  scale where retaining shingle sets would itself be corpus-sized.
+  Batch-internal dedup does keep exact shingle verification (the batch is
+  small — shingles are in hand).
+- The store/output are written to ``ingest_batch=<id>`` partition
+  directories with per-partition overwrite, the idempotent-``foreachBatch``
+  pattern: a replayed micro-batch rewrites its own partitions bit-for-bit
+  instead of appending duplicates. The store read excludes the current
+  batch id, so a replay cannot match a document against its own failed
+  attempt.
+- Band join against the store is an equi-join on (band, band_hash); the
+  store side prunes to candidate buckets, so state lookups stay
+  proportional to collisions, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.dedup import minhash_bands, minhash_signatures
+from dbscan_pyspark_spark.operators.pipeline import near_dup_dedup
+
+
+def _read_store(spark, store_dir: str, before_batch: int) -> DataFrame | None:
+    try:
+        store = spark.read.parquet(store_dir)
+    except Exception:  # first batch: store does not exist yet
+        return None
+    return store.where(F.col("ingest_batch") < F.lit(before_batch))
+
+
+def signature_match(
+    left_sig: DataFrame,
+    right_sig: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    rows_per_band: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids from ``left_sig`` whose estimated Jaccard (fraction of equal
+    minhash positions) with ANY ``right_sig`` row reaches ``threshold``.
+    Candidates are pruned by LSH band collision first, so the quadratic
+    estimate runs only on bucket collisions."""
+    lb = minhash_bands(left_sig, rows_per_band, id_col)
+    rb = minhash_bands(right_sig, rows_per_band, id_col).select(
+        F.col(id_col).alias("_rid"), "band", "band_hash"
+    )
+    cand = (
+        lb.join(rb, ["band", "band_hash"])
+        .select(id_col, "_rid")
+        .distinct()
+    )
+    l = left_sig.select(
+        id_col, *[F.col(f"m{i}").alias(f"_la{i}") for i in range(num_hashes)]
+    )
+    r = right_sig.select(
+        F.col(id_col).alias("_rid"),
+        *[F.col(f"m{i}").alias(f"_ra{i}") for i in range(num_hashes)],
+    )
+    est = sum(
+        F.when(F.col(f"_la{i}") == F.col(f"_ra{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(l, id_col)
+        .join(r, "_rid")
+        .where(est >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+    )
+
+
+def process_near_dup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    output_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming near-dup filter (pure batch code,
+    unit-testable without a stream; ``streaming_near_dup_filter`` wraps it
+    in ``foreachBatch``)."""
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    batch = batch.persist()
+    sig = minhash_signatures(batch, num_hashes, n, text_col, id_col).persist()
+
+    store = _read_store(spark, store_dir, batch_id)
+    if store is not None and not store.isEmpty():
+        dup_vs_store = signature_match(
+            sig, store, num_hashes, threshold, rows_per_band, id_col
+        )
+        survivors0 = batch.join(dup_vs_store, id_col, "left_anti")
+    else:
+        survivors0 = batch
+
+    kept = near_dup_dedup(
+        survivors0,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+    ).drop("dup_group", "dup_group_size")
+
+    kept.write.mode("overwrite").parquet(f"{output_dir}/ingest_batch={batch_id}")
+    kept_ids = spark.read.parquet(f"{output_dir}/ingest_batch={batch_id}").select(id_col)
+    sig.join(kept_ids, id_col).write.mode("overwrite").parquet(
+        f"{store_dir}/ingest_batch={batch_id}"
+    )
+    sig.unpersist()
+    batch.unpersist()
+
+
+def streaming_near_dup_filter(
+    docs: DataFrame,
+    store_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Start the streaming near-dup filter over a streaming ``docs``
+    DataFrame; returns the ``StreamingQuery``. Survivors land under
+    ``output_dir``, accepted-doc signatures under ``store_dir``, both
+    partitioned by ``ingest_batch`` for idempotent replay."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        process_near_dup_batch(
+            batch,
+            batch_id,
+            store_dir,
+            output_dir,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
