@@ -119,8 +119,10 @@ def connected_components(
     """Labels every vertex with the minimum vertex id of its component.
 
     ``edges``: DataFrame with ``src``/``dst`` (undirected; self-loops and
-    duplicates tolerated). ``vertices`` (optional): DataFrame with
-    ``id_col`` — isolated vertices get their own id as component.
+    duplicates tolerated — a node appearing only in self-loops is still
+    labeled, with itself as component). ``vertices`` (optional):
+    DataFrame with ``id_col`` — isolated vertices get their own id as
+    component, and the output is restricted to this set.
     Returns ``DataFrame(id, component)``.
 
     Adaptive execution: if the canonical edge set has <= ``driver_threshold``
@@ -136,14 +138,32 @@ def connected_components(
     # so the driver path skips that whole extra shuffle (measured ~1-2 s
     # of a 4 s CC step at 400k edges). The distributed path still
     # canonicalizes — star-contraction rounds shrink with dedup.
-    e = (
-        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .localCheckpoint(eager=True)
+    # When the caller already persisted ``edges`` the checkpoint copy is
+    # skipped too: the projection below recomputes from cache for the
+    # price of a narrow scan, and the driver path collects immediately.
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    e = raw.where(F.col("u") != F.col("v"))
+    lvl = edges.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        e = e.localCheckpoint(eager=True)
+    # A node whose only edges are self-loops IS a participant (it must
+    # come out labeled with its own id); collect that small set once so
+    # callers don't need to hand in a vertex list for it. The distinct
+    # runs over self-loop rows only, not the full edge relation.
+    selfloop_only = (
+        raw.where(F.col("u") == F.col("v"))
+        .select(F.col("u").alias(id_col))
+        .distinct()
     )
 
     if driver_threshold > 0 and e.count() <= driver_threshold:
         labels = _driver_union_find(e, id_col)
+        labels = labels.unionByName(
+            selfloop_only.join(labels.select(id_col), id_col, "left_anti")
+            .withColumn("component", F.col(id_col))
+        )
         if vertices is not None:
             vs = vertices.select(F.col(id_col).cast("long").alias(id_col)).distinct()
             labels = vs.join(labels, id_col, "left").select(
@@ -178,6 +198,10 @@ def connected_components(
     )
     labels = labels.unionByName(
         centers.join(labels.select(id_col), id_col, "left_anti")
+    )
+    labels = labels.unionByName(
+        selfloop_only.join(labels.select(id_col), id_col, "left_anti")
+        .withColumn("component", F.col(id_col))
     )
 
     if vertices is not None:

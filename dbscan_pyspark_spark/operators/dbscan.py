@@ -192,15 +192,11 @@ def dbscan(
 
         # Reps that appear in no edge expand to singleton components per
         # ORIGINAL row (an edgeless duplicate group is |group| singletons).
-        participating = (
-            edges.select(F.col("src").alias(id_col))
-            .union(edges.select(F.col("dst").alias(id_col)))
-            .distinct()
-        )
-
-        labels = connected_components(
-            edges, vertices=participating, id_col=id_col
-        )
+        # connected_components labels every edge participant, including
+        # cores whose only edge is their self-loop (a duplicate group
+        # dense enough to be its own cluster), so no vertex list — and
+        # no distinct over the full edge relation — is needed here.
+        labels = connected_components(edges, id_col=id_col)
         # component mass = sum of member multiplicities (original rows)
         sizes = (
             labels.join(reps.select(id_col, "_mult"), id_col)
