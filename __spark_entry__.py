@@ -574,6 +574,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_heuristic"] = lang_id_heuristic
 
+    # ---- TF-IDF top terms per document (SURVEY §2.10 text analysis).
+    # Smoothed idf = ln((N+1)/(df+1)); rank by raw score (ties by term)
+    # so cross-engine rounding can't reorder; output rounded to 4.
+    # Scale shape: one shuffle on (doc, term) for tf, one on term for
+    # df; the 1-row doc count broadcasts onto the scored relation ----
+    def doc_tfidf_top_terms(spark, sf):
+        d = load_table(spark, sf, "documents")
+        tok = d.select(
+            "doc_id", F.explode(F.split(normalized("text"), " ")).alias("term")
+        ).where(F.col("term") != "")
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = (
+            tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        )
+        n_docs = d.agg(F.count(F.lit(1)).alias("_n_docs"))
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "_score",
+                F.col("tf") * F.log((F.col("_n_docs") + 1) / (F.col("_df") + 1)),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("_score").desc(), "term")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select(
+                "doc_id",
+                "term",
+                "tf",
+                F.round("_score", 4).alias("tfidf"),
+                "rank",
+            )
+        )
+
+    q["doc_tfidf_top_terms"] = doc_tfidf_top_terms
+
     def near_dup_jaccard(spark, sf):
         return ngram_jaccard_pairs(
             load_table(spark, sf, "documents"), threshold=0.3, n=3
@@ -1769,6 +1807,26 @@ SELECT doc_id,
 FROM m
 """,
         "lang_id_heuristic": _lang_case(),
+        "doc_tfidf_top_terms": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln((n.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, round(score, 4) AS tfidf, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+""",
         "near_dup_jaccard": f"""
 WITH {_SHINGLES_CTE}, {_SIZES_CTE},
 common AS (
