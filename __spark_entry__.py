@@ -924,8 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("_offender")
             .agg(F.count(F.lit(1)).alias("numwait"))
             .join(F.broadcast(s), F.col("_offender") == s["s_suppkey"])
-            .select("s_name", "numwait")
-            .orderBy(F.col("numwait").desc(), "s_name")
+            .select("s_suppkey", "s_name", "numwait")
+            .orderBy(F.col("numwait").desc(), "s_suppkey")
             .limit(20)
         )
 
@@ -2031,11 +2031,11 @@ WITH per_order AS (
          max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS offender
   FROM lineitem GROUP BY l_orderkey
 )
-SELECT s_name, count(*) AS numwait
+SELECT s_suppkey, s_name, count(*) AS numwait
 FROM per_order JOIN supplier ON offender = s_suppkey
 WHERE n_supp > 1 AND n_r = 1
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
 LIMIT 20
 """,
         "supplier_nation_revenue": """

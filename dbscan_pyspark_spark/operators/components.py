@@ -144,10 +144,13 @@ def connected_components(
     raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    e = raw.where(F.col("u") != F.col("v"))
     lvl = edges.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
-        e = e.localCheckpoint(eager=True)
+        # One materialization serves BOTH derivations below; without it,
+        # an unpersisted caller would recompute its full edge lineage
+        # once for the solve and again for the self-loop scan.
+        raw = raw.localCheckpoint(eager=True)
+    e = raw.where(F.col("u") != F.col("v"))
     # A node whose only edges are self-loops IS a participant (it must
     # come out labeled with its own id); collect that small set once so
     # callers don't need to hand in a vertex list for it. The distinct

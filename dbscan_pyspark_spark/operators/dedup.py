@@ -263,7 +263,7 @@ def minhash_near_dup_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    out = (
         common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
         .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
         .select(
@@ -276,6 +276,15 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    # The result is tiny (verified near-dup pairs); eagerly materialize
+    # it so the sh/sig caches can be RELEASED here instead of leaking —
+    # a long-running caller (the streaming filter calls this every
+    # micro-batch) would otherwise accumulate two cached relations per
+    # call in the CacheManager forever.
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    sh.unpersist()
+    return out
 
 
 def winnow_fingerprints(

@@ -161,10 +161,42 @@ def near_dup_dedup(
     pairs = minhash_near_dup_pairs(
         df, threshold, num_hashes, rows_per_band, n, text_col, id_col
     )
-    comp = connected_components(pairs, src="a_id", dst="b_id", id_col=id_col)
+    id_type = dict(df.dtypes)[id_col]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        comp = connected_components(pairs, src="a_id", dst="b_id", id_col=id_col)
+        comp = comp.withColumnRenamed("component", "dup_group")
+    else:
+        # Non-numeric ids (URLs, content hashes): connected_components
+        # needs long vertex ids, so map the pair-graph NODES (tiny —
+        # near-dup participants only, never the corpus) to dense
+        # surrogates, solve, then label each component with its minimum
+        # original id. A silent cast would null every edge out and turn
+        # the dedup into a no-op.
+        nodes = (
+            pairs.select(F.col("a_id").alias(id_col))
+            .union(pairs.select(F.col("b_id").alias(id_col)))
+            .distinct()
+            .withColumn(
+                "_sid", F.row_number().over(Window.orderBy(F.col(id_col)))
+            )
+        ).persist()
+        e = (
+            pairs.join(nodes.select(F.col(id_col).alias("a_id"), F.col("_sid").alias("_sa")), "a_id")
+            .join(nodes.select(F.col(id_col).alias("b_id"), F.col("_sid").alias("_sb")), "b_id")
+        )
+        comp_s = connected_components(e, src="_sa", dst="_sb", id_col="_sid")
+        comp = (
+            comp_s.join(nodes, "_sid")
+            .withColumn(
+                "dup_group", F.min(F.col(id_col)).over(Window.partitionBy("component"))
+            )
+            .select(id_col, "dup_group")
+            .localCheckpoint(eager=True)  # materialize before releasing nodes
+        )
+        nodes.unpersist()
     labeled = df.join(comp, id_col, "left").withColumn(
-        "dup_group", F.coalesce(F.col("component"), F.col(id_col))
-    ).drop("component")
+        "dup_group", F.coalesce(F.col("dup_group"), F.col(id_col))
+    )
     score = score if score is not None else F.length(F.col(text_col))
     w = Window.partitionBy("dup_group").orderBy(
         score.desc(), F.col(id_col).asc()

@@ -38,10 +38,18 @@ from dbscan_pyspark_spark.operators.pipeline import near_dup_dedup
 
 
 def _read_store(spark, store_dir: str, before_batch: int) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         store = spark.read.parquet(store_dir)
-    except Exception:  # first batch: store does not exist yet
-        return None
+    except AnalysisException as exc:
+        # ONLY path-not-found means "first batch, no store yet". Anything
+        # else (corrupt partition, permissions, transient FS fault) must
+        # fail the batch so the stream retries — silently skipping the
+        # store would admit near-dups of already-accepted docs forever.
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
     return store.where(F.col("ingest_batch") < F.lit(before_batch))
 
 

@@ -162,3 +162,23 @@ def test_near_dup_dedup_transitive_family(spark):
     # C survives alone
     assert by_group[6]["doc_id"] == 6 and by_group[6]["dup_group_size"] == 1
     assert len(out) == 3
+
+
+def test_near_dup_dedup_string_ids(spark):
+    from dbscan_pyspark_spark.operators.pipeline import near_dup_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = [
+        ("url/a", base + " version one"),
+        ("url/b", base + " version one extended with a tail"),  # survivor
+        ("url/c", "completely different text about sparkling distributed engines ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = near_dup_dedup(
+        df, threshold=0.3, num_hashes=32, rows_per_band=4, n=3
+    ).collect()
+    by_group = {r["dup_group"]: r for r in out}
+    assert by_group["url/a"]["doc_id"] == "url/b"
+    assert by_group["url/a"]["dup_group_size"] == 2
+    assert by_group["url/c"]["doc_id"] == "url/c"
+    assert len(out) == 2

@@ -67,9 +67,8 @@ def test_sketches_merge_map_side(spark, events):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("h"),
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    first_agg = min(
-        i for i in (plan.find("HashAggregate"), plan.find("ObjectHashAggregate")) if i >= 0
-    )
-    assert "Exchange" in plan and first_agg < plan.find("Exchange") or plan.count(
-        "HashAggregate"
-    ) + plan.count("ObjectHashAggregate") >= 2
+    n_aggs = plan.count("HashAggregate") + plan.count("ObjectHashAggregate")
+    # two aggregate levels (partial + final) around the exchange; a
+    # single post-shuffle aggregate over raw rows would show one
+    assert "Exchange" in plan, plan
+    assert n_aggs >= 2, plan
