@@ -135,3 +135,38 @@ def test_no_contract_query_degenerates_to_cartesian(spark):
         except Exception as e:  # plan construction itself failed
             failures.append(f"{name} (error: {e})")
     assert not failures, f"cartesian/failed plans: {failures}"
+
+
+def test_static_partition_pruning(spark, tmp_path):
+    # A filter on the partition column must become a PartitionFilter on
+    # the scan (directories skipped at planning time), not a post-scan
+    # Filter over all partitions -- at 100 TB this is the difference
+    # between reading one day and reading the table.
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "ev_parted")
+    ev.write.partitionBy("event_type").parquet(path)
+    df = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    lo = plan.find("PartitionFilters")
+    assert "event_type" in plan[lo : plan.find("]", lo)]
+    assert df.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # Star-join shape: the fact is partitioned on the join key and the
+    # dim carries the selective filter. DPP must inject a runtime
+    # pruning subquery into the fact scan so only dim-surviving
+    # partitions are read.
+    ev = load_table(spark, SF, "events")
+    path = str(tmp_path / "ev_parted_dpp")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    joined = fact.join(dim.where(F.col("category") == "ops"), "event_type")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == ev.where(F.col("event_type") == "error").count()
