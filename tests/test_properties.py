@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis): the operators most prone to
+boundary bugs, checked against brute-force Python oracles on randomized
+inputs. Few examples per property (each example runs Spark jobs), but
+each run explores fresh shapes: negative/duplicate coordinates, points
+exactly at eps (strict <), self-loop/duplicate/mirrored edges, and the
+distributed star-contraction path that sf-scale tests rarely touch.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.components import connected_components
+from dbscan_pyspark_spark.operators.eps_join import eps_join
+from dbscan_pyspark_spark.operators.windows import anti_top_k_per_group, top_k_per_group
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+points_strategy = st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+    min_size=2,
+    max_size=25,
+)
+# .5 offsets land pairs exactly ON the eps boundary -> strict-< coverage
+eps_strategy = st.sampled_from([0.5, 1.0, 2.0, 2.5, 3.0, 5.5])
+
+
+@SET
+@given(pts=points_strategy, eps=eps_strategy)
+def test_eps_join_matches_bruteforce(spark, pts, eps):
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in eps_join(df, df, eps, metric="l1", keep_distance=False).collect()
+    }
+    want = {
+        (i, j)
+        for i, (xi, yi) in enumerate(pts)
+        for j, (xj, yj) in enumerate(pts)
+        if abs(xi - xj) + abs(yi - yj) < eps
+    }
+    assert got == want
+
+
+@SET
+@given(pts=points_strategy, eps=eps_strategy)
+def test_eps_join_unique_pairs_is_half_relation(spark, pts, eps):
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in eps_join(
+            df, df, eps, metric="l1", keep_distance=False, unique_pairs=True
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (xi, yi) in enumerate(pts)
+        for j, (xj, yj) in enumerate(pts)
+        if i < j and abs(xi - xj) + abs(yi - yj) < eps
+    }
+    assert got == want
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),  # incl. self-loops
+    min_size=1,
+    max_size=30,
+)
+
+
+def _python_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # label every participant with the min id of its component
+    labels = {}
+    for x in parent:
+        root = find(x)
+        labels.setdefault(root, []).append(x)
+    out = {}
+    for members in labels.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+@SET
+@given(edges=edges_strategy)
+def test_components_driver_path_matches_union_find(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e, id_col="id").collect()
+    }
+    assert got == _python_components(edges)
+
+
+@SET
+@given(edges=edges_strategy)
+def test_components_star_contraction_matches_union_find(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(e, id_col="id", driver_threshold=0).collect()
+    }
+    assert got == _python_components(edges)
+
+
+groups_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SET
+@given(rows=groups_strategy, k=st.integers(1, 5))
+def test_topk_and_antitopk_partition_each_group(spark, rows, k):
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g int, v int, rid int"
+    )
+    order = [F.col("v").asc(), F.col("rid").asc()]
+    top = top_k_per_group(df, ["g"], order, k).select("g", "rid").collect()
+    rest = anti_top_k_per_group(df, ["g"], order, k).select("g", "rid").collect()
+    top_ids = {r["rid"] for r in top}
+    rest_ids = {r["rid"] for r in rest}
+    assert top_ids.isdisjoint(rest_ids)
+    assert top_ids | rest_ids == set(range(len(rows)))
+    # per group: the kept set is exactly the k smallest by (v, rid)
+    by_group = {}
+    for i, (g, v) in enumerate(rows):
+        by_group.setdefault(g, []).append((v, i))
+    for g, members in by_group.items():
+        want = {i for _, i in sorted(members)[:k]}
+        assert {r["rid"] for r in top if r["g"] == g} == want
