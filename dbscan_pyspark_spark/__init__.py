@@ -17,3 +17,19 @@ analysis, multimodal columns), designed for 100 TB scale:
 __version__ = "0.1.0"
 
 from dbscan_pyspark_spark.session import get_session  # noqa: F401
+from dbscan_pyspark_spark.operators.dbscan import dbscan  # noqa: F401
+from dbscan_pyspark_spark.operators.components import connected_components  # noqa: F401
+from dbscan_pyspark_spark.operators.eps_join import (  # noqa: F401
+    core_points,
+    eps_join,
+    eps_self_join,
+    neighbor_counts,
+)
+from dbscan_pyspark_spark.operators.anonymize import (  # noqa: F401
+    anonymize,
+    assign_nearest,
+    cluster_centroids,
+    eps_sweep,
+    information_loss,
+)
+from dbscan_pyspark_spark.operators.kmember import kmember_kmeans  # noqa: F401
