@@ -43,6 +43,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every test table as a temp view (same names DuckDB's
+    oracle uses), so ``spark.sql("SELECT ... FROM lineitem ...")`` runs
+    directly. Returns the registered names."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return list(TABLE_NAMES)
+
+
 def points_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pts_lineitem(id, features[3], sensitive) — clustering fixture.
 

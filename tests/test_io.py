@@ -35,3 +35,16 @@ def test_sinks_roundtrip(spark, tmp_path):
     # overwrite mode really overwrites
     write_parquet(df.limit(1), pq)
     assert spark.read.parquet(pq).count() == 1
+
+
+def test_register_views_enables_raw_sql(spark):
+    from dbscan_pyspark_spark.sources.tables import register_views
+
+    names = register_views(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "documents" in names
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").first()["n"]
+    assert n == 6000
+    joined = spark.sql(
+        "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).first()["n"]
+    assert joined > 0
