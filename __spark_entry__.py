@@ -43,6 +43,7 @@ from dbscan_pyspark_spark.operators.pipeline import (
     dedup_keep_best,
     hash_split,
     pack_documents,
+    profile_columns,
 )
 from dbscan_pyspark_spark.operators.similarity import (
     cosine_near_dup_pairs,
@@ -1345,6 +1346,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_balance_quartiles"] = customer_balance_quartiles
 
+    # ---- market-share ratio (TPC-H Q8 shape): per order-year, the
+    # revenue share of ASIA-nation suppliers within all supplier revenue.
+    # Conditional-sum ratio in ONE pass over the joined fact table; all
+    # three dims broadcast ----
+    def market_share_by_year(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        r = load_table(spark, sf, "region")
+        sup_nat = (
+            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .select("s_suppkey", "r_name")
+        )
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(sup_nat), li["l_suppkey"] == sup_nat["s_suppkey"])
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.round(
+                    (
+                        F.sum(F.when(F.col("r_name") == "ASIA", rev)).cast("double")
+                        / F.sum(rev).cast("double")
+                    ),
+                    6,
+                ).alias("asia_share"),
+                F.round(F.sum(rev).cast("double"), 4).alias("total_revenue"),
+            )
+        )
+
+    q["market_share_by_year"] = market_share_by_year
+
+    # ---- profit rollup (TPC-H Q9 shape, no partsupp in the synthetic
+    # schema so amount = extendedprice*(1-discount) - quantity*retailprice/10):
+    # per supplier-nation per order-year over PROMO parts ----
+    def profit_by_nation_year(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        s = load_table(spark, sf, "supplier")
+        n = load_table(spark, sf, "nation")
+        p = load_table(spark, sf, "part").where(F.col("p_type") == "PROMO")
+        amount = (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("l_quantity") * F.col("p_retailprice") / 10.0
+        ).cast("decimal(18,4)")
+        return (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+            )
+            .agg(F.round(F.sum(amount).cast("double"), 4).alias("sum_profit"))
+        )
+
+    q["profit_by_nation_year"] = profit_by_nation_year
+
+    # ---- order-count distribution (TPC-H Q13): LEFT OUTER join so
+    # zero-order customers land in bucket 0, then a second agg over the
+    # first — two shuffles, both on small post-agg data ----
+    def customer_order_distribution(spark, sf):
+        c = load_table(spark, sf, "customer")
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority") != "1-URGENT"
+        )
+        per_cust = (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count(F.lit(1)).alias("custdist")
+        )
+
+    q["customer_order_distribution"] = customer_order_distribution
+
+    # ---- per-group argmax join-back (TPC-H Q2 shape, partsupp-free):
+    # for each part brand, the supplier with the highest revenue on that
+    # brand; window row_number over a pre-aggregated (brand, supplier)
+    # rollup — the window runs on post-agg data, never on the fact table ----
+    def top_supplier_per_brand(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        p = load_table(spark, sf, "part")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+        brand_sup = (
+            li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "l_suppkey")
+            .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        )
+        w = Window.partitionBy("p_brand").orderBy(
+            F.col("revenue").desc(), F.col("l_suppkey")
+        )
+        return (
+            brand_sup.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("p_brand", F.col("l_suppkey").alias("s_suppkey"), "revenue")
+        )
+
+    q["top_supplier_per_brand"] = top_supplier_per_brand
+
+    # ---- single-pass column profiler (training-pipeline audit step):
+    # all stats partial-aggregatable, one scan, one-row merge, unpivot
+    # on the aggregated row only ----
+    def lineitem_profile(spark, sf):
+        return profile_columns(
+            load_table(spark, sf, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
+    q["lineitem_profile"] = lineitem_profile
+
     return q
 
 
@@ -1437,6 +1557,75 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "market_share_by_year": """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CASE WHEN r_name = 'ASIA'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) END)
+                  AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS asia_share,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             4) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+""",
+        "profit_by_nation_year": """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - l_quantity * p_retailprice / 10.0
+                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+""",
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+""",
+        "lineitem_profile": "\nUNION ALL\n".join(
+            f"""
+SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       min(CAST({c} AS DOUBLE)) AS min_val,
+       max(CAST({c} AS DOUBLE)) AS max_val,
+       round(CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) / count({c}), 4)
+         AS avg_val
+FROM lineitem
+"""
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "top_supplier_per_brand": """
+WITH brand_sup AS (
+  SELECT p_brand, l_suppkey,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE), 4) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_suppkey
+),
+ranked AS (
+  SELECT p_brand, l_suppkey AS s_suppkey, revenue,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY revenue DESC, l_suppkey) AS rn
+  FROM brand_sup
+)
+SELECT p_brand, s_suppkey, revenue FROM ranked WHERE rn = 1
+""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,

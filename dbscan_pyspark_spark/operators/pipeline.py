@@ -235,3 +235,53 @@ def dedup_keep_best(
         .where(F.col("_rn") == 1)
         .drop("_fp", "_score", "_rn")
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
+    """Single-pass numeric column profiler (schema/quality audit step).
+
+    Computes per-column row count, null count, distinct count, min, max,
+    and mean in ONE scan: every statistic is a partially-aggregatable
+    expression, so the whole profile is a map-side combine followed by a
+    single-row final merge — at 100 TB this costs one pass over the
+    table and shuffles a handful of bytes. The unpivot to long format
+    (one output row per column) happens on that single aggregated row
+    via array+explode, never on the data.
+
+    ``approx=True`` swaps exact ``count_distinct`` for HLL
+    ``approx_count_distinct`` — the at-scale default; exact is the
+    oracle-parity mode. The mean is computed as an exact decimal sum
+    divided by the non-null count, so it is order-independent and
+    engine-portable (plain double ``avg`` is summation-order-dependent).
+    """
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__nn"),
+            distinct(col).alias(f"{c}__nd"),
+            F.min(col.cast("double")).alias(f"{c}__min"),
+            F.max(col.cast("double")).alias(f"{c}__max"),
+            F.sum(col.cast("decimal(28,6)")).alias(f"{c}__sum"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                F.round(
+                    F.col(f"{c}__sum").cast("double") / F.col(f"{c}__nn"), 4
+                ).alias("avg_val"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(entries).alias("p")).select("p.*")

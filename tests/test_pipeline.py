@@ -182,3 +182,36 @@ def test_near_dup_dedup_string_ids(spark):
     assert by_group["url/a"]["dup_group_size"] == 2
     assert by_group["url/c"]["doc_id"] == "url/c"
     assert len(out) == 2
+
+
+def test_profile_columns_exact_stats(spark):
+    from dbscan_pyspark_spark.operators.pipeline import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, None), (2.0, 30), (None, 40)],
+        "x double, y int",
+    )
+    out = {
+        r["col_name"]: r.asDict() for r in profile_columns(df, ["x", "y"]).collect()
+    }
+    assert out["x"] == {
+        "col_name": "x", "n_rows": 4, "n_null": 1, "n_distinct": 2,
+        "min_val": 1.0, "max_val": 2.0, "avg_val": round(5.0 / 3, 4),
+    }
+    assert out["y"]["n_null"] == 1 and out["y"]["n_distinct"] == 3
+    assert out["y"]["avg_val"] == round(80 / 3, 4)
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.pipeline import profile_columns
+    from dbscan_pyspark_spark.plans.inspect import shuffle_count
+    from dbscan_pyspark_spark.sources.tables import load_table
+
+    prof = profile_columns(
+        load_table(spark, sf_dir, "lineitem"), ["l_quantity", "l_discount"]
+    )
+    # one scan, one global-agg exchange pair at most; count_distinct adds
+    # an expand+agg but no second pass over the table
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") + plan.count("Scan parquet") <= 2
+    assert shuffle_count(prof) <= 2

@@ -106,6 +106,29 @@ def test_nation_pair_trade_broadcasts_all_dims(spark):
     assert_no_cartesian(df)
 
 
+def test_market_share_dims_broadcast(spark):
+    """Q8 shape: supplier/nation/region dim chain broadcasts so the
+    fact table shuffles once — for the orders join — plus the final
+    year aggregation; no dim-induced fact shuffle."""
+    import __spark_entry__ as m
+
+    df = m.queries()["market_share_by_year"](spark, SF)
+    assert broadcast_join_count(df) >= 3
+    assert shuffle_count(df) <= 3  # orders join (2 sides) + year agg
+    assert_no_cartesian(df)
+
+
+def test_profit_rollup_pushes_part_filter(spark):
+    """Q9 shape: the p_type predicate reaches the part scan (the 100 TB
+    read reduction), and part/supplier/nation all broadcast."""
+    import __spark_entry__ as m
+
+    df = m.queries()["profit_by_nation_year"](spark, SF)
+    assert any("EqualTo(p_type,PROMO)" in f for f in pushed_filters(df))
+    assert broadcast_join_count(df) >= 3
+    assert_no_cartesian(df)
+
+
 def test_disjunctive_predicates_push_to_both_scans(spark):
     """Q19 shape: Catalyst must split the cross-table OR into per-side
     residuals and push them into BOTH parquet scans — the difference
