@@ -37,7 +37,13 @@ from dbscan_pyspark_spark.operators.eps_join import (
     eps_self_join,
     neighbor_counts,
 )
-from dbscan_pyspark_spark.operators.events import session_agg, sliding_agg, tumbling_agg
+from dbscan_pyspark_spark.operators.events import (
+    cohort_retention,
+    funnel,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 from dbscan_pyspark_spark.operators.joins import asof_join, range_join
 from dbscan_pyspark_spark.operators.pipeline import (
     dedup_keep_best,
@@ -1465,6 +1471,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lineitem_profile"] = lineitem_profile
 
+    # ---- ordered multi-step funnel over events ----
+    def events_funnel(spark, sf):
+        return funnel(
+            load_table(spark, sf, "events"), ["view", "click", "purchase"]
+        )
+
+    q["events_funnel"] = events_funnel
+
+    # ---- weekly cohort retention triangle over events ----
+    def events_cohort_retention(spark, sf):
+        return cohort_retention(load_table(spark, sf, "events"))
+
+    q["events_cohort_retention"] = events_cohort_retention
+
     return q
 
 
@@ -1557,6 +1577,40 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "events_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
+UNION ALL
+SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "events_cohort_retention": """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+cohort AS (
+  SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM weeks JOIN cohort USING (user_id)
+GROUP BY 1, 2
+""",
         "market_share_by_year": """
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        round(CAST(sum(CASE WHEN r_name = 'ASIA'

@@ -138,3 +138,87 @@ def session_agg(
             "sum_value",
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered multi-step funnel: users reaching each step IN ORDER.
+
+    A user reaches step i+1 iff they have an event of type ``steps[i+1]``
+    strictly after their earliest qualifying step-i time. Returns
+    DataFrame(step int, event_type, n_users), one row per step.
+
+    Shape: one conditional min-aggregation per step, each joined to the
+    previous step's (user, time) frontier. Every shuffle is keyed on
+    ``user_col``, so after the first exchange the per-step join + groupBy
+    reuse the same hash partitioning (exchange reuse — no re-shuffle of
+    the event rows per step), and the frontier DataFrames are one row per
+    surviving user, shrinking monotonically. At 100 TB the events table
+    is scanned ONCE (the isin filter pushes to the scan) and only
+    user-keyed frontiers flow between steps.
+    """
+    ev = events.select(user_col, ts_col, type_col).where(
+        F.col(type_col).isin(list(steps))
+    )
+    frontiers: list[DataFrame] = []
+    frontier = None
+    for step in steps:
+        cur = ev.where(F.col(type_col) == step)
+        if frontier is None:
+            frontier = cur.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            frontier = (
+                cur.join(frontier.select(user_col, "_t"), user_col)
+                .where(F.col(ts_col) > F.col("_t"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        frontiers.append(frontier)
+    out = None
+    for i, (step, fr) in enumerate(zip(steps, frontiers)):
+        row = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention triangle.
+
+    Cohort = the Monday-truncated week of a user's first event; for every
+    (cohort_week, week_offset) pair, how many of that cohort's users were
+    active offset weeks later. Returns
+    DataFrame(cohort_week, week_offset int, n_users).
+
+    The (user, week) activity relation is distinct-reduced FIRST — after
+    that every operand is at most |users| * |weeks| rows regardless of
+    raw event volume, and both the cohort min-agg and the join key on
+    ``user_col`` reuse one partitioning.
+    """
+    weeks = events.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("_wk"),
+    ).distinct()
+    cohort = weeks.groupBy(user_col).agg(F.min("_wk").alias("_cohort"))
+    return (
+        weeks.join(cohort, user_col)
+        .groupBy(
+            F.col("_cohort").alias("cohort_week"),
+            (F.datediff(F.col("_wk"), F.col("_cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

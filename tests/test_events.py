@@ -1,5 +1,7 @@
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from dbscan_pyspark_spark.operators.events import session_agg, sliding_agg, tumbling_agg
 
 
@@ -76,3 +78,59 @@ def test_rollup_cascade_matches_direct(spark):
             for r in tumbling_agg(df, dur).collect()
         }
         assert {k: v for k, v in got.items() if k[0] == dur} == direct
+
+
+def test_funnel_strict_ordering(spark):
+    from dbscan_pyspark_spark.operators.events import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        # user 2: purchase BEFORE click -> reaches step 2 only
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:30:00", "click"),
+        (2, "2024-01-01 09:10:00", "purchase"),
+        # user 3: never viewed -> reaches nothing
+        (3, "2024-01-01 08:00:00", "click"),
+        (3, "2024-01-01 08:05:00", "purchase"),
+        # user 4: simultaneous view+click (strict > excludes), then click
+        (4, "2024-01-01 07:00:00", "view"),
+        (4, "2024-01-01 07:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_type"]: (r["step"], r["n_users"])
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": (1, 3), "click": (2, 2), "purchase": (3, 1)}
+
+
+def test_cohort_retention_triangle(spark):
+    from dbscan_pyspark_spark.operators.events import cohort_retention
+
+    rows = [
+        # user 1: first week 2024-01-01 (Mon), active weeks 0 and 2
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-04 10:00:00"),  # same week, distinct-reduced
+        (1, "2024-01-16 10:00:00"),
+        # user 2: first week 2024-01-08, active weeks 0 and 1
+        (2, "2024-01-08 00:00:00"),
+        (2, "2024-01-15 00:00:01"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
