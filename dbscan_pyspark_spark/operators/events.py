@@ -154,13 +154,13 @@ def funnel(
     DataFrame(step int, event_type, n_users), one row per step.
 
     Shape: one conditional min-aggregation per step, each joined to the
-    previous step's (user, time) frontier. Every shuffle is keyed on
-    ``user_col``, so after the first exchange the per-step join + groupBy
-    reuse the same hash partitioning (exchange reuse — no re-shuffle of
-    the event rows per step), and the frontier DataFrames are one row per
-    surviving user, shrinking monotonically. At 100 TB the events table
-    is scanned ONCE (the isin filter pushes to the scan) and only
-    user-keyed frontiers flow between steps.
+    previous step's (user, time) frontier. Each step's scan reads only
+    its own event-type sliver (the equality predicate pushes to the
+    parquet scan), every shuffle is keyed on ``user_col`` so the
+    per-step join and groupBy share one partitioning, and the frontier
+    DataFrames are one row per surviving user, shrinking monotonically —
+    at 100 TB only type-filtered slivers are read and only user-keyed
+    frontiers flow between steps.
     """
     ev = events.select(user_col, ts_col, type_col).where(
         F.col(type_col).isin(list(steps))
