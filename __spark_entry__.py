@@ -1485,6 +1485,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cohort_retention"] = events_cohort_retention
 
+    # ---- k-distance diagnostic for choosing eps (Ester et al. §4.2;
+    # the reference hand-picks its eps range instead, DBSCAN.py:29-43) ----
+    def eps_k_distance(spark, sf):
+        from dbscan_pyspark_spark.operators.eps_join import k_distance
+
+        return k_distance(
+            points_from_customer(spark, sf), k=MINPTS_C, n_samples=64
+        )
+
+    q["eps_k_distance"] = eps_k_distance
+
     return q
 
 
@@ -1577,6 +1588,30 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "eps_k_distance": f"""
+WITH pts AS ({PTS_CUSTOMER_SQL}),
+sample AS (
+  SELECT id AS sample_id, f0 AS sf0, f1 AS sf1
+  FROM pts
+  ORDER BY CAST(concat('0x',
+             substring(md5('kdist:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT),
+           id
+  LIMIT 64
+),
+d AS (
+  SELECT s.sample_id,
+         abs(p.f0 - s.sf0) + abs(p.f1 - s.sf1) AS dd,
+         p.id AS nid
+  FROM pts p CROSS JOIN sample s
+),
+r AS (
+  SELECT sample_id, dd,
+         row_number() OVER (PARTITION BY sample_id
+                            ORDER BY dd ASC, nid ASC) AS rn
+  FROM d
+)
+SELECT sample_id, CAST(dd AS DOUBLE) AS kth_dist FROM r WHERE rn = {MINPTS_C}
+""",
         "events_funnel": """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t FROM events

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from itertools import product
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.functions.distance import (
@@ -351,3 +351,78 @@ def core_points(
         contract_duplicates=contract_duplicates,
     )
     return counts.where(F.col("n_neighbors") >= F.lit(int(min_pts)))
+
+
+def k_distance(
+    points: DataFrame,
+    k: int,
+    n_samples: int = 256,
+    pool_size: int | None = None,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+) -> DataFrame:
+    """k-distance diagnostic for choosing ε (Ester et al. 1996, §4.2).
+
+    For a deterministic sample of points, the distance to their k-th
+    nearest neighbor (self included at rank 1, matching the reference's
+    self-counting neighbor semantics, ``DBSCAN.py:161``). Sorting these
+    and looking for the "elbow" is the standard way to pick ε — the
+    reference instead sweeps a hand-chosen ε range (``DBSCAN.py:29-43``).
+
+    Returns DataFrame(sample_id, kth_dist double), ``n_samples`` rows.
+
+    Scale shape: the sample is chosen by an engine-portable md5 hash of
+    the id (smallest ``n_samples`` values — deterministic on any engine
+    or cluster size) and broadcast. With ``pool_size=None`` every point
+    is a neighbor candidate — exact, but the ranking shuffles
+    ``n_samples × n`` distance rows, fine up to tens of millions of
+    rows. At 100 TB pass ``pool_size=m``: candidates are an independent
+    hash-sample of m points, bounding the shuffle at ``n_samples × m``
+    narrow rows while the k-distance *distribution* — the thing the
+    elbow read needs — stays statistically faithful (each sampled
+    point's kth-in-pool distance estimates the kth/(m/n) quantile of
+    its true neighbor-distance distribution).
+    """
+    from dbscan_pyspark_spark.operators.pipeline import portable_hash
+
+    if metric == "l1":
+        dist_fn = l1_distance
+    elif metric == "l2":
+        dist_fn = l2_distance
+    else:
+        raise ValueError(f"metric must be 'l1' or 'l2', got {metric!r}")
+
+    sample = (
+        points.select(
+            F.col(id_col).alias("sample_id"),
+            F.col(features).alias("_sf"),
+            portable_hash(id_col, salt="kdist").alias("_hk"),
+        )
+        .orderBy("_hk", "sample_id")
+        .limit(int(n_samples))
+        .drop("_hk")
+    )
+    pool = points
+    if pool_size is not None:
+        pool = (
+            points.withColumn(
+                "_hp", portable_hash(id_col, salt="kdistpool")
+            )
+            .orderBy("_hp", id_col)
+            .limit(int(pool_size))
+            .drop("_hp")
+        )
+    dists = pool.join(F.broadcast(sample)).select(
+        "sample_id",
+        dist_fn(F.col(features), F.col("_sf")).cast("double").alias("_d"),
+        F.col(id_col).alias("_nid"),
+    )
+    w = Window.partitionBy("sample_id").orderBy(
+        F.col("_d").asc(), F.col("_nid").asc()
+    )
+    return (
+        dists.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == F.lit(int(k)))
+        .select("sample_id", F.col("_d").alias("kth_dist"))
+    )

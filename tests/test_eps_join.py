@@ -90,3 +90,36 @@ def test_distance_column(spark):
     assert rows[(1, 2)] == 2.0
     assert rows[(1, 1)] == 0.0
     assert (1, 3) not in rows
+
+
+def test_k_distance_exact_tiny(spark):
+    from dbscan_pyspark_spark.operators.eps_join import k_distance
+
+    # 1-D points at 0, 1, 3, 7: kth (k=2) nearest incl. self is the
+    # nearest other point: 1, 1, 2, 4.
+    pts = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate([0, 1, 3, 7])],
+        "id long, features array<double>",
+    )
+    got = {
+        r["sample_id"]: r["kth_dist"]
+        for r in k_distance(pts, k=2, n_samples=4).collect()
+    }
+    assert got == {0: 1.0, 1: 1.0, 2: 2.0, 3: 4.0}
+
+
+def test_k_distance_pool_mode_bounds_candidates(spark):
+    from dbscan_pyspark_spark.operators.eps_join import k_distance
+
+    pts = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(100)],
+        "id long, features array<double>",
+    )
+    exact = k_distance(pts, k=3, n_samples=8)
+    pooled = k_distance(pts, k=3, n_samples=8, pool_size=40)
+    assert exact.count() == 8 and pooled.count() == 8
+    # pooled kth distance can only be >= the exact one (fewer candidates)
+    j = exact.withColumnRenamed("kth_dist", "d_exact").join(
+        pooled.withColumnRenamed("kth_dist", "d_pool"), "sample_id"
+    )
+    assert j.where(F.col("d_pool") < F.col("d_exact")).count() == 0
