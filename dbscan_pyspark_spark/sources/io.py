@@ -97,6 +97,78 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) key from pre-gridded nonnegative integer coords.
+
+    Interleaves the low ``bits`` bits of each column (column j supplies
+    bit position ``i*len(cols)+j`` from its bit i), so rows close in ALL
+    dimensions get close keys. Pure bitwise built-ins — whole-stage
+    codegen keeps the ``bits * len(cols)`` shift/or terms JVM-side.
+    """
+    d = len(cols)
+    assert d >= 1 and bits * d <= 63, "interleaved key must fit a long"
+    z = None
+    for j, c in enumerate(cols):
+        c = (F.col(c) if isinstance(c, str) else c).cast("long")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), i * d + j
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write clustered on the Z-order curve of ``cols``.
+
+    Each column is min/max-scaled onto a ``2^bits`` grid (one bounded
+    agg job computes the ranges), rows are range-partitioned AND sorted
+    by the interleaved Morton key, then written. Because the curve
+    localizes every participating dimension, each output file's parquet
+    row-group min/max stats are narrow in ALL ``cols`` — so a later
+    range predicate on ANY of them prunes most files/row-groups at the
+    scan, where a plain ``sortWithinPartitions(col_a)`` layout prunes
+    only on ``col_a`` and leaves every other column's stats spanning the
+    full domain in every file. At 100 TB this is the difference between
+    reading one file and reading the table for the second predicate.
+
+    Beyond-reference extension (the reference has no layout control at
+    all); same role as Delta/Iceberg OPTIMIZE ZORDER BY, built from
+    plain Spark ops.
+    """
+    ranges = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_max_{c}") for c in cols],
+    ).collect()[0]
+    grid_max = (1 << bits) - 1
+    coords = []
+    for c in cols:
+        lo, hi = ranges[f"_min_{c}"], ranges[f"_max_{c}"]
+        span = (hi - lo) or 1.0
+        coords.append(
+            F.least(
+                F.lit(grid_max),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * grid_max),
+            ).cast("long")
+        )
+    keyed = df.withColumn("_z", zorder_key(coords, bits=bits))
+    n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        keyed.repartitionByRange(int(n), "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 POINTS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),

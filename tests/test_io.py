@@ -3,6 +3,8 @@ reference's data.csv shape (FIXTURES.md §1)."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from dbscan_pyspark_spark.sources.io import read_csv_points, write_csv, write_json, write_parquet
 
 
@@ -48,3 +50,57 @@ def test_register_views_enables_raw_sql(spark):
         "SELECT count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
     ).first()["n"]
     assert joined > 0
+
+
+def _morton2(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from dbscan_pyspark_spark.sources.io import zorder_key
+
+    rows = [(x, y) for x in [0, 1, 5, 200, 255] for y in [0, 3, 7, 128, 255]]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", zorder_key(["x", "y"], bits=8)
+    )
+    for r in df.collect():
+        assert r["z"] == _morton2(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Per-file parquet stats after a Z-ordered write are narrow in BOTH
+    columns; a single-column sort leaves the other column unpruned."""
+    import duckdb
+
+    from dbscan_pyspark_spark.sources.io import write_zordered
+
+    n = 1 << 14
+    # two independent uniform dims (bit-reversal decorrelates y from x)
+    df = (
+        spark.range(n)
+        .withColumn("x", F.col("id") % 128)
+        .withColumn("y", (F.col("id") * 2654435761) % 128)
+    )
+    zdir, sdir = str(tmp_path / "zord"), str(tmp_path / "plain")
+    write_zordered(df, zdir, ["x", "y"], bits=7, num_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(sdir)
+
+    con = duckdb.connect()
+
+    def mean_span(d, col):
+        q = f"""
+        SELECT avg(CAST(stats_max AS DOUBLE) - CAST(stats_min AS DOUBLE))
+        FROM parquet_metadata('{d}/*.parquet')
+        WHERE path_in_schema = '{col}'
+        """
+        return con.execute(q).fetchone()[0]
+
+    # z-order: both dims localized to a fraction of the 0..127 domain
+    assert mean_span(zdir, "x") < 127 * 0.6
+    assert mean_span(zdir, "y") < 127 * 0.6
+    # plain sort: x localized, y spans ~the full domain per file
+    assert mean_span(sdir, "x") < 127 * 0.6
+    assert mean_span(sdir, "y") > 127 * 0.8
