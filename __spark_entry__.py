@@ -1496,6 +1496,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["eps_k_distance"] = eps_k_distance
 
+    # ---- int8 embedding quantization (vector-store compression):
+    # per-vector scale + integer checksum stats, engine-exact ----
+    def embedding_quantization(spark, sf):
+        from dbscan_pyspark_spark.operators.similarity import quantize_embeddings
+
+        emb = load_table(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qd = quantize_embeddings(emb)
+        return qd.select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            F.aggregate("q", F.lit(0), lambda a, v: a + v).alias("q_sum"),
+            F.size(F.filter("q", lambda v: F.abs(v) == 127)).alias("n_sat"),
+        )
+
+    q["embedding_quantization"] = embedding_quantization
+
     return q
 
 
@@ -1588,6 +1606,30 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "embedding_quantization": """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, x,
+         list_aggregate(list_transform(x, v -> abs(v)), 'max') AS amax
+  FROM t
+),
+qq AS (
+  SELECT vec_id, amax,
+         CASE WHEN amax = 0 THEN list_transform(x, v -> 0)
+              ELSE list_transform(x, v -> CAST(round(v / (amax / 127.0)) AS INT))
+         END AS q
+  FROM a
+)
+SELECT vec_id,
+       round(amax / 127.0, 9) AS scale,
+       CAST(list_aggregate(q, 'sum') AS INT) AS q_sum,
+       len(list_filter(q, v -> abs(v) = 127)) AS n_sat
+FROM qq
+""",
         "eps_k_distance": f"""
 WITH pts AS ({PTS_CUSTOMER_SQL}),
 sample AS (

@@ -310,3 +310,44 @@ def ivf_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    Each vector is scaled by ``s = max(|x_i|) / 127`` and rounded:
+    ``q_i = round(x_i / s)`` ∈ [-127, 127]. Output keeps the original
+    columns plus ``q`` (array<tinyint>-valued ints), ``scale`` (double),
+    and ``recon_mse`` (rounded mean squared reconstruction error) — a
+    4x storage/shuffle reduction for vector stores (the int8 array plus
+    one double reconstructs ``x_i ≈ q_i * s``), at a cosine-recall cost
+    the test pins. Pure ``transform``/``aggregate`` expressions: no UDF,
+    whole-stage codegen, zero shuffles — a projection over the scan.
+    """
+    x = F.col(vec_col)
+    n = F.size(x)
+    amax = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    s = (amax / F.lit(127.0)).alias("scale")
+    q = F.when(
+        amax == 0, F.transform(x, lambda v: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(x, lambda v: F.round(v / (amax / 127.0)).cast("int"))
+    )
+    out = df.withColumn("scale", s).withColumn("q", q)
+    err = F.zip_with(
+        x, F.col("q"), lambda v, qi: F.pow(v - qi * F.col("scale"), 2)
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e) / n
+    return out.withColumn("recon_mse", F.round(mse, 10))
+
+
+def dequantized(q_col="q", scale_col="scale"):
+    """Reconstruction expression: array<double> from (q, scale)."""
+    return F.transform(
+        F.col(q_col), lambda qi: qi.cast("double") * F.col(scale_col)
+    )

@@ -1,6 +1,8 @@
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from dbscan_pyspark_spark.operators.similarity import cosine_topk, ivf_cosine_topk
 
 
@@ -57,3 +59,51 @@ def test_ivf_recall_reasonable(spark):
     assert sum(recalls) / len(recalls) >= 0.5  # probing half the cells
     # every query answered with k results
     assert all(len(s) == 5 for s in approx_sets.values())
+
+
+def test_quantize_embeddings_exact_tiny(spark):
+    from dbscan_pyspark_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = 1.0/127; q = round(x*127): [64, -127, 32]
+    assert rows[1]["q"] == [64, -127, 32]
+    assert abs(rows[1]["scale"] - 1.0 / 127) < 1e-12
+    assert rows[1]["recon_mse"] < (0.5 / 127) ** 2  # < half-step² per dim
+    # zero vector: scale 0, all-zero q, zero error
+    assert rows[2]["q"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+    assert rows[2]["recon_mse"] == 0.0
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 reconstruction preserves cosine top-10 recall >= 0.9 on the
+    real embeddings table."""
+    from dbscan_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        dequantized,
+        quantize_embeddings,
+    )
+    from dbscan_pyspark_spark.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.orderBy("vec_id").limit(20)
+    k = 10
+    exact = cosine_topk(emb, queries, k=k, id_col="vec_id")
+    deq = quantize_embeddings(emb).select(
+        "vec_id", dequantized().alias("embedding")
+    )
+    approx = cosine_topk(
+        deq, quantize_embeddings(queries).select(
+            "vec_id", dequantized().alias("embedding")
+        ), k=k, id_col="vec_id",
+    )
+    hits = exact.select("query_id", "vec_id").intersect(
+        approx.select("query_id", "vec_id")
+    ).count()
+    assert hits / (20 * k) >= 0.9
