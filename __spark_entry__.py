@@ -1514,6 +1514,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_quantization"] = embedding_quantization
 
+    # ---- sparse TF-IDF cosine pairs via inverted-index join (the
+    # sparse complement to embedding_near_dups) ----
+    def doc_tfidf_cosine_pairs(spark, sf):
+        from dbscan_pyspark_spark.operators.similarity import tfidf_cosine_pairs
+
+        return tfidf_cosine_pairs(
+            load_table(spark, sf, "documents"), threshold=0.6
+        )
+
+    q["doc_tfidf_cosine_pairs"] = doc_tfidf_cosine_pairs
+
     return q
 
 
@@ -1606,6 +1617,38 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "doc_tfidf_cosine_pairs": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+n AS (SELECT count(*) AS n FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY term
+),
+kept AS (SELECT term, df FROM dfreq CROSS JOIN n WHERE df <= n * 0.5),
+w AS (
+  SELECT doc_id, tf.term,
+         CAST(round(tf * ln((n + 1.0) / (df + 1.0)), 8) AS DECIMAL(20,8)) AS w
+  FROM tf JOIN kept USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON a_id = na.doc_id
+JOIN norms nb ON b_id = nb.doc_id
+WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.6
+""",
         "embedding_quantization": """
 WITH t AS (
   SELECT vec_id,

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.functions.distance import dot, l2_distance_sq, norm2
+from dbscan_pyspark_spark.functions.text import normalized
 
 
 def _cosine_from_norms(av, bv, an, bn):
@@ -350,4 +351,77 @@ def dequantized(q_col="q", scale_col="scale"):
     """Reconstruction expression: array<double> from (q, scale)."""
     return F.transform(
         F.col(q_col), lambda qi: qi.cast("double") * F.col(scale_col)
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df_ratio: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted-index join.
+
+    The sparse-vector complement to the dense embedding path: token ->
+    per-doc TF-IDF weight -> self-join on term (the inverted index) ->
+    dot product per doc pair -> cosine >= threshold. Returns
+    DataFrame(a_id, b_id, cosine), a_id < b_id.
+
+    Scale levers: terms appearing in more than ``max_df_ratio`` of
+    documents are dropped BEFORE the join (stop-term pruning — the
+    candidate pair count is bounded by sum(df^2) over surviving terms,
+    and the heaviest inverted lists are exactly the ones pruned);
+    cosine is defined over the pruned vocabulary. Weights are rounded
+    then decimal-cast so the pair dot products sum exactly — the result
+    is engine-exact regardless of aggregation order.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalized(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") <= F.col("_n") * F.lit(float(max_df_ratio)))
+    )
+    weights = tf.join(dfreq, "term").select(
+        "_id",
+        "term",
+        F.round(
+            F.col("_tf") * F.log((F.col("_n") + 1) / (F.col("_df") + 1)), 8
+        )
+        .cast("decimal(20,8)")
+        .alias("_w"),
+    )
+    norms = weights.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w")).cast("double")).alias("_norm")
+    )
+    a = weights.select(
+        F.col("_id").alias("a_id"), "term", F.col("_w").alias("_wa")
+    )
+    b = weights.select(
+        F.col("_id").alias("b_id"), "term", F.col("_w").alias("_wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("_id", "a_id").withColumnRenamed("_norm", "_na"), "a_id")
+        .join(norms.withColumnRenamed("_id", "b_id").withColumnRenamed("_norm", "_nb"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("_dot").cast("double") / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
     )

@@ -107,3 +107,32 @@ def test_quantized_topk_recall(spark, sf_dir):
         approx.select("query_id", "vec_id")
     ).count()
     assert hits / (20 * k) >= 0.9
+
+
+def test_tfidf_cosine_pairs_identical_docs(spark):
+    from dbscan_pyspark_spark.operators.similarity import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "red widget spins"), (2, "red widget spins"), (3, "blue bolt")],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(docs, threshold=0.5, max_df_ratio=1.0).collect()
+    assert [(r["a_id"], r["b_id"], r["cosine"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_tfidf_cosine_pairs_stop_term_pruning(spark):
+    from dbscan_pyspark_spark.operators.similarity import tfidf_cosine_pairs
+
+    # 'the' appears in all 4 docs -> pruned at max_df_ratio=0.5; the only
+    # surviving overlap is docs 1-2 via 'widget'
+    docs = spark.createDataFrame(
+        [
+            (1, "the widget"),
+            (2, "the widget"),
+            (3, "the bolt"),
+            (4, "the gear"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_cosine_pairs(docs, threshold=0.1, max_df_ratio=0.5).collect()
+    assert [(r["a_id"], r["b_id"], r["cosine"]) for r in out] == [(1, 2, 1.0)]
