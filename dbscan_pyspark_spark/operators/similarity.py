@@ -358,6 +358,7 @@ def tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.3,
     max_df_ratio: float = 0.5,
+    top_terms_per_doc: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -372,9 +373,13 @@ def tfidf_cosine_pairs(
     documents are dropped BEFORE the join (stop-term pruning — the
     candidate pair count is bounded by sum(df^2) over surviving terms,
     and the heaviest inverted lists are exactly the ones pruned);
-    cosine is defined over the pruned vocabulary. Weights are rounded
-    then decimal-cast so the pair dot products sum exactly — the result
-    is engine-exact regardless of aggregation order.
+    cosine is defined over the pruned vocabulary. At 100 TB also set
+    ``top_terms_per_doc=T`` to keep only each document's T
+    highest-weight terms before the join (standard prefix-style
+    truncation: candidates shrink to T per doc per list, norms and
+    cosine are then defined over the truncated vectors). Weights are
+    rounded then decimal-cast so the pair dot products sum exactly —
+    the result is engine-exact regardless of aggregation order.
     """
     tok = docs.select(
         F.col(id_col).alias("_id"),
@@ -398,6 +403,13 @@ def tfidf_cosine_pairs(
         .cast("decimal(20,8)")
         .alias("_w"),
     )
+    if top_terms_per_doc is not None:
+        wv = Window.partitionBy("_id").orderBy(F.col("_w").desc(), "term")
+        weights = (
+            weights.withColumn("_trn", F.row_number().over(wv))
+            .where(F.col("_trn") <= int(top_terms_per_doc))
+            .drop("_trn")
+        )
     norms = weights.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w")).cast("double")).alias("_norm")
     )

@@ -136,3 +136,29 @@ def test_tfidf_cosine_pairs_stop_term_pruning(spark):
     )
     out = tfidf_cosine_pairs(docs, threshold=0.1, max_df_ratio=0.5).collect()
     assert [(r["a_id"], r["b_id"], r["cosine"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_tfidf_top_terms_truncation_bounds_candidates(spark):
+    from dbscan_pyspark_spark.operators.similarity import tfidf_cosine_pairs
+
+    import random as _r
+    rng = _r.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    full = tfidf_cosine_pairs(docs, threshold=0.2, max_df_ratio=1.0)
+    trunc = tfidf_cosine_pairs(
+        docs, threshold=0.2, max_df_ratio=1.0, top_terms_per_doc=5
+    )
+    # truncation changes scores but still returns a valid pair relation
+    assert trunc.count() > 0
+    assert trunc.where(F.col("a_id") >= F.col("b_id")).count() == 0
+    # high-similarity pairs under truncation are mostly real: verify the
+    # top truncated pair also scores >= threshold untruncated
+    top = trunc.orderBy(F.col("cosine").desc()).first()
+    match = full.where(
+        (F.col("a_id") == top["a_id"]) & (F.col("b_id") == top["b_id"])
+    ).count()
+    assert match == 1
