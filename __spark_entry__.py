@@ -1525,6 +1525,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_tfidf_cosine_pairs"] = doc_tfidf_cosine_pairs
 
+    # ---- heavy-hitter key-skew diagnostic (salting/AQE-skew decision
+    # input) over the orders fact key ----
+    def orders_custkey_skew(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import key_skew_stats
+
+        return key_skew_stats(load_table(spark, sf, "orders"), "o_custkey")
+
+    q["orders_custkey_skew"] = orders_custkey_skew
+
+    # ---- fixed-width histogram over l_quantity (fixed range so the
+    # binning is closed-form in both engines) ----
+    def quantity_histogram(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import histogram
+
+        return histogram(
+            load_table(spark, sf, "lineitem"), "l_quantity",
+            n_bins=10, lo=0.0, hi=50.0,
+        )
+
+    q["quantity_histogram"] = quantity_histogram
+
     return q
 
 
@@ -1617,6 +1638,28 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "orders_custkey_skew": """
+WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+SELECT o_custkey, cnt,
+       round(cnt / CAST(total AS DOUBLE), 6) AS share,
+       round(cnt / (CAST(total AS DOUBLE) / n_keys), 4) AS skew
+FROM c CROSS JOIN t
+ORDER BY cnt DESC, o_custkey ASC
+LIMIT 10
+""",
+        "quantity_histogram": """
+SELECT bin,
+       round(bin * 5.0, 6) AS bin_lo,
+       round((bin + 1) * 5.0, 6) AS bin_hi,
+       count(*) AS cnt
+FROM (
+  SELECT CAST(least(9, floor(CAST(l_quantity AS DOUBLE) / 50.0 * 10)) AS INT)
+           AS bin
+  FROM lineitem
+) s
+GROUP BY bin
+""",
         "doc_tfidf_cosine_pairs": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
 tok AS (

@@ -33,3 +33,26 @@ from dbscan_pyspark_spark.operators.anonymize import (  # noqa: F401
     information_loss,
 )
 from dbscan_pyspark_spark.operators.kmember import kmember_kmeans  # noqa: F401
+from dbscan_pyspark_spark.operators.eps_join import k_distance  # noqa: F401
+from dbscan_pyspark_spark.operators.events import (  # noqa: F401
+    cohort_retention,
+    funnel,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from dbscan_pyspark_spark.operators.pipeline import (  # noqa: F401
+    dedup_keep_best,
+    hash_split,
+    pack_documents,
+    profile_columns,
+    stratified_sample,
+)
+from dbscan_pyspark_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    dequantized,
+    ivf_cosine_topk,
+    quantize_embeddings,
+    tfidf_cosine_pairs,
+)
+from dbscan_pyspark_spark.sources.io import write_zordered, zorder_key  # noqa: F401

@@ -285,3 +285,74 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def key_skew_stats(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Heavy-hitter diagnostic for join/agg key skew.
+
+    Returns the ``top_n`` most frequent keys with their row count,
+    share of all rows, and skew factor (count / mean rows-per-key) —
+    the numbers that decide whether a key needs salting or an AQE
+    skew-join hint before a 100 TB shuffle. One groupBy plus a
+    broadcast single-row total; the top-N is a sort-limit over the
+    (already aggregated) key counts, not the data.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key_col),
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") / (F.col("_total") / F.col("_n_keys")), 4
+            ).alias("skew"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+        .limit(int(top_n))
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column.
+
+    Returns DataFrame(bin int, bin_lo, bin_hi, cnt) with ``n_bins``
+    equal-width bins over [lo, hi] (min/max from one bounded agg job
+    when not given; the max lands in the last bin). A groupBy over a
+    derived integer — fully partial-aggregatable, one scan, ``n_bins``
+    rows shuffled.
+    """
+    if lo is None or hi is None:
+        r = df.agg(
+            F.min(F.col(col).cast("double")).alias("_lo"),
+            F.max(F.col(col).cast("double")).alias("_hi"),
+        ).collect()[0]
+        lo = r["_lo"] if lo is None else lo
+        hi = r["_hi"] if hi is None else hi
+    span = (hi - lo) or 1.0
+    width = span / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * n_bins),
+    ).cast("int")
+    return (
+        df.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            "cnt",
+        )
+    )

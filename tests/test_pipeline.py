@@ -215,3 +215,30 @@ def test_profile_columns_single_scan(spark, sf_dir):
     plan = prof._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") + plan.count("Scan parquet") <= 2
     assert shuffle_count(prof) <= 2
+
+
+def test_key_skew_stats_flags_hot_key(spark):
+    from dbscan_pyspark_spark.operators.pipeline import key_skew_stats
+
+    rows = [("hot",)] * 60 + [(f"k{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string")
+    top = key_skew_stats(df, "k", top_n=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["cnt"] == 60
+    assert top[0]["share"] == 0.6
+    # mean rows/key = 100/41; skew = 60/(100/41)
+    assert abs(top[0]["skew"] - round(60 / (100 / 41), 4)) < 1e-9
+    assert top[1]["cnt"] == 1 and top[1]["k"] == "k0"  # tie-break by key
+
+
+def test_histogram_fixed_and_auto_range(spark):
+    from dbscan_pyspark_spark.operators.pipeline import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 1.0, 4.9, 5.0, 9.9, 10.0]], "x double"
+    )
+    fixed = {r["bin"]: r for r in histogram(df, "x", n_bins=2, lo=0.0, hi=10.0).collect()}
+    # [0,5) -> 3 rows; [5,10] -> 3 rows (max lands in last bin)
+    assert fixed[0]["cnt"] == 3 and fixed[1]["cnt"] == 3
+    assert fixed[1]["bin_lo"] == 5.0 and fixed[1]["bin_hi"] == 10.0
+    auto = histogram(df, "x", n_bins=5)
+    assert sum(r["cnt"] for r in auto.collect()) == 6
