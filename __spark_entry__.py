@@ -1546,6 +1546,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantity_histogram"] = quantity_histogram
 
+    # ---- relational division: customers who ordered at EVERY priority
+    # level — count-distinct-equality against the dimension's own
+    # distinct count (broadcast 1-row), no iterative anti-join chain ----
+    def customers_all_priorities(spark, sf):
+        o = load_table(spark, sf, "orders")
+        n_prio = o.select("o_orderpriority").distinct().agg(
+            F.count(F.lit(1)).alias("_n_prio")
+        )
+        per_cust = o.groupBy("o_custkey").agg(
+            F.count_distinct("o_orderpriority").alias("n_prio")
+        )
+        return (
+            per_cust.crossJoin(F.broadcast(n_prio))
+            .where(F.col("n_prio") == F.col("_n_prio"))
+            .select("o_custkey", "n_prio")
+        )
+
+    q["customers_all_priorities"] = customers_all_priorities
+
     return q
 
 
@@ -1638,6 +1657,16 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "customers_all_priorities": """
+WITH n AS (SELECT count(DISTINCT o_orderpriority) AS n_prio FROM orders),
+pc AS (
+  SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_prio
+  FROM orders GROUP BY o_custkey
+)
+SELECT pc.o_custkey, pc.n_prio
+FROM pc CROSS JOIN n
+WHERE pc.n_prio = n.n_prio
+""",
         "orders_custkey_skew": """
 WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
 t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
