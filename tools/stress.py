@@ -104,6 +104,89 @@ def main() -> None:
         ),
         flush=True,
     )
+
+    # --- sparse TF-IDF pairs at N_DOCS with top-term truncation ---
+    # Topic + long-tail synthetic corpus: 20 tokens from the doc's
+    # topic vocabulary (500 topics x 50 terms -> real same-topic pairs)
+    # and 20 from a 20k-term uniform tail. Term df stays bounded
+    # (~tens), so the inverted-list join cost Σ df² grows linearly with
+    # corpus size — the regime the df/top-term levers are built for.
+    n_docs = max(N_POINTS // 50, 10_000)
+    topic = (F.col("id") % 500).cast("long")
+    tokens = [
+        F.concat(
+            F.lit("t"), topic.cast("string"), F.lit("_"),
+            (F.abs(F.xxhash64("id", F.lit(i))) % 50).cast("string"),
+        )
+        for i in range(20)
+    ] + [
+        F.concat(
+            F.lit("w"),
+            (F.abs(F.xxhash64("id", F.lit(i + 100))) % 20000).cast("string"),
+        )
+        for i in range(20)
+    ]
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array(*tokens)).alias("text"),
+    )
+    from dbscan_pyspark_spark.operators.similarity import tfidf_cosine_pairs
+
+    t0 = time.time()
+    n_pairs = tfidf_cosine_pairs(
+        docs, threshold=0.5, max_df_ratio=0.2, top_terms_per_doc=10
+    ).count()
+    print(
+        json.dumps(
+            {
+                "stage": "tfidf_pairs",
+                "n_docs": n_docs,
+                "wall_s": round(time.time() - t0, 1),
+                "result_rows": n_pairs,
+            }
+        ),
+        flush=True,
+    )
+
+    # --- Z-ordered write at N_POINTS rows, 2 independent dims ---
+    import shutil
+    import tempfile
+
+    from dbscan_pyspark_spark.sources.io import write_zordered
+
+    zdf = spark.range(N_POINTS).select(
+        "id",
+        (F.col("id") % 4096).alias("x"),
+        ((F.col("id") * 2654435761) % 4096).alias("y"),
+    )
+    zdir = tempfile.mkdtemp(prefix="stress_zorder_")
+    try:
+        t0 = time.time()
+        write_zordered(zdf, zdir, ["x", "y"], bits=12, num_files=64)
+        wall = round(time.time() - t0, 1)
+        import duckdb
+
+        span = duckdb.connect().execute(
+            f"""SELECT path_in_schema,
+                  avg(CAST(stats_max AS DOUBLE) - CAST(stats_min AS DOUBLE))
+                FROM parquet_metadata('{zdir}/*.parquet')
+                WHERE path_in_schema IN ('x','y') GROUP BY 1"""
+        ).fetchall()
+        print(
+            json.dumps(
+                {
+                    "stage": "zorder_write",
+                    "n_rows": N_POINTS,
+                    "wall_s": wall,
+                    "mean_file_span_frac": {
+                        c: round(s / 4095, 3) for c, s in span
+                    },
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
     spark.stop()
 
 
