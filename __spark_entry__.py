@@ -3,11 +3,12 @@
 ``entry(spark)``  — flagship DBSCAN anonymization pipeline at sf0.001.
 ``queries()``     — one callable per implemented operator (SURVEY.md §2
                     + §2.10 extensions), run by the driver at sf0.01.
-``oracle_sql()``  — the DuckDB-equivalent ANSI SQL per query. Queries
-                    whose semantics are iterative/approximate (DBSCAN
-                    labels, IVF ANN, k-member k-means) are registered
-                    without an oracle -> rows-only check, as the
-                    contract allows.
+``oracle_sql()``  — the DuckDB-equivalent ANSI SQL per query. Even the
+                    iterative operators (DBSCAN labels, the SCC variant,
+                    the full ε-sweep, near-dup components) carry exact
+                    recursive-CTE oracles; only genuinely approximate /
+                    randomized queries (sketches, LSH, IVF ANN, k-member
+                    k-means) use the contract's rows-only check.
 
 Exact-match discipline: every float that reaches an output is either
 integer-valued by construction, decimal-cast before summing (exact,
@@ -1042,12 +1043,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def eps_sweep_metrics(spark, sf):
         # the reference's outer ε-loop (DBSCAN.py:158, eps_records at
         # :135-152): one grid join at max ε, per-ε filters + weighted
-        # metrics. Iterative CC per ε -> rows-only.
+        # metrics. Errors rounded to 4 digits so the value hash is
+        # robust to summation order; oracled by a per-ε recursive-CTE
+        # replica of the whole sweep.
         from dbscan_pyspark_spark.operators.anonymize import eps_sweep
 
         pts = points_from_customer(spark, sf)
         metrics, _best = eps_sweep(pts, [2.0, 3.0], MINPTS_C)
-        return metrics
+        return metrics.select(
+            "eps",
+            "n_clusters",
+            "n_noise",
+            F.round("cluster_error", 4).alias("cluster_error"),
+            F.round("noise_error", 4).alias("noise_error"),
+            F.round("total_error", 4).alias("total_error"),
+        )
 
     q["eps_sweep_metrics"] = eps_sweep_metrics
 
@@ -1654,9 +1664,155 @@ FROM (SELECT doc_id, {cols} FROM documents) s
 """
 
 
+def _eps_sweep_oracle(eps_values: list[float], k: int) -> str:
+    """Recursive-CTE replica of anonymize.eps_sweep: one DBSCAN +
+    centroid/noise-error block per ε, UNION ALL of the metric rows.
+    Centroid means are exact (integer-valued features, exact double
+    numerators), so only the final error sums carry FP noise — absorbed
+    by the 4-digit rounding both engines apply."""
+    blocks, selects = [], []
+    for s, e in enumerate(sorted(eps_values)):
+        blocks.append(f"""
+nc{s} AS (
+  SELECT a.id, count(*) AS n FROM pts a JOIN pts b
+    ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {e} GROUP BY a.id
+),
+cores{s} AS (SELECT id FROM nc{s} WHERE n >= {k}),
+ed{s} AS (
+  SELECT a.id AS u, b.id AS v FROM pts a
+  JOIN cores{s} c ON a.id = c.id
+  JOIN pts b ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {e}
+),
+edges{s} AS (SELECT u, v FROM ed{s} UNION SELECT v, u FROM ed{s}),
+reach{s}(u, v) AS (
+  SELECT u, v FROM edges{s}
+  UNION
+  SELECT r.u, e.v FROM reach{s} r JOIN edges{s} e ON r.v = e.u
+),
+comp{s} AS (SELECT u AS id, min(v) AS component FROM reach{s} GROUP BY u),
+mass{s} AS (SELECT component, count(*) AS m FROM comp{s} GROUP BY component),
+clus{s} AS (
+  SELECT c.id, c.component FROM comp{s} c
+  JOIN mass{s} m ON c.component = m.component WHERE m.m >= {k}
+),
+cents{s} AS (
+  SELECT component, avg(p.f0) AS c0, avg(p.f1) AS c1
+  FROM clus{s} JOIN pts p USING (id) GROUP BY component
+),
+cerr{s} AS (
+  SELECT count(DISTINCT cl.component) AS n_clusters,
+         sum(abs(p.f0 - ce.c0) + abs(p.f1 - ce.c1)) AS err
+  FROM clus{s} cl
+  JOIN pts p USING (id)
+  JOIN cents{s} ce ON cl.component = ce.component
+),
+noise{s} AS (
+  SELECT p.id, p.f0, p.f1 FROM pts p
+  LEFT JOIN clus{s} c ON p.id = c.id WHERE c.id IS NULL
+),
+nassign{s} AS (
+  SELECT n.id, min(abs(n.f0 - ce.c0) + abs(n.f1 - ce.c1)) AS d
+  FROM noise{s} n CROSS JOIN cents{s} ce GROUP BY n.id
+),
+nerr{s} AS (
+  SELECT (SELECT count(*) FROM noise{s}) AS n_noise, sum(d) AS err
+  FROM nassign{s}
+),
+row{s} AS (
+  SELECT {float(e)} AS eps,
+         coalesce(c.n_clusters, 0) AS n_clusters,
+         n.n_noise,
+         CASE WHEN coalesce(c.n_clusters, 0) = 0 THEN 0.0
+              ELSE round(coalesce(c.err, 0.0), 4) END AS cluster_error,
+         CASE WHEN coalesce(c.n_clusters, 0) = 0
+              THEN CAST('infinity' AS DOUBLE)
+              ELSE round(coalesce(n.err, 0.0), 4) END AS noise_error,
+         CASE WHEN coalesce(c.n_clusters, 0) = 0
+              THEN CAST('infinity' AS DOUBLE)
+              ELSE round(coalesce(c.err, 0.0) + coalesce(n.err, 0.0), 4)
+              END AS total_error
+  FROM cerr{s} c CROSS JOIN nerr{s} n
+)""")
+        selects.append(f"SELECT * FROM row{s}")
+    return (
+        f"WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),"
+        + ",".join(blocks)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
     return {
+        "eps_sweep_metrics": _eps_sweep_oracle([2.0, 3.0], MINPTS_C),
+        # SCC variant oracle: directed edges core -> neighbor are mutual
+        # exactly when BOTH endpoints are cores (L1 is symmetric), so the
+        # strongly-connected clusters are the components of the
+        # core-core eps-graph; border points fall out as noise.
+        "dbscan_scc_customer": f"""
+WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),
+nc AS (
+  SELECT a.id, count(*) AS n FROM pts a JOIN pts b
+    ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+  GROUP BY a.id
+),
+cores AS (SELECT id FROM nc WHERE n >= {MINPTS_C}),
+edges AS (
+  SELECT a.id AS u, b.id AS v FROM pts a
+  JOIN cores ca ON a.id = ca.id
+  JOIN pts b ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+  JOIN cores cb ON b.id = cb.id
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+mass AS (SELECT component, count(*) AS m FROM comp GROUP BY component)
+SELECT p.id,
+       CASE WHEN mass.m >= {MINPTS_C} THEN comp.component END AS cluster_id,
+       (CASE WHEN mass.m >= {MINPTS_C} THEN comp.component END) IS NULL
+         AS is_noise
+FROM pts p
+LEFT JOIN comp ON p.id = comp.id
+LEFT JOIN mass ON comp.component = mass.component
+""",
+        # Full DBSCAN oracle: the same quirk-preserving semantics as
+        # operators/dbscan.py (self-counting neighbors, core -> every
+        # eps-neighbor edges, component = min member id, mass >= k else
+        # noise) in recursive-CTE SQL. The reach relation is
+        # sum(|component|^2) rows — exact and fine at oracle scale.
+        "dbscan_customer": f"""
+WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),
+nc AS (
+  SELECT a.id, count(*) AS n FROM pts a JOIN pts b
+    ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+  GROUP BY a.id
+),
+cores AS (SELECT id FROM nc WHERE n >= {MINPTS_C}),
+ed AS (
+  SELECT a.id AS u, b.id AS v FROM pts a
+  JOIN cores c ON a.id = c.id
+  JOIN pts b ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+),
+edges AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+mass AS (SELECT component, count(*) AS m FROM comp GROUP BY component)
+SELECT p.id,
+       CASE WHEN mass.m >= {MINPTS_C} THEN comp.component END AS cluster_id,
+       (CASE WHEN mass.m >= {MINPTS_C} THEN comp.component END) IS NULL
+         AS is_noise
+FROM pts p
+LEFT JOIN comp ON p.id = comp.id
+LEFT JOIN mass ON comp.component = mass.component
+""",
         "customers_all_priorities": """
 WITH n AS (SELECT count(DISTINCT o_orderpriority) AS n_prio FROM orders),
 pc AS (
