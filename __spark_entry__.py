@@ -1575,6 +1575,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customers_all_priorities"] = customers_all_priorities
 
+    # ---- per-user funnel step times (the conversion-delay relation
+    # behind events_funnel) ----
+    def events_funnel_times(spark, sf):
+        from dbscan_pyspark_spark.operators.events import funnel_user_times
+
+        return funnel_user_times(
+            load_table(spark, sf, "events"), ["view", "click", "purchase"]
+        )
+
+    q["events_funnel_times"] = events_funnel_times
+
     return q
 
 
@@ -1945,6 +1956,26 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "events_funnel_times": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.t AS t1, s2.t AS t2, s3.t AS t3
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
 """,
         "events_cohort_retention": """
 WITH weeks AS (

@@ -162,6 +162,39 @@ def funnel(
     at 100 TB only type-filtered slivers are read and only user-keyed
     frontiers flow between steps.
     """
+    times = funnel_user_times(
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    out = None
+    for i, step in enumerate(steps):
+        row = times.agg(
+            F.count(F.col(f"t{i + 1}")).alias("n_users")
+        ).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("event_type"),
+            "n_users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def funnel_user_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel step times: DataFrame(user, t1..tn).
+
+    ``t_i`` is the user's earliest step-i event strictly after their
+    ``t_{i-1}`` (NULL once a step is missed — and all later steps stay
+    NULL by construction). One row per user who reached step 1. This is
+    the relation conversion-delay and drop-off analyses read;
+    :func:`funnel` is its per-step count summary. Same execution shape
+    as the counts-only form: per-step type-sliver scans and user-keyed
+    frontier joins.
+    """
     ev = events.select(user_col, ts_col, type_col).where(
         F.col(type_col).isin(list(steps))
     )
@@ -179,14 +212,11 @@ def funnel(
                 .agg(F.min(ts_col).alias("_t"))
             )
         frontiers.append(frontier)
-    out = None
-    for i, (step, fr) in enumerate(zip(steps, frontiers)):
-        row = fr.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).alias("step"),
-            F.lit(step).alias("event_type"),
-            "n_users",
+    out = frontiers[0].select(user_col, F.col("_t").alias("t1"))
+    for i, fr in enumerate(frontiers[1:], start=2):
+        out = out.join(
+            fr.select(user_col, F.col("_t").alias(f"t{i}")), user_col, "left"
         )
-        out = row if out is None else out.unionAll(row)
     return out
 
 

@@ -134,3 +134,22 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_funnel_user_times_null_propagation(spark):
+    from dbscan_pyspark_spark.operators.events import funnel_user_times
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (1, "2024-01-01 10:10:00", "purchase"),
+        (2, "2024-01-01 09:00:00", "view"),  # view only
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: (r["t1"] is not None, r["t2"] is not None, r["t3"] is not None)
+        for r in funnel_user_times(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: (True, True, True), 2: (True, False, False)}
