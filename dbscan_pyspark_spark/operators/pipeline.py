@@ -340,6 +340,8 @@ def histogram(
         ).collect()[0]
         lo = r["_lo"] if lo is None else lo
         hi = r["_hi"] if hi is None else hi
+    if lo is None or hi is None:  # empty (or all-null) input
+        lo, hi = 0.0, 1.0
     span = (hi - lo) or 1.0
     width = span / n_bins
     bin_ = F.least(

@@ -151,6 +151,8 @@ def write_zordered(
     coords = []
     for c in cols:
         lo, hi = ranges[f"_min_{c}"], ranges[f"_max_{c}"]
+        if lo is None or hi is None:  # empty (or all-null) input
+            lo, hi = 0.0, 1.0
         span = (hi - lo) or 1.0
         coords.append(
             F.least(

@@ -242,3 +242,31 @@ def test_histogram_fixed_and_auto_range(spark):
     assert fixed[1]["bin_lo"] == 5.0 and fixed[1]["bin_hi"] == 10.0
     auto = histogram(df, "x", n_bins=5)
     assert sum(r["cnt"] for r in auto.collect()) == 6
+
+
+def test_new_ops_handle_empty_input(spark, tmp_path):
+    from dbscan_pyspark_spark.operators.eps_join import k_distance
+    from dbscan_pyspark_spark.operators.events import funnel
+    from dbscan_pyspark_spark.operators.pipeline import (
+        histogram,
+        key_skew_stats,
+        profile_columns,
+    )
+    from dbscan_pyspark_spark.sources.io import write_zordered
+
+    empty_num = spark.createDataFrame([], "x double, k string")
+    assert histogram(empty_num, "x").count() == 0
+    assert key_skew_stats(empty_num, "k").count() == 0
+    prof = profile_columns(empty_num, ["x"]).collect()
+    assert len(prof) == 1 and prof[0]["n_rows"] == 0
+
+    empty_pts = spark.createDataFrame([], "id long, features array<double>")
+    assert k_distance(empty_pts, k=2, n_samples=4).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    counts = {r["step"]: r["n_users"] for r in funnel(empty_ev, ["a", "b"]).collect()}
+    assert counts == {1: 0, 2: 0}
+
+    write_zordered(empty_num, str(tmp_path / "z"), ["x"], num_files=2)
