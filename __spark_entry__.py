@@ -1586,6 +1586,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel_times"] = events_funnel_times
 
+    # ---- conversion-delay stats over completed funnels: integer-second
+    # deltas so min/median/max are engine-exact ----
+    def events_conversion_delay(spark, sf):
+        from dbscan_pyspark_spark.operators.events import funnel_user_times
+
+        t = funnel_user_times(
+            load_table(spark, sf, "events"), ["view", "click", "purchase"]
+        ).where(F.col("t3").isNotNull())
+        delay = (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("_d")
+        return t.select(delay).agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.min("_d").alias("min_delay_s"),
+            F.expr("percentile(_d, 0.5)").alias("median_delay_s"),
+            F.max("_d").alias("max_delay_s"),
+        )
+
+    q["events_conversion_delay"] = events_conversion_delay
+
     return q
 
 
@@ -1956,6 +1974,31 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "events_conversion_delay": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+d AS (
+  SELECT date_diff('second', s1.t, s3.t) AS dd
+  FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+)
+SELECT count(*) AS n_converted,
+       min(dd) AS min_delay_s,
+       quantile_cont(dd, 0.5) AS median_delay_s,
+       max(dd) AS max_delay_s
+FROM d
 """,
         "events_funnel_times": """
 WITH s1 AS (
