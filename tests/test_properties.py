@@ -152,3 +152,86 @@ def test_topk_and_antitopk_partition_each_group(spark, rows, k):
     for g, members in by_group.items():
         want = {i for _, i in sorted(members)[:k]}
         assert {r["rid"] for r in top if r["g"] == g} == want
+
+
+# --- funnel: random event logs vs a pure-Python simulation ---
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 5),          # user
+        st.integers(0, 50),         # ts (seconds)
+        st.sampled_from(["a", "b", "c", "x"]),  # step types + noise
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _funnel_bruteforce(events, steps):
+    """Earliest step_i strictly after the user's step_{i-1} time."""
+    reached = []
+    by_user = {}
+    for u, t, ty in events:
+        by_user.setdefault(u, []).append((t, ty))
+    times = {}
+    for u, evs in by_user.items():
+        prev = None
+        ts_list = []
+        for step in steps:
+            cand = [
+                t for t, ty in evs
+                if ty == step and (prev is None or t > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            ts_list.append(prev)
+        times[u] = ts_list
+    return [
+        sum(1 for ts_list in times.values() if len(ts_list) > i)
+        for i in range(len(steps))
+    ]
+
+
+@SET
+@given(events=events_strategy)
+def test_funnel_matches_bruteforce(spark, events):
+    from dbscan_pyspark_spark.operators.events import funnel
+
+    ev = spark.createDataFrame(
+        [(u, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}", ty) for u, t, ty in events],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel(ev, ["a", "b", "c"]).collect()
+    }
+    want = _funnel_bruteforce(events, ["a", "b", "c"])
+    assert got == {i + 1: want[i] for i in range(3)}
+
+
+# --- k_distance: random points vs numpy brute force ---
+
+kdist_points = st.lists(
+    st.tuples(st.integers(-8, 8), st.integers(-8, 8)),
+    min_size=3,
+    max_size=20,
+)
+
+
+@SET
+@given(pts=kdist_points, k=st.integers(1, 3))
+def test_k_distance_matches_bruteforce(spark, pts, k):
+    from dbscan_pyspark_spark.operators.eps_join import k_distance
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    got = {
+        r["sample_id"]: r["kth_dist"]
+        for r in k_distance(df, k=k, n_samples=len(pts)).collect()
+    }
+    for i, (xi, yi) in enumerate(pts):
+        dists = sorted(
+            (abs(xi - xj) + abs(yi - yj), j) for j, (xj, yj) in enumerate(pts)
+        )
+        assert got[i] == float(dists[k - 1][0]), (i, k)
