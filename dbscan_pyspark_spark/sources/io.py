@@ -178,3 +178,42 @@ POINTS_SCHEMA = T.StructType(
         T.StructField("sensitive", T.LongType(), True),
     ]
 )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_bytes`` files (the OPTIMIZE/compaction half of
+    lakehouse table maintenance; ``write_zordered`` is the clustering
+    half). Returns the new file count.
+
+    File count is sized from the on-disk bytes of the existing footprint
+    (cheap driver-side listing, no data scan), so a directory of ten
+    thousand 1 MB shuffle spills becomes ~80 right-sized files — at
+    100 TB, small-file explosion is what turns scans into
+    metadata-bound crawls. The rewrite is one coalesce-free
+    ``repartition`` (even output sizes beat coalesce's skewed unions),
+    optionally sorted within partitions to keep row-group stats tight.
+    Writes to a temp sibling then swaps, so a failed rewrite never
+    clobbers the source.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total / target_file_bytes)) if total else 1
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

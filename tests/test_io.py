@@ -104,3 +104,16 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     # plain sort: x localized, y spans ~the full domain per file
     assert mean_span(sdir, "x") < 127 * 0.6
     assert mean_span(sdir, "y") > 127 * 0.8
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import compact_parquet
+
+    d = str(tmp_path / "frag")
+    spark.range(100000).repartition(64).write.parquet(d)
+    import glob
+
+    assert len(glob.glob(d + "/*.parquet")) == 64
+    n = compact_parquet(spark, d, target_file_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(d).count() == 100000
