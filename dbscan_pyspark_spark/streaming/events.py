@@ -188,3 +188,63 @@ def streaming_session_agg(
             "sum_value",
         )
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered funnel via ``applyInPandasWithState``.
+
+    Per-user state is the list of achieved step times; each micro-batch's
+    events are applied in event-time order, greedily advancing the
+    frontier (step i+1 fires on the first ``steps[i+1]`` event strictly
+    after the stored step-i time — identical to the batch
+    ``operators.events.funnel_user_times`` recurrence). Emits one
+    ``(user, reached, t_first, t_last)`` update per user per batch.
+
+    Semantics note: within a batch events are sorted by event time, so
+    ordered (or single-batch) arrival reproduces the batch funnel
+    exactly — asserted in the batch-equivalence test. An event arriving
+    in a LATER batch with an EARLIER timestamp than an already-achieved
+    step cannot rewind the frontier (processing-order semantics, the
+    standard streaming trade-off; a watermark-delayed replay would be
+    the exactness upgrade).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        times = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        for ts, ty in zip(pdf[ts_col], pdf[type_col]):
+            nxt = len(times)
+            if (
+                nxt < len(steps)
+                and steps[nxt] == ty
+                and (nxt == 0 or ts > times[-1])
+            ):
+                times.append(ts)
+        if times:
+            state.update((list(times),))
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "reached": [len(times)],
+                    "t_first": [times[0]],
+                    "t_last": [times[-1]],
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{user_col} long, reached int, t_first timestamp, t_last timestamp"
+        ),
+        stateStructType="times array<timestamp>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

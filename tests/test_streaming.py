@@ -155,3 +155,43 @@ def test_streaming_sessions(spark, stream_dir):
         by_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(by_user[10]) == [1, 2]  # 00:05+00:20 merged; 01:05 alone
     assert by_user[20] == [1]
+
+
+def test_streaming_funnel_matches_batch(spark, stream_dir):
+    """Stateful streaming funnel advanced across micro-batches equals the
+    batch funnel_user_times on the same (time-ordered) data: user 10 has
+    click@00:05 then view@01:05 in a LATER batch -> reached=2 only if
+    the frontier state survived the batch boundary."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.events import funnel_user_times
+    from dbscan_pyspark_spark.streaming.events import streaming_funnel
+
+    steps = ["click", "view"]
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_funnel").collect()
+    final = {}
+    for r in rows:
+        if r["reached"] >= final.get(r["user_id"], (0,))[0]:
+            final[r["user_id"]] = (r["reached"], r["t_first"], r["t_last"])
+
+    batch_df = spark.read.json(stream_dir).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        r["user_id"]: r
+        for r in funnel_user_times(batch_df, steps).collect()
+    }
+    assert set(final) == set(batch)
+    for u, (reached, t_first, t_last) in final.items():
+        b = batch[u]
+        b_reached = sum(1 for c in ("t1", "t2") if b[c] is not None)
+        assert reached == b_reached, u
+        assert t_first == b["t1"], u
