@@ -1604,6 +1604,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_conversion_delay"] = events_conversion_delay
 
+    # ---- train/eval contamination: 3-gram collisions between the
+    # doc_id%10 split halves of the documents corpus ----
+    def doc_contamination(spark, sf):
+        from dbscan_pyspark_spark.operators.dedup import cross_contamination
+
+        d = load_table(spark, sf, "documents")
+        return cross_contamination(
+            d.where(F.col("doc_id") % 10 != 0),
+            d.where(F.col("doc_id") % 10 == 0),
+            n=3,
+        )
+
+    q["doc_contamination"] = doc_contamination
+
+    # ---- intra-doc repeated-3-gram ratio (Gopher-style quality signal;
+    # pure projection, no explode/shuffle) ----
+    def doc_repetition(spark, sf):
+        from dbscan_pyspark_spark.functions.text import repetition_ratio
+
+        return (
+            load_table(spark, sf, "documents")
+            .select(
+                "doc_id", F.split(normalized("text"), " ").alias("_toks")
+            )
+            .select(
+                "doc_id",
+                F.round(repetition_ratio("_toks", 3), 6).alias("rep_ratio"),
+            )
+        )
+
+    q["doc_repetition"] = doc_repetition
+
     return q
 
 
@@ -1974,6 +2006,30 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "doc_contamination": f"""
+WITH {_SHINGLES_CTE},
+tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT train_id, eval_id, count(*) AS n_shared
+FROM tr JOIN ev USING (shingle)
+GROUP BY train_id, eval_id
+""",
+        "doc_repetition": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+tot AS (SELECT doc_id, greatest(len(t) - 2, 0) AS total FROM toks),
+sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+ds AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id)
+SELECT tot.doc_id,
+       CASE WHEN tot.total <= 0 THEN 0.0
+            ELSE round(1 - coalesce(ds.n_distinct, 0) / CAST(tot.total AS DOUBLE), 6)
+       END AS rep_ratio
+FROM tot LEFT JOIN ds ON tot.doc_id = ds.doc_id
 """,
         "events_conversion_delay": """
 WITH s1 AS (

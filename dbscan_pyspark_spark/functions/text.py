@@ -133,3 +133,18 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
     )
     total = F.aggregate(scores, F.lit(0), lambda acc, s: acc + s["hits"])
     return F.when(total > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def repetition_ratio(toks: Column | str, n: int = 3) -> Column:
+    """Intra-document repeated-n-gram ratio (a Gopher-style quality
+    signal): ``1 - distinct_ngrams/total_ngrams``, 0.0 for documents
+    too short to form an n-gram. Pure array expressions over the bound
+    token column — no explode, no shuffle: a projection."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    # shingles_from_tokens is already distinct; the raw n-gram count
+    # comes from the token count directly
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    n_distinct = F.size(shingles_from_tokens(toks, n))
+    return F.when(
+        total <= 0, F.lit(0.0)
+    ).otherwise(1.0 - n_distinct / total)

@@ -384,3 +384,46 @@ def simhash64(
             ]
         ).alias("simhash"),
     )
+
+
+def cross_contamination(
+    train: DataFrame,
+    evals: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination detection: n-gram overlap between corpora.
+
+    Returns DataFrame(train_id, eval_id, n_shared) — pairs sharing at
+    least ``min_shared`` distinct word n-grams (the standard 8-13-gram
+    collision test run before training on any corpus an eval set might
+    have leaked into). Both sides reduce to DISTINCT (doc, shingle-hash)
+    pairs, the join runs on the 60-bit md5 shingle hash — a fine-grained
+    evenly-distributed key, never on text — and the eval side of any
+    realistic run is orders of magnitude smaller, so Catalyst broadcasts
+    it and the training corpus is never shuffled.
+    """
+    t = (
+        _doc_shingles(train, text_col, id_col, n)
+        .select(
+            F.col(id_col).alias("train_id"),
+            shingle_base_hash("shingle").alias("_h"),
+        )
+        .distinct()
+    )
+    e = (
+        _doc_shingles(evals, text_col, id_col, n)
+        .select(
+            F.col(id_col).alias("eval_id"),
+            shingle_base_hash("shingle").alias("_h"),
+        )
+        .distinct()
+    )
+    return (
+        t.join(e, "_h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )

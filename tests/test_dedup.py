@@ -96,3 +96,49 @@ def test_winnow_fingerprints_shared_substring(spark):
     # overlap with the shared-substring pair far exceeds the unrelated doc
     assert len(f1 & f2) > len(f1 & f3)
     assert out[1]["n_selected"] == len(f1)
+
+
+def test_cross_contamination_counts_shared_ngrams(spark):
+    from dbscan_pyspark_spark.operators.dedup import cross_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3-grams with eval 10
+            (2, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, "quick brown fox jumps high"), (11, "nothing in common at all")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in cross_contamination(train, evals, n=3).collect()
+    }
+    # shared 3-grams: "quick brown fox", "brown fox jumps"
+    assert got == {(1, 10): 2}
+
+
+def test_repetition_ratio_values(spark):
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.functions.text import normalized, repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 7 trigrams, 3 distinct
+            (2, "all distinct tokens entirely"),  # 2 trigrams, 2 distinct
+            (3, "too short"),  # no trigram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rr"]
+        for r in docs.select(
+            "doc_id", F.split(normalized("text"), " ").alias("_toks")
+        )
+        .select("doc_id", F.round(repetition_ratio("_toks", 3), 6).alias("rr"))
+        .collect()
+    }
+    assert got == {1: round(1 - 3 / 7, 6), 2: 0.0, 3: 0.0}
