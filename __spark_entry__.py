@@ -1636,6 +1636,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_repetition"] = doc_repetition
 
+    # ---- token-window chunking (RAG/pretraining chunker); chunk text
+    # pinned by md5 so the compare stays compact ----
+    def doc_chunks(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import chunk_documents
+
+        return chunk_documents(
+            load_table(spark, sf, "documents"), chunk_tokens=64, stride=48
+        ).select(
+            "doc_id",
+            "chunk",
+            "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+
+    q["doc_chunks"] = doc_chunks
+
+    # ---- regex scrubbing with match counts (digit runs stand in for
+    # the PII patterns) ----
+    def doc_redactions(spark, sf):
+        from dbscan_pyspark_spark.functions.text import redactions
+
+        r = redactions("text", "[0-9]+")
+        return load_table(spark, sf, "documents").select(
+            "doc_id",
+            r["n_redactions"].alias("n_redactions"),
+            F.md5(r["redacted"]).alias("redacted_md5"),
+        )
+
+    q["doc_redactions"] = doc_redactions
+
     return q
 
 
@@ -2006,6 +2036,30 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "doc_chunks": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(1 + ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS n_win
+  FROM t
+),
+c AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk,
+         list_slice(toks, u.i * 48 + 1, least(u.i * 48 + 64, n)) AS sl
+  FROM w, unnest(range(0, n_win)) AS u(i)
+)
+SELECT doc_id, chunk, len(sl) AS n_tokens,
+       md5(array_to_string(sl, ' ')) AS chunk_md5
+FROM c
+""",
+        "doc_redactions": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+       md5(regexp_replace(text, '[0-9]+', '[REDACTED]', 'g')) AS redacted_md5
+FROM documents
 """,
         "doc_contamination": f"""
 WITH {_SHINGLES_CTE},

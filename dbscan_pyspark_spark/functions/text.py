@@ -148,3 +148,17 @@ def repetition_ratio(toks: Column | str, n: int = 3) -> Column:
     return F.when(
         total <= 0, F.lit(0.0)
     ).otherwise(1.0 - n_distinct / total)
+
+
+def redactions(text: Column | str, pattern: str) -> Column:
+    """Struct(redacted string, n_redactions int): every regex match
+    replaced with ``[REDACTED]`` plus the match count — the scrubbing
+    primitive (PII patterns, secrets) a training pipeline runs before
+    anything else sees the text. Built-in regexp expressions only."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.regexp_replace(c, pattern, "[REDACTED]").alias("redacted"),
+        F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias(
+            "n_redactions"
+        ),
+    )

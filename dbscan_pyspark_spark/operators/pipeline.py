@@ -358,3 +358,46 @@ def histogram(
             "cnt",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into (optionally overlapping) token-window chunks.
+
+    Returns DataFrame(id, chunk int, n_tokens, chunk_text): chunk i
+    covers tokens ``[i*stride, i*stride + chunk_tokens)`` on the
+    whitespace tokenization; the last window is the final partial one
+    (no empty windows, every token covered). ``stride`` defaults to
+    ``chunk_tokens`` (disjoint); a smaller stride gives the overlapping
+    windows RAG indexing uses. Array slice + explode on the bound token
+    column — one narrow shuffle-free projection then an explode whose
+    output rows are exactly the chunks.
+    """
+    stride = chunk_tokens if stride is None else int(stride)
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n_win = 1 + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("chunk"),
+    )
+    sliced = F.slice(
+        F.col("_toks"), F.col("chunk") * stride + 1, chunk_tokens
+    )
+    return chunks.select(
+        id_col,
+        "chunk",
+        F.size(sliced).alias("n_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+    )

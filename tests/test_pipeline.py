@@ -270,3 +270,45 @@ def test_new_ops_handle_empty_input(spark, tmp_path):
     assert counts == {1: 0, 2: 0}
 
     write_zordered(empty_num, str(tmp_path / "z"), ["x"], num_files=2)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from dbscan_pyspark_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk"], r["n_tokens"], r["chunk_text"])
+        )
+    c1 = sorted(by_doc[1])
+    # windows at offsets 0,3,6 cover tokens 0..9; last is partial
+    assert [c[0] for c in c1] == [0, 1, 2]
+    assert c1[0][2] == "t0 t1 t2 t3"
+    assert c1[1][2] == "t3 t4 t5 t6"
+    assert c1[2][2] == "t6 t7 t8 t9"
+    # short doc: single partial window
+    assert by_doc[2] == [(0, 2, "a b")]
+
+
+def test_redactions_struct(spark):
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.functions.text import redactions
+
+    df = spark.createDataFrame(
+        [(1, "call 555 or 911 now"), (2, "no digits")], "id long, text string"
+    )
+    r = redactions("text", "[0-9]+")
+    got = {
+        row["id"]: (row["n"], row["red"])
+        for row in df.select(
+            "id", r["n_redactions"].alias("n"), r["redacted"].alias("red")
+        ).collect()
+    }
+    assert got[1] == (2, "call [REDACTED] or [REDACTED] now")
+    assert got[2] == (0, "no digits")
