@@ -205,6 +205,18 @@ def compact_parquet(
     import os
     import shutil
 
+    subdirs = [
+        d
+        for d in glob.glob(os.path.join(path, "*"))
+        if os.path.isdir(d) and "=" in os.path.basename(d)
+    ]
+    if subdirs:
+        # a flat rewrite would silently drop the partition layout (and
+        # its pruning); compact each leaf instead
+        raise ValueError(
+            f"{path} is hive-partitioned ({os.path.basename(subdirs[0])}, "
+            "...); call compact_parquet on each partition directory"
+        )
     files = glob.glob(os.path.join(path, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)
     n_files = max(1, round(total / target_file_bytes)) if total else 1

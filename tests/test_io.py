@@ -117,3 +117,16 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n = compact_parquet(spark, d, target_file_bytes=1 << 30)
     assert n == 1
     assert spark.read.parquet(d).count() == 100000
+
+
+def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
+    import pytest
+
+    from dbscan_pyspark_spark.sources.io import compact_parquet
+
+    d = str(tmp_path / "part")
+    spark.range(100).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(d)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, d)
