@@ -1666,6 +1666,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_redactions"] = doc_redactions
 
+    # ---- volume-anomaly detection: hourly counts per event type vs
+    # that type's own mean/stddev; |z| >= 1.5 flags the hour. Two
+    # cheap aggs over post-agg data; stddev rounded so the FP sum of
+    # squares hashes identically across engines ----
+    def events_hourly_anomalies(spark, sf):
+        ev = load_table(spark, sf, "events")
+        hourly = ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n"))
+        stats = hourly.groupBy("event_type").agg(
+            F.avg("n").alias("_mu"),
+            F.stddev_samp("n").alias("_sd"),
+        )
+        z = (F.col("n") - F.col("_mu")) / F.col("_sd")
+        return (
+            hourly.join(F.broadcast(stats), "event_type")
+            .where(F.col("_sd") > 0)
+            .select(
+                "event_type",
+                "hour",
+                "n",
+                F.round(z, 4).alias("z"),
+            )
+            .where(F.abs(F.col("z")) >= 1.5)
+        )
+
+    q["events_hourly_anomalies"] = events_hourly_anomalies
+
     return q
 
 
@@ -2036,6 +2065,20 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "events_hourly_anomalies": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.hour, h.n,
+       round((h.n - s.mu) / s.sd, 4) AS z
+FROM hourly h JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND abs(round((h.n - s.mu) / s.sd, 4)) >= 1.5
 """,
         "doc_chunks": """
 WITH t AS (
