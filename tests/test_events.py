@@ -153,3 +153,22 @@ def test_funnel_user_times_null_propagation(spark):
         for r in funnel_user_times(ev, ["view", "click", "purchase"]).collect()
     }
     assert got == {1: (True, True, True), 2: (True, False, False)}
+
+
+def test_funnel_repeated_step_types(spark):
+    """Steps may repeat a type: ['click','click'] requires two clicks in
+    strictly increasing time order."""
+    from dbscan_pyspark_spark.operators.events import funnel
+
+    rows = [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:05:00", "click"),
+        (2, "2024-01-01 09:00:00", "click"),  # only one click
+        (3, "2024-01-01 08:00:00", "click"),  # two simultaneous clicks:
+        (3, "2024-01-01 08:00:00", "click"),  # strict > rejects the 2nd
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step"]: r["n_users"] for r in funnel(ev, ["click", "click"]).collect()}
+    assert out == {1: 3, 2: 1}
