@@ -1695,6 +1695,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_anomalies"] = events_hourly_anomalies
 
+    # ---- lag-window growth: month-over-month revenue change per
+    # nation; decimal-exact monthly sums, growth ratio rounded ----
+    def nation_monthly_growth(spark, sf):
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        n = load_table(spark, sf, "nation")
+        monthly = (
+            o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy(
+                "n_name", F.date_trunc("month", "o_orderdate").alias("month")
+            )
+            .agg(F.sum(_dec("o_totalprice", "decimal(16,2)")).alias("_rev"))
+        )
+        w = Window.partitionBy("n_name").orderBy("month")
+        prev = F.lag("_rev").over(w)
+        return monthly.select(
+            "n_name",
+            F.col("month").cast("date").alias("month"),
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.round(
+                ((F.col("_rev") - prev) / prev).cast("double"), 6
+            ).alias("mom_growth"),
+        )
+
+    q["nation_monthly_growth"] = nation_monthly_growth
+
     return q
 
 
@@ -2065,6 +2092,23 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "nation_monthly_growth": """
+WITH monthly AS (
+  SELECT n_name, date_trunc('month', o_orderdate) AS month,
+         sum(CAST(o_totalprice AS DECIMAL(16,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name,
+       CAST(month AS DATE) AS month,
+       round(CAST(rev AS DOUBLE), 2) AS revenue,
+       round(CAST((rev - lag(rev) OVER (PARTITION BY n_name ORDER BY month))
+                  / lag(rev) OVER (PARTITION BY n_name ORDER BY month)
+                  AS DOUBLE), 6) AS mom_growth
+FROM monthly
 """,
         "events_hourly_anomalies": """
 WITH hourly AS (
