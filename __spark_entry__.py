@@ -1722,6 +1722,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nation_monthly_growth"] = nation_monthly_growth
 
+    # ---- deterministic fixed-k per-group sample (balanced subset):
+    # 5 customers per nation by portable hash order ----
+    def customer_group_sample(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import group_sample
+
+        return group_sample(
+            load_table(spark, sf, "customer"),
+            "c_nationkey",
+            k=5,
+            id_col="c_custkey",
+        ).select("c_nationkey", "c_custkey", "c_name")
+
+    q["customer_group_sample"] = customer_group_sample
+
     return q
 
 
@@ -2092,6 +2106,20 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "customer_group_sample": """
+WITH h AS (
+  SELECT c_nationkey, c_custkey, c_name,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY CAST(concat('0x',
+                      substring(md5('gsample:' || CAST(c_custkey AS VARCHAR)),
+                                1, 15)) AS BIGINT),
+                    c_custkey
+         ) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, c_name FROM h WHERE rn <= 5
 """,
         "nation_monthly_growth": """
 WITH monthly AS (

@@ -401,3 +401,29 @@ def chunk_documents(
         F.size(sliced).alias("n_tokens"),
         F.concat_ws(" ", sliced).alias("chunk_text"),
     )
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample: exactly ``min(k, |g|)``
+    rows from every group, chosen by portable id-hash order.
+
+    The balanced-subset builder (k examples per class/language/source)
+    complementing rate-based :func:`stratified_sample`. Hash order makes
+    the choice uniform-ish, reproducible on any engine or cluster size,
+    and stable under re-runs and appends of non-sampled rows. One
+    group-keyed window over (hash, id); no RNG, no global sort.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        portable_hash(id_col, salt=salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

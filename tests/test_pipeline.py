@@ -312,3 +312,21 @@ def test_redactions_struct(spark):
     }
     assert got[1] == (2, "call [REDACTED] or [REDACTED] now")
     assert got[2] == (0, "no digits")
+
+
+def test_group_sample_exact_k_and_stability(spark):
+    from dbscan_pyspark_spark.operators.pipeline import group_sample
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)] + [(100, 9)],  # group 9 has 1 row
+        "doc_id long, grp int",
+    )
+    s1 = group_sample(df, "grp", k=4)
+    counts = {r["grp"]: r["n"] for r in s1.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 4, 1: 4, 2: 4, 9: 1}
+    # stable: same rows on re-run, and unaffected by extra non-sampled rows
+    s2 = group_sample(df, "grp", k=4)
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
