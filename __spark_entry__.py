@@ -1736,6 +1736,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_group_sample"] = customer_group_sample
 
+    # ---- equi-depth (quantile) histogram over o_totalprice ----
+    def totalprice_equidepth(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import equi_depth_histogram
+
+        return equi_depth_histogram(
+            load_table(spark, sf, "orders"), "o_totalprice", n_bins=8
+        )
+
+    q["totalprice_equidepth"] = totalprice_equidepth
+
     return q
 
 
@@ -2106,6 +2116,17 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "totalprice_equidepth": """
+WITH b AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+  FROM orders
+)
+SELECT len(list_filter(b.bs, x -> x <= CAST(o_totalprice AS DOUBLE))) AS bin,
+       count(*) AS cnt
+FROM orders CROSS JOIN b
+GROUP BY 1
 """,
         "customer_group_sample": """
 WITH h AS (

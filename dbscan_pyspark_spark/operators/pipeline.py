@@ -427,3 +427,34 @@ def group_sample(
         .where(F.col("_rn") <= int(k))
         .drop("_rn")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, n_bins: int = 10, exact: bool = True
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: bins holding ~equal row counts.
+
+    Returns DataFrame(bin int, cnt) where bin i is bounded by the
+    i/n..(i+1)/n quantiles; a row lands in bin = #boundaries <= value
+    (so boundary ties go to the higher bin in BOTH engines — the closed
+    form the DuckDB oracle mirrors). ``exact=True`` computes exact
+    interpolated percentiles (one sort-based agg — fine to oracle
+    scale); ``exact=False`` uses ``approx_percentile`` (KLL-style
+    sketch, one pass, mergeable) — the 100 TB default, where the exact
+    global sort is the anti-pattern. Either way the binning itself is a
+    broadcast of n-1 doubles against the scan.
+    """
+    x = F.col(col).cast("double")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    pct = F.percentile(x, F.array(*[F.lit(p) for p in probs])) if exact else (
+        F.percentile_approx(x, F.array(*[F.lit(p) for p in probs]))
+    )
+    bounds = df.agg(pct.alias("_b"))
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.filter(F.col("_b"), lambda b: b <= x)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

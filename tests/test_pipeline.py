@@ -330,3 +330,19 @@ def test_group_sample_exact_k_and_stability(spark):
     assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
         r["doc_id"] for r in s2.collect()
     )
+
+
+def test_equi_depth_histogram_balances_counts(spark):
+    from dbscan_pyspark_spark.operators.pipeline import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], "x double")
+    out = {r["bin"]: r["cnt"] for r in equi_depth_histogram(df, "x", 4).collect()}
+    assert sum(out.values()) == 1000
+    assert all(240 <= c <= 260 for c in out.values()), out
+    # approx mode: same shape, KLL error tolerance
+    approx = {
+        r["bin"]: r["cnt"]
+        for r in equi_depth_histogram(df, "x", 4, exact=False).collect()
+    }
+    assert sum(approx.values()) == 1000
+    assert all(200 <= c <= 300 for c in approx.values()), approx
