@@ -1746,6 +1746,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["totalprice_equidepth"] = totalprice_equidepth
 
+    # ---- rank() with ties (vs the row_number top-k family): top
+    # quantity tiers per return flag, ALL tied rows kept ----
+    def top_quantity_tiers(spark, sf):
+        li = load_table(spark, sf, "lineitem")
+        w = Window.partitionBy("l_returnflag").orderBy(
+            F.col("l_quantity").desc()
+        )
+        return (
+            li.withColumn("tier", F.rank().over(w))
+            .where(F.col("tier") <= 3)
+            .groupBy("l_returnflag", "tier", "l_quantity")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    q["top_quantity_tiers"] = top_quantity_tiers
+
     return q
 
 
@@ -2116,6 +2132,17 @@ UNION ALL
 SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+""",
+        "top_quantity_tiers": """
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         rank() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_quantity DESC) AS tier
+  FROM lineitem
+)
+SELECT l_returnflag, tier, l_quantity, count(*) AS n_rows
+FROM r WHERE tier <= 3
+GROUP BY 1, 2, 3
 """,
         "totalprice_equidepth": """
 WITH b AS (
