@@ -64,7 +64,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 def _driver_union_find(e: DataFrame, id_col: str) -> DataFrame:
     """Small-graph fast path: collect edges, solve components on the
-    driver, return (id, component). Chosen adaptively by observed edge
+    driver, return pandas (id, component). Chosen adaptively by observed edge
     count — the same strategy-by-size philosophy as AQE. A 100 TB run
     whose *contracted* cluster graph fits in driver memory (it usually
     does: components, not rows) also takes this path.
@@ -103,8 +103,7 @@ def _driver_union_find(e: DataFrame, id_col: str) -> DataFrame:
         # min-accumulate handles multiple hooks onto the same root
         np.minimum.at(parent, hi, lo)
 
-    out = pd.DataFrame({id_col: ids, "component": ids[parent]})
-    return e.sparkSession.createDataFrame(out, f"{id_col} long, component long")
+    return pd.DataFrame({id_col: ids, "component": ids[parent]})
 
 
 def connected_components(
@@ -115,7 +114,8 @@ def connected_components(
     id_col: str = "id",
     max_iter: int = 50,
     driver_threshold: int = 5_000_000,
-) -> DataFrame:
+    as_pandas: bool = False,
+):
     """Labels every vertex with the minimum vertex id of its component.
 
     ``edges``: DataFrame with ``src``/``dst`` (undirected; self-loops and
@@ -125,9 +125,14 @@ def connected_components(
     component, and the output is restricted to this set.
     Returns ``DataFrame(id, component)``.
 
-    Adaptive execution: if the canonical edge set has <= ``driver_threshold``
+    Adaptive execution: if the raw edge list has <= ``driver_threshold``
     rows it is solved by driver union-find (one job, O(E α)); larger
     graphs run distributed star-contraction (O(log n) shuffling rounds).
+    With ``as_pandas=True`` the driver path returns its labels as a
+    pandas DataFrame (skipping a pandas -> Spark -> pandas roundtrip for
+    callers that finish driver-side); the distributed path still returns
+    a Spark DataFrame — check the type. Ignored when ``vertices`` is
+    given.
     Each round localCheckpoints the edge set — lineage truncation, the
     discipline the reference needed ``setCheckpointDir`` for
     (``DBSCAN.py:171``) and its k-means notebook lacked entirely
@@ -146,10 +151,31 @@ def connected_components(
     )
     lvl = edges.storageLevel
     if not (lvl.useMemory or lvl.useDisk):
-        # One materialization serves BOTH derivations below; without it,
-        # an unpersisted caller would recompute its full edge lineage
-        # once for the solve and again for the self-loop scan.
+        # One materialization serves BOTH jobs below (threshold count +
+        # solve/self-loop scan); without it, an unpersisted caller would
+        # recompute its full edge lineage for each.
         raw = raw.localCheckpoint(eager=True)
+
+    if driver_threshold > 0 and raw.count() <= driver_threshold:
+        # Union-find tolerates self-loops (a hook where u == v is a
+        # no-op), and a node whose only edges are self-loops appears in
+        # the pulled id set and comes out labeled with itself — so the
+        # driver path needs ONE Arrow pull over the raw edge list, no
+        # self-loop distinct, no anti-join.
+        labels_pdf = _driver_union_find(raw, id_col)
+        if as_pandas and vertices is None:
+            return labels_pdf
+        labels = edges.sparkSession.createDataFrame(
+            labels_pdf, f"{id_col} long, component long"
+        )
+        if vertices is not None:
+            vs = vertices.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+            labels = vs.join(labels, id_col, "left").select(
+                F.col(id_col),
+                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            )
+        return labels
+
     e = raw.where(F.col("u") != F.col("v"))
     # A node whose only edges are self-loops IS a participant (it must
     # come out labeled with its own id); collect that small set once so
@@ -160,20 +186,6 @@ def connected_components(
         .select(F.col("u").alias(id_col))
         .distinct()
     )
-
-    if driver_threshold > 0 and e.count() <= driver_threshold:
-        labels = _driver_union_find(e, id_col)
-        labels = labels.unionByName(
-            selfloop_only.join(labels.select(id_col), id_col, "left_anti")
-            .withColumn("component", F.col(id_col))
-        )
-        if vertices is not None:
-            vs = vertices.select(F.col(id_col).cast("long").alias(id_col)).distinct()
-            labels = vs.join(labels, id_col, "left").select(
-                F.col(id_col),
-                F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
-            )
-        return labels
 
     e = _canonical(e).localCheckpoint(eager=True)
     prev_sig = None
