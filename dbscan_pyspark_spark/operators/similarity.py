@@ -20,6 +20,17 @@ from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.functions.distance import dot, l2_distance_sq, norm2
 from dbscan_pyspark_spark.functions.text import normalized
+from dbscan_pyspark_spark.operators.windows import partial_top_k_per_group
+
+# Above this many vectors the exact all-pairs near-dup path refuses to
+# run (see cosine_near_dup_pairs): at 100k vectors the upper triangle is
+# already 5e9 scored pairs, and every factor of 10 in rows is a factor
+# of 100 in work. The bucketed twin (rp_lsh_near_dup_pairs) takes over.
+EXACT_PAIRS_MAX_VECTORS = 100_000
+
+# Above this many query rows the broadcast in cosine_topk stops being
+# "small dim table" shaped; route to ivf_cosine_topk instead.
+TOPK_MAX_QUERIES = 1_000_000
 
 
 def _cosine_from_norms(av, bv, an, bn):
@@ -38,6 +49,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     include_self: bool = False,
+    max_queries: int | None = TOPK_MAX_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -45,8 +57,23 @@ def cosine_topk(
     digits *before* ranking so the ordering (and ties broken by
     neighbor id) is engine-independent — the DuckDB oracle ranks the
     same way.
+
+    Scale shape: queries broadcast, scoring map-side over the vector
+    scan, then a PARTIAL top-k per input partition (mapInPandas local
+    reduction) so only k x q x partitions rows — not the n x q scored
+    relation — reach the rank exchange. Refuses query sets larger than
+    ``max_queries`` (pass None to override): beyond that the broadcast
+    itself is the bottleneck and :func:`ivf_cosine_topk` is the path.
     """
     qid = query_id_col or id_col
+    if max_queries is not None:
+        n_q = queries.count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"cosine_topk: {n_q} query vectors exceeds max_queries="
+                f"{max_queries}; use ivf_cosine_topk (cell-pruned ANN) "
+                "or pass max_queries=None to force the broadcast"
+            )
     q = F.broadcast(
         queries.select(
             F.col(qid).alias("query_id"),
@@ -64,14 +91,13 @@ def cosine_topk(
     )
     if not include_self:
         scored = scored.where(F.col("query_id") != F.col(id_col))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", id_col, "score", "rank")
-    )
+    return partial_top_k_per_group(
+        scored,
+        ["query_id"],
+        [("score", False), (id_col, True)],
+        k,
+        rank_col="rank",
+    ).select("query_id", id_col, "score", "rank")
 
 
 def cosine_near_dup_pairs(
@@ -79,6 +105,7 @@ def cosine_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_vectors: int | None = EXACT_PAIRS_MAX_VECTORS,
 ) -> DataFrame:
     """Exact embedding near-dup: every pair (a_id < b_id) with
     round(cosine, 6) >= threshold.
@@ -88,7 +115,21 @@ def cosine_near_dup_pairs(
     path and (b) serve bounded inputs (a partition, a dedup bucket).
     For the 100 TB path use :func:`rp_lsh_near_dup_pairs`, whose output
     is a high-recall subset of this one.
+
+    Inputs larger than ``max_vectors`` raise instead of silently
+    planning an O(n^2) join (the one-row count job that enforces this
+    is noise next to the quadratic work it prevents); pass
+    ``max_vectors=None`` to force a known-bounded input through.
     """
+    if max_vectors is not None:
+        n_v = vectors.count()
+        if n_v > max_vectors:
+            raise ValueError(
+                f"cosine_near_dup_pairs: {n_v} vectors exceeds max_vectors="
+                f"{max_vectors} (O(n^2) all-pairs scan); use "
+                "rp_lsh_near_dup_pairs (banded LSH, equi-join only) or pass "
+                "max_vectors=None to force"
+            )
     a = vectors.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("_av"),

@@ -162,3 +162,43 @@ def test_tfidf_top_terms_truncation_bounds_candidates(spark):
         (F.col("a_id") == top["a_id"]) & (F.col("b_id") == top["b_id"])
     ).count()
     assert match == 1
+
+
+def test_cosine_topk_partial_reduction_plan(spark):
+    """The rank exchange sees the mapInPandas-reduced set, not the n x q
+    scored relation: the window's child plan must contain the Arrow
+    local top-k (MapInPandas) below it."""
+    vecs = _make_vectors(n=60, dim=4, seed=7)
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).repartition(4)
+    queries = df.where(df.vec_id < 2)
+    plan = cosine_topk(df, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    win = plan.find("Window")
+    assert win != -1 and "MapInPandas" in plan[win:], "local reduce must feed the window"
+
+
+def test_exact_pairs_size_guard(spark):
+    import pytest
+    from dbscan_pyspark_spark.operators.similarity import cosine_near_dup_pairs
+
+    big = spark.range(0, 101_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="rp_lsh_near_dup_pairs"):
+        cosine_near_dup_pairs(big, threshold=0.9)
+    # bounded inputs still run, and the override works
+    small = big.limit(50)
+    assert cosine_near_dup_pairs(small, threshold=-1.0).count() == 50 * 49 / 2
+    assert cosine_near_dup_pairs(small, threshold=-1.0, max_vectors=None).count() == 50 * 49 / 2
+
+
+def test_cosine_topk_query_guard(spark):
+    import pytest
+
+    big = spark.range(0, 1_000_100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="ivf_cosine_topk"):
+        cosine_topk(big.limit(10), big, k=1)
