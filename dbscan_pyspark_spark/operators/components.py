@@ -17,7 +17,7 @@ is a star forest whose centers are component minima.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -33,11 +33,19 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """(u,v) both orientations; for each node n: attach neighbors > n to
-    min(N(n) ∪ {n})."""
-    both = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    nbr_min = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    min(N(n) ∪ {n}).
+
+    The neighborhood minimum rides on a whole-partition window instead
+    of a groupBy + self-join: one exchange over the edge relation per
+    star step rather than two (the shuffles over the full, not-yet-
+    contracted relation are the round cost at scale)."""
+    both = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        both.join(nbr_min, "u")
+        both.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -45,18 +53,29 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, pre_oriented: bool = False) -> DataFrame:
     """Edges oriented big->small; for each node n attach its smaller
-    neighbors and itself to min(N(n) ∪ {n})."""
-    oriented = _canonical(edges)  # u > v
-    nbr_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    relink = (
-        oriented.join(nbr_min, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-    )
-    self_link = oriented.join(nbr_min, "u").select("u", F.col("m").alias("v")).distinct()
+    neighbors and itself to min(N(n) ∪ {n}).
+
+    ``pre_oriented``: the input already satisfies u > v and is distinct
+    (true for large-star output, whose rows are (big, candidate-min)),
+    so the canonicalizing exchange is skipped. Each input row emits its
+    relink (v -> m) and its node's self-link (u -> m); self-link
+    duplicates collapse in the output distinct."""
+    oriented = edges if pre_oriented else _canonical(edges)  # u > v
+    w = Window.partitionBy("u")
+    m = F.min("v").over(w)
     return (
-        relink.union(self_link)
+        oriented.withColumn("m", m)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -187,33 +206,72 @@ def connected_components(
         .distinct()
     )
 
-    e = _canonical(e).localCheckpoint(eager=True)
-    prev_sig = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.col("u") + F.col("v")), F.lit(0)).alias("s"),
-        ).first()
-        sig = (sig["n"], sig["s"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # The star-contraction rounds iterate over a SHRINKING edge set —
+    # a few MB within a couple of rounds — and AQE's partition
+    # coalescing then folds every round's ~6 exchanges down to 1-2
+    # tasks, serializing the whole loop (measured 78 s for a 2.4M-edge
+    # graph, ~10 s/round at 1-way parallelism). Pin coalescing off for
+    # the loop so each round keeps the configured shuffle parallelism;
+    # restore the caller's setting after.
+    spark = edges.sparkSession
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+    labels = None
+    try:
+        e = _canonical(e).localCheckpoint(eager=True)
+        prev_sig = None
+        for _ in range(max_iter):
+            # Non-eager checkpoint: the signature agg below is the one
+            # action that both materializes this round's edge set
+            # (truncating lineage) and tests the fixpoint — one job per
+            # round instead of two.
+            e = _small_star(
+                _large_star(e), pre_oriented=True
+            ).localCheckpoint(eager=False)
+            sig = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.col("u") + F.col("v")), F.lit(0)).alias("s"),
+            ).first()
+            sig = (sig["n"], sig["s"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+            if driver_threshold > 0 and sig[0] <= driver_threshold:
+                # Hybrid finish: rounds preserve connectivity and never
+                # drop a node (every node re-emits as a relink target or
+                # self-link until fixpoint), and a component's minimum
+                # id always survives as a link target — so once
+                # contraction shrinks the relation under the driver
+                # bound, union-find on the remnant yields the same
+                # min-id labels as iterating to fixpoint, minus the
+                # remaining O(log n) rounds.
+                labels_pdf = _driver_union_find(e, id_col)
+                labels = spark.createDataFrame(
+                    labels_pdf, f"{id_col} long, component long"
+                )
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set(_coalesce_key, prev_coalesce)
 
-    # Star forest: u(>v) -> center v. Node that appears only as center maps to itself.
-    labels = (
-        e.select(F.col("u").alias(id_col), F.col("v").alias("component"))
-        .groupBy(id_col)
-        .agg(F.min("component").alias("component"))
-    )
-    centers = e.select(F.col("v").alias(id_col)).distinct().withColumn(
-        "component", F.col(id_col)
-    )
-    labels = labels.unionByName(
-        centers.join(labels.select(id_col), id_col, "left_anti")
-    )
+    if labels is None:
+        # Star forest: u(>v) -> center v. Node that appears only as
+        # center maps to itself.
+        labels = (
+            e.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+            .groupBy(id_col)
+            .agg(F.min("component").alias("component"))
+        )
+        centers = e.select(F.col("v").alias(id_col)).distinct().withColumn(
+            "component", F.col(id_col)
+        )
+        labels = labels.unionByName(
+            centers.join(labels.select(id_col), id_col, "left_anti")
+        )
     labels = labels.unionByName(
         selfloop_only.join(labels.select(id_col), id_col, "left_anti")
         .withColumn("component", F.col(id_col))

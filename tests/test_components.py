@@ -73,3 +73,25 @@ def test_empty_edges(spark):
         for r in connected_components(edges, vertices=verts).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_hybrid_early_exit_matches_other_strategies(spark):
+    """A threshold between 0 and the edge count triggers >=1 distributed
+    round followed by the driver union-find finish; labels must equal
+    both pure strategies (min member id per component)."""
+    import random
+
+    rng = random.Random(11)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(600)]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    baseline = {
+        r["id"]: r["component"]
+        for r in connected_components(edf, driver_threshold=10_000_000).collect()
+    }
+    for thr in (50, 200, 500):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edf, driver_threshold=thr).collect()
+        }
+        assert got == baseline, f"hybrid threshold={thr}"

@@ -105,6 +105,75 @@ def main() -> None:
         flush=True,
     )
 
+    # --- adversarial ε-join skew: every point in ONE grid cell ---
+    # Distinct coordinates (duplicate contraction cannot shrink it), all
+    # inside a single eps-sized cell, so the cell equi-join degenerates
+    # to one hot key. This is the worst case the grid strategy has:
+    # candidate pairs are quadratic in the cell population no matter how
+    # you partition, so the knobs under test are (a) AQE skew-split
+    # parallelizing the hot partition and (b) the per-pair distance eval
+    # cost. Points are spread uniformly in the cell; ~13% of pairs fall
+    # within L1 eps, so the run is candidate-bound, not output-bound.
+    n_skew = max(N_POINTS // 60, 10_000)
+    hs = F.abs(F.xxhash64("id"))
+    skew_pts = spark.range(n_skew).select(
+        F.col("id"),
+        F.array(
+            ((hs % 97650) / 97650.0),           # [0, 1) distinct-ish
+            (((hs / 97650).cast("long") % 9973) / 9973.0),
+            (((hs / 1021).cast("long") % 1013) / 1013.0),
+        ).alias("features"),
+    )
+    from dbscan_pyspark_spark.operators.eps_join import eps_self_join
+
+    t0 = time.time()
+    n_skew_pairs = eps_self_join(
+        skew_pts, eps=1.0, unique_pairs=True, keep_distance=False
+    ).count()
+    print(
+        json.dumps(
+            {
+                "stage": "eps_join_one_cell_skew",
+                "n_points": n_skew,
+                "wall_s": round(time.time() - t0, 1),
+                "result_pairs": n_skew_pairs,
+            }
+        ),
+        flush=True,
+    )
+
+    # --- distributed connected components (star contraction) ---
+    # driver_threshold=0 forces the large-star/small-star path even when
+    # the driver could absorb the graph, so the 100 TB code path has a
+    # measured number. Random graph: 2 edges per node -> a few giant
+    # components, the classic CC workload.
+    n_nodes = max(N_POINTS * 2, 1_000_000)
+    edges = spark.range(n_nodes * 2).select(
+        (F.col("id") % n_nodes).alias("src"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % n_nodes).alias("dst"),
+    )
+    from dbscan_pyspark_spark.operators.components import connected_components
+
+    t0 = time.time()
+    labels_cc = connected_components(edges, driver_threshold=0)
+    cc_stats = labels_cc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("components"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "stage": "cc_star_contraction",
+                "n_nodes": n_nodes,
+                "n_edges": n_nodes * 2,
+                "wall_s": round(time.time() - t0, 1),
+                "labeled": cc_stats["n"],
+                "components": cc_stats["components"],
+            }
+        ),
+        flush=True,
+    )
+
     # --- sparse TF-IDF pairs at N_DOCS with top-term truncation ---
     # Topic + long-tail synthetic corpus: 20 tokens from the doc's
     # topic vocabulary (500 topics x 50 terms -> real same-topic pairs)
