@@ -2069,7 +2069,7 @@ SELECT bin,
        round((bin + 1) * 5.0, 6) AS bin_hi,
        count(*) AS cnt
 FROM (
-  SELECT CAST(least(9, floor(CAST(l_quantity AS DOUBLE) / 50.0 * 10)) AS INT)
+  SELECT CAST(greatest(0, least(9, floor(CAST(l_quantity AS DOUBLE) / 50.0 * 10))) AS INT)
            AS bin
   FROM lineitem
 ) s

@@ -404,6 +404,14 @@ def cross_contamination(
     evenly-distributed key, never on text — and the eval side of any
     realistic run is orders of magnitude smaller, so Catalyst broadcasts
     it and the training corpus is never shuffled.
+
+    Trade-off, deliberate: joining the hash instead of the shingle text
+    means two DISTINCT shingles that collide in the 60-bit space would
+    inflate ``n_shared`` by one (P ~ pairs/2^60 — negligible at any
+    gate scale, and it can only ever overcount, never miss real
+    overlap). The doc_contamination oracle joins raw shingle text, so
+    a collision would surface as a hash mismatch there rather than
+    hide.
     """
     t = (
         _doc_shingles(train, text_col, id_col, n)

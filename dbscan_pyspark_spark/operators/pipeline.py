@@ -329,7 +329,10 @@ def histogram(
 
     Returns DataFrame(bin int, bin_lo, bin_hi, cnt) with ``n_bins``
     equal-width bins over [lo, hi] (min/max from one bounded agg job
-    when not given; the max lands in the last bin). A groupBy over a
+    when not given). With explicit bounds, out-of-range values are
+    CLAMPED into the edge bins — the max (and anything above hi) lands
+    in the last bin, anything below lo in bin 0 — so every row is
+    counted and bin indices stay in [0, n_bins). A groupBy over a
     derived integer — fully partial-aggregatable, one scan, ``n_bins``
     rows shuffled.
     """
@@ -344,9 +347,14 @@ def histogram(
         lo, hi = 0.0, 1.0
     span = (hi - lo) or 1.0
     width = span / n_bins
-    bin_ = F.least(
-        F.lit(n_bins - 1),
-        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * n_bins),
+    bin_ = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(
+            F.lit(n_bins - 1).cast("bigint"),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * n_bins
+            ),
+        ),
     ).cast("int")
     return (
         df.groupBy(bin_.alias("bin"))

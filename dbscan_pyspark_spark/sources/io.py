@@ -106,7 +106,13 @@ def zorder_key(cols, bits: int = 16):
     codegen keeps the ``bits * len(cols)`` shift/or terms JVM-side.
     """
     d = len(cols)
-    assert d >= 1 and bits * d <= 63, "interleaved key must fit a long"
+    if d < 1 or bits * d > 63:
+        # a real error, not an assert: under `python -O` an oversized
+        # bits*d would otherwise silently collide bit positions and
+        # produce a broken Z-order layout
+        raise ValueError(
+            f"interleaved key must fit a long: bits={bits} x dims={d} > 63"
+        )
     z = None
     for j, c in enumerate(cols):
         c = (F.col(c) if isinstance(c, str) else c).cast("long")
@@ -198,8 +204,16 @@ def compact_parquet(
     metadata-bound crawls. The rewrite is one coalesce-free
     ``repartition`` (even output sizes beat coalesce's skewed unions),
     optionally sorted within partitions to keep row-group stats tight.
-    Writes to a temp sibling then swaps, so a failed rewrite never
-    clobbers the source.
+
+    Swap discipline: the rewrite lands in a ``._compact_tmp`` sibling;
+    the original is then renamed to ``._compact_old``, tmp renamed into
+    place, and old deleted last — so a crash at any point leaves a
+    complete copy of the data under exactly one of the three names
+    (recovery: if ``path`` is missing, rename whichever sibling exists
+    back). Local-filesystem only (os.rename semantics); concurrent
+    readers can still observe a brief window where ``path`` is absent
+    between the two renames — this is maintenance for quiesced tables,
+    not a transactional commit (that's a table format's job).
     """
     import glob
     import os
@@ -225,7 +239,11 @@ def compact_parquet(
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a previous crashed swap
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))

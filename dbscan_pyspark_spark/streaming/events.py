@@ -239,10 +239,14 @@ def streaming_funnel(
                 }
             )
 
+    # derive the user column's type from the input schema so string /
+    # int user ids work, matching the type-agnostic batch operators
+    user_dtype = dict(events.dtypes)[user_col]
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=(
-            f"{user_col} long, reached int, t_first timestamp, t_last timestamp"
+            f"{user_col} {user_dtype}, reached int, t_first timestamp, "
+            "t_last timestamp"
         ),
         stateStructType="times array<timestamp>",
         outputMode="update",

@@ -346,3 +346,12 @@ def test_equi_depth_histogram_balances_counts(spark):
     }
     assert sum(approx.values()) == 1000
     assert all(200 <= c <= 300 for c in approx.values()), approx
+
+
+def test_histogram_clamps_below_range(spark):
+    from dbscan_pyspark_spark.operators.pipeline import histogram
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (9.5,), (42.0,)], ["x"])
+    bins = {r["bin"]: r["cnt"] for r in histogram(df, "x", n_bins=2, lo=0.0, hi=10.0).collect()}
+    # below-lo clamps into bin 0, above-hi into the last bin
+    assert bins == {0: 2, 1: 2}
