@@ -1762,6 +1762,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_quantity_tiers"] = top_quantity_tiers
 
+    # ---- round-2 additions: deterministic k-means, sub-document dedup,
+    # token entropy, Markov transitions, revenue concentration, dup-
+    # cluster histogram ----
+    def embedding_kmeans(spark, sf):
+        from dbscan_pyspark_spark.operators.kmeans import kmeans_quantized
+
+        return kmeans_quantized(
+            load_table(spark, sf, "embeddings"), k=8, n_iter=3, scale=1000
+        )
+
+    q["embedding_kmeans"] = embedding_kmeans
+
+    def doc_chunk_dedup(spark, sf):
+        from dbscan_pyspark_spark.operators.dedup import chunk_dedup_stats
+
+        return chunk_dedup_stats(
+            load_table(spark, sf, "documents"), chunk_tokens=10
+        )
+
+    q["doc_chunk_dedup"] = doc_chunk_dedup
+
+    def doc_token_entropy(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import (
+            token_entropy_stats,
+        )
+
+        return token_entropy_stats(load_table(spark, sf, "documents"))
+
+    q["doc_token_entropy"] = doc_token_entropy
+
+    def events_transitions(spark, sf):
+        from dbscan_pyspark_spark.operators.events import transition_counts
+
+        return transition_counts(load_table(spark, sf, "events"))
+
+    q["events_transitions"] = events_transitions
+
+    def revenue_concentration(spark, sf):
+        # Pareto check: how concentrated is revenue across customer
+        # deciles (decile 1 = highest-revenue customers).
+        o = load_table(spark, sf, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.sum(_dec("o_totalprice")).alias("_rev")
+        )
+        dec = per_cust.select(
+            F.ntile(10)
+            .over(Window.orderBy(F.col("_rev").desc(), "o_custkey"))
+            .alias("decile"),
+            "_rev",
+        )
+        agg = dec.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_rev").alias("_revd"),
+        )
+        total = F.sum("_revd").over(Window.partitionBy())
+        return agg.select(
+            "decile",
+            "n_customers",
+            F.round(F.col("_revd").cast("double"), 4).alias("revenue"),
+            F.round(
+                F.col("_revd").cast("double") / total.cast("double"), 6
+            ).alias("share"),
+        )
+
+    q["revenue_concentration"] = revenue_concentration
+
+    def dedup_cluster_sizes(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import near_dup_dedup
+
+        out = near_dup_dedup(
+            load_table(spark, sf, "documents"),
+            threshold=0.3,
+            num_hashes=16,
+            rows_per_band=4,
+            n=3,
+        )
+        # one output row per dup_group (keep-best) -> count() is the
+        # number of groups at each size
+        return out.groupBy("dup_group_size").agg(
+            F.count(F.lit(1)).alias("n_groups")
+        )
+
+    q["dedup_cluster_sizes"] = dedup_cluster_sizes
+
     return _reorder_for_driver_window(q)
 
 
@@ -1970,6 +2054,62 @@ row{s} AS (
         + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def _kmeans_oracle(
+    k: int = 8, n_iter: int = 3, dim: int = 64, scale: int = 1000
+) -> str:
+    """Unrolled-CTE replica of operators.kmeans.kmeans_quantized: the
+    same integer grid, the same lowest-id init, the same
+    floor(sum/count) centroid snap, the same (distance, cid) tie-break
+    — so the iterative algorithm is bit-exact across engines."""
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (t.v[i]-c.c[i])*(t.v[i]-c.c[i])))"
+    )
+
+    def assign(i: int, cents: str) -> str:
+        return f"""
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM v t, {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update(i: int, prev_assign: str) -> str:
+        return f"""
+c{i} AS (
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT a.cid, u.pos,
+           CAST(floor(sum(u.val) * 1.0 / count(*)) AS BIGINT) AS cv
+    FROM (SELECT t.vec_id, unnest(t.v) AS val,
+                 generate_subscripts(t.v, 1) AS pos FROM v t) u
+    JOIN {prev_assign} a USING (vec_id)
+    GROUP BY a.cid, u.pos
+  ) GROUP BY cid
+)"""
+
+    parts = [
+        f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT cid, c FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           v AS c FROM v
+  ) WHERE cid < {k}
+)""",
+    ]
+    for i in range(n_iter):
+        parts.append(assign(i, f"c{i}"))
+        parts.append(update(i + 1, f"a{i}"))
+    parts.append(assign(n_iter, f"c{n_iter}"))
+    ctes = ",".join(parts)
+    return f"WITH {ctes}\nSELECT vec_id, cid AS cluster FROM a{n_iter}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3202,5 +3342,121 @@ WITH q AS (
 SELECT c_nationkey, quartile, count(*) AS n_custs,
        round(CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE), 2) AS total_bal
 FROM q GROUP BY c_nationkey, quartile
+""",
+        "embedding_kmeans": _kmeans_oracle(k=8, n_iter=3, dim=64, scale=1000),
+        "doc_chunk_dedup": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk,
+         md5(array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')) AS fp
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(0, CAST(1 + ceil(greatest(len(t) - 10, 0) / 10.0) AS BIGINT))) AS i
+    FROM toks
+  )
+),
+marked AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM ch
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+       round(CAST(sum(dup) AS DOUBLE) / count(*), 4) AS dup_ratio
+FROM marked GROUP BY doc_id
+""",
+        "doc_token_entropy": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok WHERE tok != '' GROUP BY doc_id, tok
+),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(round(c * ln(c) * 1e9) AS BIGINT)) AS BIGINT) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(n_tokens) - (s / 1e9) / n_tokens, 6) AS entropy
+FROM per
+""",
+        "events_transitions": """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share
+FROM pairs
+""",
+        "revenue_concentration": """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+  FROM per_cust
+),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers, sum(rev) AS revd
+  FROM dec GROUP BY decile
+)
+SELECT decile, n_customers,
+       round(CAST(revd AS DOUBLE), 4) AS revenue,
+       round(CAST(revd AS DOUBLE) / CAST(sum(revd) OVER () AS DOUBLE), 6) AS share
+FROM agg
+""",
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT cand.a_id, cand.b_id, count(*) AS n_common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.a_id
+  JOIN sh sb ON sb.doc_id = cand.b_id AND sb.shingle = sa.shingle
+  GROUP BY cand.a_id, cand.b_id
+),
+pairs AS (
+  SELECT common.a_id, common.b_id
+  FROM common
+  JOIN sizes za ON za.doc_id = common.a_id
+  JOIN sizes zb ON zb.doc_id = common.b_id
+  WHERE round(n_common / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE), 6) >= 0.3
+),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION SELECT b_id, a_id FROM pairs
+  UNION SELECT a_id, a_id FROM pairs
+  UNION SELECT b_id, b_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS dup_group FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.dup_group, d.doc_id) AS dup_group
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+sized AS (SELECT dup_group, count(*) AS dup_group_size FROM labeled GROUP BY dup_group)
+SELECT dup_group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM sized GROUP BY dup_group_size
 """,
     }

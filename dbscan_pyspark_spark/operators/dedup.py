@@ -435,3 +435,46 @@ def cross_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= int(min_shared))
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document (paragraph-proxy) exact dedup: how much of each
+    document is copied verbatim from EARLIER documents at chunk
+    granularity.
+
+    The corpus is cut into disjoint ``chunk_tokens``-token windows
+    (``pipeline.chunk_documents``); a chunk is a duplicate iff the same
+    chunk text already occurs at a lexicographically smaller
+    ``(doc_id, chunk)`` position. Returns
+    DataFrame(doc_id, n_chunks, n_dup_chunks, dup_ratio) with
+    ``dup_ratio`` rounded to 4 digits.
+
+    Scale shape: one shuffle on the chunk text (same profile as
+    ``exact_dedup`` — at 100 TB hash the chunk first so the exchange
+    carries a 16-byte key, which ``fingerprint()`` provides), then one
+    groupBy on the doc id. First-occurrence is decided with a
+    ``row_number`` over the chunk group ordered by (doc_id, chunk) —
+    deterministic, engine-portable.
+    """
+    from pyspark.sql import Window
+
+    from dbscan_pyspark_spark.operators.pipeline import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk_tokens, id_col=id_col, text_col=text_col
+    ).select(id_col, "chunk", F.md5("chunk_text").alias("_fp"))
+    w = Window.partitionBy("_fp").orderBy(id_col, "chunk")
+    marked = chunks.select(
+        id_col,
+        (F.row_number().over(w) > 1).cast("int").alias("_dup"),
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("_dup").alias("n_dup_chunks"),
+        F.round(F.sum("_dup") / F.count(F.lit(1)), 4).alias("dup_ratio"),
+    )

@@ -252,3 +252,48 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive (prev → next) event-type pair,
+    the count and its share of all transitions.
+
+    Ordering inside a user is (ts, *order_cols) so simultaneous events
+    have a deterministic sequence. Returns
+    DataFrame(prev_type, next_type, n, share) — share rounded to 6
+    digits (exact integer division, identical in any engine).
+
+    Scale shape: one shuffle to sequence each user's events (window on
+    the user key), then a partial-aggregatable groupBy on the ~|types|²
+    transition key; the global total rides a broadcast-size scalar
+    (single-row cross join), never a second pass over the events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            *[F.col(c) for c in order_cols],
+            F.col(type_col).alias("next_type"),
+            F.lag(type_col).over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / total, 6).alias("share"),
+    )

@@ -466,3 +466,56 @@ def equi_depth_histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def token_entropy_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the classic
+    repetition / degenerate-text quality proxy (low entropy = the doc
+    keeps repeating the same few tokens; see also
+    ``text.repetition_ratio`` for the n-gram variant).
+
+    Returns DataFrame(doc_id, n_tokens, n_distinct, entropy) with
+    entropy in nats, rounded to 6 digits.
+
+    Engine portability: H = ln(n) - (1/n) * sum(c_i * ln(c_i)) over
+    the token counts c_i. Each per-token term is rounded onto a 1e-9
+    grid and summed as exact integers, so the cross-engine result does
+    not depend on float summation order; only a per-term ln() ulp
+    difference landing exactly on a grid boundary could diverge
+    (probability ~1e-8 per distinct token).
+
+    Scale shape: explode to (doc, token) → two partial-aggregatable
+    groupBys on the same doc key; nothing wider than the token pairs
+    ever shuffles.
+    """
+    from dbscan_pyspark_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    ).where(F.col("_tok") != "")
+    counts = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    term = F.round(
+        F.col("_c") * F.log(F.col("_c")) * F.lit(1e9), 0
+    ).cast("long")
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(term).alias("_s"),
+    )
+    entropy = F.round(
+        F.log(F.col("n_tokens"))
+        - (F.col("_s") / F.lit(1e9)) / F.col("n_tokens"),
+        6,
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        entropy.alias("entropy"),
+    )

@@ -252,3 +252,33 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_enriched(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes (customer tier, device metadata, …) to a live event
+    stream.
+
+    Spark plans a stream-static join as a per-micro-batch join against
+    the CURRENT state of the static side — no streaming state is kept,
+    so it composes freely with downstream watermarked aggregations. The
+    static side should be broadcast-sized (dimension tables are); Spark
+    auto-broadcasts under the threshold, which is the right plan at any
+    stream volume: each micro-batch is map-side enriched, zero shuffle.
+
+    ``dim_cols`` trims the dimension to the named columns (plus the
+    join key) BEFORE the join so only needed attributes ship with the
+    broadcast. ``how`` is ``left`` (keep unmatched events, null
+    attributes) or ``inner`` (drop them).
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"streaming_enriched: how={how!r} not supported")
+    if dim_cols is not None:
+        dim = dim.select(on, *dim_cols)
+    return events.join(F.broadcast(dim), on=on, how=how)

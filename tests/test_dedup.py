@@ -142,3 +142,41 @@ def test_repetition_ratio_values(spark):
         .collect()
     }
     assert got == {1: round(1 - 3 / 7, 6), 2: 0.0, 3: 0.0}
+
+
+def test_chunk_dedup_stats_marks_copied_chunks(spark):
+    from dbscan_pyspark_spark.operators.dedup import chunk_dedup_stats
+
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, base + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            # doc 2 copies doc 1's first 10-token chunk verbatim
+            (2, base + " unique tail words here now and then some more stop"),
+            (3, "totally fresh content with no overlap at all whatsoever indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup_stats(df, chunk_tokens=10).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dup_chunks"] == 0
+    assert out[2]["n_chunks"] == 2 and out[2]["n_dup_chunks"] == 1
+    assert out[2]["dup_ratio"] == 0.5
+    assert out[3]["n_dup_chunks"] == 0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from dbscan_pyspark_spark.operators.dedup import chunk_dedup_stats
+
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(7, text), (9, text), (8, text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_dup_chunks"]
+        for r in chunk_dedup_stats(df, chunk_tokens=10).collect()
+    }
+    # lowest (doc_id, chunk) owns the chunk; later ones are dups
+    assert out == {7: 0, 8: 1, 9: 1}

@@ -172,3 +172,45 @@ def test_funnel_repeated_step_types(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {r["step"]: r["n_users"] for r in funnel(ev, ["click", "click"]).collect()}
     assert out == {1: 3, 2: 1}
+
+
+def test_transition_counts_small_fixture(spark):
+    from dbscan_pyspark_spark.operators.events import transition_counts
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: view -> click -> buy
+        (1, t0, 1, "view"), (2, t0 + dt.timedelta(seconds=1), 1, "click"),
+        (3, t0 + dt.timedelta(seconds=2), 1, "buy"),
+        # user 2: view -> click
+        (4, t0, 2, "view"), (5, t0 + dt.timedelta(seconds=1), 2, "click"),
+        # user 3: single event, no transitions
+        (6, t0, 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["share"])
+        for r in transition_counts(df).collect()
+    }
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("click", "buy")] == (1, round(1 / 3, 6))
+    assert len(out) == 2
+
+
+def test_transition_counts_ties_break_on_event_id(spark):
+    from dbscan_pyspark_spark.operators.events import transition_counts
+
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    # same timestamp: event_id orders the pair deterministically
+    df = spark.createDataFrame(
+        [(10, t0, 1, "a"), (11, t0, 1, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = transition_counts(df).collect()
+    assert [(r["prev_type"], r["next_type"]) for r in out] == [("a", "b")]

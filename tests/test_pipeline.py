@@ -355,3 +355,23 @@ def test_histogram_clamps_below_range(spark):
     bins = {r["bin"]: r["cnt"] for r in histogram(df, "x", n_bins=2, lo=0.0, hi=10.0).collect()}
     # below-lo clamps into bin 0, above-hi into the last bin
     assert bins == {0: 2, 1: 2}
+
+
+def test_token_entropy_uniform_vs_repetitive(spark):
+    import math
+
+    from dbscan_pyspark_spark.operators.pipeline import token_entropy_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform: H = ln(4)
+            (2, "a a a a"),          # degenerate: H = 0
+            (3, "a a b b"),          # H = ln(2)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in token_entropy_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 4
+    assert abs(out[1]["entropy"] - math.log(4)) < 1e-5
+    assert out[2]["entropy"] == 0.0 and out[2]["n_distinct"] == 1
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-5

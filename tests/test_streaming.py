@@ -195,3 +195,52 @@ def test_streaming_funnel_matches_batch(spark, stream_dir):
         b_reached = sum(1 for c in ("t1", "t2") if b[c] is not None)
         assert reached == b_reached, u
         assert t_first == b["t1"], u
+
+
+def test_streaming_enriched_matches_batch_and_is_stateless(spark, stream_dir):
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.events import streaming_enriched
+
+    dim = spark.createDataFrame(
+        [(10, "gold"), (30, "bronze")], "user_id long, tier string"
+    )
+    stream = read_event_stream(spark, stream_dir)
+    enriched = streaming_enriched(stream, dim, on="user_id", dim_cols=["tier"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("append")           # stateless: append works
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    batch_df = spark.read.json(stream_dir).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        (r["event_id"], r["tier"])
+        for r in batch_df.join(dim, "user_id", "left").collect()
+    }
+    assert got == want
+    assert got == {(1, "gold"), (2, "gold"), (3, "gold"), (4, None)}
+
+
+def test_streaming_enriched_inner_drops_unmatched(spark, stream_dir):
+    from dbscan_pyspark_spark.streaming.events import streaming_enriched
+
+    dim = spark.createDataFrame([(10, "gold")], "user_id long, tier string")
+    stream = read_event_stream(spark, stream_dir)
+    q = (
+        streaming_enriched(stream, dim, on="user_id", how="inner")
+        .writeStream.format("memory")
+        .queryName("t_enrich_inner")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = {r["event_id"] for r in spark.sql("SELECT * FROM t_enrich_inner").collect()}
+    assert ids == {1, 2, 3}
