@@ -1846,6 +1846,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster_sizes"] = dedup_cluster_sizes
 
+    def embedding_covariance(spark, sf):
+        from dbscan_pyspark_spark.operators.similarity import (
+            embedding_covariance as cov,
+        )
+
+        return cov(load_table(spark, sf, "embeddings"), scale=1000)
+
+    q["embedding_covariance"] = embedding_covariance
+
+    def embedding_pca(spark, sf):
+        # rows-only: the eigensolve isn't SQL-replayable; invariants
+        # (orthonormality, variance ordering, numpy equivalence) are
+        # pinned in tests/test_similarity.py
+        from dbscan_pyspark_spark.operators.similarity import pca_project
+
+        return pca_project(
+            load_table(spark, sf, "embeddings"), n_components=8
+        )
+
+    q["embedding_pca"] = embedding_pca
+
     return _reorder_for_driver_window(q)
 
 
@@ -3417,6 +3438,28 @@ SELECT decile, n_customers,
        round(CAST(revd AS DOUBLE), 4) AS revenue,
        round(CAST(revd AS DOUBLE) / CAST(sum(revd) OVER () AS DOUBLE), 6) AS share
 FROM agg
+""",
+        "embedding_covariance": """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM v
+),
+m AS (
+  SELECT CAST(a.pos - 1 AS INT) AS i, CAST(b.pos - 1 AS INT) AS j,
+         sum(a.val * b.val) AS s, count(*) AS n
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+  GROUP BY 1, 2
+),
+sums AS (SELECT CAST(pos - 1 AS INT) AS p, sum(val) AS sv FROM flat GROUP BY 1)
+SELECT m.i, m.j,
+       round((CAST(m.s AS DOUBLE) / m.n
+              - (CAST(si.sv AS DOUBLE) / m.n) * (CAST(sj.sv AS DOUBLE) / m.n))
+             / 1000000.0, 6) AS cov
+FROM m JOIN sums si ON si.p = m.i JOIN sums sj ON sj.p = m.j
 """,
         "dedup_cluster_sizes": f"""
 WITH RECURSIVE {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},

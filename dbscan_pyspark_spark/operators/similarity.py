@@ -478,3 +478,169 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def embedding_covariance(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column — the PCA /
+    whitening / Mahalanobis precursor.
+
+    Returns DataFrame(i, j, cov) for the upper triangle (j >= i),
+    0-based dims, in ORIGINAL units (the quantization grid divides back
+    out), rounded to ``round_dp``.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass computes each
+    partition's int64 Gram matrix (X^T X), per-dim sums, and count with
+    one BLAS matmul per batch; each task emits only its dim x (dim+1)/2
+    partial triangle, so the exchange carries partitions x O(dim^2)
+    tiny rows no matter how many vectors were scanned. The final agg is
+    exact integer addition — order-independent, hence the DuckDB-oracle
+    bit parity (cov = E[xy] - E[x]E[y] evaluated in the same three
+    deterministic float ops from exact integer moments).
+    """
+    import pandas as pd
+
+    q = vectors.select(
+        F.transform(vec_col, lambda x: F.round(x * scale, 0).cast("long")).alias(
+            "_v"
+        )
+    ).where(F.col("_v").isNotNull() & (F.size("_v") > 0))
+
+    def partial_gram(batches):
+        import numpy as np
+
+        G = None
+        S = None
+        n = 0
+        for pdf in batches:
+            X = np.asarray(list(pdf["_v"]), dtype=np.int64)
+            if X.size == 0:
+                continue
+            if G is None:
+                d = X.shape[1]
+                G = np.zeros((d, d), dtype=np.int64)
+                S = np.zeros(d, dtype=np.int64)
+            G += X.T @ X
+            S += X.sum(axis=0)
+            n += X.shape[0]
+        if G is None:
+            return
+        d = G.shape[0]
+        iu, ju = [list(x) for x in zip(*[(a, b) for a in range(d) for b in range(a, d)])]
+        yield pd.DataFrame(
+            {
+                "i": iu,
+                "j": ju,
+                "s": [int(G[a, b]) for a, b in zip(iu, ju)],
+                "si": [int(S[a]) for a in iu],
+                "sj": [int(S[b]) for b in ju],
+                "n": n,
+            }
+        )
+
+    partials = q.mapInPandas(
+        partial_gram, "i int, j int, s long, si long, sj long, n long"
+    )
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("s").alias("s"),
+        F.sum("si").alias("si"),
+        F.sum("sj").alias("sj"),
+        F.sum("n").alias("n"),
+    )
+    sc2 = float(scale) * float(scale)
+    cov = (
+        F.col("s") / F.col("n")
+        - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+    ) / F.lit(sc2)
+    return agg.select("i", "j", F.round(cov, round_dp).alias("cov"))
+
+
+def pca_project(
+    vectors: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Project embeddings onto their top principal components.
+
+    Returns DataFrame(id_col, pc array<double>) with ``n_components``
+    values per row. Eigendecomposition runs driver-side on the exact
+    dim x dim covariance from :func:`embedding_covariance` (bounded
+    state, SURVEY §2 A7); the projection itself is a map-side
+    ``zip_with``/``aggregate`` expression over broadcast-literal
+    component vectors — one scan, zero shuffle, same shape as the
+    k-means assignment pass.
+
+    Sign convention: each component is flipped so its
+    largest-magnitude coordinate is positive (eigenvector sign is
+    otherwise arbitrary). Rows-only contract query (`embedding_pca`):
+    float eigensolves aren't SQL-replayable; invariants are pinned in
+    test_similarity.py instead (orthonormality, variance ordering,
+    centered-data equivalence vs numpy PCA).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(
+        vectors, vec_col=vec_col, scale=scale, round_dp=12
+    ).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:n_components]
+    W = vecs[:, order]  # d x k
+    for c in range(W.shape[1]):
+        if W[np.argmax(np.abs(W[:, c])), c] < 0:
+            W[:, c] = -W[:, c]
+    # mean vector for centering, in original units
+    mean_row = (
+        vectors.select(
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
+        )
+        .select(
+            F.array(
+                *[
+                    F.avg(F.col("_v")[i]).alias(f"m{i}")
+                    for i in range(d)
+                ]
+            ).alias("m")
+        )
+        .collect()
+    )
+    mean = list(mean_row[0]["m"]) if mean_row else [0.0] * d
+
+    comp_lits = F.array(
+        *[
+            F.array(*[F.lit(float(W[i, c])) for i in range(d)])
+            for c in range(W.shape[1])
+        ]
+    )
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.transform(vec_col, lambda x: x.cast("double")),
+        mean_lit,
+        lambda a, b: a - b,
+    )
+    # bind the centered vector FIRST (no CSE inside HOF lambdas — see
+    # shingles_from_tokens), then one dot product per component.
+    out = vectors.select(F.col(id_col), centered.alias("_c"))
+    return out.select(
+        id_col,
+        F.transform(
+            comp_lits,
+            lambda w: F.round(
+                F.aggregate(
+                    F.zip_with(F.col("_c"), w, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        ).alias("pc"),
+    )

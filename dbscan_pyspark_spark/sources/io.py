@@ -217,7 +217,6 @@ def compact_parquet(
     """
     import glob
     import os
-    import shutil
 
     subdirs = [
         d
@@ -239,11 +238,126 @@ def compact_parquet(
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
     tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     out.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(path, tmp)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _swap_into_place(path: str, tmp: str) -> None:
+    """Local-FS two-rename swap: at every instant a complete copy of
+    the table exists under exactly one of (path, path._compact_old,
+    tmp). Crash recovery: if ``path`` is missing, rename the surviving
+    sibling back."""
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "._compact_old"
     if os.path.exists(old):
         shutil.rmtree(old)  # leftover from a previous crashed swap
     os.rename(path.rstrip("/"), old)
     os.rename(tmp, path.rstrip("/"))
     shutil.rmtree(old)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-corpus ingestion: one row per FILE (wholetext), with the
+    file URI as the deterministic document key.
+
+    Returns DataFrame(doc_path string, text string). Line-oriented
+    ``spark.read.text`` has no stable row identity (splits arrive in
+    any order); whole-file rows keyed by ``input_file_name()`` do —
+    the same id discipline as ``read_csv_points``. Downstream ops
+    (fingerprint, dedup, chunking) key on ``doc_path``.
+    """
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("doc_path"),
+            F.col("value").alias("text"),
+        )
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (same pushdown/pruning contract as parquet)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink, overwrite mode."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+) -> None:
+    """Keyed upsert (MERGE) into a parquet snapshot: rows in ``updates``
+    replace existing rows with the same key; new keys append.
+
+    With ``partition_col`` (hive-partitioned table) this is the
+    scale-right incremental shape: only partitions that contain updated
+    keys are read, merged, and rewritten — Spark's dynamic partition
+    overwrite (``partitionOverwriteMode=dynamic``) leaves every other
+    partition untouched, so a 100 TB table with a 1 GB daily delta
+    rewrites ~the delta's partitions, not the table. Without it, the
+    whole snapshot is merged and rewritten through the same
+    temp-and-swap used by ``compact_parquet`` (safe, but O(table) — use
+    partitioning for anything that won't fit a full rewrite).
+
+    ``updates`` must be unique per key (classic MERGE precondition;
+    duplicate update keys would all survive the union). Not a
+    transaction log: concurrent writers need a table format
+    (Delta/Iceberg). Single-writer pipeline checkpointing is the
+    supported pattern — the same discipline the rest of this module
+    documents.
+    """
+    import os
+
+    if not key_cols:
+        raise ValueError("upsert_parquet: key_cols must be non-empty")
+    # remote URIs are assumed to exist (driver-side listing is local-FS)
+    exists = os.path.exists(path) if "://" not in path else True
+
+    if not exists:
+        write_parquet(
+            updates, path,
+            partition_by=[partition_col] if partition_col else None,
+        )
+        return
+
+    if partition_col is not None:
+        current = spark.read.parquet(path)
+        parts = [
+            r[0]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        # partition-pruned read: only affected partitions are scanned
+        affected = current.where(F.col(partition_col).isin(parts))
+        merged = affected.join(
+            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        ).unionByName(updates)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        return
+
+    current = spark.read.parquet(path)
+    merged = current.join(
+        updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    ).unionByName(updates)
+    # full rewrite through temp-and-swap (source never clobbered mid-write)
+    tmp = path.rstrip("/") + "._upsert_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(path, tmp)

@@ -130,3 +130,74 @@ def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
     ).parquet(d)
     with pytest.raises(ValueError, match="hive-partitioned"):
         compact_parquet(spark, d)
+
+
+def test_upsert_parquet_flat(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import upsert_parquet
+
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    upsert_parquet(spark, p, base, key_cols=["id"])          # create
+    upd = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"
+    )
+    upsert_parquet(spark, p, upd, key_cols=["id"])           # merge
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+
+def test_upsert_parquet_partitioned_rewrites_only_touched(spark, tmp_path):
+    import glob
+    import os
+
+    from dbscan_pyspark_spark.sources.io import upsert_parquet
+
+    p = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [(1, "2024-01", "a"), (2, "2024-01", "b"), (3, "2024-02", "c")],
+        "id long, day string, v string",
+    )
+    upsert_parquet(spark, p, base, key_cols=["id"], partition_col="day")
+    untouched = sorted(glob.glob(os.path.join(p, "day=2024-02", "*.parquet")))
+    mtimes = [os.path.getmtime(f) for f in untouched]
+
+    upd = spark.createDataFrame(
+        [(2, "2024-01", "B2"), (9, "2024-01", "z")],
+        "id long, day string, v string",
+    )
+    upsert_parquet(spark, p, upd, key_cols=["id"], partition_col="day")
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (9, "z")}
+    # dynamic overwrite must not have rewritten the 2024-02 partition
+    after = sorted(glob.glob(os.path.join(p, "day=2024-02", "*.parquet")))
+    assert after == untouched
+    assert [os.path.getmtime(f) for f in after] == mtimes
+
+
+def test_read_text_corpus_whole_files(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nsecond line")
+    (d / "b.txt").write_text("another doc")
+    out = {
+        r["doc_path"].rsplit("/", 1)[-1]: r["text"]
+        for r in read_text_corpus(spark, str(d)).collect()
+    }
+    assert out == {
+        "a.txt": "hello world\nsecond line",
+        "b.txt": "another doc",
+    }
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import read_orc, write_orc
+
+    p = str(tmp_path / "orc_tbl")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    write_orc(df, p)
+    got = sorted(map(tuple, read_orc(spark, p).collect()))
+    assert got == [(1, "x"), (2, "y")]

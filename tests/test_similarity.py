@@ -202,3 +202,68 @@ def test_cosine_topk_query_guard(spark):
     )
     with pytest.raises(ValueError, match="ivf_cosine_topk"):
         cosine_topk(big.limit(10), big, k=1)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(50, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, scale=1000).collect()
+    }
+    Q = np.round(X * 1000)
+    C = np.cov(Q.T, bias=True) / 1e6  # population covariance, like the op
+    for (i, j), v in got.items():
+        assert abs(v - C[i, j]) < 1e-6, (i, j)
+    assert len(got) == 5 * 6 // 2  # upper triangle only
+
+
+def test_embedding_covariance_partition_invariant(spark):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.default_rng(12)
+    X = rng.normal(size=(40, 4))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = lambda df: sorted(map(tuple, embedding_covariance(df).collect()))
+    assert sig(a.repartition(1)) == sig(a.repartition(13))
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(13)
+    # anisotropic cloud: variance concentrated on two directions
+    base = rng.normal(size=(80, 2)) * [5.0, 2.0]
+    mix = rng.normal(size=(2, 6)) * 0.1
+    X = base @ np.array([[1, 0, 0, 0, 0, 0], [0, 1, 0, 0, 0, 0]], dtype=float) + rng.normal(size=(80, 6)) * 0.01 + mix[0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, n_components=2).collect()
+    got = np.array([r["pc"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    # numpy reference on the same quantized covariance
+    Q = np.round(X * 1000) / 1000
+    C = np.cov(Q.T, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    W = vecs[:, np.argsort(vals)[::-1][:2]]
+    for c in range(2):
+        if W[np.argmax(np.abs(W[:, c])), c] < 0:
+            W[:, c] = -W[:, c]
+    want = (X - X.mean(axis=0)) @ W
+    assert np.abs(got - want).max() < 2e-2
+    # variance ordering: pc1 captures more than pc2
+    assert got[:, 0].var() > got[:, 1].var()
