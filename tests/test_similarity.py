@@ -164,17 +164,23 @@ def test_tfidf_top_terms_truncation_bounds_candidates(spark):
     assert match == 1
 
 
-def test_cosine_topk_partial_reduction_plan(spark):
-    """The rank exchange sees the mapInPandas-reduced set, not the n x q
-    scored relation: the window's child plan must contain the Arrow
-    local top-k (MapInPandas) below it."""
+def test_cosine_topk_local_reduce_variants_agree(spark):
+    """local_reduce=True routes the scored rows through the Arrow
+    partial top-k (MapInPandas feeding the window); the default JVM
+    window plan (measured faster — see cosine_topk docstring) must not.
+    Both must return identical results."""
     vecs = _make_vectors(n=60, dim=4, seed=7)
     df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).repartition(4)
     queries = df.where(df.vec_id < 2)
-    plan = cosine_topk(df, queries, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
-    win = plan.find("Window")
-    assert win != -1 and "MapInPandas" in plan[win:], "local reduce must feed the window"
+    reduced = cosine_topk(df, queries, k=3, local_reduce=True)
+    plain = cosine_topk(df, queries, k=3)
+    plan_r = reduced._jdf.queryExecution().executedPlan().toString()
+    plan_p = plain._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_r
+    win = plan_r.find("Window")
+    assert win != -1 and "MapInPandas" in plan_r[win:], "local reduce must feed the window"
+    assert "MapInPandas" not in plan_p
+    assert sorted(map(tuple, reduced.collect())) == sorted(map(tuple, plain.collect()))
 
 
 def test_exact_pairs_size_guard(spark):

@@ -256,6 +256,58 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
+
+    # --- deterministic k-means + exact covariance at N_POINTS x 64-d ---
+    # Embedding-shaped synthetic: 8 well-separated integer-grid blobs.
+    from dbscan_pyspark_spark.operators.kmeans import kmeans_quantized
+    from dbscan_pyspark_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    hh = F.abs(F.xxhash64("id"))
+    emb = spark.range(N_POINTS).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                ((hh % 8) * 100).cast("double")  # blob offset dim-0..7
+                * F.when(i < 8, 1.0).otherwise(0.0)
+                + (F.abs(F.xxhash64(F.col("id"), i)) % 41).cast("double")
+                / 10.0
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    km = kmeans_quantized(emb, k=8, n_iter=3, scale=10)
+    n_clusters = km.select("cluster").distinct().count()
+    print(
+        json.dumps(
+            {
+                "stage": "kmeans_1m",
+                "n_vectors": N_POINTS,
+                "dim": 64,
+                "n_iter": 3,
+                "wall_s": round(time.time() - t0, 1),
+                "n_clusters": n_clusters,
+            }
+        ),
+        flush=True,
+    )
+
+    t0 = time.time()
+    n_cells = embedding_covariance(emb, scale=10).count()
+    print(
+        json.dumps(
+            {
+                "stage": "covariance_1m",
+                "n_vectors": N_POINTS,
+                "dim": 64,
+                "wall_s": round(time.time() - t0, 1),
+                "n_cells": n_cells,
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 
