@@ -1867,6 +1867,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_pca"] = embedding_pca
 
+    def events_scd2(spark, sf):
+        from dbscan_pyspark_spark.operators.events import scd2_intervals
+
+        return scd2_intervals(
+            load_table(spark, sf, "events"),
+            key_col="user_id",
+            ts_col="ts",
+            attr_cols=["event_type"],
+            order_cols=("event_id",),
+        )
+
+    q["events_scd2"] = events_scd2
+
+    def nation_pagerank(spark, sf):
+        from dbscan_pyspark_spark.operators.components import pagerank
+
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        s = load_table(spark, sf, "supplier")
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .select(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+        )
+        return pagerank(edges, n_iter=3)
+
+    q["nation_pagerank"] = nation_pagerank
+
+    def events_user_intervals(spark, sf):
+        from dbscan_pyspark_spark.operators.events import merge_intervals
+
+        ev = load_table(spark, sf, "events").select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+        )
+        return merge_intervals(ev, "user_id", "s", "e")
+
+    q["events_user_intervals"] = events_user_intervals
+
+    def fk_integrity(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import integrity_check
+
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        li = load_table(spark, sf, "lineitem")
+        a = integrity_check(o, c, ["o_custkey"], ["c_custkey"]).select(
+            F.lit("orders->customer").alias("relationship"), "*"
+        )
+        b = integrity_check(li, o, ["l_orderkey"], ["o_orderkey"]).select(
+            F.lit("lineitem->orders").alias("relationship"), "*"
+        )
+        return a.unionByName(b)
+
+    q["fk_integrity"] = fk_integrity
+
     return _reorder_for_driver_window(q)
 
 
@@ -2131,6 +2192,55 @@ c{i} AS (
     parts.append(assign(n_iter, f"c{n_iter}"))
     ctes = ",".join(parts)
     return f"WITH {ctes}\nSELECT vec_id, cid AS cluster FROM a{n_iter}"
+
+
+def _pagerank_oracle(
+    edges_sql: str,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """Unrolled-CTE replica of operators.components.pagerank: the same
+    integer micro-unit grid, the same truncating integer divisions —
+    bit-exact across engines (third iterative op with an exact oracle,
+    after DBSCAN and k-means)."""
+    d = damping_pct
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"p0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS p FROM nodes, nn)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst, sum((p.p * {d}) // (100 * o.deg)) AS s
+  FROM e JOIN p{i} p ON e.src = p.node JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""p{i + 1} AS (
+  SELECT n2.node,
+         CAST((({scale} - {scale} * {d} // 100) // nn.n) + coalesce(c.s, 0) AS BIGINT) AS p
+  FROM nodes n2 LEFT JOIN c{i} c ON n2.node = c.dst, nn
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT node, round(p / {float(scale)}, 8) AS pagerank FROM p{n_iter}"
+    )
+
+
+_NATION_EDGES_SQL = """
+SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3438,6 +3548,71 @@ SELECT decile, n_customers,
        round(CAST(revd AS DOUBLE), 4) AS revenue,
        round(CAST(revd AS DOUBLE) / CAST(sum(revd) OVER () AS DOUBLE), 6) AS share
 FROM agg
+""",
+        "nation_pagerank": _pagerank_oracle(_NATION_EDGES_SQL, n_iter=3),
+        "fk_integrity": """
+WITH oc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphans
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+lo AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_orphans
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT 'orders->customer' AS relationship,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+       oc.n_orphans,
+       round(CAST(oc.n_orphans AS DOUBLE) / (SELECT count(*) FROM orders), 6) AS orphan_ratio
+FROM oc
+UNION ALL
+SELECT 'lineitem->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       lo.n_orphans,
+       round(CAST(lo.n_orphans AS DOUBLE) / (SELECT count(*) FROM lineitem), 6)
+FROM lo
+""",
+        "events_user_intervals": """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       min(s) AS island_start, max(e) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM islands GROUP BY user_id, island
+""",
+        "events_scd2": """
+WITH marked AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (SELECT user_id, event_type, ts FROM marked WHERE new_run = 1)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
 """,
         "embedding_covariance": """
 WITH v AS (

@@ -284,3 +284,75 @@ def connected_components(
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Deterministic integer-arithmetic PageRank (fixed iterations).
+
+    All mass lives on an integer micro-unit grid (``scale`` units = 1.0
+    of probability): contributions are ``(p * damping_pct) div
+    (100 * outdeg)`` — exact integer ops, so every engine that runs the
+    same recurrence lands on the same bits, making a fixed-iteration
+    run DuckDB-oracle-able exactly like the quantized k-means
+    (kmeans.py). Simplified recurrence (no dangling-mass
+    redistribution: nodes without out-edges absorb; total mass decays
+    accordingly — documented deviation from the renormalized variant).
+
+    Returns DataFrame(node, pagerank double) with pagerank = p/scale
+    rounded to 8 digits.
+
+    Scale shape: per iteration one join of the rank vector against the
+    edge relation on the src key and one sum-aggregate on dst — both
+    hash-partitioned by node id, the same profile as the star
+    contraction above; the rank vector (|V| rows) is localCheckpointed
+    each round to keep lineage flat. Edge relation is scanned
+    ``n_iter`` times but never mutated.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(None).cast("double").alias("pagerank"))
+    p0 = int(scale) // n
+    base = (int(scale) - int(scale) * damping_pct // 100) // n
+    # NOTE the oracle must mirror this exact base formula:
+    # base = (scale - scale*d//100) // n, all integer ops.
+    p = nodes.select("node", F.lit(p0).cast("long").alias("p"))
+    ed = e.join(outdeg, "src")  # (src, dst, deg) — static across rounds
+    ed = ed.localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(p, ed["src"] == p["node"])
+            .select(
+                "dst",
+                F.expr(f"(p * {damping_pct}) div (100 * deg)").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        p = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0))).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return p.select(
+        "node", F.round(F.col("p") / F.lit(float(scale)), 8).alias("pagerank")
+    )

@@ -297,3 +297,95 @@ def transition_counts(
         "n",
         F.round(F.col("n") / total, 6).alias("share"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    order_cols: tuple[str, ...] = (),
+    dedup_unchanged: bool = True,
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 builder: collapse a change
+    stream into validity intervals.
+
+    Input: one row per observed state (key, ts, attrs…). Output: one
+    row per state RUN — (key, *attrs, valid_from, valid_to, is_current)
+    where ``valid_to`` is the next run's start (exclusive) or null for
+    the current run. With ``dedup_unchanged`` (default), consecutive
+    rows whose ``attr_cols`` are all unchanged extend the run instead
+    of opening a new interval (the classic SCD2 compaction).
+
+    Scale shape: two windows over the same (key × time) ordering — one
+    partitioning, one sort, reused by both the change-detection lag and
+    the interval lead; then a filter. Nothing but the change rows
+    survive to the output.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    if dedup_unchanged:
+        changed = F.lit(False)
+        for c in attr_cols:
+            prev = F.lag(c).over(w)
+            # null-safe inequality: open a new run when the value (or
+            # its null-ness) differs from the previous row's
+            changed = changed | ~F.col(c).eqNullSafe(prev)
+        first = F.lag(ts_col).over(w).isNull()
+        runs = df.withColumn("_new_run", (first | changed).cast("int"))
+        runs = runs.where(F.col("_new_run") == 1)
+    else:
+        runs = df
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    out = runs.select(
+        F.col(key_col),
+        *[F.col(c) for c in attr_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: merge overlapping-or-touching intervals per key.
+
+    Classic cumulative-max formulation: an interval opens a new island
+    iff its start exceeds the running max end of everything before it
+    (within the key, ordered by start then end); the island id is the
+    running count of such openings. Returns
+    DataFrame(key, island, island_start, island_end, n_intervals) —
+    ``island`` is 1-based in first-start order. Touching intervals
+    (start == previous end) merge.
+
+    Scale shape: one exchange on the key for the two stacked windows
+    (same partitioning+ordering, so Spark plans ONE sort), then a
+    partial-aggregatable groupBy on (key, island).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    with_island = df.select(
+        F.col(key_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.sum(new_island)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return with_island.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -519,3 +519,42 @@ def token_entropy_stats(
         "n_distinct",
         entropy.alias("entropy"),
     )
+
+
+def integrity_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: list[str],
+    parent_keys: list[str] | None = None,
+) -> DataFrame:
+    """Referential-integrity audit: how many child rows point at a
+    parent key that does not exist (the batch data-quality gate every
+    ingest pipeline runs before publishing a snapshot).
+
+    Returns a single row: (n_child, n_orphans, orphan_ratio) —
+    orphan_ratio rounded to 6 digits. Null child keys count as orphans
+    (they reference nothing).
+
+    Scale shape: a left-anti join on the key (Catalyst picks broadcast
+    when the parent's key projection is small — the usual case for
+    dimension parents) plus one count; the child is scanned once, only
+    key columns move.
+    """
+    parent_keys = parent_keys or child_keys
+    if len(child_keys) != len(parent_keys):
+        raise ValueError("child_keys and parent_keys must align")
+    pk = parent.select(
+        *[F.col(p).alias(c) for c, p in zip(child_keys, parent_keys)]
+    ).distinct()
+    ck = child.select(*child_keys)
+    orphans = ck.join(pk, on=child_keys, how="left_anti")
+    totals = ck.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    return totals.select(
+        "n_child",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias(
+            "orphan_ratio"
+        ),
+    )

@@ -112,9 +112,12 @@ def streaming_user_ewma(
                 {user_col: [key[0]], "n_events": [n], "ewma": [float(ew)]}
             )
 
+    # derive the key column's type so string/int user ids work (same
+    # generality fix as streaming_funnel)
+    user_dtype = dict(events.dtypes)[user_col]
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
-        outputStructType=f"{user_col} long, n_events long, ewma double",
+        outputStructType=f"{user_col} {user_dtype}, n_events long, ewma double",
         stateStructType="n long, ewma double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -282,3 +285,53 @@ def streaming_enriched(
     if dim_cols is not None:
         dim = dim.select(on, *dim_cols)
     return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def streaming_materialized_agg(
+    agg_stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+):
+    """Incrementally-maintained materialized aggregate: keep a parquet
+    snapshot of a streaming aggregation continuously up to date.
+
+    ``agg_stream`` is any streaming aggregation (e.g.
+    ``streaming_tumbling_agg``) whose grouping keys are ``key_cols``.
+    Run in UPDATE output mode, each micro-batch emits the NEW TOTALS of
+    only the groups that changed — so the sink is a plain keyed
+    upsert (:func:`~dbscan_pyspark_spark.sources.io.upsert_parquet`),
+    no read-modify-add: replayed batches rewrite the same keys with the
+    same values (idempotent, same discipline as the streaming near-dup
+    filter's signature store). Downstream readers see a plain parquet
+    table — the lakehouse "materialized view" pattern without a table
+    format.
+
+    Returns the started StreamingQuery. With ``partition_col`` the
+    snapshot is hive-partitioned and each micro-batch rewrites only the
+    partitions it touches (dynamic partition overwrite) — at 100 TB of
+    history and a day-partitioned snapshot, a micro-batch costs the
+    day's partition, not the table.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from dbscan_pyspark_spark.sources.io import upsert_parquet
+
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key_cols=key_cols,
+            partition_col=partition_col,
+        )
+
+    return (
+        agg_stream.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

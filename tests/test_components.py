@@ -95,3 +95,62 @@ def test_hybrid_early_exit_matches_other_strategies(spark):
             for r in connected_components(edf, driver_threshold=thr).collect()
         }
         assert got == baseline, f"hybrid threshold={thr}"
+
+
+def _pr_reference(edges, n_iter, d=85, scale=10**12):
+    from collections import Counter
+
+    E = sorted(set(edges))
+    nodes = sorted({u for e in E for u in e})
+    deg = Counter(u for u, _ in E)
+    n = len(nodes)
+    p = {v: scale // n for v in nodes}
+    base = (scale - scale * d // 100) // n
+    for _ in range(n_iter):
+        s = {v: 0 for v in nodes}
+        for u, w in E:
+            s[w] += (p[u] * d) // (100 * deg[u])
+        p = {v: base + s[v] for v in nodes}
+    return {v: round(p[v] / scale, 8) for v in nodes}
+
+
+def test_pagerank_matches_python_reference(spark):
+    import random
+
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pagerank"] for r in pagerank(df, n_iter=3).collect()}
+    assert got == _pr_reference(edges, 3)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    # every node points at 0; 0 points at 1
+    edges = [(i, 0) for i in range(1, 10)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["pagerank"] for r in pagerank(df, n_iter=4).collect()}
+    # node 1 receives the hub's whole damped mass each round -> highest;
+    # the hub (fed by 9 leaves) comes second; leaves trail
+    assert max(out, key=out.get) == 1
+    assert out[0] > out[2]
+
+
+def test_pagerank_deterministic_and_mass_bounded(spark):
+    import random
+
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    rng = random.Random(9)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df, n_iter=3).collect()))
+    b = sorted(map(tuple, pagerank(df, n_iter=3).collect()))
+    assert a == b
+    total = sum(p for _, p in a)
+    # truncating integer ops + dangling absorption only ever LOSE mass
+    # (tolerance: per-node 8-digit output rounding can add ~5e-9 each)
+    assert 0 < total <= 1.0 + 5e-9 * len(a)

@@ -214,3 +214,100 @@ def test_transition_counts_ties_break_on_event_id(spark):
     )
     out = transition_counts(df).collect()
     assert [(r["prev_type"], r["next_type"]) for r in out] == [("a", "b")]
+
+
+def test_scd2_intervals_basic(spark):
+    import datetime as dt
+
+    from dbscan_pyspark_spark.operators.events import scd2_intervals
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        (1, t(0), 1, "bronze"), (2, t(10), 1, "bronze"),  # unchanged repeat
+        (3, t(20), 1, "gold"), (4, t(30), 1, "bronze"),   # back-and-forth
+        (5, t(0), 2, "silver"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, tier string"
+    )
+    out = sorted(
+        scd2_intervals(
+            df, "user_id", "ts", ["tier"], order_cols=("event_id",)
+        ).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    assert [(r["user_id"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"]) for r in out] == [
+        (1, "bronze", t(0), t(20), False),
+        (1, "gold", t(20), t(30), False),
+        (1, "bronze", t(30), None, True),
+        (2, "silver", t(0), None, True),
+    ]
+
+
+def test_scd2_intervals_null_attr_runs(spark):
+    import datetime as dt
+
+    from dbscan_pyspark_spark.operators.events import scd2_intervals
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        (1, t(0), 1, None), (2, t(10), 1, None),   # null run extends
+        (3, t(20), 1, "a"), (4, t(30), 1, None),   # null is a new state
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, tier string"
+    )
+    out = sorted(
+        scd2_intervals(
+            df, "user_id", "ts", ["tier"], order_cols=("event_id",)
+        ).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [(r["tier"], r["valid_from"]) for r in out] == [
+        (None, t(0)), ("a", t(20)), (None, t(30))
+    ]
+
+
+def test_scd2_no_dedup_keeps_every_row(spark):
+    import datetime as dt
+
+    from dbscan_pyspark_spark.operators.events import scd2_intervals
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    df = spark.createDataFrame(
+        [(1, t(0), 1, "x"), (2, t(10), 1, "x")],
+        "event_id long, ts timestamp, user_id long, tier string",
+    )
+    out = scd2_intervals(
+        df, "user_id", "ts", ["tier"], order_cols=("event_id",),
+        dedup_unchanged=False,
+    ).collect()
+    assert len(out) == 2
+
+
+def test_merge_intervals_gaps_and_islands(spark):
+    import datetime as dt
+
+    from dbscan_pyspark_spark.operators.events import merge_intervals
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(minutes=s)
+    rows = [
+        # user 1: [0,10] + [5,15] overlap; [15,20] touches -> one island;
+        # [30,40] separate
+        (1, t(0), t(10)), (1, t(5), t(15)), (1, t(15), t(20)), (1, t(30), t(40)),
+        # user 2: nested interval [0,60] ⊃ [10,20] -> one island
+        (2, t(0), t(60)), (2, t(10), t(20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s timestamp, e timestamp")
+    out = sorted(
+        merge_intervals(df, "user_id", "s", "e").collect(),
+        key=lambda r: (r["user_id"], r["island"]),
+    )
+    assert [
+        (r["user_id"], r["island"], r["island_start"], r["island_end"], r["n_intervals"])
+        for r in out
+    ] == [
+        (1, 1, t(0), t(20), 3),
+        (1, 2, t(30), t(40), 1),
+        (2, 1, t(0), t(60), 2),
+    ]

@@ -375,3 +375,25 @@ def test_token_entropy_uniform_vs_repetitive(spark):
     assert abs(out[1]["entropy"] - math.log(4)) < 1e-5
     assert out[2]["entropy"] == 0.0 and out[2]["n_distinct"] == 1
     assert abs(out[3]["entropy"] - math.log(2)) < 1e-5
+
+
+def test_integrity_check_counts_orphans_and_nulls(spark):
+    from dbscan_pyspark_spark.operators.pipeline import integrity_check
+
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "orphan"), (None, "nullkey")],
+        "fk long, v string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = integrity_check(child, parent, ["fk"], ["pk"]).first()
+    assert (row["n_child"], row["n_orphans"]) == (4, 2)
+    assert row["orphan_ratio"] == 0.5
+
+
+def test_integrity_check_clean(spark):
+    from dbscan_pyspark_spark.operators.pipeline import integrity_check
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "fk long")
+    row = integrity_check(child, parent, ["fk"]).first()
+    assert (row["n_orphans"], row["orphan_ratio"]) == (0, 0.0)

@@ -244,3 +244,36 @@ def test_streaming_enriched_inner_drops_unmatched(spark, stream_dir):
     q.awaitTermination(120)
     ids = {r["event_id"] for r in spark.sql("SELECT * FROM t_enrich_inner").collect()}
     assert ids == {1, 2, 3}
+
+
+def test_streaming_materialized_agg_matches_batch(spark, stream_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.events import (
+        read_event_stream,
+        streaming_materialized_agg,
+        streaming_tumbling_agg,
+    )
+
+    snap = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = streaming_materialized_agg(
+        streaming_tumbling_agg(stream, "1 hour", "2 hours"),
+        snap,
+        key_cols=["window_start"],
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(snap).collect()
+    }
+    batch_df = spark.read.json(stream_dir).withColumn("ts", F.to_timestamp("ts"))
+    from dbscan_pyspark_spark.operators.events import tumbling_agg
+
+    want = {
+        (r["window_start"], r["n_events"], float(r["sum_value"]))
+        for r in tumbling_agg(batch_df, "1 hour").collect()
+    }
+    assert got == want
