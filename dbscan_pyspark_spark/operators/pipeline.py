@@ -558,3 +558,66 @@ def integrity_check(
             "orphan_ratio"
         ),
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    max_repetition: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style composite corpus filter: the keep/reject decision every
+    pretraining pipeline runs, composed from this repo's quality
+    primitives with a FIRST-FAILING-RULE reason label.
+
+    Rule order (fixed, so the reason is deterministic):
+    ``too_short`` (token count) → ``low_quality`` (quality_score) →
+    ``repetitive`` (repeated-3-gram ratio on normalized tokens) →
+    ``duplicate`` (exact-dup loser: lowest id per fingerprint wins) →
+    ``kept``. Returns DataFrame(id, n_tokens, quality, rep_ratio,
+    keep boolean, reason).
+
+    Scale shape: all signals are projections over one scan; the only
+    exchange is the fingerprint window for the dup rule (16-byte key).
+    """
+    from pyspark.sql import Window
+
+    from dbscan_pyspark_spark.functions.text import (
+        fingerprint,
+        normalized,
+        quality_score,
+        repetition_ratio,
+        token_count,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+        F.split(normalized(text_col), " ").alias("_toks"),
+        fingerprint(text_col).alias("_fp"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "quality",
+        F.round(repetition_ratio("_toks", 3), 6).alias("rep_ratio"),
+        "_fp",
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    marked = base.withColumn("_dup", F.row_number().over(w) > 1)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .when(F.col("rep_ratio") > max_repetition, "repetitive")
+        .when(F.col("_dup"), "duplicate")
+        .otherwise("kept")
+    )
+    return marked.select(
+        id_col,
+        "n_tokens",
+        "quality",
+        "rep_ratio",
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "kept")

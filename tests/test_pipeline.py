@@ -397,3 +397,23 @@ def test_integrity_check_clean(spark):
     parent = spark.createDataFrame([(1,), (2,)], "fk long")
     row = integrity_check(child, parent, ["fk"]).first()
     assert (row["n_orphans"], row["orphan_ratio"]) == (0, 0.0)
+
+
+def test_corpus_filter_reasons_first_failing_rule(spark):
+    from dbscan_pyspark_spark.operators.pipeline import corpus_filter
+
+    long_good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    rows = [
+        (1, "tiny doc"),                               # too_short
+        (2, long_good),                                # kept
+        (3, long_good),                                # duplicate of 2
+        (4, " ".join(["spam ham"] * 30)),              # repetitive
+        (5, " ".join(["!!", "##", "$$", "%%"] * 3)),   # low quality (punct)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_filter(df, min_tokens=10).collect()}
+    assert out[1]["reason"] == "too_short" and not out[1]["keep"]
+    assert out[2]["reason"] == "kept" and out[2]["keep"]
+    assert out[3]["reason"] == "duplicate"
+    assert out[4]["reason"] == "repetitive"
+    assert out[5]["reason"] == "low_quality"
