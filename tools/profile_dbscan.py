@@ -69,10 +69,8 @@ def main() -> None:
     n_raw = raw.count()
     mark(f"pairs->edges->raw.count cascade ({n_raw} edges)")
 
-    labels = _driver_union_find(raw, "id")
+    lab = _driver_union_find(raw, "id")  # returns pandas since round 2
     mark("union-find (toPandas+solve)")
-
-    lab = labels.toPandas()
     mult = reps.select("id", "_mult").toPandas()
     m = lab.merge(mult, on="id", how="left")
     mass = m.groupby("component")["_mult"].transform("sum")
