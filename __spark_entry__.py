@@ -1940,6 +1940,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_corpus_filter"] = doc_corpus_filter
 
+    def clean_corpus_splits(spark, sf):
+        # end-to-end pipeline composition: filter -> deterministic split
+        # -> per-split volume accounting, one DAG
+        from dbscan_pyspark_spark.operators.pipeline import (
+            corpus_filter,
+            hash_split,
+        )
+
+        kept = (
+            corpus_filter(
+                load_table(spark, sf, "documents"),
+                min_tokens=25,
+                min_quality=0.9,
+                max_repetition=0.05,
+            )
+            .where("keep")
+            .select("doc_id", "n_tokens")
+        )
+        split = hash_split(kept, splits=[("train", 8), ("val", 1), ("test", 1)])
+        return split.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+
+    q["clean_corpus_splits"] = clean_corpus_splits
+
+    def events_first_touch(spark, sf):
+        # first-touch attribution: credit each user's first purchase to
+        # the user's FIRST event type observed before (or at) it
+        ev = load_table(spark, sf, "events")
+        buys = ev.where(F.col("event_type") == "purchase").groupBy(
+            "user_id"
+        ).agg(
+            F.min("ts").alias("_buy_ts")
+        )
+        first_touch = (
+            ev.join(buys, "user_id")
+            .where(F.col("ts") <= F.col("_buy_ts"))
+            .groupBy("user_id")
+            .agg(
+                F.min_by(
+                    "event_type", F.struct(F.col("ts"), F.col("event_id"))
+                ).alias("channel")
+            )
+        )
+        return first_touch.groupBy("channel").agg(
+            F.count(F.lit(1)).alias("n_conversions")
+        )
+
+    q["events_first_touch"] = events_first_touch
+
     return _reorder_for_driver_window(q)
 
 
@@ -2156,6 +2207,61 @@ row{s} AS (
         + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+_CORPUS_FILTER_CTES = f"""s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct,
+         md5({_NORM}) AS fp
+  FROM documents
+),
+qual AS (
+  SELECT doc_id, n_tokens, fp,
+         round((
+             (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0
+                   WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) >= 3.0
+                    AND (CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) <= 12.0
+                   THEN 1.0 ELSE 0.5 END)
+           + (1.0 - CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+         ) / 3.0, 4) AS quality
+  FROM s
+),
+norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+tot AS (SELECT doc_id, greatest(len(t) - 2, 0) AS total FROM toks),
+sh AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+ds AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
+rep AS (
+  SELECT tot.doc_id,
+         CASE WHEN tot.total <= 0 THEN 0.0
+              ELSE round(1 - coalesce(ds.n_distinct, 0) / CAST(tot.total AS DOUBLE), 6)
+         END AS rep_ratio
+  FROM tot LEFT JOIN ds ON tot.doc_id = ds.doc_id
+),
+dup AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_dup
+  FROM s
+),
+labeled AS (
+  SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality,
+         r.rep_ratio,
+         CASE WHEN q.n_tokens < 25 THEN 'too_short'
+              WHEN q.quality < 0.9 THEN 'low_quality'
+              WHEN r.rep_ratio > 0.05 THEN 'repetitive'
+              WHEN d.is_dup THEN 'duplicate'
+              ELSE 'kept' END AS reason
+  FROM qual q
+  JOIN rep r ON q.doc_id = r.doc_id
+  JOIN dup d ON q.doc_id = d.doc_id
+)"""
 
 
 def _kmeans_oracle(
@@ -3570,60 +3676,37 @@ SELECT decile, n_customers,
 FROM agg
 """,
         "nation_pagerank": _pagerank_oracle(_NATION_EDGES_SQL, n_iter=3),
-        "doc_corpus_filter": f"""
-WITH s AS (
-  SELECT doc_id,
-         length(text) AS n_chars,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS punct,
-         md5({_NORM}) AS fp
-  FROM documents
-),
-qual AS (
-  SELECT doc_id, n_tokens, fp,
-         round((
-             (CASE WHEN n_chars >= 100 AND n_chars <= 2000 THEN 1.0
-                   WHEN n_chars >= 30 THEN 0.5 ELSE 0.0 END)
-           + (CASE WHEN (CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) >= 3.0
-                    AND (CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) <= 12.0
-                   THEN 1.0 ELSE 0.5 END)
-           + (1.0 - CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
-         ) / 3.0, 4) AS quality
-  FROM s
-),
-norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
-toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
-tot AS (SELECT doc_id, greatest(len(t) - 2, 0) AS total FROM toks),
-sh AS (
-    SELECT DISTINCT doc_id,
-           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-    FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
-),
-ds AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
-rep AS (
-  SELECT tot.doc_id,
-         CASE WHEN tot.total <= 0 THEN 0.0
-              ELSE round(1 - coalesce(ds.n_distinct, 0) / CAST(tot.total AS DOUBLE), 6)
-         END AS rep_ratio
-  FROM tot LEFT JOIN ds ON tot.doc_id = ds.doc_id
-),
-dup AS (
-  SELECT doc_id,
-         row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS is_dup
-  FROM s
-),
-labeled AS (
-  SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens, q.quality,
-         r.rep_ratio,
-         CASE WHEN q.n_tokens < 25 THEN 'too_short'
-              WHEN q.quality < 0.9 THEN 'low_quality'
-              WHEN r.rep_ratio > 0.05 THEN 'repetitive'
-              WHEN d.is_dup THEN 'duplicate'
-              ELSE 'kept' END AS reason
-  FROM qual q
-  JOIN rep r ON q.doc_id = r.doc_id
-  JOIN dup d ON q.doc_id = d.doc_id
+        "clean_corpus_splits": f"""
+WITH {_CORPUS_FILTER_CTES},
+kept AS (SELECT doc_id, n_tokens FROM labeled WHERE reason = 'kept'),
+sp AS (
+  SELECT doc_id, n_tokens,
+         CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS b
+  FROM kept
 )
+SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM sp GROUP BY 1
+""",
+        "events_first_touch": """
+WITH buys AS (
+  SELECT user_id, min(ts) AS buy_ts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+),
+ft AS (
+  SELECT user_id, event_type AS channel FROM (
+    SELECT e.user_id, e.event_type,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN buys b ON e.user_id = b.user_id AND e.ts <= b.buy_ts
+  ) WHERE rn = 1
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions
+FROM ft GROUP BY channel
+""",
+        "doc_corpus_filter": f"""
+WITH {_CORPUS_FILTER_CTES}
 SELECT doc_id, n_tokens, quality, rep_ratio, reason,
        reason = 'kept' AS keep
 FROM labeled

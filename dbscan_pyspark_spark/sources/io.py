@@ -361,3 +361,40 @@ def upsert_parquet(
     tmp = path.rstrip("/") + "._upsert_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     _swap_into_place(path, tmp)
+
+
+def read_json_robust(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON source with bad-record quarantine: returns (good, bad).
+
+    At 100 TB of crawled JSON there WILL be malformed lines; failing the
+    job (mode=FAILFAST) or silently dropping them (DROPMALFORMED) are
+    both wrong for a pipeline that must account for every input byte.
+    PERMISSIVE mode parses what it can and lands the raw text of every
+    unparseable line in ``corrupt_col``; this wrapper splits the two.
+
+    The input is persisted before splitting: Spark refuses (or, with a
+    relaxed flag, misbehaves on) queries that filter the corrupt column
+    of a freshly-scanned relation, because the parser only populates it
+    while parsing the same pass — caching materializes one consistent
+    parse for both sides. Call ``unpersist()`` on either returned frame
+    when done.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if corrupt_col not in [f.name for f in schema.fields]:
+        schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .persist()
+    )
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

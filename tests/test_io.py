@@ -201,3 +201,23 @@ def test_orc_roundtrip(spark, tmp_path):
     write_orc(df, p)
     got = sorted(map(tuple, read_orc(spark, p).collect()))
     assert got == [(1, "x"), (2, "y")]
+
+
+def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import read_json_robust
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "NOT_A_NUMBER", "v": "type mismatch"}\n'
+    )
+    good, bad = read_json_robust(spark, str(p), "id long, v string")
+    assert {(r["id"], r["v"]) for r in good.collect()} == {
+        (1, "ok"), (2, "also ok")
+    }
+    bad_rows = [r[0] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert "not json" in bad_rows[0] or "not json" in bad_rows[1]

@@ -235,3 +235,59 @@ def test_k_distance_matches_bruteforce(spark, pts, k):
             (abs(xi - xj) + abs(yi - yj), j) for j, (xj, yj) in enumerate(pts)
         )
         assert got[i] == float(dists[k - 1][0]), (i, k)
+
+
+def _python_merge(intervals):
+    """Brute-force island merge for one key: sort, sweep."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_intervals_matches_sweep(spark, iv):
+    from dbscan_pyspark_spark.operators.events import merge_intervals
+
+    rows = [(1, s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = sorted(
+        (r["island_start"], r["island_end"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert got == _python_merge([(s, s + d) for s, d in iv])
+
+
+@given(
+    states=st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=30)
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_scd2_runs_match_python(spark, states):
+    from dbscan_pyspark_spark.operators.events import scd2_intervals
+
+    rows = [(i, i, 1, s) for i, s in enumerate(states)]
+    df = spark.createDataFrame(rows, "event_id long, ts long, k long, attr string")
+    out = sorted(
+        scd2_intervals(df, "k", "ts", ["attr"], order_cols=("event_id",)).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    # python reference: run-length compress, intervals chain
+    runs = []
+    for i, s in enumerate(states):
+        if not runs or runs[-1][1] != s:
+            runs.append((i, s))
+    want = [
+        (s, t, runs[j + 1][0] if j + 1 < len(runs) else None)
+        for j, (t, s) in enumerate(runs)
+    ]
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in out] == want

@@ -294,6 +294,31 @@ def main() -> None:
         flush=True,
     )
 
+    # --- PageRank on the CC stress graph shape (directed) ---
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    pr_nodes = max(N_POINTS, 1_000_000)
+    pr_edges = spark.range(pr_nodes * 2).select(
+        (F.col("id") % pr_nodes).alias("src"),
+        (F.abs(F.xxhash64("id", F.lit(7))) % pr_nodes).alias("dst"),
+    )
+    t0 = time.time()
+    pr = pagerank(pr_edges, n_iter=3)
+    top = pr.orderBy(F.col("pagerank").desc()).limit(3).collect()
+    print(
+        json.dumps(
+            {
+                "stage": "pagerank",
+                "n_nodes": pr_nodes,
+                "n_edges": pr_nodes * 2,
+                "n_iter": 3,
+                "wall_s": round(time.time() - t0, 1),
+                "top_rank": round(top[0]["pagerank"], 8) if top else None,
+            }
+        ),
+        flush=True,
+    )
+
     t0 = time.time()
     n_cells = embedding_covariance(emb, scale=10).count()
     print(
