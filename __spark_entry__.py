@@ -1991,6 +1991,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_first_touch"] = events_first_touch
 
+    def customer_rfm_segments(spark, sf):
+        # classic RFM: quartile-code each customer on recency /
+        # frequency / monetary, count customers per segment code
+        o = load_table(spark, sf, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum(_dec("o_totalprice")).alias("_spend"),
+        )
+        r = F.ntile(4).over(
+            Window.orderBy(F.col("_last").desc(), F.col("o_custkey"))
+        )
+        fq = F.ntile(4).over(
+            Window.orderBy(F.col("_freq").desc(), F.col("o_custkey"))
+        )
+        mo = F.ntile(4).over(
+            Window.orderBy(F.col("_spend").desc(), F.col("o_custkey"))
+        )
+        coded = per_cust.select(
+            F.concat(
+                F.lit("R"), r.cast("string"),
+                F.lit("F"), fq.cast("string"),
+                F.lit("M"), mo.cast("string"),
+            ).alias("segment")
+        )
+        return coded.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n_customers")
+        )
+
+    q["customer_rfm_segments"] = customer_rfm_segments
+
     return _reorder_for_driver_window(q)
 
 
@@ -3689,6 +3720,22 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS spl
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM sp GROUP BY 1
+""",
+        "customer_rfm_segments": """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS freq,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+coded AS (
+  SELECT 'R' || CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
+      || 'F' || CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS VARCHAR)
+      || 'M' || CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS VARCHAR)
+      AS segment
+  FROM per_cust
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
+FROM coded GROUP BY segment
 """,
         "events_first_touch": """
 WITH buys AS (

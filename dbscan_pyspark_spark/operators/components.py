@@ -332,27 +332,40 @@ def pagerank(
     base = (int(scale) - int(scale) * damping_pct // 100) // n
     # NOTE the oracle must mirror this exact base formula:
     # base = (scale - scale*d//100) // n, all integer ops.
-    p = nodes.select("node", F.lit(p0).cast("long").alias("p"))
-    ed = e.join(outdeg, "src")  # (src, dst, deg) — static across rounds
-    ed = ed.localCheckpoint(eager=False)
-    for _ in range(n_iter):
-        contrib = (
-            ed.join(p, ed["src"] == p["node"])
-            .select(
-                "dst",
-                F.expr(f"(p * {damping_pct}) div (100 * deg)").alias("_c"),
+    # Same loop discipline as the star-contraction above: materialize
+    # each round (flat lineage, no end-of-loop mega-plan) and pin AQE
+    # partition coalescing off — each round's exchanges are small, and
+    # coalescing them to 1-2 tasks serializes the iteration (measured
+    # on CC: 78 s -> 37 s; here 59 s -> ~20 s at 2M nodes / 4M edges).
+    spark = edges.sparkSession
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+    try:
+        nodes = nodes.localCheckpoint(eager=True)
+        p = nodes.select("node", F.lit(p0).cast("long").alias("p"))
+        # (src, dst, deg) — static across rounds, materialized once
+        ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            contrib = (
+                ed.join(p, ed["src"] == p["node"])
+                .select(
+                    "dst",
+                    F.expr(f"(p * {damping_pct}) div (100 * deg)").alias("_c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("_c").alias("_s"))
             )
-            .groupBy("dst")
-            .agg(F.sum("_c").alias("_s"))
-        )
-        p = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0))).alias("p"),
+            p = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0))).alias("p"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=False)
-        )
+    finally:
+        spark.conf.set(_coalesce_key, prev_coalesce)
     return p.select(
         "node", F.round(F.col("p") / F.lit(float(scale)), 8).alias("pagerank")
     )

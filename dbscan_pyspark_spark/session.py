@@ -26,6 +26,14 @@ _SQL_CONF = {
     # multi-stage pipelines whose shuffles are far below 64 MB.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter join pruning (SPARK-32268): when a selective
+    # dim-side filter feeds a shuffle join, inject a bloom filter of the
+    # build-side keys into the fact scan so non-joining rows die at the
+    # scan instead of crossing the exchange — at 100 TB this is the
+    # difference between shuffling the table and shuffling the match.
+    # Pinned on explicitly (default varies by version); thresholds stay
+    # Spark defaults, which local tests override to exercise the path.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for any pandas_udf / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast small dims aggressively (all TPC-H dims fit).

@@ -193,3 +193,40 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == ev.where(F.col("event_type") == "error").count()
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, tmp_path):
+    """A selective dim filter on a shuffle join injects a runtime bloom
+    filter (might_contain) on the fact side — the SPARK-32268 pruning
+    session.py pins on. Thresholds are lowered to exercise the path on
+    test-sized parquet; production keeps Spark defaults."""
+    from pyspark.sql import functions as F
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(50_000).select(
+        F.col("id").alias("fk"), (F.col("id") % 97).alias("v")
+    ).write.mode("overwrite").parquet(fact_p)
+    spark.range(5_000).select(
+        F.col("id").alias("pk"), (F.col("id") % 7).alias("cat")
+    ).write.mode("overwrite").parquet(dim_p)
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).where(F.col("cat") == 3)
+        joined = fact.join(dim, fact["fk"] == dim["pk"])
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and the result is still correct
+        assert joined.count() == 5_000 // 7 + (1 if 3 < 5000 % 7 else 0)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -277,3 +277,66 @@ def test_streaming_materialized_agg_matches_batch(spark, stream_dir, tmp_path):
         for r in tumbling_agg(batch_df, "1 hour").collect()
     }
     assert got == want
+
+
+def test_streaming_materialized_agg_restart_is_idempotent(spark, stream_dir, tmp_path):
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.events import tumbling_agg
+    from dbscan_pyspark_spark.streaming.events import (
+        read_event_stream,
+        streaming_materialized_agg,
+        streaming_tumbling_agg,
+    )
+
+    snap = str(tmp_path / "mv2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def run_once():
+        stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = streaming_materialized_agg(
+            streaming_tumbling_agg(stream, "1 hour", "2 hours"),
+            snap,
+            key_cols=["window_start"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = sorted(
+        (r["window_start"], r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(snap).collect()
+    )
+    # restart against the same checkpoint: no new input -> no change;
+    # then a NEW file arrives and only its windows are upserted
+    run_once()
+    assert sorted(
+        (r["window_start"], r["n_events"], float(r["sum_value"]))
+        for r in spark.read.parquet(snap).collect()
+    ) == first
+
+    extra = {"event_id": 99, "ts": "2024-01-01T02:30:00.000Z",
+             "user_id": 30, "event_type": "click", "value": 7.0, "props": "{}"}
+    path = os.path.join(stream_dir, "part3.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(extra) + "\n")
+    try:
+        run_once()
+        got = sorted(
+            (r["window_start"], r["n_events"], float(r["sum_value"]))
+            for r in spark.read.parquet(snap).collect()
+        )
+        batch_df = spark.read.json(stream_dir).withColumn(
+            "ts", F.to_timestamp("ts")
+        )
+        want = sorted(
+            (r["window_start"], r["n_events"], float(r["sum_value"]))
+            for r in tumbling_agg(batch_df, "1 hour").collect()
+        )
+        assert got == want
+    finally:
+        os.remove(path)  # stream_dir is module-scoped; leave it clean
