@@ -2022,6 +2022,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["customer_rfm_segments"] = customer_rfm_segments
 
+    def customer_revenue_percentile(spark, sf):
+        # exact percentile rank (cume_dist) of each customer's revenue,
+        # bucketed to a compact relation: top-decile flag + percentile
+        o = load_table(spark, sf, "orders")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.sum(_dec("o_totalprice")).alias("_rev")
+        )
+        cd = F.cume_dist().over(
+            Window.orderBy(F.col("_rev"), F.col("o_custkey"))
+        )
+        return per_cust.select(
+            "o_custkey",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.round(cd, 6).alias("pct_rank"),
+        )
+
+    q["customer_revenue_percentile"] = customer_revenue_percentile
+
+    def events_rolling_active_users(spark, sf):
+        # 7-day rolling distinct actives per day: day-grain distinct
+        # relation first (bounds every operand by users x days), then a
+        # bounded range self-join re-counts the window exactly —
+        # rolling COUNT DISTINCT is not window-able, this is the
+        # standard exact formulation
+        ev = load_table(spark, sf, "events")
+        du = ev.select(
+            F.col("user_id"), F.to_date("ts").alias("_day")
+        ).distinct()
+        days = du.select("_day").distinct().alias("d")
+        dj = days.join(
+            du.alias("u"),
+            (F.col("u._day") <= F.col("d._day"))
+            & (F.col("u._day") >= F.date_sub(F.col("d._day"), 6)),
+        )
+        return dj.groupBy(F.col("d._day").alias("day")).agg(
+            F.count_distinct("u.user_id").alias("wau")
+        )
+
+    q["events_rolling_active_users"] = events_rolling_active_users
+
+    def nation_supplier_hhi(spark, sf):
+        # Herfindahl-Hirschman concentration of supplier revenue within
+        # each nation — exact decimal shares, rounded once at the end
+        li = load_table(spark, sf, "lineitem")
+        s = load_table(spark, sf, "supplier")
+        rev = (
+            li.join(s, li["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_nationkey", "s_suppkey")
+            .agg(
+                F.sum(
+                    _dec("l_extendedprice") * (1 - _dec("l_discount"))
+                ).alias("_rev")
+            )
+        )
+        tot = Window.partitionBy("s_nationkey")
+        share = F.col("_rev").cast("double") / F.sum("_rev").over(tot).cast(
+            "double"
+        )
+        return (
+            rev.select("s_nationkey", (share * share).alias("_sq"))
+            .groupBy("s_nationkey")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("_sq") * 1e12, 0).cast("long")
+                    ) / F.lit(1e12),
+                    6,
+                ).alias("hhi")
+            )
+        )
+
+    q["nation_supplier_hhi"] = nation_supplier_hhi
+
     return _reorder_for_driver_window(q)
 
 
@@ -2065,7 +2138,9 @@ _FLAGSHIP_FIRST = [
     "doc_corpus_filter", "events_scd2", "events_user_intervals",
     "fk_integrity", "doc_chunk_dedup", "doc_token_entropy",
     "events_transitions", "revenue_concentration", "dedup_cluster_sizes",
-    "embedding_pca",
+    "embedding_pca", "clean_corpus_splits", "events_first_touch",
+    "customer_rfm_segments", "customer_revenue_percentile",
+    "events_rolling_active_users", "nation_supplier_hhi",
 ]
 
 
@@ -3720,6 +3795,40 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS spl
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM sp GROUP BY 1
+""",
+        "customer_revenue_percentile": """
+WITH per_cust AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, round(CAST(rev AS DOUBLE), 4) AS revenue,
+       round(cume_dist() OVER (ORDER BY rev, o_custkey), 6) AS pct_rank
+FROM per_cust
+""",
+        "events_rolling_active_users": """
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN du u ON u.day <= d.day AND u.day >= d.day - 6
+GROUP BY d.day
+""",
+        "nation_supplier_hhi": """
+WITH rev AS (
+  SELECT s_nationkey, s_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, s_suppkey
+),
+sq AS (
+  SELECT s_nationkey,
+         CAST(rev AS DOUBLE)
+           / CAST(sum(rev) OVER (PARTITION BY s_nationkey) AS DOUBLE) AS sh
+  FROM rev
+)
+SELECT s_nationkey,
+       round(sum(CAST(round(sh * sh * 1e12) AS BIGINT)) / 1e12, 6) AS hhi
+FROM sq GROUP BY s_nationkey
 """,
         "customer_rfm_segments": """
 WITH per_cust AS (
