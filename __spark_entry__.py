@@ -2095,6 +2095,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nation_supplier_hhi"] = nation_supplier_hhi
 
+    def sql_priority_share_rank(spark, sf):
+        # pure-SQL surface: the SAME text runs on Spark (temp views) and
+        # DuckDB (oracle) — windowed share + rank in one dialect-shared
+        # statement
+        load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+        return spark.sql(
+            _SQL_PRIORITY_SHARE_RANK.replace("orders", "v_orders")
+        )
+
+    q["sql_priority_share_rank"] = sql_priority_share_rank
+
     return _reorder_for_driver_window(q)
 
 
@@ -2141,6 +2152,7 @@ _FLAGSHIP_FIRST = [
     "embedding_pca", "clean_corpus_splits", "events_first_touch",
     "customer_rfm_segments", "customer_revenue_percentile",
     "events_rolling_active_users", "nation_supplier_hhi",
+    "sql_priority_share_rank",
 ]
 
 
@@ -2465,6 +2477,21 @@ def _pagerank_oracle(
         f"SELECT node, round(p / {float(scale)}, 8) AS pagerank FROM p{n_iter}"
     )
 
+
+# Dialect-shared SQL (runs verbatim on Spark AND DuckDB): monthly
+# order-priority share + within-month rank.
+_SQL_PRIORITY_SHARE_RANK = """
+WITH monthly AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         o_orderpriority AS pri,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT ym, pri, n,
+       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY ym) AS DOUBLE), 6) AS share,
+       CAST(rank() OVER (PARTITION BY ym ORDER BY n DESC, pri) AS INT) AS rnk
+FROM monthly
+"""
 
 _NATION_EDGES_SQL = """
 SELECT s.s_nationkey AS src, c.c_nationkey AS dst
@@ -3796,6 +3823,7 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS spl
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM sp GROUP BY 1
 """,
+        "sql_priority_share_rank": _SQL_PRIORITY_SHARE_RANK,
         "customer_revenue_percentile": """
 WITH per_cust AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev

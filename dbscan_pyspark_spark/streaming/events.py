@@ -335,3 +335,31 @@ def streaming_materialized_agg(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_kmeans_assign(
+    stream: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Streaming k-means inference: label each arriving vector with its
+    nearest centroid from a trained ``kmeans_quantized`` model.
+
+    The centroid table rides the plan as a literal (the same map-side
+    argmin expression batch k-means uses for assignment), so this is a
+    stateless projection — no state store, no shuffle, composable with
+    any downstream watermarked aggregation, and the micro-batch labels
+    are bit-identical to what a batch re-run would assign (integer
+    arithmetic end to end).
+    """
+    from dbscan_pyspark_spark.operators.kmeans import (
+        _assign_expr,
+        _quantized,
+    )
+
+    q = _quantized(vec_col, scale) if scale is not None else F.col(vec_col)
+    return stream.withColumn("_qv", q).withColumn(
+        out_col, _assign_expr(centroids, "_qv")
+    ).drop("_qv")

@@ -340,3 +340,70 @@ def test_streaming_materialized_agg_restart_is_idempotent(spark, stream_dir, tmp
         assert got == want
     finally:
         os.remove(path)  # stream_dir is module-scoped; leave it clean
+
+
+def test_streaming_kmeans_assign_matches_batch(spark, tmp_path):
+    import json
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.kmeans import kmeans_quantized
+    from dbscan_pyspark_spark.streaming.events import streaming_kmeans_assign
+
+    rng = np.random.default_rng(21)
+    vecs = np.concatenate(
+        [rng.normal(loc=c, scale=0.1, size=(15, 4)) for c in (0.0, 6.0)]
+    )
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    # train batch model, extract centroids by re-deriving them the way
+    # kmeans does internally (assignments -> means); here just reuse the
+    # op's private init path: run it and rebuild literal centroids from
+    # grouped means of the assignment
+    assign = kmeans_quantized(train, k=2, n_iter=2)
+    from pyspark.sql import functions as F
+
+    joined = train.join(assign, "vec_id")
+    cents = []
+    for r in (
+        joined.groupBy("cluster")
+        .agg(*[F.sum(F.round(F.col("embedding")[i] * 1000, 0).cast("long")).alias(f"s{i}") for i in range(4)],
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        cents.append((r["cluster"], [r[f"s{i}"] // r["n"] for i in range(4)]))
+    cents.sort()
+
+    d = tmp_path / "vecstream"
+    d.mkdir()
+    rows = [
+        {"vec_id": int(1000 + i), "embedding": [float(x) for x in v]}
+        for i, v in enumerate(rng.normal(loc=6.0, scale=0.1, size=(5, 4)))
+    ]
+    with open(d / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .json(str(d))
+    )
+    q = (
+        streaming_kmeans_assign(stream, cents)
+        .writeStream.format("memory")
+        .queryName("t_kassign")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["vec_id"]: r["cluster"] for r in spark.sql("SELECT * FROM t_kassign").collect()}
+    # batch equivalence on the same frame
+    batch_df = spark.read.json(str(d), schema="vec_id long, embedding array<double>")
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in streaming_kmeans_assign(batch_df, cents).collect()
+    }
+    assert got == want and len(got) == 5
+    # all new points sit near the second blob -> one cluster
+    assert len(set(got.values())) == 1

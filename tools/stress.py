@@ -294,6 +294,46 @@ def main() -> None:
         flush=True,
     )
 
+    # --- skewed shuffle join: AQE skew-split vs explicit salting ---
+    # Half the fact rows carry ONE key; broadcast disabled so the join
+    # must shuffle. Measures the two skew levers the engine offers.
+    from dbscan_pyspark_spark.operators.joins import salted_join
+
+    n_fact = max(N_POINTS * 2, 1_000_000)
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.abs(F.xxhash64("id")) % 1000)
+        .alias("k"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        n_aqe = fact.join(dim, "k").count()
+        t_aqe = round(time.time() - t0, 1)
+        t0 = time.time()
+        n_salted = salted_join(fact, dim, ["k"], n_salts=32).count()
+        t_salted = round(time.time() - t0, 1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    assert n_aqe == n_salted == n_fact
+    print(
+        json.dumps(
+            {
+                "stage": "skew_join",
+                "n_fact": n_fact,
+                "hot_key_share": 0.5,
+                "wall_s_aqe_skew": t_aqe,
+                "wall_s_salted": t_salted,
+            }
+        ),
+        flush=True,
+    )
+
     # --- PageRank on the CC stress graph shape (directed) ---
     from dbscan_pyspark_spark.operators.components import pagerank
 
