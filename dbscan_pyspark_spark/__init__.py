@@ -56,3 +56,27 @@ from dbscan_pyspark_spark.operators.similarity import (  # noqa: F401
     tfidf_cosine_pairs,
 )
 from dbscan_pyspark_spark.sources.io import write_zordered, zorder_key  # noqa: F401
+from dbscan_pyspark_spark.operators.kmeans import kmeans_quantized  # noqa: F401
+from dbscan_pyspark_spark.operators.components import pagerank  # noqa: F401
+from dbscan_pyspark_spark.operators.similarity import (  # noqa: F401
+    embedding_covariance,
+    pca_project,
+)
+from dbscan_pyspark_spark.operators.events import (  # noqa: F401
+    merge_intervals,
+    scd2_intervals,
+    transition_counts,
+)
+from dbscan_pyspark_spark.operators.pipeline import (  # noqa: F401
+    corpus_filter,
+    integrity_check,
+    token_entropy_stats,
+)
+from dbscan_pyspark_spark.operators.dedup import chunk_dedup_stats  # noqa: F401
+from dbscan_pyspark_spark.sources.io import (  # noqa: F401
+    read_json_robust,
+    read_orc,
+    read_text_corpus,
+    upsert_parquet,
+    write_orc,
+)

@@ -398,3 +398,53 @@ def read_json_robust(
     good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return good, bad
+
+
+def compact_partitioned_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict[str, int]:
+    """Per-partition small-file compaction for hive-partitioned tables
+    (the case :func:`compact_parquet` refuses): each ``key=value`` leaf
+    directory is compacted independently through the same temp-and-swap,
+    so the partition layout — and its pruning — survives, and a crash
+    affects at most one partition's swap (recoverable the same way).
+
+    Returns {partition_dir_name: new_file_count}. At 100 TB, run the
+    leaves in parallel from an orchestrator; here they run serially —
+    each leaf's rewrite already uses the full cluster.
+    """
+    import glob
+    import os
+
+    leaves = sorted(
+        d
+        for d in glob.glob(os.path.join(path, "*"))
+        if os.path.isdir(d) and "=" in os.path.basename(d)
+    )
+    if not leaves:
+        raise ValueError(
+            f"{path} has no key=value partition subdirectories; use "
+            "compact_parquet for flat tables"
+        )
+    out: dict[str, int] = {}
+    for leaf in leaves:
+        out[os.path.basename(leaf)] = compact_parquet(
+            spark, leaf, target_file_bytes, sort_within_by
+        )
+    return out
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema evolution (``mergeSchema``): files
+    written under older, narrower schemas surface null for columns they
+    predate, instead of the default footer-sampling behavior silently
+    dropping late-added columns when old files win the sample.
+
+    Schema merging reads every footer (driver-side metadata pass) — at
+    100 TB use it on tables that actually evolve, or pin an explicit
+    read schema once evolution has settled.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

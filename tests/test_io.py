@@ -221,3 +221,40 @@ def test_read_json_robust_quarantines_bad_lines(spark, tmp_path):
     bad_rows = [r[0] for r in bad.collect()]
     assert len(bad_rows) == 2
     assert "not json" in bad_rows[0] or "not json" in bad_rows[1]
+
+
+def test_compact_partitioned_parquet_preserves_layout(spark, tmp_path):
+    import glob
+    import os
+
+    from dbscan_pyspark_spark.sources.io import compact_partitioned_parquet
+
+    p = str(tmp_path / "ptab")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, part string"
+    )
+    # many small files per partition
+    df.repartition(8).write.partitionBy("part").parquet(p)
+    before = spark.read.parquet(p)
+    before_rows = sorted(map(tuple, before.collect()))
+    counts = compact_partitioned_parquet(spark, p, target_file_bytes=1 << 30)
+    assert set(counts) == {"part=a", "part=b"}
+    assert all(n == 1 for n in counts.values())
+    for leaf in counts:
+        assert len(glob.glob(os.path.join(p, leaf, "*.parquet"))) == 1
+    after = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert after == before_rows
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import read_parquet_evolved
+
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "x")], "id long, v string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "y", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    out = read_parquet_evolved(spark, p)
+    assert set(out.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in out.collect()}
+    assert got == {1: None, 2: 9.5}
