@@ -2106,6 +2106,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_priority_share_rank"] = sql_priority_share_rank
 
+    def dbscan_assign_customer(spark, sf):
+        # DBSCAN inference: train on even-id customers, classify odd-id
+        # customers against the trained clusters
+        from dbscan_pyspark_spark.operators.dbscan import dbscan_assign
+        from dbscan_pyspark_spark.sources.tables import (
+            points_from_customer,
+        )
+
+        pts = points_from_customer(spark, sf)
+        train = pts.where(F.col("id") % 2 == 0)
+        new = pts.where(F.col("id") % 2 == 1)
+        labels = dbscan(train, eps=3.0, min_pts=4)
+        return dbscan_assign(new, train, labels, eps=3.0)
+
+    q["dbscan_assign_customer"] = dbscan_assign_customer
+
     return _reorder_for_driver_window(q)
 
 
@@ -2152,7 +2168,7 @@ _FLAGSHIP_FIRST = [
     "embedding_pca", "clean_corpus_splits", "events_first_touch",
     "customer_rfm_segments", "customer_revenue_percentile",
     "events_rolling_active_users", "nation_supplier_hhi",
-    "sql_priority_share_rank",
+    "sql_priority_share_rank", "dbscan_assign_customer",
 ]
 
 
@@ -3824,6 +3840,52 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS spl
 FROM sp GROUP BY 1
 """,
         "sql_priority_share_rank": _SQL_PRIORITY_SHARE_RANK,
+        "dbscan_assign_customer": f"""
+WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),
+train AS (SELECT * FROM pts WHERE id % 2 = 0),
+newpts AS (SELECT * FROM pts WHERE id % 2 = 1),
+nc AS (
+  SELECT a.id, count(*) AS n FROM train a JOIN train b
+    ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+  GROUP BY a.id
+),
+cores AS (SELECT id FROM nc WHERE n >= {MINPTS_C}),
+ed AS (
+  SELECT a.id AS u, b.id AS v FROM train a
+  JOIN cores c ON a.id = c.id
+  JOIN train b ON abs(a.f0 - b.f0) + abs(a.f1 - b.f1) < {EPS_C}
+),
+edges AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, min(v) AS component FROM reach GROUP BY u),
+mass AS (SELECT component, count(*) AS m FROM comp GROUP BY component),
+labeled AS (
+  SELECT t.id, t.f0, t.f1, comp.component AS cluster_id
+  FROM train t
+  JOIN comp ON t.id = comp.id
+  JOIN mass ON comp.component = mass.component
+  WHERE mass.m >= {MINPTS_C}
+),
+cand AS (
+  SELECT n.id, l.cluster_id,
+         abs(n.f0 - l.f0) + abs(n.f1 - l.f1) AS d, l.id AS mid
+  FROM newpts n
+  JOIN labeled l ON abs(n.f0 - l.f0) + abs(n.f1 - l.f1) < {EPS_C}
+),
+best AS (
+  SELECT id, cluster_id FROM (
+    SELECT id, cluster_id,
+           row_number() OVER (PARTITION BY id ORDER BY d, cluster_id, mid) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT n.id, best.cluster_id, best.cluster_id IS NULL AS is_noise
+FROM newpts n LEFT JOIN best ON n.id = best.id
+""",
         "customer_revenue_percentile": """
 WITH per_cust AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev

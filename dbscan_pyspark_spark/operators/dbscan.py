@@ -302,3 +302,70 @@ def dbscan(
         reps.unpersist()
         points.unpersist()
     return out
+
+
+def dbscan_assign(
+    new_points: DataFrame,
+    trained_points: DataFrame,
+    labels: DataFrame,
+    eps: float,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Classify NEW points against a trained clustering (DBSCAN
+    inference): a new point takes the cluster of its nearest labeled
+    (non-noise) trained point within ``eps``; no such neighbor → noise.
+
+    ``labels`` is :func:`dbscan`'s output for ``trained_points``.
+    Ties break deterministically on (distance, cluster_id, member id).
+    Nearest-MEMBER semantics (not nearest-core): every non-noise
+    trained point attracts, which is the anonymization use case's
+    contract (each labeled point already belongs to exactly one
+    k-anonymous cell); classical core-only prediction is recoverable by
+    passing a core-filtered ``labels``.
+
+    Scale shape: the same grid-bucketed ε-join as training (no
+    cartesian), cluster ids riding the join as payload; one groupBy on
+    the new-point id for the argmin; the trained side shuffles once.
+    Returns DataFrame(id, cluster_id, is_noise) for the new points.
+    """
+    members = trained_points.join(
+        labels.where(~F.col("is_noise")).select(id_col, "cluster_id"),
+        id_col,
+    ).select(id_col, features, "cluster_id")
+    pairs = eps_join(
+        new_points,
+        members,
+        eps,
+        metric=metric,
+        features=features,
+        id_col=id_col,
+        dim=dim,
+        keep_distance=True,
+        payload_b=["cluster_id"],
+    )
+    best = (
+        pairs.groupBy("a_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("distance"), F.col("b_cluster_id"), F.col("b_id")
+                )
+            ).alias("_best")
+        )
+        .select(
+            F.col("a_id").alias(id_col),
+            F.col("_best.b_cluster_id").alias("cluster_id"),
+        )
+    )
+    return (
+        new_points.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("cluster_id").isNull().alias("is_noise"),
+        )
+    )

@@ -363,3 +363,48 @@ def streaming_kmeans_assign(
     return stream.withColumn("_qv", q).withColumn(
         out_col, _assign_expr(centroids, "_qv")
     ).drop("_qv")
+
+
+def streaming_dbscan_assign(
+    stream: DataFrame,
+    trained_points: DataFrame,
+    labels: DataFrame,
+    eps: float,
+    sink_path: str,
+    checkpoint_dir: str,
+    metric: str = "l1",
+    features: str = "features",
+    id_col: str = "id",
+):
+    """Streaming DBSCAN inference: classify arriving points against a
+    trained clustering and append the labels to a parquet sink.
+
+    ``dbscan_assign`` needs a grid join + per-point argmin aggregation,
+    which streaming aggregation modes can't compose freely — so each
+    micro-batch runs the BATCH operator via ``foreachBatch`` (the
+    trained member relation is static and reused). Append-only sink;
+    replayed batches re-emit identical labels (deterministic operator),
+    so downstream exact-dedup by id makes redelivery harmless.
+    """
+    from dbscan_pyspark_spark.operators.dbscan import dbscan_assign
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = dbscan_assign(
+            batch_df,
+            trained_points,
+            labels,
+            eps,
+            metric=metric,
+            features=features,
+            id_col=id_col,
+        )
+        out.write.mode("append").parquet(sink_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -108,3 +108,42 @@ def test_dbscan_scc_variant_smaller_clusters(spark):
     cc_members = {i for i, c in cc.items() if c is not None}
     scc_members = {i for i, c in scc.items() if c is not None}
     assert scc_members <= cc_members
+
+
+def test_dbscan_assign_labels_new_points(spark):
+    from dbscan_pyspark_spark.operators.dbscan import dbscan, dbscan_assign
+
+    # two tight blobs + one far-away new point
+    train_rows = [(i, [0.0 + i % 3, 0.0]) for i in range(12)] + [
+        (100 + i, [50.0 + i % 3, 0.0]) for i in range(12)
+    ]
+    train = spark.createDataFrame(
+        train_rows, "id long, features array<double>"
+    )
+    labels = dbscan(train, eps=2.0, min_pts=4)
+    new = spark.createDataFrame(
+        [(500, [1.0, 0.5]), (501, [51.0, 0.2]), (502, [500.0, 500.0])],
+        "id long, features array<double>",
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["is_noise"])
+        for r in dbscan_assign(new, train, labels, eps=2.0).collect()
+    }
+    assert out[500] == (0, False)      # joins blob at origin (min id 0)
+    assert out[501] == (100, False)    # joins far blob (min id 100)
+    assert out[502] == (None, True)    # nowhere near anything
+
+
+def test_dbscan_assign_tie_breaks_deterministically(spark):
+    from dbscan_pyspark_spark.operators.dbscan import dbscan, dbscan_assign
+
+    # two clusters equidistant from the new point
+    train_rows = [(i, [0.0, float(i % 2)]) for i in range(4)] + [
+        (10 + i, [4.0, float(i % 2)]) for i in range(4)
+    ]
+    train = spark.createDataFrame(train_rows, "id long, features array<double>")
+    labels = dbscan(train, eps=1.5, min_pts=3)
+    new = spark.createDataFrame([(99, [2.0, 0.0])], "id long, features array<double>")
+    a = dbscan_assign(new, train, labels, eps=2.5).first()
+    b = dbscan_assign(new, train, labels, eps=2.5).first()
+    assert a["cluster_id"] == b["cluster_id"] == 0  # lower cluster id wins

@@ -407,3 +407,41 @@ def test_streaming_kmeans_assign_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 5
     # all new points sit near the second blob -> one cluster
     assert len(set(got.values())) == 1
+
+
+def test_streaming_dbscan_assign_matches_batch(spark, tmp_path):
+    import json
+
+    from dbscan_pyspark_spark.operators.dbscan import dbscan, dbscan_assign
+    from dbscan_pyspark_spark.streaming.events import streaming_dbscan_assign
+
+    train_rows = [(i, [float(i % 3), 0.0]) for i in range(12)] + [
+        (100 + i, [50.0 + i % 3, 0.0]) for i in range(12)
+    ]
+    train = spark.createDataFrame(train_rows, "id long, features array<double>")
+    labels = dbscan(train, eps=2.0, min_pts=4).localCheckpoint(eager=True)
+
+    d = tmp_path / "ptstream"
+    d.mkdir()
+    new_rows = [
+        {"id": 500, "features": [1.0, 0.5]},
+        {"id": 501, "features": [51.0, 0.2]},
+        {"id": 502, "features": [500.0, 500.0]},
+    ]
+    with open(d / "b1.json", "w") as f:
+        for r in new_rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("id long, features array<double>").json(str(d))
+    sink = str(tmp_path / "labsink")
+    q = streaming_dbscan_assign(
+        stream, train, labels, eps=2.0,
+        sink_path=sink, checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    batch_new = spark.read.json(str(d), schema="id long, features array<double>")
+    want = sorted(
+        map(tuple, dbscan_assign(batch_new, train, labels, eps=2.0).collect())
+    )
+    assert got == want
+    assert {r[0]: r[2] for r in got} == {500: False, 501: False, 502: True}
