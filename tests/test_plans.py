@@ -230,3 +230,59 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_corpus_filter_bounded_shuffles(spark):
+    """All quality signals are projections over one scan; the only
+    exchange is the fingerprint dup-window. A regression that re-joins
+    per-signal relations shows up as extra shuffles here."""
+    from dbscan_pyspark_spark.operators.pipeline import corpus_filter
+    from dbscan_pyspark_spark.sources.tables import load_table
+
+    out = corpus_filter(load_table(spark, SF, "documents"))
+    assert shuffle_count(out) <= 1
+    assert_no_cartesian(out)
+
+
+def test_scd2_single_sort_exchange(spark):
+    """Both stacked windows share the (key) partitioning: one exchange,
+    and Spark reuses one sort for the run-detection lag and the
+    interval lead."""
+    from dbscan_pyspark_spark.operators.events import scd2_intervals
+    from dbscan_pyspark_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    out = scd2_intervals(ev, "user_id", "ts", ["event_type"], order_cols=("event_id",))
+    assert shuffle_count(out) <= 1
+    assert_no_cartesian(out)
+
+
+def test_merge_intervals_two_exchanges_max(spark):
+    """One exchange for the key windows + the partial-aggregated island
+    groupBy (same key prefix — AQE may even reuse); bounded so an
+    accidental re-sort regression is caught."""
+    from dbscan_pyspark_spark.operators.events import merge_intervals
+    from dbscan_pyspark_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    out = merge_intervals(ev, "user_id", "s", "e")
+    assert shuffle_count(out) <= 2
+    assert_no_cartesian(out)
+
+
+def test_embedding_covariance_one_partial_gram_pass(spark):
+    """The plan must show exactly one Arrow (MapInPandas) pass feeding
+    the final tiny aggregation — never an explode of n x dim^2 rows."""
+    from dbscan_pyspark_spark.operators.similarity import embedding_covariance
+    from dbscan_pyspark_spark.sources.tables import load_table
+
+    out = embedding_covariance(load_table(spark, SF, "embeddings"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Generate" not in plan  # no posexplode fallback
+    assert shuffle_count(out) <= 1
