@@ -2122,6 +2122,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dbscan_assign_customer"] = dbscan_assign_customer
 
+    def ivf_ann_topk_exact(spark, sf):
+        # approximate ANN with an EXACT oracle: deterministic quantized
+        # coarse quantizer + integer-cosine scoring (see _ivf_oracle)
+        from dbscan_pyspark_spark.operators.similarity import (
+            ivf_quantized_topk,
+        )
+
+        e = load_table(spark, sf, "embeddings")
+        return ivf_quantized_topk(
+            e,
+            e.where(F.col("vec_id") % 100 == 0),
+            k=5,
+            n_cells=8,
+            nprobe=3,
+            n_iter=2,
+        )
+
+    q["ivf_ann_topk_exact"] = ivf_ann_topk_exact
+
     return _reorder_for_driver_window(q)
 
 
@@ -2169,6 +2188,7 @@ _FLAGSHIP_FIRST = [
     "customer_rfm_segments", "customer_revenue_percentile",
     "events_rolling_active_users", "nation_supplier_hhi",
     "sql_priority_share_rank", "dbscan_assign_customer",
+    "ivf_ann_topk_exact",
 ]
 
 
@@ -2398,13 +2418,13 @@ labeled AS (
 )"""
 
 
-def _kmeans_oracle(
+def _kmeans_ctes(
     k: int = 8, n_iter: int = 3, dim: int = 64, scale: int = 1000
 ) -> str:
-    """Unrolled-CTE replica of operators.kmeans.kmeans_quantized: the
-    same integer grid, the same lowest-id init, the same
-    floor(sum/count) centroid snap, the same (distance, cid) tie-break
-    — so the iterative algorithm is bit-exact across engines."""
+    """CTE chain replaying operators.kmeans.kmeans_fit: v (quantized
+    vectors), c0..c{n_iter} (centroids), a0..a{n_iter} (assignments —
+    a{n_iter} is the final model assignment). Shared by the k-means and
+    exact-IVF oracles."""
     dist = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         "i -> (t.v[i]-c.c[i])*(t.v[i]-c.c[i])))"
@@ -2450,8 +2470,74 @@ c{i} AS (
         parts.append(assign(i, f"c{i}"))
         parts.append(update(i + 1, f"a{i}"))
     parts.append(assign(n_iter, f"c{n_iter}"))
-    ctes = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle(
+    k: int = 8, n_iter: int = 3, dim: int = 64, scale: int = 1000
+) -> str:
+    """Unrolled-CTE replica of operators.kmeans.kmeans_quantized: the
+    same integer grid, the same lowest-id init, the same
+    floor(sum/count) centroid snap, the same (distance, cid) tie-break
+    — so the iterative algorithm is bit-exact across engines."""
+    ctes = _kmeans_ctes(k, n_iter, dim, scale)
     return f"WITH {ctes}\nSELECT vec_id, cid AS cluster FROM a{n_iter}"
+
+
+def _ivf_oracle(
+    n_cells: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+    nprobe: int = 3,
+    topk: int = 5,
+    query_mod: int = 100,
+) -> str:
+    """Unrolled replica of operators.similarity.ivf_quantized_topk: the
+    deterministic coarse quantizer (kmeans CTEs), sort-and-slice cell
+    probing, and round-6 integer-cosine scoring — an APPROXIMATE
+    operator with an EXACT oracle, because every stage is
+    bit-reproducible."""
+    ctes = _kmeans_ctes(n_cells, n_iter, dim, scale)
+    pdist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (q.qv[i]-c.c[i])*(q.qv[i]-c.c[i])))"
+    )
+    def idot(a, b):
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i]*{b}[i]))"
+        )
+    return f"""WITH {ctes},
+qsel AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id % {query_mod} = 0),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {pdist}, c.cid) AS rn
+    FROM qsel q, c{n_iter} c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probe p JOIN a{n_iter} a ON a.cid = p.cid
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(CASE WHEN {idot('t.v', 't.v')} != 0 AND {idot('q.qv', 'q.qv')} != 0
+               THEN {idot('t.v', 'q.qv')}
+                    / (sqrt(CAST({idot('t.v', 't.v')} AS DOUBLE))
+                       * sqrt(CAST({idot('q.qv', 'q.qv')} AS DOUBLE)))
+               END, 6) AS score
+  FROM cand
+  JOIN v t ON t.vec_id = cand.vec_id
+  JOIN qsel q ON q.query_id = cand.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {topk}"""
 
 
 def _pagerank_oracle(
@@ -3840,6 +3926,10 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS spl
 FROM sp GROUP BY 1
 """,
         "sql_priority_share_rank": _SQL_PRIORITY_SHARE_RANK,
+        "ivf_ann_topk_exact": _ivf_oracle(
+            n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,
+            query_mod=100,
+        ),
         "dbscan_assign_customer": f"""
 WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),
 train AS (SELECT * FROM pts WHERE id % 2 = 0),

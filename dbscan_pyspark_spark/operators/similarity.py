@@ -660,3 +660,102 @@ def pca_project(
             ),
         ).alias("pc"),
     )
+
+
+def ivf_quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN with a fully DETERMINISTIC pipeline — the exactly
+    verifiable twin of :func:`ivf_cosine_topk`.
+
+    The coarse quantizer is grid-quantized Lloyd's
+    (:func:`~dbscan_pyspark_spark.operators.kmeans.kmeans_fit` — integer
+    centroids, bit-reproducible), cell probing is a map-side
+    sort-and-slice over literal centroids (no shuffle), and scoring is
+    integer dot products on the quantized vectors with round-6 cosine —
+    so the ENTIRE approximate pipeline replays bit-exact in SQL
+    (`ivf_ann_topk_exact` carries an unrolled-CTE DuckDB oracle, unlike
+    the float-averaged `ivf_cosine_topk`, which is rows-only). Same
+    scale shape: candidates shrink ~n_cells/nprobe-fold, the vector
+    relation shuffles once on the id join.
+    """
+    from dbscan_pyspark_spark.operators.kmeans import (
+        _centroid_literal,
+        _quantized,
+        _sq_l2,
+        kmeans_fit,
+    )
+
+    assign, cents = kmeans_fit(
+        vectors, k=n_cells, n_iter=n_iter, id_col=id_col,
+        vec_col=vec_col, scale=scale,
+    )
+    if not cents:
+        raise ValueError("empty vectors")
+    cl = _centroid_literal(cents)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _quantized(vec_col, scale).alias("_qv"),
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cl,
+                    lambda c: F.struct(
+                        _sq_l2(F.col("_qv"), c.getField("c")).alias("d"),
+                        c.getField("cid").alias("cid"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: s.getField("cid"),
+    )
+    probe = qv.select(
+        "query_id", "_qv", F.explode(probe_cells).alias("cell")
+    )
+    cand = (
+        F.broadcast(probe.select("query_id", "cell"))
+        .join(assign, F.col("cell") == assign["cluster"])
+        .select("query_id", F.col(id_col))
+        .where(F.col("query_id") != F.col(id_col))
+        .distinct()
+    )
+    v = vectors.select(
+        F.col(id_col), _quantized(vec_col, scale).alias("_v")
+    )
+    scored = cand.join(v, id_col).join(
+        qv.select("query_id", "_qv"), "query_id"
+    ).select(
+        "query_id",
+        id_col,
+        F.round(
+            F.when(
+                (dot("_v", "_v") != 0) & (dot("_qv", "_qv") != 0),
+                dot("_v", "_qv")
+                / (
+                    F.sqrt(dot("_v", "_v").cast("double"))
+                    * F.sqrt(dot("_qv", "_qv").cast("double"))
+                ),
+            ),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -273,3 +273,34 @@ def test_pca_project_matches_numpy(spark):
     assert np.abs(got - want).max() < 2e-2
     # variance ordering: pc1 captures more than pc2
     assert got[:, 0].var() > got[:, 1].var()
+
+
+def test_ivf_quantized_topk_deterministic_and_high_recall(spark):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import (
+        cosine_topk,
+        ivf_quantized_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where(F.col("vec_id") % 50 == 0)
+    a = sorted(map(tuple, ivf_quantized_topk(df, queries, k=3, n_cells=4, nprobe=2).collect()))
+    b = sorted(map(tuple, ivf_quantized_topk(df, queries, k=3, n_cells=4, nprobe=2).collect()))
+    assert a == b, "deterministic pipeline must replay identically"
+
+    # recall vs the exact quantized top-k (same rounding discipline)
+    qdf = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x * 1000, 0).cast("long")).alias("q"),
+    )
+    exact = cosine_topk(qdf, qdf.where(F.col("vec_id") % 50 == 0), k=3, vec_col="q")
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r[0], r[1]) for r in a}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # nprobe=2 of 4 cells: at least half
