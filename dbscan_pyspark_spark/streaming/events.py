@@ -408,3 +408,76 @@ def streaming_dbscan_assign(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_user_running_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user running (count, sum, max) via ``transformWithStateInPandas``
+    — the Spark 4 successor to ``applyInPandasWithState`` (SPARK-49564):
+    typed per-key state handles (ValueState/ListState/MapState with
+    optional TTL), timers, and initial-state seeding, instead of one
+    opaque state tuple.
+
+    Emits one updated row per user per micro-batch. Same recurrence the
+    batch engine would compute with a groupBy — the test pins
+    batch-equivalence under ordered arrival.
+
+    Requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) and a working ``google.protobuf``
+    (the state protocol is protobuf-serialized). This container's
+    protobuf is broken, so the test skips here;
+    ``streaming_user_ewma`` is the applyInPandasWithState fallback
+    with no extra dependency.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    udtype = dict(events.dtypes)[user_col]
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n bigint, s double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, s, mx = self._st.get()
+            else:
+                n, s, mx = 0, 0.0, None
+            for pdf in rows:
+                vals = pdf[value_col].astype(float)
+                n += int(len(vals))
+                s += float(vals.sum())
+                m = float(vals.max()) if len(vals) else None
+                mx = m if mx is None else (m if m is not None and m > mx else mx)
+            self._st.update((n, s, mx))
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "n_events": [n],
+                    "sum_value": [s],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=(
+            f"{user_col} {udtype}, n_events bigint, "
+            "sum_value double, max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -445,3 +445,44 @@ def test_streaming_dbscan_assign_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert {r[0]: r[2] for r in got} == {500: False, 501: False, 502: True}
+
+
+def test_transform_with_state_running_stats(spark, stream_dir):
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.events import (
+        read_event_stream,
+        streaming_user_running_stats,
+    )
+
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        streaming_user_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user == batch totals
+    rows = spark.sql("SELECT * FROM t_tws").collect()
+    last = {}
+    for r in rows:  # memory sink appends update rows in batch order
+        last[r["user_id"]] = (r["n_events"], r["sum_value"], r["max_value"])
+    batch = (
+        spark.read.json(stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], float(r["s"]), float(r["m"])) for r in batch}
+    assert last == want
