@@ -2141,6 +2141,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_ann_topk_exact"] = ivf_ann_topk_exact
 
+    def embedding_near_dups_lsh_exact(spark, sf):
+        # RP-LSH with integer-quantized planes AND vectors: exact signs,
+        # exact candidate set, exact verification -> full oracle
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x * 1000, 0).cast("long")
+            ).alias("qemb"),
+        )
+        return rp_lsh_near_dup_pairs(
+            e,
+            threshold=0.4,
+            n_planes=16,
+            rows_per_band=4,
+            vec_col="qemb",
+            plane_scale=1000,
+        )
+
+    q["embedding_near_dups_lsh_exact"] = embedding_near_dups_lsh_exact
+
     return _reorder_for_driver_window(q)
 
 
@@ -2188,7 +2208,7 @@ _FLAGSHIP_FIRST = [
     "customer_rfm_segments", "customer_revenue_percentile",
     "events_rolling_active_users", "nation_supplier_hhi",
     "sql_priority_share_rank", "dbscan_assign_customer",
-    "ivf_ann_topk_exact",
+    "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
 ]
 
 
@@ -2602,6 +2622,71 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 """
+
+
+def _rp_lsh_oracle(
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    scale: int = 1000,
+    plane_scale: int = 1000,
+    threshold: float = 0.4,
+    seed: int = 42,
+) -> str:
+    """Replica of similarity.rp_lsh_near_dup_pairs with integer planes:
+    the same fixed-seed hyperplanes quantized to ints, so sign bits,
+    banding, candidates, and round-6 integer-cosine verification all
+    replay bit-exact — an LSH with an exact oracle."""
+    import numpy as np
+
+    planes = np.round(
+        np.random.RandomState(seed).randn(n_planes, dim) * plane_scale
+    ).astype(np.int64)
+    bit_cols = []
+    for p in range(n_planes):
+        lit = "[" + ",".join(str(int(w)) for w in planes[p]) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> v[i] * ({lit})[i]))"
+        )
+        bit_cols.append(
+            f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END AS b{p}"
+        )
+    n_bands = n_planes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, v, {bd} AS band, {bits} AS bits FROM sig".format(
+            bd=bd,
+            bits="||".join(
+                f"b{i}"
+                for i in range(bd * rows_per_band, (bd + 1) * rows_per_band)
+            ),
+        )
+        for bd in range(n_bands)
+    )
+    idot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> x.v[i] * y.v[i]))"
+    )
+    inorm = lambda t: (
+        f"sqrt(CAST(list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {t}.v[i] * {t}.v[i])) AS DOUBLE))"
+    )
+    return f"""WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding, e -> CAST(round(e * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+),
+sig AS (SELECT vec_id, v, {", ".join(bit_cols)} FROM qe),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       round({idot} / ({inorm('x')} * {inorm('y')}), 6) AS score
+FROM cand c JOIN qe x ON x.vec_id = c.a_id JOIN qe y ON y.vec_id = c.b_id
+WHERE round({idot} / ({inorm('x')} * {inorm('y')}), 6) >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3926,6 +4011,10 @@ SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS spl
 FROM sp GROUP BY 1
 """,
         "sql_priority_share_rank": _SQL_PRIORITY_SHARE_RANK,
+        "embedding_near_dups_lsh_exact": _rp_lsh_oracle(
+            n_planes=16, rows_per_band=4, dim=64, scale=1000,
+            plane_scale=1000, threshold=0.4,
+        ),
         "ivf_ann_topk_exact": _ivf_oracle(
             n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,
             query_mod=100,

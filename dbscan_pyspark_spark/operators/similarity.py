@@ -176,6 +176,7 @@ def rp_lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    plane_scale: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup — the scale path for embedding
     dedup (north-star §2.10): sign-of-projection bit signature, banded
@@ -188,7 +189,13 @@ def rp_lsh_near_dup_pairs(
     :func:`cosine_near_dup_pairs` (recall < 1 by design; collision
     probability per plane is 1 - theta/pi).
     Deterministic: hyperplanes from a fixed-seed RNG, broadcast as
-    literal arrays into the plan.
+    literal arrays into the plan. With ``plane_scale`` the hyperplanes
+    snap to an integer grid (``round(w * plane_scale)``) — combined
+    with integer-quantized input vectors every projection is an exact
+    integer dot, so the sign bits (and hence the whole candidate set)
+    are engine-reproducible and the pipeline carries an exact DuckDB
+    oracle (`embedding_near_dups_lsh_exact`), which no float-projection
+    LSH can.
     """
     import numpy as np
 
@@ -197,16 +204,23 @@ def rp_lsh_near_dup_pairs(
         raise ValueError("empty vectors")
     dim = int(dim_row["d"])
     planes = np.random.RandomState(seed).randn(n_planes, dim)
+    if plane_scale is not None:
+        planes = np.round(planes * plane_scale).astype(np.int64)
+        lits = [[int(w) for w in p] for p in planes]
+        zero = F.lit(0).cast("long")
+    else:
+        lits = [[float(w) for w in p] for p in planes]
+        zero = F.lit(0.0).cast("double")
 
     sig_bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(w)) for w in planes[p]]),
+                    F.array(*[F.lit(w) for w in lits[p]]),
                     lambda x, h: x * h,
                 ),
-                F.lit(0.0).cast("double"),
+                zero,
                 lambda acc, x: acc + x,
             )
             > 0,

@@ -304,3 +304,34 @@ def test_ivf_quantized_topk_deterministic_and_high_recall(spark):
     approx_set = {(r[0], r[1]) for r in a}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, recall  # nprobe=2 of 4 cells: at least half
+
+
+def test_rp_lsh_integer_planes_subset_of_exact(spark):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        rp_lsh_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(40, 8))
+    # plant near-duplicates
+    dups = base[:10] + rng.normal(scale=0.01, size=(10, 8))
+    X = np.concatenate([base, dups])
+    df = spark.createDataFrame(
+        [(i, [int(round(x * 1000)) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, qemb array<long>",
+    )
+    lsh = rp_lsh_near_dup_pairs(
+        df, threshold=0.9, vec_col="qemb", plane_scale=1000
+    )
+    got = {(r["a_id"], r["b_id"]) for r in lsh.collect()}
+    exact = cosine_near_dup_pairs(df, threshold=0.9, vec_col="qemb")
+    want = {(r["a_id"], r["b_id"]) for r in exact.collect()}
+    assert got <= want, "LSH results must be a subset of exact pairs"
+    assert len(got) >= len(want) * 0.5, (len(got), len(want))
+    # deterministic replay
+    again = {(r["a_id"], r["b_id"]) for r in rp_lsh_near_dup_pairs(
+        df, threshold=0.9, vec_col="qemb", plane_scale=1000).collect()}
+    assert got == again
