@@ -2161,6 +2161,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups_lsh_exact"] = embedding_near_dups_lsh_exact
 
+    def events_asof_next_view(spark, sf):
+        # FORWARD as-of: for each error, the first view at-or-after it
+        # for the same user (the "what did the user see next" join)
+        ev = load_table(spark, sf, "events")
+        errors = ev.where(F.col("event_type") == "error").select(
+            "event_id", "user_id", "ts"
+        )
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_id").alias("view_event_id"))
+        )
+        out = asof_join(
+            errors,
+            views,
+            on=["user_id"],
+            value_cols=["view_event_id"],
+            direction="forward",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("ts_r").alias("view_ts"),
+            F.col("view_event_id_r").alias("view_event_id"),
+        )
+
+    q["events_asof_next_view"] = events_asof_next_view
+
     return _reorder_for_driver_window(q)
 
 
@@ -2209,6 +2238,7 @@ _FLAGSHIP_FIRST = [
     "events_rolling_active_users", "nation_supplier_hhi",
     "sql_priority_share_rank", "dbscan_assign_customer",
     "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
+    "events_asof_next_view",
 ]
 
 
@@ -3669,6 +3699,18 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "events_asof_next_view": """
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+v AS (
+  SELECT user_id, ts, min(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts, v.ts AS view_ts, v.view_event_id
+FROM err e ASOF LEFT JOIN v
+  ON e.user_id = v.user_id AND e.ts <= v.ts
 """,
         "events_asof_error": """
 WITH clicks AS (
