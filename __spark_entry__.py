@@ -2190,6 +2190,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_asof_next_view"] = events_asof_next_view
 
+    def part_cooccurrence(spark, sf):
+        # market-basket co-occurrence: top part pairs ordered together.
+        # Candidate pairs are bounded by lines-per-order (~7), so the
+        # self-join on the order key is safe at any order count.
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct()
+        a = li.alias("a")
+        b = li.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("part_a"),
+                F.col("b.l_partkey").alias("part_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+        w = Window.orderBy(
+            F.col("n_orders").desc(), "part_a", "part_b"
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 20)
+        )
+
+    q["part_cooccurrence"] = part_cooccurrence
+
+    def events_session_histogram(spark, sf):
+        # distribution of session lengths (events per 30-min-gap
+        # session) — the engagement-shape profile over the session op
+        s = session_agg(load_table(spark, sf, "events"), gap="30 minutes")
+        return s.groupBy("n_events").agg(
+            F.count(F.lit(1)).alias("n_sessions")
+        )
+
+    q["events_session_histogram"] = events_session_histogram
+
+    def dedup_savings(spark, sf):
+        # bytes removed by exact dedup: per-source kept/dropped chars
+        d = load_table(spark, sf, "documents")
+        w = Window.partitionBy(F.md5(normalized("text"))).orderBy("doc_id")
+        marked = d.select(
+            "source",
+            F.col("n_chars"),
+            (F.row_number().over(w) > 1).cast("int").alias("_dup"),
+        )
+        return marked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_dup").alias("n_dropped"),
+            F.sum(F.col("n_chars") * F.col("_dup")).alias("chars_dropped"),
+            F.round(
+                F.sum(F.col("n_chars") * F.col("_dup"))
+                / F.sum("n_chars"),
+                6,
+            ).alias("savings_ratio"),
+        )
+
+    q["dedup_savings"] = dedup_savings
+
     return _reorder_for_driver_window(q)
 
 
@@ -2238,7 +2301,8 @@ _FLAGSHIP_FIRST = [
     "events_rolling_active_users", "nation_supplier_hhi",
     "sql_priority_share_rank", "dbscan_assign_customer",
     "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
-    "events_asof_next_view",
+    "events_asof_next_view", "part_cooccurrence",
+    "events_session_histogram", "dedup_savings",
 ]
 
 
@@ -3699,6 +3763,53 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "part_cooccurrence": """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_orders, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rnk
+  FROM pairs
+) WHERE rnk <= 20
+""",
+        "events_session_histogram": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+sess AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid)
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+FROM sess GROUP BY n_events
+""",
+        "dedup_savings": f"""
+WITH norm AS (
+  SELECT doc_id, source, n_chars, md5({_NORM}) AS fp FROM documents
+),
+marked AS (
+  SELECT source, n_chars,
+         CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM norm
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_dropped,
+       CAST(sum(n_chars * dup) AS BIGINT) AS chars_dropped,
+       round(CAST(sum(n_chars * dup) AS DOUBLE) / sum(n_chars), 6) AS savings_ratio
+FROM marked GROUP BY source
 """,
         "events_asof_next_view": """
 WITH err AS (
