@@ -2253,6 +2253,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_savings"] = dedup_savings
 
+    def doc_weighted_sample(spark, sf):
+        # char-count-weighted deterministic sample (quality-biased
+        # subset selection without an RNG)
+        from dbscan_pyspark_spark.operators.pipeline import weighted_sample
+
+        return weighted_sample(
+            load_table(spark, sf, "documents"), "n_chars", k=50
+        ).select("doc_id", "n_chars")
+
+    q["doc_weighted_sample"] = doc_weighted_sample
+
     return _reorder_for_driver_window(q)
 
 
@@ -2302,7 +2313,7 @@ _FLAGSHIP_FIRST = [
     "sql_priority_share_rank", "dbscan_assign_customer",
     "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
     "events_asof_next_view", "part_cooccurrence",
-    "events_session_histogram", "dedup_savings",
+    "events_session_histogram", "dedup_savings", "doc_weighted_sample",
 ]
 
 
@@ -3763,6 +3774,16 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "doc_weighted_sample": """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(concat('0x', substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1) / CAST(1152921504606846976 AS DOUBLE)) / n_chars AS wkey
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars FROM keyed
+ORDER BY wkey DESC, doc_id LIMIT 50
 """,
         "part_cooccurrence": """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

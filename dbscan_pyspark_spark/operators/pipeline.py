@@ -621,3 +621,33 @@ def corpus_filter(
         "rep_ratio",
         reason.alias("reason"),
     ).withColumn("keep", F.col("reason") == "kept")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row gets key ln(u)/w for a uniform u derived
+    from a PORTABLE hash of its id (not an RNG), and the k largest keys
+    win — inclusion probability proportional to weight, but the draw is
+    a pure function of (id, salt), so re-runs, incremental loads, and
+    the DuckDB oracle all agree row-for-row.
+
+    Scale shape: one projection + a global top-k (orderBy + limit — at
+    100 TB Spark's TakeOrdered keeps only k rows per partition before
+    the single-reducer merge). Zero-or-negative weights are excluded
+    (they would never win anyway as ln(u)/w flips sign).
+    """
+    u = (portable_hash(id_col, salt=salt) + 1) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )

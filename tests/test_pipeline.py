@@ -417,3 +417,32 @@ def test_corpus_filter_reasons_first_failing_rule(spark):
     assert out[3]["reason"] == "duplicate"
     assert out[4]["reason"] == "repetitive"
     assert out[5]["reason"] == "low_quality"
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from dbscan_pyspark_spark.operators.pipeline import weighted_sample
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 30).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, "w", 30).collect())
+    assert a == b and len(a) == 30
+    # heavy rows (100x weight, 10% of population) should dominate
+    heavy = sum(1 for i in a if i < 20)
+    assert heavy >= 15, heavy
+    # different salt -> different (but still deterministic) draw
+    c = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df, "w", 30, salt="other").collect()
+    )
+    assert c != a
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from dbscan_pyspark_spark.operators.pipeline import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
+    assert got == {1, 4}
