@@ -2264,6 +2264,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_weighted_sample"] = doc_weighted_sample
 
+    def events_resampled(spark, sf):
+        # pandas-style resample().ffill() as a relation: per-user
+        # 1-hour grid, last value per bucket, gaps forward-filled
+        from dbscan_pyspark_spark.operators.events import resample_ffill
+
+        return resample_ffill(
+            load_table(spark, sf, "events"),
+            "user_id",
+            "ts",
+            ["value"],
+            step="1 hour",
+        )
+
+    q["events_resampled"] = events_resampled
+
     return _reorder_for_driver_window(q)
 
 
@@ -2314,6 +2329,7 @@ _FLAGSHIP_FIRST = [
     "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
     "events_asof_next_view", "part_cooccurrence",
     "events_session_histogram", "dedup_savings", "doc_weighted_sample",
+    "events_resampled",
 ]
 
 
@@ -3774,6 +3790,26 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "events_resampled": """
+WITH pb AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, date_trunc('hour', ts) AS bucket, ts, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                              ORDER BY ts DESC, value DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+),
+spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM pb GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.user_id, g.bucket AS bucket_ts,
+       last_value(pb.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket = g.bucket
 """,
         "doc_weighted_sample": """
 WITH keyed AS (

@@ -389,3 +389,68 @@ def merge_intervals(
         F.max(end_col).alias("island_end"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    step: str = "5 minutes",
+    agg: str = "last",
+) -> DataFrame:
+    """Time-grid resampling with forward fill — the pandas
+    ``resample().ffill()`` shape as a distributed relation.
+
+    Per key: snap observations onto a fixed grid (``step``), keep one
+    value per bucket (``agg`` = 'last' by (ts, value) order or 'max' /
+    'min' / 'avg'), generate the key's full grid between its first and
+    last bucket (``sequence`` + ``explode`` — no driver loop), and
+    forward-fill gaps with ``last_value IGNORE NULLS``. Returns
+    DataFrame(key, bucket_ts, <value_cols…>) — a dense, regular series
+    per key, the shape downstream feature pipelines and charting want.
+
+    Scale shape: one groupBy on (key, bucket) for bucket aggregation;
+    the grid explode is per-key (span/step rows); one window per key
+    ordered by bucket for the fill. The dense grid is the OUTPUT size —
+    nothing larger is shuffled.
+    """
+    from pyspark.sql import Window
+
+    if agg not in ("last", "max", "min", "avg"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    bucket = F.window(F.col(ts_col), step)["start"].alias("_bucket")
+    if agg == "last":
+        aggs = [
+            F.max(F.struct(F.col(ts_col), F.col(c)))[c].alias(c)
+            for c in value_cols
+        ]
+    else:
+        fn = {"max": F.max, "min": F.min, "avg": F.avg}[agg]
+        aggs = [fn(c).alias(c) for c in value_cols]
+    per_bucket = df.groupBy(F.col(key_col), bucket).agg(*aggs)
+
+    spans = per_bucket.groupBy(key_col).agg(
+        F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("_bucket"),
+    )
+    joined = grid.join(per_bucket, [key_col, "_bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.select(
+        key_col,
+        F.col("_bucket").alias("bucket_ts"),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled

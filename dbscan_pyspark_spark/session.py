@@ -34,6 +34,9 @@ _SQL_CONF = {
     # Pinned on explicitly (default varies by version); thresholds stay
     # Spark defaults, which local tests override to exercise the path.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Allow custom Python Data Sources to receive pushed filters
+    # (sources/synthetic.py implements pushFilters).
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Arrow for any pandas_udf / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Broadcast small dims aggressively (all TPC-H dims fit).

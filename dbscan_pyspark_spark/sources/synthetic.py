@@ -27,7 +27,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -76,12 +78,50 @@ class _SyntheticReader(DataSourceReader):
         self.n_parts = int(options.get("numPartitions", 8))
         self.seed = int(options.get("seed", 42))
         self.n_users = int(options.get("n_users", 100))
+        self.lo = 0
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        """Real predicate pushdown: range predicates on event_id (the
+        generation counter) narrow the index range BEFORE partition
+        planning, so filtered reads generate — and ship — only the
+        matching slice. Anything else is returned for Spark to apply."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr != ("event_id",):
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f
 
     def partitions(self):
-        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n <= 0:
+            return [_RangePartition(0, 0)]
+        step = max(1, (n + self.n_parts - 1) // self.n_parts)
         return [
-            _RangePartition(s, min(s + step, self.n_rows))
-            for s in range(0, self.n_rows, step)
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
         ]
 
     def read(self, partition: _RangePartition):
@@ -136,6 +176,66 @@ class SyntheticEventsDataSource(DataSource):
         return _SyntheticStreamReader(self.options)
 
 
+class _AuditMsg(WriterCommitMessage):
+    def __init__(self, n: int, crc: int):
+        self.n = n
+        self.crc = crc
+
+
+class _AuditWriter(DataSourceWriter):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("audit_sink requires .option('path', ...)")
+        self.path = path
+
+    def write(self, iterator):
+        import zlib
+
+        n = 0
+        crc = 0
+        for row in iterator:
+            n += 1
+            crc = zlib.crc32(repr(tuple(row)).encode(), crc)
+        return _AuditMsg(n, crc)
+
+    def commit(self, messages):
+        import json
+
+        manifest = {
+            "total_rows": sum(m.n for m in messages),
+            "n_partitions": len(messages),
+            "partition_checksums": [[m.n, m.crc] for m in messages],
+        }
+        with open(self.path, "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        pass
+
+
+class AuditSinkDataSource(DataSource):
+    """``format("audit_sink")`` writer: executors stream rows into
+    per-task (count, crc32) commit messages; the driver-side commit
+    writes one JSON manifest — the two-phase task-commit/job-commit
+    protocol every real sink implements, in its smallest honest form
+    (an audit/row-accounting sink for pipeline validation)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "audit_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _AuditWriter(self.options)
+
+
 def register_synthetic_source(spark) -> None:
-    """Idempotently register the source with this session."""
+    """Idempotently register the synthetic source and audit sink."""
+    try:
+        # needed for pushFilters; a no-op where already set (session.py
+        # sets it at build time — this covers foreign sessions)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(AuditSinkDataSource)

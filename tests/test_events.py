@@ -311,3 +311,43 @@ def test_merge_intervals_gaps_and_islands(spark):
         (1, 2, t(30), t(40), 1),
         (2, 1, t(0), t(60), 2),
     ]
+
+
+def test_resample_ffill_dense_grid(spark):
+    import datetime as dt
+
+    from dbscan_pyspark_spark.operators.events import resample_ffill
+
+    t = lambda m: dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m)
+    rows = [
+        (1, t(0), 10.0),
+        (1, t(2), 12.0),   # same 5-min bucket as t(0): last wins
+        (1, t(17), 20.0),  # gap of 2 buckets to fill
+        (2, t(5), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = sorted(
+        resample_ffill(df, "k", "ts", ["v"], step="5 minutes").collect(),
+        key=lambda r: (r["k"], r["bucket_ts"]),
+    )
+    got = [(r["k"], r["bucket_ts"], r["v"]) for r in out]
+    assert got == [
+        (1, t(0), 12.0),   # last of bucket
+        (1, t(5), 12.0),   # filled
+        (1, t(10), 12.0),  # filled
+        (1, t(15), 20.0),
+        (2, t(5), 5.0),
+    ]
+
+
+def test_resample_ffill_avg_mode(spark):
+    import datetime as dt
+
+    from dbscan_pyspark_spark.operators.events import resample_ffill
+
+    t = lambda m: dt.datetime(2026, 1, 1) + dt.timedelta(minutes=m)
+    df = spark.createDataFrame(
+        [(1, t(0), 10.0), (1, t(1), 20.0)], "k long, ts timestamp, v double"
+    )
+    out = resample_ffill(df, "k", "ts", ["v"], step="5 minutes", agg="avg").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 15.0)]

@@ -55,3 +55,27 @@ def test_stream_read_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM t_synth").collect()))
     want = sorted(map(tuple, _read(spark, n_rows=200).collect()))
     assert got == want
+
+
+def test_reader_pushes_event_id_range(spark):
+    from pyspark.sql import functions as F
+
+    df = _read(spark, n_rows=10_000, numPartitions=4)
+    filtered = df.where((F.col("event_id") >= 100) & (F.col("event_id") < 120))
+    rows = filtered.collect()
+    assert sorted(r["event_id"] for r in rows) == list(range(100, 120))
+    # the pushed range also shrinks partition planning: one narrow slice
+    assert filtered.rdd.getNumPartitions() <= 4
+
+
+def test_audit_sink_manifest(spark, tmp_path):
+    import json
+
+    register_synthetic_source(spark)
+    path = str(tmp_path / "manifest.json")
+    df = _read(spark, n_rows=500, numPartitions=5)
+    df.write.format("audit_sink").option("path", path).mode("append").save()
+    m = json.load(open(path))
+    assert m["total_rows"] == 500
+    assert m["n_partitions"] >= 1
+    assert sum(n for n, _ in m["partition_checksums"]) == 500
