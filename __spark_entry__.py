@@ -2279,6 +2279,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_resampled"] = events_resampled
 
+    def pretraining_report(spark, sf):
+        # end-to-end pipeline accounting in ONE relation: how much
+        # survives each stage (the readout a data-curation run ships)
+        from dbscan_pyspark_spark.operators.pipeline import (
+            corpus_filter,
+            hash_split,
+        )
+
+        d = load_table(spark, sf, "documents")
+        filt = corpus_filter(
+            d, min_tokens=25, min_quality=0.9, max_repetition=0.05
+        ).localCheckpoint(eager=False)
+        kept = filt.where("keep")
+
+        def stage(df, name):
+            return df.agg(
+                F.lit(name).alias("stage"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+
+        input_row = stage(
+            filt, "0_input"
+        )  # filt carries n_tokens for every doc
+        kept_row = stage(kept, "1_filtered")
+        splits = hash_split(
+            kept, splits=[("train", 8), ("val", 1), ("test", 1)]
+        )
+        split_rows = splits.groupBy(
+            F.concat(F.lit("2_split_"), "split").alias("stage")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        return input_row.unionByName(kept_row).unionByName(split_rows)
+
+    q["pretraining_report"] = pretraining_report
+
     return _reorder_for_driver_window(q)
 
 
@@ -2329,7 +2367,7 @@ _FLAGSHIP_FIRST = [
     "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
     "events_asof_next_view", "part_cooccurrence",
     "events_session_histogram", "dedup_savings", "doc_weighted_sample",
-    "events_resampled",
+    "events_resampled", "pretraining_report",
 ]
 
 
@@ -3790,6 +3828,24 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "pretraining_report": f"""
+WITH {_CORPUS_FILTER_CTES},
+kept AS (SELECT doc_id, n_tokens FROM labeled WHERE reason = 'kept'),
+sp AS (
+  SELECT doc_id, n_tokens,
+         CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10 AS b
+  FROM kept
+)
+SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM labeled
+UNION ALL
+SELECT '1_filtered', CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT) FROM kept
+UNION ALL
+SELECT '2_split_' || CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END,
+       CAST(count(*) AS BIGINT), CAST(sum(n_tokens) AS BIGINT)
+FROM sp GROUP BY 1
 """,
         "events_resampled": """
 WITH pb AS (
