@@ -291,3 +291,33 @@ def test_scd2_runs_match_python(spark, states):
         for j, (t, s) in enumerate(runs)
     ]
     assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in out] == want
+
+
+@given(
+    ev=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 50), st.sampled_from("abc")),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_transition_counts_matches_python(spark, ev):
+    from collections import Counter, defaultdict
+
+    from dbscan_pyspark_spark.operators.events import transition_counts
+
+    rows = [(i, t, u, s) for i, (u, t, s) in enumerate(ev)]
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, event_type string")
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_counts(df).collect()
+    }
+    seqs = defaultdict(list)
+    for i, (u, t, s) in enumerate(ev):
+        seqs[u].append((t, i, s))
+    want = Counter()
+    for u, items in seqs.items():
+        items.sort()
+        for (_, _, a), (_, _, b) in zip(items, items[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
