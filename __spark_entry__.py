@@ -2317,6 +2317,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pretraining_report"] = pretraining_report
 
+    def part_name_fuzzy_pairs(spark, sf):
+        # entity-resolution primitive: near-identical catalog names
+        from dbscan_pyspark_spark.operators.dedup import fuzzy_pairs
+
+        return fuzzy_pairs(
+            load_table(spark, sf, "part"), "p_name", max_dist=3
+        )
+
+    q["part_name_fuzzy_pairs"] = part_name_fuzzy_pairs
+
     return _reorder_for_driver_window(q)
 
 
@@ -2367,7 +2377,7 @@ _FLAGSHIP_FIRST = [
     "ivf_ann_topk_exact", "embedding_near_dups_lsh_exact",
     "events_asof_next_view", "part_cooccurrence",
     "events_session_histogram", "dedup_savings", "doc_weighted_sample",
-    "events_resampled", "pretraining_report",
+    "events_resampled", "pretraining_report", "part_name_fuzzy_pairs",
 ]
 
 
@@ -3828,6 +3838,20 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "part_name_fuzzy_pairs": """
+WITH vals AS (SELECT DISTINCT CAST(p_name AS VARCHAR) AS v FROM part WHERE p_name IS NOT NULL),
+a AS (
+  SELECT v AS a_value, unnest(generate_series(length(v) - 3, length(v) + 3)) AS probe_len
+  FROM vals
+),
+b AS (SELECT v AS b_value, length(v) AS lb FROM vals),
+cand AS (
+  SELECT DISTINCT a.a_value, b.b_value
+  FROM a JOIN b ON a.probe_len = b.lb AND a.a_value < b.b_value
+)
+SELECT a_value, b_value, CAST(levenshtein(a_value, b_value) AS INT) AS dist
+FROM cand WHERE levenshtein(a_value, b_value) <= 3
 """,
         "pretraining_report": f"""
 WITH {_CORPUS_FILTER_CTES},

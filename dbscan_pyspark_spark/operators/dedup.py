@@ -478,3 +478,61 @@ def chunk_dedup_stats(
         F.sum("_dup").alias("n_dup_chunks"),
         F.round(F.sum("_dup") / F.count(F.lit(1)), 4).alias("dup_ratio"),
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Fuzzy self-match: all pairs of DISTINCT values of ``col`` within
+    ``max_dist`` edit distance (the entity-resolution primitive —
+    catalog/name/address matching).
+
+    Scale shape: never all-pairs. One side explodes to its candidate
+    LENGTH BAND [len-k, len+k] (edit distance >= length difference, so
+    no true pair escapes), the other joins on exact length — an
+    equi-join whose candidate count is bounded by values sharing a
+    length band. ``block_expr`` adds a second equi-key (e.g. a phonetic
+    code or first token) to tighten candidates when the corpus is
+    large; the default is length-only. The exact ``levenshtein``
+    residual runs only on candidates. Returns
+    DataFrame(a_value, b_value, dist) with a_value < b_value.
+    """
+    vals = df.select(F.col(col).cast("string").alias("_v")).where(
+        F.col("_v").isNotNull()
+    ).distinct()
+    blocked = (
+        vals.withColumn("_blk", block_expr) if block_expr is not None else
+        vals.withColumn("_blk", F.lit(0))
+    )
+    a = blocked.select(
+        F.col("_v").alias("a_value"),
+        F.col("_blk").alias("_ablk"),
+        F.explode(
+            F.sequence(
+                F.length("_v") - max_dist, F.length("_v") + max_dist
+            )
+        ).alias("_probe_len"),
+    )
+    b = blocked.select(
+        F.col("_v").alias("b_value"),
+        F.col("_blk").alias("_bblk"),
+        F.length("_v").alias("_lb"),
+    )
+    cand = a.join(
+        b,
+        (a["_probe_len"] == b["_lb"])
+        & (a["_ablk"] == b["_bblk"])
+        & (a["a_value"] < b["b_value"]),
+    )
+    return (
+        cand.select(
+            "a_value",
+            "b_value",
+            F.levenshtein("a_value", "b_value").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .distinct()
+    )

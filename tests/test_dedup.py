@@ -180,3 +180,53 @@ def test_chunk_dedup_first_occurrence_wins(spark):
     }
     # lowest (doc_id, chunk) owns the chunk; later ones are dups
     assert out == {7: 0, 8: 1, 9: 1}
+
+
+def test_fuzzy_pairs_finds_near_names(spark):
+    from dbscan_pyspark_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgets",), ("red midget",),
+         ("blue bolt",), ("completely different",)],
+        "name string",
+    )
+    got = {
+        (r["a_value"], r["b_value"]): r["dist"]
+        for r in fuzzy_pairs(df, "name", max_dist=2).collect()
+    }
+    assert got[("red widget", "red widgets")] == 1
+    assert got[("red midget", "red widget")] == 1
+    assert got[("red midget", "red widgets")] == 2
+    assert not any("blue bolt" in k or "completely different" in k
+                   for pair in got for k in pair)
+
+
+def test_fuzzy_pairs_length_band_is_lossless(spark):
+    """No true pair can escape the length-band blocking: compare to a
+    brute-force cross of all distinct values."""
+    from itertools import combinations
+
+    from dbscan_pyspark_spark.operators.dedup import fuzzy_pairs
+
+    words = ["abc", "abcd", "abd", "xyz", "xy", "abcde", "zzzzz", "azc"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        (r["a_value"], r["b_value"])
+        for r in fuzzy_pairs(df, "w", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return int(d[-1])
+
+    want = {
+        tuple(sorted((x, y)))
+        for x, y in combinations(words, 2)
+        if lev(x, y) <= 2
+    }
+    assert got == want
