@@ -103,3 +103,47 @@ def test_assignment_is_map_side_only(spark):
     # groupBy updates); the returned frame itself is exchange-free.
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_model_save_load_roundtrip_and_assign(spark, tmp_path):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.kmeans import (
+        assign_with_model,
+        kmeans_fit,
+        load_kmeans_model,
+        save_kmeans_model,
+    )
+
+    rng = np.random.default_rng(17)
+    blobs = np.concatenate(
+        [rng.normal(loc=c, scale=0.05, size=(15, 4)) for c in (0.0, 8.0)]
+    )
+    df = _df(spark, blobs)
+    assign, cents = kmeans_fit(df, k=2, n_iter=2)
+    p = str(tmp_path / "model.json")
+    save_kmeans_model(cents, p, scale=1000)
+    loaded, scale = load_kmeans_model(p)
+    assert loaded == cents and scale == 1000
+
+    # assignment with the loaded model == the training assignment
+    re_assigned = assign_with_model(df, loaded, scale=scale)
+    a = sorted(map(tuple, assign.collect()))
+    b = sorted(map(tuple, re_assigned.collect()))
+    assert a == b
+    # and the plan stays exchange-free (pure map-side inference)
+    plan = re_assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_load_model_rejects_wrong_format(spark, tmp_path):
+    import json
+
+    import pytest
+
+    from dbscan_pyspark_spark.operators.kmeans import load_kmeans_model
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="not a kmeans_quantized model"):
+        load_kmeans_model(str(p))
