@@ -2327,6 +2327,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_name_fuzzy_pairs"] = part_name_fuzzy_pairs
 
+    def lineitem_winsorized_stats(spark, sf):
+        # per-flag 1%/99% winsorization report: the clip bounds and how
+        # many rows each tail clamps (all deterministic outputs)
+        from dbscan_pyspark_spark.operators.pipeline import winsorize
+
+        li = load_table(spark, sf, "lineitem").select(
+            "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+        )
+        w = winsorize(
+            li, "p", lo_q=0.01, hi_q=0.99,
+            group_cols=["l_returnflag"], out_col="p_w",
+        )
+        return (
+            w.groupBy("l_returnflag")
+            .agg(
+                F.round(F.min("p_w"), 4).alias("lo_bound"),
+                F.round(F.max("p_w"), 4).alias("hi_bound"),
+                F.sum((F.col("p") < F.col("p_w")).cast("long")).alias(
+                    "n_clamped_lo"
+                ),
+                F.sum((F.col("p") > F.col("p_w")).cast("long")).alias(
+                    "n_clamped_hi"
+                ),
+            )
+        )
+
+    q["lineitem_winsorized_stats"] = lineitem_winsorized_stats
+
+    def events_imputed_values(spark, sf):
+        # median imputation demo: error events carry no value -> impute
+        # with the user's median; report per-user imputation counts
+        from dbscan_pyspark_spark.operators.pipeline import (
+            impute_group_median,
+        )
+
+        ev = load_table(spark, sf, "events").select(
+            "user_id",
+            F.when(F.col("event_type") != "error", F.col("value")).alias(
+                "v"
+            ),
+        )
+        imp = impute_group_median(ev, ["user_id"], "v", out_col="v_f")
+        return (
+            imp.groupBy("user_id")
+            .agg(
+                F.sum(F.col("v").isNull().cast("long")).alias("n_imputed"),
+                F.round(
+                    F.max(F.when(F.col("v").isNull(), F.col("v_f"))), 4
+                ).alias("imputed_value"),
+            )
+            .where(F.col("n_imputed") > 0)
+        )
+
+    q["events_imputed_values"] = events_imputed_values
+
     return _reorder_for_driver_window(q)
 
 
@@ -2378,6 +2433,7 @@ _FLAGSHIP_FIRST = [
     "events_asof_next_view", "part_cooccurrence",
     "events_session_histogram", "dedup_savings", "doc_weighted_sample",
     "events_resampled", "pretraining_report", "part_name_fuzzy_pairs",
+    "lineitem_winsorized_stats", "events_imputed_values",
 ]
 
 
@@ -3838,6 +3894,38 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "lineitem_winsorized_stats": """
+WITH li AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem
+),
+b AS (
+  SELECT l_returnflag, quantile_cont(p, 0.01) AS lo, quantile_cont(p, 0.99) AS hi
+  FROM li GROUP BY 1
+),
+w AS (
+  SELECT li.l_returnflag, p, least(greatest(p, lo), hi) AS pw
+  FROM li JOIN b USING (l_returnflag)
+)
+SELECT l_returnflag, round(min(pw), 4) AS lo_bound, round(max(pw), 4) AS hi_bound,
+       CAST(sum(CASE WHEN p < pw THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(sum(CASE WHEN p > pw THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi
+FROM w GROUP BY l_returnflag
+""",
+        "events_imputed_values": """
+WITH ev AS (
+  SELECT user_id, CASE WHEN event_type != 'error' THEN value END AS v
+  FROM events
+),
+med AS (SELECT user_id, quantile_cont(v, 0.5) AS m FROM ev GROUP BY user_id),
+imp AS (
+  SELECT ev.user_id, v, coalesce(v, m) AS vf FROM ev JOIN med USING (user_id)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       round(max(CASE WHEN v IS NULL THEN vf END), 4) AS imputed_value
+FROM imp GROUP BY user_id
+HAVING sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) > 0
 """,
         "part_name_fuzzy_pairs": """
 WITH vals AS (SELECT DISTINCT CAST(p_name AS VARCHAR) AS v FROM part WHERE p_name IS NOT NULL),

@@ -651,3 +651,61 @@ def weighted_sample(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Median imputation per group: null values of ``value_col`` are
+    replaced with their group's exact median (non-null rows pass
+    through). The group medians are one partial-aggregatable
+    ``percentile`` pass joined back on the group key — the imputation
+    itself never reshuffles the data rows when the median relation
+    broadcasts (group cardinality ≪ rows, the usual case).
+    """
+    out_col = out_col or value_col
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    return (
+        df.join(F.broadcast(med), group_cols, "left")
+        .withColumn(
+            out_col, F.coalesce(F.col(value_col), F.col("_med"))
+        )
+        .drop("_med")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization (outlier clipping): values below the ``lo_q``
+    quantile or above ``hi_q`` are clamped to those quantiles —
+    per group when ``group_cols`` is given, else globally. Exact
+    ``percentile`` (deterministic, oracle-matched interpolation); the
+    bounds relation broadcasts back against the scan.
+    """
+    out_col = out_col or value_col
+    keys = group_cols or []
+    agg = [
+        F.expr(f"percentile({value_col}, {lo_q})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi_q})").alias("_hi"),
+    ]
+    bounds = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
+    joined = (
+        df.join(F.broadcast(bounds), keys, "left")
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+    ).drop("_lo", "_hi")

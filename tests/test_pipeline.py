@@ -446,3 +446,33 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     got = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
     assert got == {1, 4}
+
+
+def test_impute_group_median(spark):
+    from dbscan_pyspark_spark.operators.pipeline import impute_group_median
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "g string, v double",
+    )
+    out = {
+        (r["g"], r["v"])
+        for r in impute_group_median(df, ["g"], "v").collect()
+    }
+    assert ("a", 2.0) in out      # null imputed with median(1,3)
+    assert ("b", 10.0) in out     # null imputed with median(10)
+    assert sum(1 for g, v in out if v is None) == 0
+
+
+def test_winsorize_clamps_tails(spark):
+    from dbscan_pyspark_spark.operators.pipeline import winsorize
+
+    rows = [(float(i),) for i in range(1, 100)] + [(10_000.0,), (-10_000.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = winsorize(df, "v", lo_q=0.05, hi_q=0.95)
+    stats = out.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    ).first()
+    assert stats["mn"] > -10_000.0 and stats["mx"] < 10_000.0
+    # interior values untouched
+    assert out.where(F.col("v") == 50.0).count() == 1
