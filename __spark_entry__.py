@@ -2382,6 +2382,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_imputed_values"] = events_imputed_values
 
+    def shipping_delay_stats(spark, sf):
+        # order-to-ship latency distribution per priority: integer-day
+        # deltas make mean/percentile cross-engine exact
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("_delay"),
+        )
+        return d.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.avg("_delay"), 4).alias("avg_delay_days"),
+            F.round(F.expr("percentile(_delay, 0.9)"), 4).alias(
+                "p90_delay_days"
+            ),
+            F.max("_delay").alias("max_delay_days"),
+        )
+
+    q["shipping_delay_stats"] = shipping_delay_stats
+
+    def order_value_outliers(spark, sf):
+        # per-month z-score outliers on order value: decimal-exact
+        # moments -> deterministic doubles -> rounded z threshold
+        o = load_table(spark, sf, "orders")
+        base = o.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+            _dec("o_totalprice").alias("_p"),
+        )
+        stats = base.groupBy("m").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_p").alias("_s"),
+            F.sum(F.col("_p") * F.col("_p")).alias("_ss"),
+        )
+        z = (
+            base.join(stats, "m")
+            .select(
+                "m",
+                (
+                    (
+                        F.col("_p").cast("double")
+                        - F.col("_s").cast("double") / F.col("_n")
+                    )
+                    / F.sqrt(
+                        F.col("_ss").cast("double") / F.col("_n")
+                        - (F.col("_s").cast("double") / F.col("_n"))
+                        * (F.col("_s").cast("double") / F.col("_n"))
+                    )
+                ).alias("_z"),
+            )
+        )
+        return z.groupBy("m").agg(
+            F.sum((F.round(F.abs("_z"), 6) > 3.0).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.round(F.max(F.abs("_z")), 4).alias("max_abs_z"),
+        )
+
+    q["order_value_outliers"] = order_value_outliers
+
     return _reorder_for_driver_window(q)
 
 
@@ -2434,6 +2493,7 @@ _FLAGSHIP_FIRST = [
     "events_session_histogram", "dedup_savings", "doc_weighted_sample",
     "events_resampled", "pretraining_report", "part_name_fuzzy_pairs",
     "lineitem_winsorized_stats", "events_imputed_values",
+    "shipping_delay_stats", "order_value_outliers",
 ]
 
 
@@ -3894,6 +3954,41 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "shipping_delay_stats": """
+WITH d AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg(delay), 4) AS avg_delay_days,
+       round(quantile_cont(delay, 0.9), 4) AS p90_delay_days,
+       CAST(max(delay) AS INT) AS max_delay_days
+FROM d GROUP BY o_orderpriority
+""",
+        "order_value_outliers": """
+WITH base AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS m,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS p
+  FROM orders
+),
+stats AS (
+  SELECT m, count(*) AS n, sum(p) AS s,
+         sum(CAST(p AS DECIMAL(38,8)) * p) AS ss
+  FROM base GROUP BY m
+),
+z AS (
+  SELECT base.m,
+         (CAST(p AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt(CAST(ss AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS zval
+  FROM base JOIN stats USING (m)
+)
+SELECT m,
+       CAST(sum(CASE WHEN round(abs(zval), 6) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(abs(zval)), 4) AS max_abs_z
+FROM z GROUP BY m
 """,
         "lineitem_winsorized_stats": """
 WITH li AS (
