@@ -2749,8 +2749,12 @@ a{i} AS (
         return f"""
 c{i} AS (
   SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    -- exact integer floor division (not float floor(), which rounds
+    -- past 2^53): subtract the nonnegative remainder, then divide
     SELECT a.cid, u.pos,
-           CAST(floor(sum(u.val) * 1.0 / count(*)) AS BIGINT) AS cv
+           CAST((sum(u.val)
+                 - ((sum(u.val) % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS cv
     FROM (SELECT t.vec_id, unnest(t.v) AS val,
                  generate_subscripts(t.v, 1) AS pos FROM v t) u
     JOIN {prev_assign} a USING (vec_id)
@@ -4660,7 +4664,7 @@ FROM islands GROUP BY user_id, island
         "events_scd2": """
 WITH marked AS (
   SELECT user_id, event_type, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
+         CASE WHEN row_number() OVER w = 1
                    OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS new_run
   FROM events

@@ -214,8 +214,13 @@ def connected_components(
     # the loop so each round keeps the configured shuffle parallelism;
     # restore the caller's setting after.
     spark = edges.sparkSession
+    # NOTE: SQL confs are session-global — flipping coalescing off for
+    # the loop also affects queries running CONCURRENTLY in this
+    # session. Iterative operators assume they own the session while
+    # iterating (the same contract as the reference's driver loops);
+    # run concurrent workloads in a separate session if that matters.
     _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coalesce = spark.conf.get(_coalesce_key, "true")
+    prev_coalesce = spark.conf.get(_coalesce_key, None)
     spark.conf.set(_coalesce_key, "false")
     labels = None
     try:
@@ -256,7 +261,10 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds"
             )
     finally:
-        spark.conf.set(_coalesce_key, prev_coalesce)
+        if prev_coalesce is None:
+            spark.conf.unset(_coalesce_key)
+        else:
+            spark.conf.set(_coalesce_key, prev_coalesce)
 
     if labels is None:
         # Star forest: u(>v) -> center v. Node that appears only as
@@ -337,9 +345,11 @@ def pagerank(
     # partition coalescing off — each round's exchanges are small, and
     # coalescing them to 1-2 tasks serializes the iteration (measured
     # on CC: 78 s -> 37 s; here 59 s -> ~20 s at 2M nodes / 4M edges).
+    # session-global conf toggle: same single-owner contract as the CC
+    # loop above (see the NOTE there)
     spark = edges.sparkSession
     _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coalesce = spark.conf.get(_coalesce_key, "true")
+    prev_coalesce = spark.conf.get(_coalesce_key, None)
     spark.conf.set(_coalesce_key, "false")
     try:
         nodes = nodes.localCheckpoint(eager=True)
@@ -365,7 +375,10 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     finally:
-        spark.conf.set(_coalesce_key, prev_coalesce)
+        if prev_coalesce is None:
+            spark.conf.unset(_coalesce_key)
+        else:
+            spark.conf.set(_coalesce_key, prev_coalesce)
     return p.select(
         "node", F.round(F.col("p") / F.lit(float(scale)), 8).alias("pagerank")
     )

@@ -527,12 +527,11 @@ def fuzzy_pairs(
         & (a["_ablk"] == b["_bblk"])
         & (a["a_value"] < b["b_value"]),
     )
-    return (
-        cand.select(
-            "a_value",
-            "b_value",
-            F.levenshtein("a_value", "b_value").alias("dist"),
-        )
-        .where(F.col("dist") <= max_dist)
-        .distinct()
-    )
+    # pairs are already unique: vals is distinct, each b row has one
+    # length, and a's band contains each probe length once — no
+    # trailing distinct (it would re-shuffle the scored relation)
+    return cand.select(
+        "a_value",
+        "b_value",
+        F.levenshtein("a_value", "b_value").alias("dist"),
+    ).where(F.col("dist") <= max_dist)

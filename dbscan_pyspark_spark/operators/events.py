@@ -272,8 +272,9 @@ def transition_counts(
 
     Scale shape: one shuffle to sequence each user's events (window on
     the user key), then a partial-aggregatable groupBy on the ~|types|²
-    transition key; the global total rides a broadcast-size scalar
-    (single-row cross join), never a second pass over the events.
+    transition key. The share denominator is an unpartitioned window
+    over that ALREADY-AGGREGATED relation — a single-task pass over
+    ~|types|² rows, bounded by the type vocabulary, never the events.
     """
     from pyspark.sql import Window
 
@@ -332,7 +333,9 @@ def scd2_intervals(
             # null-safe inequality: open a new run when the value (or
             # its null-ness) differs from the previous row's
             changed = changed | ~F.col(c).eqNullSafe(prev)
-        first = F.lag(ts_col).over(w).isNull()
+        # row 1 detection must not key off lag(ts) being null — a NULL
+        # ts VALUE in row 1 would make row 2 spuriously open a run
+        first = F.row_number().over(w) == 1
         runs = df.withColumn("_new_run", (first | changed).cast("int"))
         runs = runs.where(F.col("_new_run") == 1)
     else:

@@ -330,7 +330,8 @@ def histogram(
     Returns DataFrame(bin int, bin_lo, bin_hi, cnt) with ``n_bins``
     equal-width bins over [lo, hi] (min/max from one bounded agg job
     when not given). With explicit bounds, out-of-range values are
-    CLAMPED into the edge bins — the max (and anything above hi) lands
+    CLAMPED into the edge bins (nulls are excluded — a missing value
+    is not a hi-edge observation) — the max (and anything above hi) lands
     in the last bin, anything below lo in bin 0 — so every row is
     counted and bin indices stay in [0, n_bins). A groupBy over a
     derived integer — fully partial-aggregatable, one scan, ``n_bins``
@@ -357,7 +358,10 @@ def histogram(
         ),
     ).cast("int")
     return (
-        df.groupBy(bin_.alias("bin"))
+        # nulls are MISSING, not hi-edge values: floor(NULL)->NULL would
+        # otherwise ride least/greatest's null-skipping into the top bin
+        df.where(F.col(col).isNotNull())
+        .groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "bin",
@@ -705,7 +709,10 @@ def winsorize(
         if keys
         else df.crossJoin(F.broadcast(bounds))
     )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
     return joined.withColumn(
         out_col,
-        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi")),
+        # greatest/least skip nulls, which would fabricate the clip
+        # floor for missing values — nulls must stay null
+        F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clamped),
     ).drop("_lo", "_hi")

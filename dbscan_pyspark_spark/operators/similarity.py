@@ -532,6 +532,22 @@ def embedding_covariance(
     bit parity (cov = E[xy] - E[x]E[y] evaluated in the same three
     deterministic float ops from exact integer moments).
     """
+    agg = _second_moments(vectors, vec_col, scale)
+    sc2 = float(scale) * float(scale)
+    cov = (
+        F.col("s") / F.col("n")
+        - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+    ) / F.lit(sc2)
+    return agg.select("i", "j", F.round(cov, round_dp).alias("cov"))
+
+
+def _second_moments(
+    vectors: DataFrame, vec_col: str, scale: int
+) -> DataFrame:
+    """Exact integer second moments of the quantized vectors: one Arrow
+    partial-Gram pass aggregated to DataFrame(i, j, s, si, sj, n) for
+    the upper triangle — shared by covariance and PCA (which also needs
+    the means, so it reads si/n instead of re-scanning the table)."""
     import pandas as pd
 
     q = vectors.select(
@@ -575,18 +591,12 @@ def embedding_covariance(
     partials = q.mapInPandas(
         partial_gram, "i int, j int, s long, si long, sj long, n long"
     )
-    agg = partials.groupBy("i", "j").agg(
+    return partials.groupBy("i", "j").agg(
         F.sum("s").alias("s"),
         F.sum("si").alias("si"),
         F.sum("sj").alias("sj"),
         F.sum("n").alias("n"),
     )
-    sc2 = float(scale) * float(scale)
-    cov = (
-        F.col("s") / F.col("n")
-        - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
-    ) / F.lit(sc2)
-    return agg.select("i", "j", F.round(cov, round_dp).alias("cov"))
 
 
 def pca_project(
@@ -615,36 +625,27 @@ def pca_project(
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(
-        vectors, vec_col=vec_col, scale=scale, round_dp=12
-    ).collect()
-    d = max(r["j"] for r in cov_rows) + 1
+    # ONE moments pass yields both the covariance and the means —
+    # no second scan of the vector table, and centering stays in the
+    # same quantized-grid units as the decomposition
+    mom = _second_moments(vectors, vec_col, scale).collect()
+    d = max(r["j"] for r in mom) + 1
+    sc2 = float(scale) * float(scale)
     C = np.zeros((d, d))
-    for r in cov_rows:
-        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    mean = [0.0] * d
+    for r in mom:
+        cov = (
+            r["s"] / r["n"] - (r["si"] / r["n"]) * (r["sj"] / r["n"])
+        ) / sc2
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mean[r["i"]] = (r["si"] / r["n"]) / float(scale)
     vals, vecs = np.linalg.eigh(C)
     order = np.argsort(vals)[::-1][:n_components]
     W = vecs[:, order]  # d x k
     for c in range(W.shape[1]):
         if W[np.argmax(np.abs(W[:, c])), c] < 0:
             W[:, c] = -W[:, c]
-    # mean vector for centering, in original units
-    mean_row = (
-        vectors.select(
-            F.transform(vec_col, lambda x: x.cast("double")).alias("_v")
-        )
-        .select(
-            F.array(
-                *[
-                    F.avg(F.col("_v")[i]).alias(f"m{i}")
-                    for i in range(d)
-                ]
-            ).alias("m")
-        )
-        .collect()
-    )
-    mean = list(mean_row[0]["m"]) if mean_row else [0.0] * d
-
     comp_lits = F.array(
         *[
             F.array(*[F.lit(float(W[i, c])) for i in range(d)])

@@ -305,10 +305,13 @@ def upsert_parquet(
 
     With ``partition_col`` (hive-partitioned table) this is the
     scale-right incremental shape: only partitions that contain updated
-    keys are read, merged, and rewritten — Spark's dynamic partition
-    overwrite (``partitionOverwriteMode=dynamic``) leaves every other
-    partition untouched, so a 100 TB table with a 1 GB daily delta
-    rewrites ~the delta's partitions, not the table. Without it, the
+    keys — in their NEW home or their OLD one (keys may move
+    partitions; a column-pruned key-scan of the table finds the old
+    homes) — are read, merged, and rewritten via Spark's dynamic
+    partition overwrite; every other partition is untouched, so a
+    100 TB table with a 1 GB daily delta rewrites ~the delta's
+    partitions, not the table. A partition fully emptied by moved keys
+    is deleted afterwards (local FS). Without it, the
     whole snapshot is merged and rewritten through the same
     temp-and-swap used by ``compact_parquet`` (safe, but O(table) — use
     partitioning for anything that won't fit a full rewrite).
@@ -335,22 +338,52 @@ def upsert_parquet(
         return
 
     if partition_col is not None:
+        import shutil
+
         current = spark.read.parquet(path)
-        parts = [
+        keys = updates.select(*key_cols).distinct()
+        # partitions receiving NEW versions...
+        new_parts = {
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        }
+        # ...plus partitions holding OLD versions of the updated keys —
+        # a key may MOVE partitions, and skipping its former home would
+        # leave a stale duplicate behind. This is a key-scan of the
+        # whole table but column-pruned to (key_cols, partition_col):
+        # parquet reads only those columns, not the data.
+        old_parts = {
             r[0]
-            for r in updates.select(partition_col).distinct().collect()
-        ]
-        # partition-pruned read: only affected partitions are scanned
+            for r in current.join(keys, key_cols, "left_semi")
+            .select(partition_col)
+            .distinct()
+            .collect()
+        }
+        parts = list(new_parts | old_parts)
         affected = current.where(F.col(partition_col).isin(parts))
         merged = affected.join(
-            updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            keys, on=key_cols, how="left_anti"
         ).unionByName(updates)
+        # survivor partitions must be computed BEFORE the overwrite —
+        # merged's plan reads the table being replaced, and re-running
+        # it afterwards would chase deleted files
+        survivors = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(path)
         )
+        # a partition whose rows were ALL old versions of moved keys
+        # yields no output rows, so dynamic overwrite never touches it;
+        # drop such now-empty partitions (local FS; simple scalar
+        # partition values)
+        emptied = (set(parts) - survivors) if "://" not in path else set()
+        for pv in emptied:
+            d = os.path.join(path, f"{partition_col}={pv}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         return
 
     current = spark.read.parquet(path)

@@ -12,10 +12,13 @@ events-table shape at any row count WITHOUT files or RNG state:
 - partition planning is real: ``numPartitions`` InputPartitions, each
   generating its contiguous index range independently — the source
   scales out like a parquet scan, no driver materialization,
-- batch and micro-batch (``readStream``) readers share one generator;
-  the stream reader advances a monotonically increasing offset in
-  ``rows_per_batch`` steps, so availableNow/trigger-once tests get
-  reproducible batches with exactly-once offset tracking.
+- batch and micro-batch (``readStream``) readers share one generator.
+  By default the stream reader exposes everything up to ``n_rows`` at
+  once (the availableNow/trigger-once shape; ``rows_per_batch`` then
+  only shards partitions WITHIN the batch); with
+  ``advance_per_trigger=true`` the offset instead advances by
+  ``rows_per_batch`` per trigger, so ProcessingTime soak tests get an
+  incremental, reproducible batch sequence.
 
 The reference hard-coded its inputs as committed CSVs; an engine needs
 a load generator that behaves like a table.
@@ -135,12 +138,23 @@ class _SyntheticStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.seed = int(options.get("seed", 42))
         self.n_users = int(options.get("n_users", 100))
+        self.advance_per_trigger = (
+            str(options.get("advance_per_trigger", "false")).lower()
+            == "true"
+        )
+        self._cursor = 0
 
     def initialOffset(self):
         return {"index": 0}
 
     def latestOffset(self):
-        # advance one batch per trigger until n_rows is exhausted
+        if self.advance_per_trigger:
+            # incremental mode: one rows_per_batch step per trigger
+            self._cursor = min(
+                self._cursor + self.rows_per_batch, self.n_rows
+            )
+            return {"index": self._cursor}
+        # default: expose everything (availableNow / trigger-once shape)
         return {"index": self.n_rows}
 
     def partitions(self, start, end):

@@ -351,3 +351,15 @@ def test_resample_ffill_avg_mode(spark):
     )
     out = resample_ffill(df, "k", "ts", ["v"], step="5 minutes", agg="avg").collect()
     assert [(r["k"], r["v"]) for r in out] == [(1, 15.0)]
+
+
+def test_scd2_null_ts_first_row_does_not_split_run(spark):
+    from dbscan_pyspark_spark.operators.events import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "a"), (2, 10, 1, "a"), (3, 20, 1, "b")],
+        "event_id long, ts long, k long, attr string",
+    )
+    out = scd2_intervals(df, "k", "ts", ["attr"], order_cols=("event_id",)).collect()
+    # one 'a' run (starting at the null-ts row) and one 'b' run
+    assert sorted(r["attr"] for r in out) == ["a", "b"]

@@ -258,3 +258,48 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     assert set(out.columns) == {"id", "v", "score"}
     got = {r["id"]: r["score"] for r in out.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_upsert_parquet_partition_moving_key(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import upsert_parquet
+
+    p = str(tmp_path / "movetbl")
+    base = spark.createDataFrame(
+        [(1, "a", "v1"), (2, "a", "v2"), (3, "b", "v3")],
+        "id long, part string, v string",
+    )
+    upsert_parquet(spark, p, base, key_cols=["id"], partition_col="part")
+    # key 2 MOVES from partition a to partition b
+    upd = spark.createDataFrame(
+        [(2, "b", "v2-moved")], "id long, part string, v string"
+    )
+    upsert_parquet(spark, p, upd, key_cols=["id"], partition_col="part")
+    got = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert got == [
+        (1, "v1", "a"), (2, "v2-moved", "b"), (3, "v3", "b"),
+    ] or got == sorted(
+        [(1, "a", "v1"), (2, "b", "v2-moved"), (3, "b", "v3")]
+    ), got
+    # exactly one row per key — no stale duplicate in the old partition
+    ids = [r for r in spark.read.parquet(p).groupBy("id").count().collect()]
+    assert all(r["count"] == 1 for r in ids)
+
+
+def test_upsert_parquet_emptied_partition_removed(spark, tmp_path):
+    import os
+
+    from dbscan_pyspark_spark.sources.io import upsert_parquet
+
+    p = str(tmp_path / "emptytbl")
+    base = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, part string, v string"
+    )
+    upsert_parquet(spark, p, base, key_cols=["id"], partition_col="part")
+    # the ONLY row of partition a moves away -> partition dir must go
+    upd = spark.createDataFrame(
+        [(1, "b", "x-moved")], "id long, part string, v string"
+    )
+    upsert_parquet(spark, p, upd, key_cols=["id"], partition_col="part")
+    assert not os.path.isdir(os.path.join(p, "part=a"))
+    got = sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert len(got) == 2

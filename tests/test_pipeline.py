@@ -476,3 +476,22 @@ def test_winsorize_clamps_tails(spark):
     assert stats["mn"] > -10_000.0 and stats["mx"] < 10_000.0
     # interior values untouched
     assert out.where(F.col("v") == 50.0).count() == 1
+
+
+def test_winsorize_preserves_nulls(spark):
+    from dbscan_pyspark_spark.operators.pipeline import winsorize
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (100.0,), (None,)], "v double"
+    )
+    out = winsorize(df, "v", lo_q=0.25, hi_q=0.75).collect()
+    vals = [r["v"] for r in out]
+    assert vals.count(None) == 1, "null must stay null, not become the clip floor"
+
+
+def test_histogram_excludes_nulls(spark):
+    from dbscan_pyspark_spark.operators.pipeline import histogram
+
+    df = spark.createDataFrame([(0.5,), (None,), (9.5,)], "v double")
+    out = {r["bin"]: r["cnt"] for r in histogram(df, "v", n_bins=10, lo=0.0, hi=10.0).collect()}
+    assert out == {0: 1, 9: 1}, out  # null neither binned nor top-edged
