@@ -2441,6 +2441,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["order_value_outliers"] = order_value_outliers
 
+    def multimodal_frame_samples(spark, sf):
+        # frame-sampling plumbing under the ORACLE gate: the fake
+        # decoder slices payload bytes deterministically, so the Arrow
+        # mapInPandas stage replays exactly in SQL (frames pinned by
+        # md5 so the compare stays compact)
+        from dbscan_pyspark_spark.operators.multimodal import (
+            media_from_documents,
+            sample_frames,
+        )
+
+        media = media_from_documents(
+            load_table(spark, sf, "documents")
+        ).where(F.col("modality") == "video")
+        return sample_frames(media, every_ms=1000, max_frames=8).select(
+            "media_id",
+            "frame_index",
+            "frame_offset_ms",
+            F.md5("frame").alias("frame_md5"),
+        )
+
+    q["multimodal_frame_samples"] = multimodal_frame_samples
+
     return _reorder_for_driver_window(q)
 
 
@@ -3958,6 +3980,26 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "multimodal_frame_samples": """
+WITH media AS (
+  SELECT doc_id AS media_id, text, length(text) AS len
+  FROM documents WHERE doc_id % 3 = 2
+),
+p AS (
+  SELECT media_id, text, len,
+         least(greatest((len * 10) // 1000, 1), 8) AS n
+  FROM media
+),
+f AS (
+  SELECT media_id, text, n, greatest(len // n, 1) AS step,
+         unnest(range(0, n)) AS i
+  FROM p
+)
+SELECT media_id, CAST(i AS INT) AS frame_index,
+       CAST(i * 1000 AS BIGINT) AS frame_offset_ms,
+       md5(substring(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS frame_md5
+FROM f
 """,
         "shipping_delay_stats": """
 WITH d AS (
