@@ -2415,27 +2415,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum("_p").alias("_s"),
             F.sum(F.col("_p") * F.col("_p")).alias("_ss"),
         )
-        z = (
-            base.join(stats, "m")
-            .select(
-                "m",
+        var = (
+            F.col("_ss").cast("double") / F.col("_n")
+            - (F.col("_s").cast("double") / F.col("_n"))
+            * (F.col("_s").cast("double") / F.col("_n"))
+        )
+        z = base.join(stats, "m").select(
+            "m",
+            # zero/degenerate variance -> no z (guarded identically in
+            # the oracle: engines disagree on double division by zero)
+            F.when(
+                var > 0,
                 (
-                    (
-                        F.col("_p").cast("double")
-                        - F.col("_s").cast("double") / F.col("_n")
-                    )
-                    / F.sqrt(
-                        F.col("_ss").cast("double") / F.col("_n")
-                        - (F.col("_s").cast("double") / F.col("_n"))
-                        * (F.col("_s").cast("double") / F.col("_n"))
-                    )
-                ).alias("_z"),
-            )
+                    F.col("_p").cast("double")
+                    - F.col("_s").cast("double") / F.col("_n")
+                )
+                / F.sqrt(var),
+            ).alias("_z"),
         )
         return z.groupBy("m").agg(
-            F.sum((F.round(F.abs("_z"), 6) > 3.0).cast("long")).alias(
-                "n_outliers"
-            ),
+            F.sum(
+                F.coalesce(
+                    (F.round(F.abs("_z"), 6) > 3.0).cast("long"), F.lit(0)
+                )
+            ).alias("n_outliers"),
             F.round(F.max(F.abs("_z")), 4).alias("max_abs_z"),
         )
 
@@ -2451,9 +2454,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             sample_frames,
         )
 
-        media = media_from_documents(
-            load_table(spark, sf, "documents")
-        ).where(F.col("modality") == "video")
+        docs = load_table(spark, sf, "documents").where(
+            # frames slice BYTES; the SQL oracle can only slice CHARS
+            # (DuckDB has no blob substring), so the gate runs on the
+            # domain where they coincide: bytes == chars (ASCII text)
+            F.length(F.encode("text", "utf-8")) == F.length("text")
+        )
+        media = media_from_documents(docs).where(
+            F.col("modality") == "video"
+        )
         return sample_frames(media, every_ms=1000, max_frames=8).select(
             "media_id",
             "frame_index",
@@ -3984,7 +3993,8 @@ WHERE round(
         "multimodal_frame_samples": """
 WITH media AS (
   SELECT doc_id AS media_id, text, length(text) AS len
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents
+  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)
 ),
 p AS (
   SELECT media_id, text, len,
@@ -4026,9 +4036,12 @@ stats AS (
 ),
 z AS (
   SELECT base.m,
-         (CAST(p AS DOUBLE) - CAST(s AS DOUBLE) / n)
-           / sqrt(CAST(ss AS DOUBLE) / n
-                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS zval
+         CASE WHEN CAST(ss AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+              THEN (CAST(p AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                   / sqrt(CAST(ss AS DOUBLE) / n
+                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+         END AS zval
   FROM base JOIN stats USING (m)
 )
 SELECT m,

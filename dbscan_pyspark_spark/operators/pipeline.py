@@ -666,16 +666,21 @@ def impute_group_median(
     """Median imputation per group: null values of ``value_col`` are
     replaced with their group's exact median (non-null rows pass
     through). The group medians are one partial-aggregatable
-    ``percentile`` pass joined back on the group key — the imputation
-    itself never reshuffles the data rows when the median relation
-    broadcasts (group cardinality ≪ rows, the usual case).
+    ``percentile`` pass joined back on the group key — when the median
+    relation is broadcast-sized (group cardinality ≪ rows, the usual
+    case) Catalyst plans a map-side join and the data rows never
+    reshuffle; high-cardinality groups fall back to a shuffle join
+    rather than forcing an unbounded broadcast.
     """
     out_col = out_col or value_col
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med")
     )
     return (
-        df.join(F.broadcast(med), group_cols, "left")
+        # no forced broadcast: group cardinality is unbounded in
+        # general (e.g. per-user medians); Catalyst broadcasts when the
+        # median relation is actually small
+        df.join(med, group_cols, "left")
         .withColumn(
             out_col, F.coalesce(F.col(value_col), F.col("_med"))
         )

@@ -311,7 +311,9 @@ def upsert_parquet(
     partition overwrite; every other partition is untouched, so a
     100 TB table with a 1 GB daily delta rewrites ~the delta's
     partitions, not the table. A partition fully emptied by moved keys
-    is deleted afterwards (local FS). Without it, the
+    is deleted afterwards (local FS, plain string/int partition values);
+    on remote filesystems or exotic hive-encoded values the helper
+    raises instead of silently leaving the stale rows behind. Without it, the
     whole snapshot is merged and rewritten through the same
     temp-and-swap used by ``compact_parquet`` (safe, but O(table) — use
     partitioning for anything that won't fit a full rewrite).
@@ -363,9 +365,10 @@ def upsert_parquet(
         merged = affected.join(
             keys, on=key_cols, how="left_anti"
         ).unionByName(updates)
-        # survivor partitions must be computed BEFORE the overwrite —
-        # merged's plan reads the table being replaced, and re-running
-        # it afterwards would chase deleted files
+        # materialize ONCE: the survivors collect and the write would
+        # otherwise each execute the full merge, and the write would
+        # re-read the very files the overwrite replaces
+        merged = merged.localCheckpoint(eager=True)
         survivors = {
             r[0] for r in merged.select(partition_col).distinct().collect()
         }
@@ -377,13 +380,31 @@ def upsert_parquet(
         )
         # a partition whose rows were ALL old versions of moved keys
         # yields no output rows, so dynamic overwrite never touches it;
-        # drop such now-empty partitions (local FS; simple scalar
-        # partition values)
-        emptied = (set(parts) - survivors) if "://" not in path else set()
+        # such partitions must be DELETED or the moved keys stay
+        # duplicated. Refuse loudly where we cannot delete (remote FS)
+        # or cannot map the value to Spark's hive-encoded dir name —
+        # silently skipping would reintroduce the stale-key bug.
+        emptied = set(parts) - survivors
         for pv in emptied:
+            if "://" in path:
+                raise RuntimeError(
+                    f"upsert_parquet: partition {partition_col}={pv!r} was "
+                    "fully emptied by moved keys but the table is on a "
+                    "remote filesystem this helper cannot delete from; "
+                    "remove the partition with your storage tooling (or "
+                    "use a table format for this workload)"
+                )
             d = os.path.join(path, f"{partition_col}={pv}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+            else:
+                raise RuntimeError(
+                    f"upsert_parquet: partition {partition_col}={pv!r} was "
+                    f"fully emptied but no directory named {d!r} exists — "
+                    "the value's hive encoding differs from str(); delete "
+                    "the partition manually (plain string/int partition "
+                    "values are handled automatically)"
+                )
         return
 
     current = spark.read.parquet(path)

@@ -17,8 +17,10 @@ events-table shape at any row count WITHOUT files or RNG state:
   once (the availableNow/trigger-once shape; ``rows_per_batch`` then
   only shards partitions WITHIN the batch); with
   ``advance_per_trigger=true`` the offset instead advances by
-  ``rows_per_batch`` per trigger, so ProcessingTime soak tests get an
-  incremental, reproducible batch sequence.
+  ``rows_per_batch`` per committed trigger, so ProcessingTime soak
+  tests get an incremental, reproducible batch sequence (in-process
+  only: the cursor is driver memory, not checkpoint state — use the
+  default mode when restart recovery matters).
 
 The reference hard-coded its inputs as committed CSVs; an engine needs
 a load generator that behaves like a table.
@@ -149,11 +151,18 @@ class _SyntheticStreamReader(DataSourceStreamReader):
 
     def latestOffset(self):
         if self.advance_per_trigger:
-            # incremental mode: one rows_per_batch step per trigger
-            self._cursor = min(
-                self._cursor + self.rows_per_batch, self.n_rows
-            )
-            return {"index": self._cursor}
+            # incremental mode: one rows_per_batch step beyond the last
+            # COMMITTED batch — idempotent within a trigger (repeated
+            # latestOffset calls return the same value, no skipped
+            # rows). In-process soak mode only: the cursor is driver
+            # memory, so a checkpoint RESTART would regress offsets —
+            # the default (expose-everything) mode is the restart-safe
+            # one.
+            return {
+                "index": min(
+                    self._cursor + self.rows_per_batch, self.n_rows
+                )
+            }
         # default: expose everything (availableNow / trigger-once shape)
         return {"index": self.n_rows}
 
@@ -169,7 +178,9 @@ class _SyntheticStreamReader(DataSourceStreamReader):
             yield _row(i, self.seed, self.n_users)
 
     def commit(self, end):
-        pass
+        # advance the incremental cursor only on commit (exactly-once
+        # bookkeeping for the in-process soak mode)
+        self._cursor = max(self._cursor, int(end["index"]))
 
 
 class SyntheticEventsDataSource(DataSource):
