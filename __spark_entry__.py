@@ -2472,6 +2472,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_samples"] = multimodal_frame_samples
 
+    def events_stickiness(spark, sf):
+        # DAU/MAU stickiness per month: distinct-first day-grain
+        # relation bounds everything by users x days
+        ev = load_table(spark, sf, "events")
+        du = ev.select(
+            "user_id",
+            F.to_date("ts").alias("_day"),
+            F.date_trunc("month", "ts").cast("date").alias("_month"),
+        ).distinct()
+        dau = du.groupBy("_month", "_day").agg(
+            F.count_distinct("user_id").alias("_dau")
+        )
+        mau = du.groupBy("_month").agg(
+            F.count_distinct("user_id").alias("mau")
+        )
+        avg_dau = dau.groupBy("_month").agg(
+            F.round(F.avg("_dau"), 4).alias("avg_dau")
+        )
+        return (
+            avg_dau.join(mau, "_month")
+            .select(
+                F.col("_month").alias("month"),
+                "avg_dau",
+                "mau",
+                F.round(F.col("avg_dau") / F.col("mau"), 6).alias(
+                    "stickiness"
+                ),
+            )
+        )
+
+    q["events_stickiness"] = events_stickiness
+
     return _reorder_for_driver_window(q)
 
 
@@ -3989,6 +4021,19 @@ WHERE round(
          / (sqrt(CAST(list_sum(list_transform(range(1, 65), i -> a.qemb[i] * a.qemb[i])) AS DOUBLE))
             * sqrt(CAST(list_sum(list_transform(range(1, 65), i -> b.qemb[i] * b.qemb[i])) AS DOUBLE))),
          6) >= 0.4
+""",
+        "events_stickiness": """
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+         date_trunc('month', ts)::DATE AS month
+  FROM events
+),
+dau AS (SELECT month, day, count(DISTINCT user_id) AS d FROM du GROUP BY 1, 2),
+mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM du GROUP BY 1),
+a AS (SELECT month, round(avg(d), 4) AS avg_dau FROM dau GROUP BY month)
+SELECT a.month, a.avg_dau, mau.mau,
+       round(a.avg_dau / mau.mau, 6) AS stickiness
+FROM a JOIN mau USING (month)
 """,
         "multimodal_frame_samples": """
 WITH media AS (
