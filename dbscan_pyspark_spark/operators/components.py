@@ -175,7 +175,8 @@ def connected_components(
         # recompute its full edge lineage for each.
         raw = raw.localCheckpoint(eager=True)
 
-    if driver_threshold > 0 and raw.count() <= driver_threshold:
+    n_edges = raw.count()
+    if driver_threshold > 0 and n_edges <= driver_threshold:
         # Union-find tolerates self-loops (a hook where u == v is a
         # no-op), and a node whose only edges are self-loops appears in
         # the pulled id set and comes out labeled with itself — so the
@@ -214,6 +215,33 @@ def connected_components(
     # the loop so each round keeps the configured shuffle parallelism;
     # restore the caller's setting after.
     spark = edges.sparkSession
+
+    # Known cliff (measured round 2): in LOCAL mode the star-contraction
+    # loop's localCheckpoint copies live in the single driver JVM, and a
+    # 40M-edge graph OOMs an 8 GiB heap (24 GiB passes → ~600 B/edge
+    # with shuffle + checkpoint copies). Fail fast with a sizing line
+    # instead of a mid-loop executor OOM. On a real cluster checkpoint
+    # blocks are spread across executors — no check.
+    if spark.sparkContext.master.startswith("local"):
+        try:
+            heap = int(
+                spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            )
+        except Exception:
+            heap = 0
+        needed = n_edges * 600
+        if heap and needed > heap:
+            raise RuntimeError(
+                f"connected_components: {n_edges:,} edges needs "
+                f"~{needed / 2**30:.0f} GiB of local-mode JVM heap for "
+                f"star-contraction checkpoints but only "
+                f"{heap / 2**30:.1f} GiB is configured — set "
+                f"spark.driver.memory to at least "
+                f"{max(1, int(needed / 2**30) + 1)}g (or raise "
+                f"driver_threshold to take the union-find path: it "
+                f"needs only ~16 B/edge)"
+            )
+
     # NOTE: SQL confs are session-global — flipping coalescing off for
     # the loop also affects queries running CONCURRENTLY in this
     # session. Iterative operators assume they own the session while

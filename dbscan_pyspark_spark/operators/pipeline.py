@@ -710,7 +710,12 @@ def winsorize(
     ]
     bounds = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
     joined = (
-        df.join(F.broadcast(bounds), keys, "left")
+        # no forced broadcast on the grouped path: group cardinality is
+        # unbounded in general (same reasoning as impute_group_median);
+        # Catalyst broadcasts when the bounds relation is actually
+        # small. The global path is a single-row relation — broadcast
+        # unconditionally.
+        df.join(bounds, keys, "left")
         if keys
         else df.crossJoin(F.broadcast(bounds))
     )

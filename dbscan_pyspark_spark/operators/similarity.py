@@ -538,7 +538,12 @@ def embedding_covariance(
         F.col("s") / F.col("n")
         - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
     ) / F.lit(sc2)
-    return agg.select("i", "j", F.round(cov, round_dp).alias("cov"))
+    # + 0.0 normalizes IEEE negative zero (-0.0 + 0.0 == +0.0): DuckDB's
+    # round() can emit -0.0 where Spark emits 0.0, and the driver's
+    # stringify-hash distinguishes them (CORRECTNESS_r02 red).
+    return agg.select(
+        "i", "j", (F.round(cov, round_dp) + F.lit(0.0)).alias("cov")
+    )
 
 
 def _second_moments(

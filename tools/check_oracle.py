@@ -16,23 +16,36 @@ sys.path.insert(0, "/root/repo")
 
 
 def canon(val):
+    """Emulate the DRIVER's pandas stringify canonicalizer exactly.
+
+    The driver sorts rows via pandas and hashes str() values, so:
+    - list/array/map/struct values CRASH it (unhashable in factorize)
+      -> raise here too, so local green predicts driver green;
+    - Decimals stringify WITH their scale ('1.5000' != '1.5') -> keep
+      them verbatim, never float round-trip;
+    - -0.0 stringifies as '-0.0' != '0.0' -> no normalization here
+      (queries must normalize on both engine sides instead).
+    The previous int-casting canon masked all three classes
+    (CORRECTNESS_r02: 6 driver reds invisible locally).
+    """
     import datetime
-    import decimal
-    import math
 
     if val is None:
         return "NULL"
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "NaN"
-        if val == int(val) and abs(val) < 1e15:
-            return str(int(val))
-        return repr(val)
-    if isinstance(val, decimal.Decimal):
-        f = float(val)
-        return canon(f)
+    if isinstance(val, (list, tuple, set, dict)):
+        raise TypeError(
+            f"unhashable contract value {type(val).__name__}: the driver "
+            "canonicalizer crashes on array/map/struct columns"
+        )
+    if hasattr(val, "__array__") and not isinstance(val, (str, bytes)):
+        raise TypeError(
+            "unhashable contract value ndarray: the driver canonicalizer "
+            "crashes on array columns"
+        )
     if isinstance(val, datetime.datetime):
-        return val.strftime("%Y-%m-%d %H:%M:%S.%f")
+        # pandas Timestamp and datetime str() agree: micros shown only
+        # when nonzero — both engines return datetime objects here
+        return str(val)
     return str(val)
 
 
@@ -85,6 +98,14 @@ def main():
             continue
         dt_spark = time.time() - t0
         if name not in oracles:
+            # the driver canonicalizes rows-only outputs too (r2:
+            # kmember_clusters crashed it) — so crash-check them here
+            try:
+                frame_sig(scols, [tuple(r) for r in srows])
+            except TypeError as e:
+                print(f"FAIL  {name}: CANON-CRASH (driver would red): {e}")
+                n_fail += 1
+                continue
             print(f"rows-only  {name}: {len(srows)} rows  ({dt_spark:.1f}s)")
             continue
         t0 = time.time()
@@ -98,8 +119,13 @@ def main():
             continue
         dt_duck = time.time() - t0
 
-        sc, sh, srows_c = frame_sig(scols, [tuple(r) for r in srows])
-        oc, oh, orows_c = frame_sig(ocols, orows)
+        try:
+            sc, sh, srows_c = frame_sig(scols, [tuple(r) for r in srows])
+            oc, oh, orows_c = frame_sig(ocols, orows)
+        except TypeError as e:
+            print(f"FAIL  {name}: CANON-CRASH (driver would red): {e}")
+            n_fail += 1
+            continue
         status = []
         if len(srows) != len(orows):
             status.append(f"ROWCOUNT {len(srows)} vs {len(orows)}")
