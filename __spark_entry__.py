@@ -2540,6 +2540,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_stickiness"] = events_stickiness
 
+    # ---- round-3 additions ----
+    def part_brand_mode(spark, sf):
+        # deterministic per-group mode (built-in `mode` is
+        # tie-nondeterministic, so it can never oracle-match)
+        from dbscan_pyspark_spark.operators.windows import mode_per_group
+
+        return mode_per_group(
+            load_table(spark, sf, "part"), ["p_type"], "p_brand",
+            out_col="mode_brand",
+        )
+
+    q["part_brand_mode"] = part_brand_mode
+
+    def events_dedup_window(spark, sf):
+        # debounce dedup: drop events firing < 5 min after the previous
+        # event of the same (user, type) — the batch twin of a
+        # streaming throttle; summary per type
+        from dbscan_pyspark_spark.operators.events import throttle_dedup
+
+        ev = load_table(spark, sf, "events")
+        flagged = throttle_dedup(ev, min_gap_seconds=300)
+        return flagged.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+            F.sum((~F.col("is_kept")).cast("int")).alias("n_dropped"),
+        )
+
+    q["events_dedup_window"] = events_dedup_window
+
+    def doc_gopher_filters(spark, sf):
+        # Gopher-rule corpus quality summary (Rae et al. 2021): per
+        # source, how many docs pass each filter and all of them
+        from dbscan_pyspark_spark.operators.pipeline import gopher_quality
+
+        d = gopher_quality(load_table(spark, sf, "documents"))
+        return d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pass_word_count").cast("int")).alias("n_pass_word_count"),
+            F.sum(F.col("pass_mean_word_len").cast("int")).alias("n_pass_mean_word_len"),
+            F.sum(F.col("pass_stopwords").cast("int")).alias("n_pass_stopwords"),
+            F.sum(F.col("pass_gopher").cast("int")).alias("n_pass_gopher"),
+        )
+
+    q["doc_gopher_filters"] = doc_gopher_filters
+
+    def embedding_label_cohesion(spark, sf):
+        # per-label within-class variance from exact integer moments —
+        # single groupBy shuffle, k-means-update profile
+        from dbscan_pyspark_spark.operators.similarity import label_cohesion
+
+        return label_cohesion(load_table(spark, sf, "embeddings"))
+
+    q["embedding_label_cohesion"] = embedding_label_cohesion
+
+    def orders_open_backlog(spark, sf):
+        # month-grain open-order backlog: an order is open from its
+        # orderdate month through its last shipdate month (interval
+        # expansion — the time-dimension explode is bounded by span
+        # months, not rows, so the relation stays linear in orders)
+        o = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        span = (
+            o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.max("l_shipdate").alias("_last_ship"))
+        )
+        # the synthetic lineitem can ship BEFORE the orderdate — clamp
+        # so the month sequence never runs backwards
+        months = F.sequence(
+            F.trunc("o_orderdate", "month"),
+            F.trunc(
+                F.greatest("o_orderdate", "_last_ship"), "month"
+            ),
+            F.expr("INTERVAL 1 MONTH"),
+        )
+        return (
+            span.select(F.explode(months).alias("month"))
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_open"))
+        )
+
+    q["orders_open_backlog"] = orders_open_backlog
+
+    def lang_id_confusion(spark, sf):
+        # evaluation-style confusion matrix: the documents table's lang
+        # column is ground truth; rows are (actual, predicted) counts
+        d = load_table(spark, sf, "documents")
+        return (
+            d.select("lang", lang_id("text").alias("lang_pred"))
+            .groupBy(F.col("lang").alias("lang_actual"), "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    q["lang_id_confusion"] = lang_id_confusion
+
+    def minhash_jaccard_error(spark, sf):
+        # estimator calibration: |signature-estimate - exact Jaccard|
+        # histogram over the banded candidate pairs, bucketed at the
+        # 1/16 signature granularity (est is an exact multiple of 1/16,
+        # so bucket boundaries are exactly representable doubles)
+        from dbscan_pyspark_spark.operators.dedup import (
+            minhash_estimate_errors,
+        )
+
+        e = minhash_estimate_errors(
+            load_table(spark, sf, "documents"),
+            num_hashes=16, rows_per_band=4, n=3,
+        )
+        bucket = F.floor(
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")) * 16
+        ).cast("int")
+        return (
+            e.select(bucket.alias("err_bucket"))
+            .groupBy("err_bucket")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+
+    q["minhash_jaccard_error"] = minhash_jaccard_error
+
     return _reorder_for_driver_window(q)
 
 
@@ -2623,8 +2742,10 @@ _FLAGSHIP_FIRST = [
     "nation_monthly_growth", "customer_group_sample",
     "totalprice_equidepth", "top_quantity_tiers",
     "multimodal_frame_samples", "events_stickiness",
-    # round-3 additions append here (new queries also auto-front via
-    # the _DRIVER_CHECKED_GREEN exclusion in _reorder_for_driver_window)
+    # round-3 additions (fill the remaining 7 of the 50 checked slots)
+    "part_brand_mode", "events_dedup_window", "doc_gopher_filters",
+    "embedding_label_cohesion", "orders_open_backlog",
+    "lang_id_confusion", "minhash_jaccard_error",
 ]
 
 
@@ -4108,6 +4229,136 @@ a AS (SELECT month, round(avg(d), 4) AS avg_dau FROM dau GROUP BY month)
 SELECT a.month, a.avg_dau, mau.mau,
        round(a.avg_dau / mau.mau, 6) AS stickiness
 FROM a JOIN mau USING (month)
+""",
+        "part_brand_mode": """
+SELECT p_type, p_brand AS mode_brand, n
+FROM (
+  SELECT p_type, p_brand, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY p_type ORDER BY count(*) DESC, p_brand
+         ) AS r
+  FROM part GROUP BY p_type, p_brand
+) s
+WHERE r = 1
+""",
+        "events_dedup_window": """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL '300 seconds'
+              THEN 1 ELSE 0 END AS kept
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped
+FROM d GROUP BY event_type
+""",
+        "doc_gopher_filters": f"""
+WITH w AS (
+  SELECT source,
+         list_filter(string_split({_NORM}, ' '), x -> x <> '') AS w
+  FROM documents
+),
+f AS (
+  SELECT source,
+         len(w) AS nw,
+         list_aggregate(list_transform(w, x -> strlen(x)), 'sum') AS sl,
+         len(list_intersect(
+           list_distinct(w),
+           ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']
+         )) AS nstop
+  FROM w
+),
+fl AS (
+  SELECT source,
+         CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END AS pwc,
+         CASE WHEN nw > 0 AND sl >= 3.0 * nw AND sl <= 10.0 * nw
+              THEN 1 ELSE 0 END AS pml,
+         CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS pst
+  FROM f
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(pwc) AS BIGINT) AS n_pass_word_count,
+       CAST(sum(pml) AS BIGINT) AS n_pass_mean_word_len,
+       CAST(sum(pst) AS BIGINT) AS n_pass_stopwords,
+       CAST(sum(pwc * pml * pst) AS BIGINT) AS n_pass_gopher
+FROM fl GROUP BY source
+""",
+        "embedding_label_cohesion": """
+WITH v AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM v
+),
+per AS (SELECT label, pos, sum(val) AS s FROM flat GROUP BY 1, 2),
+tot AS (
+  SELECT label, count(*) AS n,
+         sum(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS ssq
+  FROM v GROUP BY 1
+),
+s2 AS (SELECT label, sum(s * s) AS sum_s2 FROM per GROUP BY 1)
+SELECT t.label, CAST(t.n AS BIGINT) AS n_vecs,
+       round((CAST(t.ssq AS DOUBLE) / t.n
+              - CAST(s2.sum_s2 AS DOUBLE) / t.n / t.n) / 1000000.0, 6)
+         + 0.0 AS within_var
+FROM tot t JOIN s2 USING (label)
+""",
+        "orders_open_backlog": """
+WITH span AS (
+  SELECT o_orderkey, o_orderdate, max(l_shipdate) AS last_ship
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate
+),
+m AS (
+  SELECT CAST(unnest(generate_series(
+           date_trunc('month', o_orderdate),
+           date_trunc('month', greatest(o_orderdate, last_ship)),
+           INTERVAL '1 month')) AS DATE) AS month
+  FROM span
+)
+SELECT month, count(*) AS n_open FROM m GROUP BY month
+""",
+        "lang_id_confusion": f"""
+WITH p AS ({_lang_case()})
+SELECT d.lang AS lang_actual, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+""",
+        "minhash_jaccard_error": f"""
+WITH {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.a_id, c.b_id, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY c.a_id, c.b_id
+),
+err AS (
+  SELECT c.a_id, c.b_id,
+         ({' + '.join(f'CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END' for i in range(16))}) / 16.0 AS est,
+         coalesce(cm.n_common, 0)
+           / CAST(na.n_sh + nb.n_sh - coalesce(cm.n_common, 0) AS DOUBLE) AS exact
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.a_id
+  JOIN sig y ON y.doc_id = c.b_id
+  JOIN sizes na ON na.doc_id = c.a_id
+  JOIN sizes nb ON nb.doc_id = c.b_id
+  LEFT JOIN common cm ON cm.a_id = c.a_id AND cm.b_id = c.b_id
+)
+SELECT CAST(floor(abs(est - exact) * 16) AS INT) AS err_bucket,
+       count(*) AS n_pairs
+FROM err GROUP BY 1
 """,
         "multimodal_frame_samples": """
 WITH media AS (

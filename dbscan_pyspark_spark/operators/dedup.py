@@ -535,3 +535,102 @@ def fuzzy_pairs(
         "b_value",
         F.levenshtein("a_value", "b_value").alias("dist"),
     ).where(F.col("dist") <= max_dist)
+
+
+def minhash_estimate_errors(
+    df: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-candidate-pair MinHash estimator error: the banded LSH
+    candidate set with BOTH the signature-agreement estimate
+    (matching minhash slots / num_hashes) and the exact shingle
+    Jaccard. DataFrame(a_id, b_id, est_jaccard, exact_jaccard) — the
+    estimator-calibration relation (bucketed into an error histogram
+    by the contract query).
+
+    Fully deterministic: signatures are the portable fixed-seed
+    universal hashes, the estimate is k/num_hashes (exactly
+    representable when num_hashes is a power of two), and the exact
+    side reuses the verification join of
+    :func:`minhash_near_dup_pairs`. Candidate pairs that share a band
+    bucket but no shingle (possible only via mod-P hash collision)
+    keep exact_jaccard = 0 via the left join.
+
+    Scale shape: identical to minhash_near_dup_pairs — band equi-join
+    candidates, semi-join-pruned verification; the extra signature
+    joins are per-candidate, not per-corpus.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, shingles=sh, with_size=True
+    ).persist()
+    bands = minhash_bands(sig, rows_per_band, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    sig_a = sig.select(
+        F.col(id_col).alias("a_id"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"m{i}").alias(f"_ma{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("b_id"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"m{i}").alias(f"_mb{i}") for i in range(num_hashes)],
+    )
+    matches = None
+    for i in range(num_hashes):
+        t = (F.col(f"_ma{i}") == F.col(f"_mb{i}")).cast("int")
+        matches = t if matches is None else matches + t
+
+    sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
+        cand.select("a_id").distinct(), "a_id", "left_semi"
+    )
+    sb = sh.select(F.col(id_col).alias("b_id"), "shingle").join(
+        cand.select("b_id").distinct(), "b_id", "left_semi"
+    )
+    common = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        cand.join(sig_a, "a_id")
+        .join(sig_b, "b_id")
+        .join(common, ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                )
+            ).alias("exact_jaccard"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    sh.unpersist()
+    return out

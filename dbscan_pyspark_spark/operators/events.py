@@ -457,3 +457,34 @@ def resample_ffill(
         ],
     )
     return filled
+
+
+def throttle_dedup(
+    events: DataFrame,
+    min_gap_seconds: int = 300,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    keep_col: str = "is_kept",
+) -> DataFrame:
+    """Debounce-style event dedup: flag events that fire less than
+    ``min_gap_seconds`` after the PREVIOUS event of the same key
+    (lag-based, so it is SQL-replicable; a kept-state throttle — gap
+    measured from the last *kept* event — is inherently sequential and
+    belongs to the streaming `transformWithState` surface instead).
+
+    Adds ``keep_col`` (boolean; first event of a key is always kept —
+    lag is null there, which must not clamp to dropped). One window
+    shuffle on the key, partition cardinality scales with keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *order_cols)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # interval arithmetic, NOT epoch-seconds casts: timestamps carry
+    # microseconds, and cast("long") truncates them (a 299.4 s gap
+    # would flip engines: truncated 300 vs exact 299.4)
+    keep = prev.isNull() | (
+        F.col(ts_col)
+        >= prev + F.expr(f"INTERVAL {int(min_gap_seconds)} SECONDS")
+    )
+    return events.withColumn(keep_col, keep)

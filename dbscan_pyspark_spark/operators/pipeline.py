@@ -726,3 +726,61 @@ def winsorize(
         # floor for missing values — nulls must stay null
         F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clamped),
     ).drop("_lo", "_hi")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rule flags (Rae et al. 2021, §A1.1): word
+    count bounds, mean word length in [3, 10], and presence of at least
+    two distinct stopwords. Appends boolean ``pass_word_count``,
+    ``pass_mean_word_len``, ``pass_stopwords``, ``pass_gopher`` (AND of
+    all three).
+
+    Pure single-scan projection (no shuffle); the word list is bound to
+    a column first so the normalize/split runs once, not per-rule. The
+    mean is an exact int/int division — the same IEEE double in every
+    engine, so boundary comparisons are portable."""
+    from dbscan_pyspark_spark.functions.text import STOPWORDS, normalized
+
+    words = F.filter(
+        F.split(normalized(F.col(text_col)), " "), lambda x: x != ""
+    )
+    out = df.withColumn("_w", words)
+    n = F.size("_w")
+    sum_len = F.aggregate(
+        "_w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("_w"),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    )
+    out = (
+        out.withColumn(
+            "pass_word_count", (n >= min_words) & (n <= max_words)
+        )
+        .withColumn(
+            # cross-multiplied, division-free: mean ∈ [lo, hi] iff
+            # lo*n <= Σlen <= hi*n (n > 0) — no float division, no
+            # div-by-zero branch, identical arithmetic in any engine
+            "pass_mean_word_len",
+            (n > 0)
+            & (sum_len >= F.lit(min_mean_word_len) * n)
+            & (sum_len <= F.lit(max_mean_word_len) * n),
+        )
+        .withColumn("pass_stopwords", n_stop >= min_distinct_stopwords)
+    )
+    return out.withColumn(
+        "pass_gopher",
+        F.col("pass_word_count")
+        & F.col("pass_mean_word_len")
+        & F.col("pass_stopwords"),
+    ).drop("_w")

@@ -288,13 +288,13 @@ def train_ivf_centroids(
         raise ValueError("empty vectors")
     dim = int(dim_row["d"])
 
-    init = (
-        src.orderBy(id_col)
+    init = [
+        r["centroid"]
+        for r in src.orderBy(id_col)
         .limit(n_cells)
         .select(F.col(vec_col).alias("centroid"))
-        .rdd.map(lambda r: r["centroid"])
         .collect()
-    )
+    ]
     spark = vectors.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(init)],
@@ -778,4 +778,65 @@ def ivf_quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
+    )
+
+
+def label_cohesion(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label within-class variance (cluster cohesion): the mean
+    squared distance of a label's vectors to the label centroid, in
+    original units. DataFrame(label, n_vecs, within_var).
+
+    Exact-integer formulation so the result is bit-portable:
+    quantize to a 1/scale grid, then within_var =
+    (ssq/n - (Σ_d S_d²)/n²) / scale² where ssq = Σ‖x_q‖² and S_d are
+    per-dim sums — ALL integer sums (order-independent), combined with
+    a fixed-shape float expression. No float summation anywhere, so no
+    engine-order divergence (unlike Σ_d (S_d/n)² as a float SUM over
+    dims, whose addition order DuckDB doesn't pin).
+
+    Scale shape: one groupBy(label) with dim+2 partial-aggregatable
+    integer sums — same single-shuffle profile as the k-means update
+    step; no explode, no window."""
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("empty vectors")
+    dim = int(dim_row["d"])
+    q = vectors.select(
+        F.col(label_col).alias("label"),
+        F.transform(
+            vec_col, lambda x: F.round(x * scale, 0).cast("long")
+        ).alias("_v"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_vecs")]
+    aggs.append(
+        F.sum(
+            F.aggregate(
+                "_v", F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            )
+        ).alias("_ssq")
+    )
+    aggs += [
+        F.sum(F.col("_v")[i]).alias(f"_s{i}") for i in range(dim)
+    ]
+    g = q.groupBy("label").agg(*aggs)
+    # Σ_d S_d² stays integer: fixed-shape addition of dim longs
+    sum_s2 = None
+    for i in range(dim):
+        t = F.col(f"_s{i}") * F.col(f"_s{i}")
+        sum_s2 = t if sum_s2 is None else sum_s2 + t
+    n = F.col("n_vecs")
+    within = (
+        F.col("_ssq").cast("double") / n
+        - sum_s2.cast("double") / n / n
+    ) / F.lit(float(scale) * float(scale))
+    return g.select(
+        "label",
+        "n_vecs",
+        (F.round(within, round_dp) + F.lit(0.0)).alias("within_var"),
     )

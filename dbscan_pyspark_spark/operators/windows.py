@@ -107,3 +107,31 @@ def argmin_row(df: DataFrame, order_by: list[Column | str]) -> DataFrame:
     """Global argmin row (W3: the reference's driver-side best-ε /
     min-cost tracking, ``DBSCAN.py:148-151``) as orderBy().limit(1)."""
     return df.orderBy(*order_by).limit(1)
+
+
+def mode_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ``value_col``
+    per group, smallest value winning ties (Spark's built-in ``mode``
+    is tie-nondeterministic, so it can never hash-match an oracle).
+
+    DataFrame(group_cols..., out_col, n) where ``n`` is the winning
+    frequency. Scale shape: one partial-aggregatable count shuffle on
+    (group, value) + a rank window partitioned by group — partition
+    cardinality is the (group, value) domain, never the row count."""
+    out_col = out_col or f"mode_{value_col}"
+    counts = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(value_col)
+    )
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(*group_cols, F.col(value_col).alias(out_col), "n")
+    )

@@ -1,0 +1,198 @@
+"""Round-3 operators: deterministic mode, throttle dedup, Gopher
+quality flags, label cohesion, MinHash estimator errors."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- mode
+
+
+def test_mode_per_group_picks_most_frequent(spark):
+    from dbscan_pyspark_spark.operators.windows import mode_per_group
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "b"), ("g2", "z")],
+        "g string, v string",
+    )
+    rows = {r["g"]: (r["mode_v"], r["n"]) for r in
+            mode_per_group(df, ["g"], "v").collect()}
+    assert rows == {"g1": ("b", 2), "g2": ("z", 1)}
+
+
+def test_mode_per_group_tie_breaks_to_smallest(spark):
+    from dbscan_pyspark_spark.operators.windows import mode_per_group
+
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", "x"), ("g", "b"), ("g", "b")], "g string, v string"
+    )
+    [r] = mode_per_group(df, ["g"], "v").collect()
+    assert (r["mode_v"], r["n"]) == ("b", 2)
+
+
+# ------------------------------------------------------ throttle dedup
+
+
+def _ev(spark, rows):
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=s), u, t)
+            for i, (s, u, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_throttle_dedup_first_event_always_kept(spark):
+    from dbscan_pyspark_spark.operators.events import throttle_dedup
+
+    ev = _ev(spark, [(0, 1, "c")])
+    [r] = throttle_dedup(ev, 300).collect()
+    assert r["is_kept"] is True
+
+
+def test_throttle_dedup_gap_semantics(spark):
+    from dbscan_pyspark_spark.operators.events import throttle_dedup
+
+    # same user/type at t=0, 10, 10+300: second within gap (dropped),
+    # third exactly at the gap boundary from the SECOND event -> the
+    # lag-based rule measures from the previous event, kept
+    ev = _ev(spark, [(0, 1, "c"), (10, 1, "c"), (10 + 300, 1, "c")])
+    kept = [
+        r["is_kept"]
+        for r in throttle_dedup(ev, 300).orderBy("event_id").collect()
+    ]
+    assert kept == [True, False, True]
+
+
+def test_throttle_dedup_keys_are_independent(spark):
+    from dbscan_pyspark_spark.operators.events import throttle_dedup
+
+    ev = _ev(spark, [(0, 1, "c"), (1, 2, "c"), (2, 1, "v")])
+    assert all(r["is_kept"] for r in throttle_dedup(ev, 300).collect())
+
+
+def test_throttle_dedup_subsecond_gap_not_truncated(spark):
+    from dbscan_pyspark_spark.operators.events import throttle_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, base, 1, "c"),
+            # 299.4 s later: an epoch-seconds cast would truncate to
+            # 300 - 0 >= 300 and wrongly keep it
+            (1, base + datetime.timedelta(seconds=299, milliseconds=400), 1, "c"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    kept = [
+        r["is_kept"]
+        for r in throttle_dedup(ev, 300).orderBy("event_id").collect()
+    ]
+    assert kept == [True, False]
+
+
+# ------------------------------------------------------ gopher quality
+
+
+def test_gopher_quality_flags(spark):
+    from dbscan_pyspark_spark.operators.pipeline import gopher_quality
+
+    good = "the cat sat of and to in is it " + "word " * 50
+    short = "tiny doc the of"          # < 50 words
+    longwords = ("extraordinarily " * 60) + "the of"  # mean len > 10
+    nostop = "alpha beta gamma " * 30  # no stopwords
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, longwords), (4, nostop)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in gopher_quality(df).collect()}
+    assert rows[1]["pass_gopher"] is True
+    assert rows[2]["pass_word_count"] is False
+    assert rows[3]["pass_mean_word_len"] is False
+    assert rows[4]["pass_stopwords"] is False
+    assert rows[4]["pass_word_count"] is True
+
+
+def test_gopher_mean_word_len_boundaries_inclusive(spark):
+    from dbscan_pyspark_spark.operators.pipeline import gopher_quality
+
+    # exactly mean 3.0 and exactly 10.0 must pass (cross-multiplied
+    # comparison is inclusive)
+    three = " ".join(["cat"] * 60)
+    ten = " ".join(["abcdefghij"] * 60)
+    df = spark.createDataFrame([(1, three), (2, ten)], "id long, text string")
+    rows = {r["id"]: r for r in gopher_quality(df).collect()}
+    assert rows[1]["pass_mean_word_len"] is True
+    assert rows[2]["pass_mean_word_len"] is True
+
+
+# ------------------------------------------------------ label cohesion
+
+
+def test_label_cohesion_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import label_cohesion
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["label"]: (r["n_vecs"], r["within_var"])
+        for r in label_cohesion(vecs).collect()
+    }
+    rows = vecs.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.round(np.array(r["embedding"], dtype=float) * 1000)
+        )
+    for label, arrs in by_label.items():
+        X = np.stack(arrs)
+        within = (X.var(axis=0)).sum() / 1e6  # biased (1/n) variance
+        n, got_var = got[label]
+        assert n == len(arrs)
+        assert got_var == pytest.approx(within, abs=2e-6)
+
+
+def test_label_cohesion_zero_for_identical_vectors(spark):
+    from dbscan_pyspark_spark.operators.similarity import label_cohesion
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    ).withColumn("label", (F.col("vec_id") < 3).cast("int"))
+    rows = {r["label"]: r["within_var"] for r in label_cohesion(df).collect()}
+    assert rows[1] == 0.0
+    assert rows[0] == 0.0  # single vector -> zero variance
+
+
+# ---------------------------------------------- minhash estimator error
+
+
+def test_minhash_estimate_errors_bounds(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.dedup import minhash_estimate_errors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = minhash_estimate_errors(docs, num_hashes=16).collect()
+    assert rows, "banded candidates expected in the test corpus"
+    for r in rows:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        # est is an exact multiple of 1/16
+        assert (r["est_jaccard"] * 16) == int(r["est_jaccard"] * 16)
+
+
+def test_minhash_identical_docs_estimate_exactly_one(spark):
+    from dbscan_pyspark_spark.operators.dedup import minhash_estimate_errors
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    [r] = minhash_estimate_errors(df, num_hashes=16).collect()
+    assert r["est_jaccard"] == 1.0
+    assert r["exact_jaccard"] == 1.0
