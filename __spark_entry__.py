@@ -2659,6 +2659,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_jaccard_error"] = minhash_jaccard_error
 
+    def part_bfs_hops(spark, sf):
+        # minimum-hop BFS over the part co-occurrence graph (parts
+        # sharing an order) from the p_size=1 seed set — fourth
+        # iterative operator with an exact unrolled-CTE oracle (after
+        # DBSCAN, k-means, PageRank)
+        from dbscan_pyspark_spark.operators.components import bfs_hops
+
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        seeds = (
+            load_table(spark, sf, "part")
+            .where(F.col("p_size") == 1)
+            .select(F.col("p_partkey").alias("id"))
+        )
+        return bfs_hops(edges, seeds, max_hops=3).select(
+            F.col("node").alias("p_partkey"), "hop"
+        )
+
+    q["part_bfs_hops"] = part_bfs_hops
+
+    def ivf_recall_eval(spark, sf):
+        # ANN quality evaluation: recall@5 of the 3-probe IVF against
+        # the exhaustive (nprobe = n_cells) run of the SAME quantized
+        # pipeline — per-query overlap histogram. Both sides are
+        # deterministic, so even this evaluation hash-matches its
+        # oracle.
+        from dbscan_pyspark_spark.operators.similarity import (
+            ivf_quantized_topk,
+        )
+
+        e = load_table(spark, sf, "embeddings")
+        qs = e.where(F.col("vec_id") % 100 == 0)
+        approx = ivf_quantized_topk(
+            e, qs, k=5, n_cells=8, nprobe=3, n_iter=2
+        )
+        exact = ivf_quantized_topk(
+            e, qs, k=5, n_cells=8, nprobe=8, n_iter=2
+        )
+        ov = (
+            approx.join(exact, ["query_id", "vec_id"], "inner")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+        per_query = (
+            exact.select("query_id")
+            .distinct()
+            .join(ov, "query_id", "left")
+            .select(F.coalesce(F.col("_m"), F.lit(0)).alias("n_matched"))
+        )
+        return per_query.groupBy("n_matched").agg(
+            F.count(F.lit(1)).alias("n_queries")
+        )
+
+    q["ivf_recall_eval"] = ivf_recall_eval
+
     return _reorder_for_driver_window(q)
 
 
@@ -3051,6 +3120,78 @@ def _kmeans_oracle(
     return f"WITH {ctes}\nSELECT vec_id, cid AS cluster FROM a{n_iter}"
 
 
+def _bfs_oracle(max_hops: int = 3) -> str:
+    """Unrolled-CTE replica of operators.components.bfs_hops over the
+    part co-occurrence graph from the p_size=1 seed set: one
+    frontier-expansion CTE pair per hop (expanding from the whole
+    visited set is equivalent to expanding from the frontier — any
+    neighbor of an older layer is already visited). Hop labels are
+    exact integers, so this fourth iterative operator hash-matches."""
+    parts = [
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        "e AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0)",
+        "h0 AS (SELECT DISTINCT p_partkey AS node, 0 AS hop"
+        " FROM part WHERE p_size = 1)",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""n{i} AS (
+  SELECT DISTINCT e.v AS node FROM e JOIN h{i - 1} f ON e.u = f.node
+  WHERE e.v NOT IN (SELECT node FROM h{i - 1})
+)"""
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, hop FROM h{i - 1}"
+            f" UNION ALL SELECT node, {i} FROM n{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS p_partkey, hop FROM h{max_hops}"
+    )
+
+
+def _ivf_recall_tail(dim: int, topk: int) -> str:
+    """Extra CTEs for _ivf_oracle(recall_eval=True): the exhaustive
+    integer-cosine ranking (no cell pruning — what nprobe = n_cells
+    degenerates to) and the per-query top-k overlap with the probed
+    run."""
+    def idot(a, b):
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {a}[i]*{b}[i]))"
+        )
+    return f""",
+scoredx AS (
+  SELECT q.query_id, t.vec_id,
+         round(CASE WHEN {idot('t.v', 't.v')} != 0 AND {idot('q.qv', 'q.qv')} != 0
+               THEN {idot('t.v', 'q.qv')}
+                    / (sqrt(CAST({idot('t.v', 't.v')} AS DOUBLE))
+                       * sqrt(CAST({idot('q.qv', 'q.qv')} AS DOUBLE)))
+               END, 6) AS score
+  FROM v t, qsel q WHERE t.vec_id != q.query_id
+),
+rankedx AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scoredx
+),
+ov AS (
+  SELECT r.query_id, count(*) AS m
+  FROM ranked r JOIN rankedx x
+    ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+  WHERE r.rank <= {topk} AND x.rank <= {topk}
+  GROUP BY r.query_id
+),
+perq AS (
+  SELECT coalesce(ov.m, 0) AS n_matched
+  FROM qsel LEFT JOIN ov ON ov.query_id = qsel.query_id
+)"""
+
+
 def _ivf_oracle(
     n_cells: int = 8,
     n_iter: int = 2,
@@ -3059,12 +3200,18 @@ def _ivf_oracle(
     nprobe: int = 3,
     topk: int = 5,
     query_mod: int = 100,
+    recall_eval: bool = False,
 ) -> str:
     """Unrolled replica of operators.similarity.ivf_quantized_topk: the
     deterministic coarse quantizer (kmeans CTEs), sort-and-slice cell
     probing, and round-6 integer-cosine scoring — an APPROXIMATE
     operator with an EXACT oracle, because every stage is
-    bit-reproducible."""
+    bit-reproducible.
+
+    ``recall_eval``: instead of the top-k rows, emit the recall@k
+    histogram of this nprobe-probed run against the exhaustive
+    (nprobe = n_cells) run of the same pipeline — the
+    `ivf_recall_eval` oracle."""
     ctes = _kmeans_ctes(n_cells, n_iter, dim, scale)
     pdist = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
@@ -3103,8 +3250,10 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
   FROM scored
-)
-SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {topk}"""
+){_ivf_recall_tail(dim, topk) if recall_eval else ''}
+{f'''SELECT n_matched, count(*) AS n_queries FROM perq GROUP BY n_matched'''
+ if recall_eval else
+ f'SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {topk}'}"""
 
 
 def _pagerank_oracle(
@@ -4924,6 +5073,11 @@ FROM sp GROUP BY 1
             n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,
             query_mod=100,
         ),
+        "ivf_recall_eval": _ivf_oracle(
+            n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,
+            query_mod=100, recall_eval=True,
+        ),
+        "part_bfs_hops": _bfs_oracle(max_hops=3),
         "dbscan_assign_customer": f"""
 WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),
 train AS (SELECT * FROM pts WHERE id % 2 = 0),

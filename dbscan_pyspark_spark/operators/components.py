@@ -410,3 +410,57 @@ def pagerank(
     return p.select(
         "node", F.round(F.col("p") / F.lit(float(scale)), 8).alias("pagerank")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Minimum-hop BFS labels from a seed set over an undirected graph.
+
+    Returns DataFrame(node, hop) for every node reachable within
+    ``max_hops`` (seeds at hop 0; unreached nodes are absent). Each
+    round expands the frontier through one equi-join and anti-joins the
+    visited set — the classic distributed BFS: per-round cost scales
+    with the frontier's edge boundary, never the whole graph, and the
+    loop localCheckpoints round state (the lineage discipline of
+    connected_components). Hop labels are exact integers, so the whole
+    expansion unrolls into chained SQL CTEs for the oracle
+    (`part_bfs_hops`) — same family as the k-means/PageRank replicas.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

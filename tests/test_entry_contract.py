@@ -88,24 +88,26 @@ def test_contract_outputs_are_scalar_and_decimal_free(query_frames):
     assert not bad, bad
 
 
-def test_rotation_covers_every_query(entry):
-    """Every oracled query is either already driver-green (r1 ∪ r2) or
-    inside the round-3 front window (first 50 of queries()); rows-only
-    queries sit at the absolute back so they never burn a checked slot."""
+def test_rotation_wastes_no_checked_slot(entry):
+    """The driver oracles the FIRST 50 queries() entries. Invariants:
+    (a) no rows-only query burns a checked slot, and (b) an oracled
+    not-yet-green query may sit outside the window ONLY when the window
+    is already saturated with oracled not-yet-green entries (i.e. it
+    will rotate in next round, nothing green is wasting its slot)."""
     import __spark_entry__ as m
 
-    qs = entry.queries()
-    names = list(qs)
+    names = list(entry.queries())
     oracles = entry.oracle_sql()
-    window = set(names[:50])
-    uncovered = [
-        n for n in names
-        if n in oracles
-        and n not in m._DRIVER_CHECKED_GREEN
-        and n not in window
-    ]
-    assert not uncovered, uncovered
-    in_window_rows_only = [
-        n for n in names[:50] if n not in oracles
-    ]
+    window = names[:50]
+    in_window_rows_only = [n for n in window if n not in oracles]
     assert not in_window_rows_only, in_window_rows_only
+    displaced = [
+        n for n in names[50:]
+        if n in oracles and n not in m._DRIVER_CHECKED_GREEN
+    ]
+    if displaced:
+        wasted = [n for n in window if n in m._DRIVER_CHECKED_GREEN]
+        assert not wasted, (
+            f"already-green {wasted} occupy checked slots while "
+            f"{displaced} wait outside the window"
+        )

@@ -196,3 +196,39 @@ def test_minhash_identical_docs_estimate_exactly_one(spark):
     [r] = minhash_estimate_errors(df, num_hashes=16).collect()
     assert r["est_jaccard"] == 1.0
     assert r["exact_jaccard"] == 1.0
+
+
+# ------------------------------------------------------------ BFS hops
+
+
+def test_bfs_hops_path_graph(spark):
+    from dbscan_pyspark_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 3).collect()}
+    # node 5 is 4 hops away -> absent; the 10-11 component unreached
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_undirected_and_min_hop(spark):
+    from dbscan_pyspark_spark.operators.components import bfs_hops
+
+    # 3 -> 1 edge reversed; 4 reachable via two routes, min hop wins
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 4), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(3,)], "id long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {3: 0, 1: 1, 4: 1, 2: 2}
+
+
+def test_bfs_hops_early_stop_on_empty_frontier(spark):
+    from dbscan_pyspark_spark.operators.components import bfs_hops
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 10).collect()}
+    assert got == {1: 0, 2: 1}
