@@ -481,3 +481,60 @@ def streaming_user_running_stats(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_throttle(
+    events: DataFrame,
+    min_gap_seconds: int = 300,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Kept-state throttle via ``applyInPandasWithState``: an event is
+    emitted iff it fires at least ``min_gap_seconds`` after the last
+    EMITTED event of its key — rate limiting / alert suppression
+    semantics.
+
+    This is the genuinely sequential variant of the batch
+    ``operators.events.throttle_dedup``: the lag-based batch rule
+    measures from the previous *event*, this one from the previous
+    *kept* event, a recurrence no watermarked window can express —
+    hence the custom-state path (state = last emitted timestamp in
+    epoch micros, carried across micro-batches). Events are processed
+    in (ts, id) order within each micro-batch; cross-batch correctness
+    assumes per-key in-order arrival, the usual contract for
+    keyed-partitioned sources.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(min_gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (last,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        kept = []
+        for idx, ts in zip(pdf.index, pdf[ts_col]):
+            us = int(pd.Timestamp(ts).value) // 1000  # ns -> us
+            if last is None or us >= last + gap_us:
+                last = us
+                kept.append(idx)
+        if last is not None:
+            state.update((int(last),))
+        if kept:
+            out = pdf.loc[kept, [id_col, ts_col]].copy()
+            for c, v in zip(key_cols, key):
+                out[c] = v
+            yield out[[*key_cols, id_col, ts_col]]
+
+    dtypes = dict(events.dtypes)
+    key_schema = ", ".join(f"{c} {dtypes[c]}" for c in key_cols)
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_schema}, {id_col} {dtypes[id_col]}, {ts_col} timestamp"
+        ),
+        stateStructType="last_kept_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

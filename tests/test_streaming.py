@@ -486,3 +486,66 @@ def test_transform_with_state_running_stats(spark, stream_dir):
     )
     want = {r["user_id"]: (r["n"], float(r["s"]), float(r["m"])) for r in batch}
     assert last == want
+
+
+def test_streaming_throttle_kept_state_semantics(spark, tmp_path):
+    """Kept-state throttle: events for one key at t=0, 200, 400 s with
+    a 300 s gap. The lag-based batch rule would DROP t=400 (only 200 s
+    after the previous event); the kept-state rule keeps it (400 s
+    after the last KEPT event). t=400 arrives in a second micro-batch,
+    so the keep also proves state carried across batches."""
+    import json
+    import os
+    import time
+
+    from dbscan_pyspark_spark.operators.events import throttle_dedup
+    from dbscan_pyspark_spark.streaming.events import (
+        read_event_stream,
+        streaming_throttle,
+    )
+
+    d = tmp_path / "throttle_stream"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 10,
+         "event_type": "alert", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:03:20.000Z", "user_id": 10,
+         "event_type": "alert", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:06:40.000Z", "user_id": 10,
+         "event_type": "alert", "value": 1.0, "props": "{}"},
+    ]
+    with open(d / "b1.json", "w") as f:
+        for r in rows[:2]:
+            f.write(json.dumps(r) + "\n")
+    with open(d / "b2.json", "w") as f:
+        f.write(json.dumps(rows[2]) + "\n")
+    now = time.time()
+    os.utime(d / "b1.json", (now - 60, now - 60))
+    os.utime(d / "b2.json", (now, now))
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = (
+        streaming_throttle(stream, min_gap_seconds=300)
+        .writeStream.format("memory")
+        .queryName("t_throttle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM t_throttle").collect()
+    )
+    assert kept == [1, 3]
+
+    # the batch lag-based rule on the same rows keeps only event 1 —
+    # the two semantics are intentionally different and both pinned
+    from pyspark.sql import functions as F
+
+    batch = spark.read.json(str(d)).withColumn("ts", F.to_timestamp("ts"))
+    lag_kept = sorted(
+        r["event_id"]
+        for r in throttle_dedup(batch, 300).collect()
+        if r["is_kept"]
+    )
+    assert lag_kept == [1]
