@@ -218,10 +218,12 @@ def connected_components(
 
     # Known cliff (measured round 2): in LOCAL mode the star-contraction
     # loop's localCheckpoint copies live in the single driver JVM, and a
-    # 40M-edge graph OOMs an 8 GiB heap (24 GiB passes → ~600 B/edge
-    # with shuffle + checkpoint copies). Fail fast with a sizing line
-    # instead of a mid-loop executor OOM. On a real cluster checkpoint
-    # blocks are spread across executors — no check.
+    # 40M-edge graph OOMs an 8 GiB heap while 24 GiB passes. 500 B/edge
+    # splits that bracket so the measured-passing conf is never refused
+    # (Runtime.maxMemory reports ~0.9x of -Xmx: 40M x 500 = 18.6 GiB <
+    # ~21.4 GiB at 24g; > ~7.1 GiB at the 8g default). Fail fast with a
+    # sizing line instead of a mid-loop executor OOM. On a real cluster
+    # checkpoint blocks are spread across executors — no check.
     if spark.sparkContext.master.startswith("local"):
         try:
             heap = int(
@@ -229,7 +231,7 @@ def connected_components(
             )
         except Exception:
             heap = 0
-        needed = n_edges * 600
+        needed = n_edges * 500
         if heap and needed > heap:
             raise RuntimeError(
                 f"connected_components: {n_edges:,} edges needs "

@@ -174,6 +174,34 @@ def main() -> None:
         flush=True,
     )
 
+    # --- BFS minimum-hop labels over the same random graph ---
+    # 1000 seeds, 3 frontier rounds: per-round cost is the frontier's
+    # edge boundary; on a 2-edges-per-node random graph the frontier
+    # saturates the giant component fast, so this measures the
+    # worst-case (whole-graph) expansion joins.
+    from dbscan_pyspark_spark.operators.components import bfs_hops
+
+    seeds = spark.range(1000).select((F.col("id") * 97).alias("id"))
+    t0 = time.time()
+    hops = bfs_hops(edges, seeds, max_hops=3)
+    hop_stats = hops.agg(
+        F.count(F.lit(1)).alias("n"), F.max("hop").alias("max_hop")
+    ).first()
+    print(
+        json.dumps(
+            {
+                "stage": "bfs_hops",
+                "n_nodes": n_nodes,
+                "n_edges": n_nodes * 2,
+                "n_seeds": 1000,
+                "wall_s": round(time.time() - t0, 1),
+                "reached": hop_stats["n"],
+                "max_hop": hop_stats["max_hop"],
+            }
+        ),
+        flush=True,
+    )
+
     # --- sparse TF-IDF pairs at N_DOCS with top-term truncation ---
     # Topic + long-tail synthetic corpus: 20 tokens from the doc's
     # topic vocabulary (500 topics x 50 terms -> real same-topic pairs)
