@@ -224,7 +224,11 @@ def connected_components(
     # ~21.4 GiB at 24g; > ~7.1 GiB at the 8g default). Fail fast with a
     # sizing line instead of a mid-loop executor OOM. On a real cluster
     # checkpoint blocks are spread across executors — no check.
-    if spark.sparkContext.master.startswith("local"):
+    # exact-match single-JVM masters only: 'local-cluster[...]' runs
+    # separate executor JVMs, where the driver heap is the wrong
+    # denominator
+    master = spark.sparkContext.master
+    if master == "local" or master.startswith("local["):
         try:
             heap = int(
                 spark._jvm.java.lang.Runtime.getRuntime().maxMemory()

@@ -692,6 +692,7 @@ def ivf_quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    model: tuple | None = None,
 ) -> DataFrame:
     """IVF ANN with a fully DETERMINISTIC pipeline — the exactly
     verifiable twin of :func:`ivf_cosine_topk`.
@@ -714,7 +715,11 @@ def ivf_quantized_topk(
         kmeans_fit,
     )
 
-    assign, cents = kmeans_fit(
+    # ``model``: a previously-fit (assignments, centroids) pair from
+    # kmeans_fit — callers that probe the same index twice (e.g. the
+    # ivf_recall_eval approx-vs-exhaustive comparison) train once
+    # instead of re-running the deterministic Lloyd's loop per call.
+    assign, cents = model if model is not None else kmeans_fit(
         vectors, k=n_cells, n_iter=n_iter, id_col=id_col,
         vec_col=vec_col, scale=scale,
     )

@@ -101,7 +101,7 @@ def streaming_user_ewma(
 
     def fn(key, pdfs, state: GroupState):
         n, ew = state.get if state.exists else (0, None)
-        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
         for v in pdf[value_col]:
             v = float(v)
             ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
@@ -222,7 +222,7 @@ def streaming_funnel(
 
     def fn(key, pdfs, state: GroupState):
         times = list(state.get[0]) if state.exists else []
-        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
         for ts, ty in zip(pdf[ts_col], pdf[type_col]):
             nxt = len(times)
             if (
@@ -512,7 +512,13 @@ def streaming_throttle(
 
     def fn(key, pdfs, state: GroupState):
         (last,) = state.get if state.exists else (None,)
-        pdf = pd.concat(list(pdfs)).sort_values([ts_col, id_col])
+        # ignore_index: each Arrow chunk arrives with its own 0-based
+        # RangeIndex, so without it label-based selection below would
+        # collide across chunks (emitting suppressed events) whenever a
+        # key exceeds arrow.maxRecordsPerBatch in one micro-batch
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            [ts_col, id_col]
+        )
         kept = []
         for idx, ts in zip(pdf.index, pdf[ts_col]):
             us = int(pd.Timestamp(ts).value) // 1000  # ns -> us

@@ -549,3 +549,56 @@ def test_streaming_throttle_kept_state_semantics(spark, tmp_path):
         if r["is_kept"]
     )
     assert lag_kept == [1]
+
+
+def test_streaming_throttle_multi_chunk_group(spark, tmp_path):
+    """A key larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    pandas chunks inside one micro-batch; without ignore_index their
+    colliding RangeIndex labels made label-based selection emit
+    suppressed events (regression test, maxRecordsPerBatch forced to 2).
+
+    Events at t=0,100,200,600,700 s with a 300 s kept-state gap keep
+    exactly t=0 and t=600."""
+    import json
+
+    from dbscan_pyspark_spark.streaming.events import (
+        read_event_stream,
+        streaming_throttle,
+    )
+
+    d = tmp_path / "throttle_chunks"
+    d.mkdir()
+    secs = [0, 100, 200, 600, 700]
+    with open(d / "b1.json", "w") as f:
+        for i, s in enumerate(secs):
+            f.write(json.dumps({
+                "event_id": i + 1,
+                "ts": f"2024-01-01T00:{s // 60:02d}:{s % 60:02d}.000Z",
+                "user_id": 10, "event_type": "alert",
+                "value": 1.0, "props": "{}",
+            }) + "\n")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        stream = read_event_stream(spark, str(d))
+        q = (
+            streaming_throttle(stream, min_gap_seconds=300)
+            .writeStream.format("memory")
+            .queryName("t_throttle_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    kept = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT * FROM t_throttle_chunks").collect()
+    )
+    assert kept == [1, 4]
