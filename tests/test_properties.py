@@ -321,3 +321,113 @@ def test_transition_counts_matches_python(spark, ev):
         for (_, _, a), (_, _, b) in zip(items, items[1:]):
             want[(a, b)] += 1
     assert got == dict(want)
+
+
+throttle_events = st.lists(
+    st.tuples(
+        st.integers(0, 900),   # seconds offset (collisions likely)
+        st.integers(1, 3),     # user
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SET
+@given(ev=throttle_events, gap=st.sampled_from([1, 100, 300]))
+def test_throttle_dedup_matches_bruteforce(spark, ev, gap):
+    """Lag-based debounce vs a brute-force Python replay, including
+    duplicate timestamps (ordering tie-broken by event_id)."""
+    import datetime
+
+    from dbscan_pyspark_spark.operators.events import throttle_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=s), u, "c")
+        for i, (s, u) in enumerate(ev)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["event_id"]: r["is_kept"] for r in throttle_dedup(df, gap).collect()
+    }
+    expect = {}
+    by_key = {}
+    for i, ts, u, t in rows:
+        by_key.setdefault((u, t), []).append((ts, i))
+    for key, items in by_key.items():
+        prev = None
+        for ts, i in sorted(items):
+            expect[i] = prev is None or (ts - prev).total_seconds() >= gap
+            prev = ts
+    assert got == expect
+
+
+mode_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 4)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SET
+@given(rows=mode_rows)
+def test_mode_per_group_matches_bruteforce(spark, rows):
+    from collections import Counter
+
+    from dbscan_pyspark_spark.operators.windows import mode_per_group
+
+    df = spark.createDataFrame(rows, "g int, v int")
+    got = {
+        r["g"]: (r["mode_v"], r["n"])
+        for r in mode_per_group(df, ["g"], "v").collect()
+    }
+    expect = {}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        c = Counter(vs)
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[g] = best
+    assert got == expect
+
+
+bfs_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SET
+@given(edges=bfs_edges, hops=st.sampled_from([1, 2, 3]))
+def test_bfs_hops_matches_bruteforce(spark, edges, hops):
+    """BFS levels vs a Python BFS on the same undirected graph
+    (self-loops and duplicate/mirrored edges tolerated); seed = node 0."""
+    from collections import deque
+
+    from dbscan_pyspark_spark.operators.components import bfs_hops
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, seeds, hops).collect()}
+
+    adj = {}
+    for u, v in edges:
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    expect = {0: 0}
+    dq = deque([(0, 0)])
+    while dq:
+        n, h = dq.popleft()
+        if h == hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in expect:
+                expect[m] = h + 1
+                dq.append((m, h + 1))
+    assert got == expect
