@@ -2726,6 +2726,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_recall_eval"] = ivf_recall_eval
 
+    def doc_bigram_fluency(spark, sf):
+        # log-free n-gram-LM stand-in: per-doc mean bit-length of its
+        # bigrams' corpus counts (floor(log2)+1 — exact integers, so
+        # the score oracles bit-for-bit where a float ln cannot)
+        from dbscan_pyspark_spark.operators.pipeline import bigram_fluency
+
+        return bigram_fluency(load_table(spark, sf, "documents"))
+
+    q["doc_bigram_fluency"] = doc_bigram_fluency
+
     return _reorder_for_driver_window(q)
 
 
@@ -4472,6 +4482,23 @@ m AS (
   FROM span
 )
 SELECT month, count(*) AS n_open FROM m GROUP BY month
+""",
+        "doc_bigram_fluency": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (
+  SELECT doc_id, list_filter(string_split(nt, ' '), x -> x <> '') AS t
+  FROM norm
+),
+occ AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT bg, count(*) AS c FROM occ GROUP BY bg)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(sum(length(bin(c))) AS DOUBLE) / count(*), 4) AS fluency
+FROM occ JOIN counts USING (bg)
+GROUP BY doc_id
 """,
         "lang_id_confusion": f"""
 WITH p AS ({_lang_case()})

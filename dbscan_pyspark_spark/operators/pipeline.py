@@ -784,3 +784,57 @@ def gopher_quality(
         & F.col("pass_mean_word_len")
         & F.col("pass_stopwords"),
     ).drop("_w")
+
+
+def bigram_fluency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency fluency score — the log-free stand-in for an
+    n-gram LM perplexity filter (the KenLM role in C4/Gopher-style
+    pipelines): score each document by how common its word bigrams are
+    in the corpus.
+
+    Per bigram occurrence the signal is the MAGNITUDE of the corpus
+    count — ``length(bin(count))`` = floor(log2)+1, an exact integer in
+    any engine (a float ``ln`` differs by 1 ulp between libm
+    implementations, which would break oracle parity at grid
+    boundaries). DataFrame(id_col, n_bigrams, fluency) where fluency =
+    round(avg bit-length, 4); fluent/common text scores high, rare or
+    garbled n-grams drag it down.
+
+    Scale shape: one count shuffle on the bigram, one shuffle joining
+    counts back to occurrences (both partial-aggregatable), one doc
+    agg — no global sort (a percentile/ntile bucketing would need one,
+    which is why magnitude buckets are the 100 TB formulation).
+    """
+    from dbscan_pyspark_spark.functions.text import normalized
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("_t"),
+    ).where(F.size("_t") >= 2)
+    # occurrences, NOT distinct: a doc repeating a rare bigram should
+    # feel it each time
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, size(_t) - 1), "
+                   "i -> concat(_t[i-1], ' ', _t[i]))")
+        ).alias("bg"),
+    )
+    counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    mag = F.length(F.bin(F.col("_c")))
+    return (
+        occ.join(counts, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(mag).cast("double") / F.count(F.lit(1)), 4
+            ).alias("fluency"),
+        )
+    )

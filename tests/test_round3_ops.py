@@ -232,3 +232,43 @@ def test_bfs_hops_early_stop_on_empty_frontier(spark):
     seeds = spark.createDataFrame([(1,)], "id long")
     got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 10).collect()}
     assert got == {1: 0, 2: 1}
+
+
+# --------------------------------------------------------- bigram fluency
+
+
+def test_bigram_fluency_common_beats_rare(spark):
+    from dbscan_pyspark_spark.operators.pipeline import bigram_fluency
+
+    common = "the cat sat here"          # bigrams repeated corpus-wide
+    df = spark.createDataFrame(
+        [(i, common) for i in range(8)] + [(99, "zq xv jk wq")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_fluency(df).collect()}
+    # common doc bigrams occur 8x -> bit length 4; rare doc 1x -> 1
+    assert rows[0]["fluency"] == 4.0
+    assert rows[99]["fluency"] == 1.0
+    assert rows[0]["n_bigrams"] == 3
+
+
+def test_bigram_fluency_counts_occurrences_not_distinct(spark):
+    from dbscan_pyspark_spark.operators.pipeline import bigram_fluency
+
+    # "a b a b" has bigrams [a b, b a, a b]: 'a b' twice -> counts 3x
+    # 'a b' total... corpus = one doc, so c('a b')=2, c('b a')=1.
+    # mean bit-length = (2 + 1 + 2) / 3
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    [r] = bigram_fluency(df).collect()
+    assert r["n_bigrams"] == 3
+    assert r["fluency"] == round((2 + 1 + 2) / 3, 4)
+
+
+def test_bigram_fluency_skips_sub_two_token_docs(spark):
+    from dbscan_pyspark_spark.operators.pipeline import bigram_fluency
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"] for r in bigram_fluency(df).collect()}
+    assert rows == {3}
