@@ -2736,6 +2736,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bigram_fluency"] = doc_bigram_fluency
 
+    def part_triangle_histogram(spark, sf):
+        # triangle participation histogram over the part co-occurrence
+        # graph — degree-oriented wedge join (Suri & Vassilvitskii),
+        # exact integer counts
+        from dbscan_pyspark_spark.operators.components import (
+            triangle_counts,
+        )
+
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        return (
+            triangle_counts(edges)
+            .groupBy("n_triangles")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+        )
+
+    q["part_triangle_histogram"] = part_triangle_histogram
+
     return _reorder_for_driver_window(q)
 
 
@@ -5106,6 +5138,26 @@ FROM sp GROUP BY 1
             query_mod=100, recall_eval=True,
         ),
         "part_bfs_hops": _bfs_oracle(max_hops=3),
+        "part_triangle_histogram": """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+pern AS (SELECT node, count(*) AS n_triangles FROM nodes GROUP BY node)
+SELECT n_triangles, count(*) AS n_parts FROM pern GROUP BY n_triangles
+""",
         "dbscan_assign_customer": f"""
 WITH RECURSIVE pts AS ({PTS_CUSTOMER_SQL}),
 train AS (SELECT * FROM pts WHERE id % 2 = 0),

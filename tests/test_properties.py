@@ -431,3 +431,23 @@ def test_bfs_hops_matches_bruteforce(spark, edges, hops):
                 expect[m] = h + 1
                 dq.append((m, h + 1))
     assert got == expect
+
+
+@SET
+@given(edges=bfs_edges)
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    expect = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert got == expect

@@ -272,3 +272,40 @@ def test_bigram_fluency_skips_sub_two_token_docs(spark):
     )
     rows = {r["doc_id"] for r in bigram_fluency(df).collect()}
     assert rows == {3}
+
+
+# ------------------------------------------------------------ triangles
+
+
+def test_triangle_counts_single_triangle(spark):
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}  # node 4 in no triangle
+
+
+def test_triangle_counts_k4_clique(spark):
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    # K4: every node sits in C(3,2) = 3 triangles
+    nodes = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "src long, dst long"
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {n: 3 for n in nodes}
+
+
+def test_triangle_counts_tolerates_dirty_edges(spark):
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    # mirrored, duplicate, and self-loop edges must not multiply counts
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (3, 1), (1, 1)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
