@@ -2768,6 +2768,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_triangle_histogram"] = part_triangle_histogram
 
+    def events_user_ewma(spark, sf):
+        # order-dependent EWMA recurrence, exactly oracled: the 'exact'
+        # method replays alpha*v + (1-alpha)*e in the same IEEE op
+        # order as the DuckDB recursive-CTE replica — the FIFTH
+        # iterative family with a bit-exact oracle (alpha=0.5 keeps
+        # every step a clean halving)
+        from dbscan_pyspark_spark.operators.events import user_ewma
+
+        ev = load_table(spark, sf, "events")
+        out = user_ewma(ev, alpha=0.5, method="exact")
+        return out.select(
+            "user_id",
+            "n_events",
+            (F.round("ewma", 6) + F.lit(0.0)).alias("ewma"),
+        )
+
+    q["events_user_ewma"] = events_user_ewma
+
     return _reorder_for_driver_window(q)
 
 
@@ -4514,6 +4532,22 @@ m AS (
   FROM span
 )
 SELECT month, count(*) AS n_open FROM m GROUP BY month
+""",
+        "events_user_ewma": """
+WITH RECURSIVE o AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+r AS (
+  SELECT user_id, rn, v AS ew FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, 0.5 * o.v + 0.5 * r.ew
+  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+),
+last AS (SELECT user_id AS uid, max(rn) AS n FROM o GROUP BY user_id)
+SELECT r.user_id, last.n AS n_events, round(r.ew, 6) + 0.0 AS ewma
+FROM r JOIN last ON r.user_id = last.uid AND r.rn = last.n
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -309,3 +309,75 @@ def test_triangle_counts_tolerates_dirty_edges(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ------------------------------------------------------------ batch EWMA
+
+
+def test_user_ewma_known_sequence(spark):
+    from dbscan_pyspark_spark.operators.events import user_ewma
+
+    ev = _ev(spark, [(0, 1, "c"), (1, 1, "c"), (2, 1, "c")])
+    ev = ev.withColumn("value", F.col("event_id").cast("double") + 1)
+    # values 1, 2, 3 with alpha=.5: 1 -> 1.5 -> 2.25
+    for method in ("pandas", "exact"):
+        [r] = user_ewma(ev, alpha=0.5, method=method).collect()
+        assert (r["n_events"], r["ewma"]) == (3, 2.25), method
+
+
+def test_user_ewma_methods_agree(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.events import user_ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fast = {
+        r["user_id"]: r["ewma"]
+        for r in user_ewma(ev, alpha=0.3, method="pandas").collect()
+    }
+    exact = {
+        r["user_id"]: r["ewma"]
+        for r in user_ewma(ev, alpha=0.3, method="exact").collect()
+    }
+    assert fast.keys() == exact.keys()
+    for u in fast:
+        assert fast[u] == pytest.approx(exact[u], rel=1e-9)
+
+
+def test_user_ewma_matches_streaming_final_state(spark, sf_dir):
+    """The batch operator and the streaming applyInPandasWithState twin
+    compute the same recurrence — single-batch streaming final state
+    must equal the batch answer."""
+    import json
+    import tempfile
+
+    from dbscan_pyspark_spark.operators.events import user_ewma
+    from dbscan_pyspark_spark.streaming.events import (
+        read_event_stream,
+        streaming_user_ewma,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    with tempfile.TemporaryDirectory() as d:
+        rows = ev.toJSON().collect()
+        with open(f"{d}/all.json", "w") as f:
+            f.write("\n".join(rows))
+        stream = read_event_stream(spark, d)
+        q = (
+            streaming_user_ewma(stream, alpha=0.5)
+            .writeStream.format("memory")
+            .queryName("t_batch_vs_stream_ewma")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["ewma"]
+        for r in spark.sql("SELECT * FROM t_batch_vs_stream_ewma").collect()
+    }
+    batch = {
+        r["user_id"]: r["ewma"]
+        for r in user_ewma(ev, alpha=0.5, method="exact").collect()
+    }
+    assert got.keys() == batch.keys()
+    for u in got:
+        assert got[u] == pytest.approx(batch[u], rel=1e-12)
