@@ -2758,7 +2758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("a.l_partkey").alias("src"),
                 F.col("b.l_partkey").alias("dst"),
             )
-            .distinct()
+            # no .distinct() here: triangle_counts canonicalizes and
+            # dedups internally — a second pass over the largest
+            # intermediate would be a pure extra exchange
         )
         return (
             triangle_counts(edges)
@@ -2793,7 +2795,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The driver oracles the FIRST 50 entries of queries() each round, so we
 # rotate: round-2 fixes and anything not yet driver-checked go first;
 # previously-green queries go last.  New queries (absent from this set)
-# automatically land in the front window.
+# sort ahead of green ones, but the round-3 window is SATURATED with 50
+# not-yet-green oracled entries — late round-3 additions therefore sit
+# at positions 51+ and enter the checked window in round 4, once this
+# set absorbs CORRECTNESS_r03's greens (the round-4 rotation step;
+# tests/test_entry_contract.py::test_rotation_wastes_no_checked_slot
+# pins that nothing green occupies a slot while they wait).
 _DRIVER_CHECKED_GREEN = {
     "anonymize_cells", "busy_customers", "clean_corpus_splits",
     "cube_order_status", "cumulative_customer_revenue",
@@ -4537,7 +4544,7 @@ SELECT month, count(*) AS n_open FROM m GROUP BY month
 WITH RECURSIVE o AS (
   SELECT user_id, CAST(value AS DOUBLE) AS v,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 r AS (
   SELECT user_id, rn, v AS ew FROM o WHERE rn = 1

@@ -504,19 +504,27 @@ def triangle_counts(
     both = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # orient by (degree, id): strict total order, so each edge gets
-    # exactly one direction
+    # exactly one direction. Degrees join onto the CANONICAL |E| edge
+    # list (one join per endpoint) and the comparator SELECTS the
+    # direction — joining the doubled 2|E| relation and filtering half
+    # away would double the dominant shuffle volume.
     dd = (
-        both.join(deg.withColumnRenamed("u", "_n1"), F.col("u") == F.col("_n1"))
+        und.join(deg.withColumnRenamed("u", "_n1"), F.col("u") == F.col("_n1"))
         .withColumnRenamed("d", "du")
         .join(
             deg.select(F.col("u").alias("_n2"), F.col("d").alias("dv")),
             F.col("v") == F.col("_n2"),
         )
     )
-    oriented = dd.where(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v", "du", "dv")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = dd.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("u"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("du"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dv"),
+    )
     o1 = oriented.select(
         F.col("u").alias("a"),
         F.col("v").alias("b"),

@@ -524,6 +524,17 @@ def user_ewma(
         raise ValueError(f"method must be 'pandas' or 'exact', got {method!r}")
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # null values carry no signal: drop them BEFORE the recurrence,
+        # so the two methods and the SQL oracle agree (a NaN would
+        # poison the exact loop forever, while pandas ewm would skip it
+        # with decayed weights and SQL arithmetic would yield NULL —
+        # three different answers). A user with no non-null values
+        # emits nothing.
+        pdf = pdf[pdf[value_col].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {user_col: [], "n_events": [], "ewma": []}
+            )
         pdf = pdf.sort_values([ts_col, *order_cols])
         vals = pdf[value_col].astype("float64")
         if method == "pandas":

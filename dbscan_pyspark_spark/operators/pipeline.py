@@ -826,6 +826,11 @@ def bigram_fluency(
                    "i -> concat(_t[i-1], ' ', _t[i]))")
         ).alias("bg"),
     )
+    # the occurrence relation feeds BOTH the count aggregate and the
+    # join probe side; without lineage truncation the normalize/split/
+    # explode over every document runs twice (non-eager localCheckpoint:
+    # materialized by the first action, shared by both subplans)
+    occ = occ.localCheckpoint(eager=False)
     counts = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
     mag = F.length(F.bin(F.col("_c")))
     return (

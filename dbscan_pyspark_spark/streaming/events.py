@@ -101,7 +101,12 @@ def streaming_user_ewma(
 
     def fn(key, pdfs, state: GroupState):
         n, ew = state.get if state.exists else (0, None)
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # tie-break equal timestamps by event_id where available:
+        # the fold is order-dependent, and an unstable sort on a
+        # tied key would make results depend on arrival order
+        _ord = [ts_col] + (["event_id"] if "event_id" in pdf.columns else [])
+        pdf = pdf.sort_values(_ord)
         for v in pdf[value_col]:
             v = float(v)
             ew = v if ew is None else alpha * v + (1.0 - alpha) * ew
@@ -222,7 +227,12 @@ def streaming_funnel(
 
     def fn(key, pdfs, state: GroupState):
         times = list(state.get[0]) if state.exists else []
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # tie-break equal timestamps by event_id where available:
+        # the fold is order-dependent, and an unstable sort on a
+        # tied key would make results depend on arrival order
+        _ord = [ts_col] + (["event_id"] if "event_id" in pdf.columns else [])
+        pdf = pdf.sort_values(_ord)
         for ts, ty in zip(pdf[ts_col], pdf[type_col]):
             nxt = len(times)
             if (

@@ -355,11 +355,21 @@ def test_user_ewma_matches_streaming_final_state(spark, sf_dir):
         streaming_user_ewma,
     )
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    # materialize the sample ONCE: an unordered limit() is not stable
+    # across jobs, so executing it twice could compare different rows
+    sample = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("event_id")
+        .limit(200)
+        .toJSON()
+        .collect()
+    )
+    ev = spark.read.json(spark.sparkContext.parallelize(sample)).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
     with tempfile.TemporaryDirectory() as d:
-        rows = ev.toJSON().collect()
         with open(f"{d}/all.json", "w") as f:
-            f.write("\n".join(rows))
+            f.write("\n".join(sample))
         stream = read_event_stream(spark, d)
         q = (
             streaming_user_ewma(stream, alpha=0.5)
