@@ -500,6 +500,10 @@ def triangle_counts(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        # referenced by the degree agg (twice, via both orientations)
+        # and the orientation join: truncate the lineage so the
+        # canonicalizing exchange runs once, not per reference
+        .localCheckpoint(eager=False)
     )
     both = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -524,7 +528,10 @@ def triangle_counts(
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("v"),
         F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("du"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dv"),
-    )
+    # three downstream references (both wedge legs + the closing
+    # semi-join): without truncation the degree joins replay per
+    # reference and the physical plan blows up combinatorially
+    ).localCheckpoint(eager=False)
     o1 = oriented.select(
         F.col("u").alias("a"),
         F.col("v").alias("b"),

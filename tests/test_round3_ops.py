@@ -391,3 +391,40 @@ def test_user_ewma_matches_streaming_final_state(spark, sf_dir):
     assert got.keys() == batch.keys()
     for u in got:
         assert got[u] == pytest.approx(batch[u], rel=1e-12)
+
+
+# ------------------------------------------------- partition invariance
+
+
+def test_round3_exact_ops_partition_invariant(spark, sf_dir):
+    """The exactness claims rest on integer arithmetic being
+    order-independent: the same result must come back bit-identical at
+    1 partition and at 32."""
+    from dbscan_pyspark_spark.operators.pipeline import bigram_fluency
+    from dbscan_pyspark_spark.operators.similarity import label_cohesion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def sig(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert sig(bigram_fluency(docs.repartition(1))) == sig(
+        bigram_fluency(docs.repartition(32))
+    )
+    assert sig(label_cohesion(vecs.repartition(1))) == sig(
+        label_cohesion(vecs.repartition(32))
+    )
+
+
+def test_user_ewma_partition_invariant(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.events import user_ewma
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = sorted(
+        tuple(r) for r in user_ewma(ev.repartition(1), method="exact").collect()
+    )
+    b = sorted(
+        tuple(r) for r in user_ewma(ev.repartition(32), method="exact").collect()
+    )
+    assert a == b
