@@ -2788,6 +2788,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_ewma"] = events_user_ewma
 
+    def events_pit_join(spark, sf):
+        # point-in-time (temporal validity) join: each non-click event
+        # looks up the click-value-band STATE its user was in at event
+        # time — the feature-store/SCD2-lookup shape, no future leakage
+        from dbscan_pyspark_spark.operators.events import (
+            point_in_time_join,
+            scd2_intervals,
+        )
+
+        ev = load_table(spark, sf, "events")
+        clicks = ev.where(F.col("event_type") == "click").withColumn(
+            "band",
+            F.floor(F.col("value").cast("double") / 10).cast("long"),
+        )
+        dim = scd2_intervals(
+            clicks,
+            key_col="user_id",
+            ts_col="ts",
+            attr_cols=["band"],
+            order_cols=("event_id",),
+        ).select("user_id", "band", "valid_from", "valid_to")
+        facts = ev.where(F.col("event_type") != "click").select(
+            "user_id", "ts", "event_type"
+        )
+        return (
+            point_in_time_join(facts, dim)
+            .groupBy("event_type", "band")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+
+    q["events_pit_join"] = events_pit_join
+
     return _reorder_for_driver_window(q)
 
 
@@ -4539,6 +4571,35 @@ m AS (
   FROM span
 )
 SELECT month, count(*) AS n_open FROM m GROUP BY month
+""",
+        "events_pit_join": """
+WITH clicks AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(CAST(value AS DOUBLE) / 10) AS BIGINT) AS band
+  FROM events WHERE event_type = 'click'
+),
+marked AS (
+  SELECT user_id, band, ts,
+         CASE WHEN row_number() OVER w = 1
+                   OR lag(band) OVER w IS DISTINCT FROM band
+              THEN 1 ELSE 0 END AS new_run
+  FROM clicks
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (SELECT user_id, band, ts FROM marked WHERE new_run = 1),
+dim AS (
+  SELECT user_id, band, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM runs
+),
+facts AS (
+  SELECT user_id, ts, event_type FROM events WHERE event_type <> 'click'
+)
+SELECT f.event_type, d.band, count(*) AS n_events
+FROM facts f LEFT JOIN dim d
+  ON d.user_id = f.user_id AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+GROUP BY 1, 2
 """,
         "events_user_ewma": """
 WITH RECURSIVE o AS (

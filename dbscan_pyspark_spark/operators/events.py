@@ -556,3 +556,41 @@ def user_ewma(
     return events.groupBy(user_col).applyInPandas(
         fn, f"{user_col} {user_dtype}, n_events long, ewma double"
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal-validity (point-in-time) join: attach to each fact row
+    the dimension row whose interval covered the fact's timestamp —
+    ``valid_from <= ts < valid_to`` (null ``valid_to`` = still
+    current). The feature-store / SCD2-lookup join: bitemporal
+    correctness without leakage from future states.
+
+    Scale shape: an equi-join on the key with the interval predicate as
+    join residual — both sides hash-partition on the key, and the
+    per-key interval set is small (one row per STATE RUN, not per
+    event), so the residual evaluates over key-local candidates only;
+    no range explosion, no broadcast requirement. SCD2 intervals are
+    non-overlapping by construction, so at most one dimension row
+    matches — row counts are preserved on the left side.
+    """
+    d = dim.select(
+        F.col(key_col).alias("_k"),
+        *[c for c in dim.columns if c != key_col],
+    )
+    cond = (
+        (F.col("_k") == facts[key_col])
+        & (F.col(valid_from) <= facts[ts_col])
+        & (
+            F.col(valid_to).isNull()
+            | (facts[ts_col] < F.col(valid_to))
+        )
+    )
+    return facts.join(d, cond, how).drop("_k")

@@ -428,3 +428,57 @@ def test_user_ewma_partition_invariant(spark, sf_dir):
         tuple(r) for r in user_ewma(ev.repartition(32), method="exact").collect()
     )
     assert a == b
+
+
+# --------------------------------------------------- point-in-time join
+
+
+def test_point_in_time_join_basic(spark):
+    from dbscan_pyspark_spark.operators.events import point_in_time_join
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", t(0), t(100)),
+            (1, "gold", t(100), None),
+            (2, "silver", t(50), None),
+        ],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, t(10), "a"),   # bronze
+            (1, t(100), "b"),  # boundary: valid_from inclusive -> gold
+            (1, t(500), "c"),  # gold (open interval)
+            (2, t(10), "d"),   # before any state -> null
+            (3, t(10), "e"),   # unknown user -> null
+        ],
+        "user_id long, ts timestamp, tag string",
+    )
+    got = {
+        r["tag"]: r["tier"]
+        for r in point_in_time_join(facts, dim).collect()
+    }
+    assert got == {"a": "bronze", "b": "gold", "c": "gold", "d": None, "e": None}
+
+
+def test_point_in_time_join_preserves_fact_count(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.events import (
+        point_in_time_join,
+        scd2_intervals,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = scd2_intervals(
+        ev, key_col="user_id", ts_col="ts", attr_cols=["event_type"],
+        order_cols=("event_id",),
+    ).select("user_id", F.col("event_type").alias("state"),
+             "valid_from", "valid_to")
+    facts = ev.select("user_id", "ts", "event_id")
+    joined = point_in_time_join(facts, dim)
+    # SCD2 intervals are non-overlapping: exactly one match per fact
+    assert joined.count() == facts.count()

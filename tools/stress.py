@@ -202,6 +202,48 @@ def main() -> None:
         flush=True,
     )
 
+    # --- triangle counting over planted cliques ---
+    # 10-cliques planted across n/10 groups: C(10,3)=120 triangles per
+    # clique, so the wedge join runs in its dense (clique) regime while
+    # fan-out stays bounded by the degree orientation. Exact expected
+    # totals make this a correctness check at scale too.
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    tri_nodes = max(N_POINTS // 4, 100_000)
+    clique = 10
+    tri_edges = (
+        spark.range(tri_nodes)
+        .alias("a")
+        .join(
+            spark.range(tri_nodes).alias("b"),
+            (F.col("a.id") / clique).cast("long")
+            == (F.col("b.id") / clique).cast("long"),
+        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    t0 = time.time()
+    tc = triangle_counts(tri_edges)
+    tri_stats = tc.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.sum("n_triangles").alias("sum_part"),
+    ).first()
+    n_cliques = tri_nodes // clique
+    expected_sum = n_cliques * 120 * 3  # each triangle counted at 3 nodes
+    print(
+        json.dumps(
+            {
+                "stage": "triangle_cliques",
+                "n_nodes": tri_nodes,
+                "n_edges": n_cliques * 45,
+                "wall_s": round(time.time() - t0, 1),
+                "nodes_in_triangles": tri_stats["nodes"],
+                "participation_ok": int(tri_stats["sum_part"]) == expected_sum,
+            }
+        ),
+        flush=True,
+    )
+
     # --- sparse TF-IDF pairs at N_DOCS with top-term truncation ---
     # Topic + long-tail synthetic corpus: 20 tokens from the doc's
     # topic vocabulary (500 topics x 50 terms -> real same-topic pairs)
