@@ -4579,17 +4579,17 @@ WITH clicks AS (
   FROM events WHERE event_type = 'click'
 ),
 marked AS (
-  SELECT user_id, band, ts,
+  SELECT user_id, band, ts, event_id,
          CASE WHEN row_number() OVER w = 1
                    OR lag(band) OVER w IS DISTINCT FROM band
               THEN 1 ELSE 0 END AS new_run
   FROM clicks
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
-runs AS (SELECT user_id, band, ts FROM marked WHERE new_run = 1),
+runs AS (SELECT user_id, band, ts, event_id FROM marked WHERE new_run = 1),
 dim AS (
   SELECT user_id, band, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM runs
 ),
 facts AS (
@@ -5427,19 +5427,19 @@ FROM islands GROUP BY user_id, island
 """,
         "events_scd2": """
 WITH marked AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          CASE WHEN row_number() OVER w = 1
                    OR lag(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS new_run
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
-runs AS (SELECT user_id, event_type, ts FROM marked WHERE new_run = 1)
+runs AS (SELECT user_id, event_type, ts, event_id FROM marked WHERE new_run = 1)
 SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER w2 AS valid_to,
        lead(ts) OVER w2 IS NULL AS is_current
 FROM runs
-WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "embedding_covariance": """
 WITH v AS (

@@ -581,16 +581,16 @@ def point_in_time_join(
     non-overlapping by construction, so at most one dimension row
     matches — row counts are preserved on the left side.
     """
+    # qualify BOTH sides: unqualified F.col() would be ambiguous when
+    # the facts side already carries valid_from/valid_to (e.g. the
+    # output of a previous PIT lookup fed into a second one)
     d = dim.select(
-        F.col(key_col).alias("_k"),
+        F.col(key_col).alias("_pit_k"),
         *[c for c in dim.columns if c != key_col],
     )
     cond = (
-        (F.col("_k") == facts[key_col])
-        & (F.col(valid_from) <= facts[ts_col])
-        & (
-            F.col(valid_to).isNull()
-            | (facts[ts_col] < F.col(valid_to))
-        )
+        (d["_pit_k"] == facts[key_col])
+        & (d[valid_from] <= facts[ts_col])
+        & (d[valid_to].isNull() | (facts[ts_col] < d[valid_to]))
     )
-    return facts.join(d, cond, how).drop("_k")
+    return facts.join(d, cond, how).drop(d["_pit_k"])

@@ -482,3 +482,30 @@ def test_point_in_time_join_preserves_fact_count(spark, sf_dir):
     joined = point_in_time_join(facts, dim)
     # SCD2 intervals are non-overlapping: exactly one match per fact
     assert joined.count() == facts.count()
+
+
+def test_point_in_time_join_chains(spark):
+    """Two PIT lookups in sequence — the first output carries
+    valid_from/valid_to, which must not make the second join's column
+    references ambiguous (regression: unqualified F.col)."""
+    from dbscan_pyspark_spark.operators.events import point_in_time_join
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    dim1 = spark.createDataFrame(
+        [(1, "bronze", t(0), None)],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    dim2 = spark.createDataFrame(
+        [(1, "eu", t(0), None)],
+        "user_id long, region string, valid_from timestamp, valid_to timestamp",
+    )
+    facts = spark.createDataFrame(
+        [(1, t(10))], "user_id long, ts timestamp"
+    )
+    step1 = point_in_time_join(facts, dim1).drop("valid_from", "valid_to")
+    [r] = point_in_time_join(step1, dim2).collect()
+    assert (r["tier"], r["region"]) == ("bronze", "eu")

@@ -228,14 +228,19 @@ def main() -> None:
         F.count(F.lit(1)).alias("nodes"),
         F.sum("n_triangles").alias("sum_part"),
     ).first()
-    n_cliques = tri_nodes // clique
-    expected_sum = n_cliques * 120 * 3  # each triangle counted at 3 nodes
+    import math
+
+    # the trailing group has tri_nodes % clique members — include its
+    # C(r,3) triangles / C(r,2) edges so a CLI n_points that is not a
+    # multiple of 4*clique doesn't report a false correctness failure
+    n_full, rem = divmod(tri_nodes, clique)
+    expected_sum = (n_full * math.comb(clique, 3) + math.comb(rem, 3)) * 3
     print(
         json.dumps(
             {
                 "stage": "triangle_cliques",
                 "n_nodes": tri_nodes,
-                "n_edges": n_cliques * 45,
+                "n_edges": n_full * math.comb(clique, 2) + math.comb(rem, 2),
                 "wall_s": round(time.time() - t0, 1),
                 "nodes_in_triangles": tri_stats["nodes"],
                 "participation_ok": int(tri_stats["sum_part"]) == expected_sum,
