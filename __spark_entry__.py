@@ -2820,6 +2820,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_pit_join"] = events_pit_join
 
+    def part_k_core(spark, sf):
+        # k-core peeling of the part co-occurrence graph — sixth
+        # iterative operator with an exact unrolled-CTE oracle (rounds
+        # past the fixpoint are no-ops, so early-stop == fixed unroll)
+        from dbscan_pyspark_spark.operators.components import k_core
+
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        edges = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        return k_core(edges, k=90, max_rounds=4).select(
+            F.col("node").alias("p_partkey"), "degree"
+        )
+
+    q["part_k_core"] = part_k_core
+
     return _reorder_for_driver_window(q)
 
 
@@ -3252,6 +3276,50 @@ def _bfs_oracle(max_hops: int = 3) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT node AS p_partkey, hop FROM h{max_hops}"
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled-CTE replica of operators.components.k_core over the
+    part co-occurrence graph: one (degree -> keep -> filter) CTE triple
+    per peel round. Peeling is monotone — rounds past the fixpoint are
+    identity — so a fixed unroll equals the operator's early-stopping
+    loop exactly."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+  SELECT u AS node, count(*) AS d
+  FROM (SELECT u, v FROM {prev} UNION ALL SELECT v, u FROM {prev}) b
+  GROUP BY u
+)"""
+        )
+        parts.append(f"k{i} AS (SELECT node FROM d{i} WHERE d >= {k})")
+        # MATERIALIZED: each e{{i}} is referenced three times by the next
+        # round (degree union x2 + filter); DuckDB inlines plain CTEs,
+        # which re-evaluates the whole peel chain exponentially
+        parts.append(
+            f"""e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  WHERE e.u IN (SELECT node FROM k{i})
+    AND e.v IN (SELECT node FROM k{i})
+)"""
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS p_partkey, count(*) AS degree
+FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) b
+GROUP BY node"""
     )
 
 
@@ -5240,6 +5308,7 @@ FROM sp GROUP BY 1
             query_mod=100, recall_eval=True,
         ),
         "part_bfs_hops": _bfs_oracle(max_hops=3),
+        "part_k_core": _kcore_oracle(k=90, rounds=4),
         "part_triangle_histogram": """
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -559,3 +559,68 @@ def triangle_counts(
         .union(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peeling: repeatedly drop nodes with degree < k (and their
+    edges) until fixpoint or ``max_rounds``. Returns DataFrame(node,
+    degree) over the surviving edge set — the classic graph-quality /
+    spam-filter reduction (nodes in a k-core have >= k neighbors that
+    themselves survive).
+
+    Deterministic and exactly SQL-replayable: peeling is a pure
+    function of the edge set, and rounds past the fixpoint are no-ops,
+    so stopping early at convergence equals unrolling ``max_rounds``
+    CTE rounds (the `part_k_core` oracle) — sixth iterative family
+    with an exact oracle. Each round is a degree aggregate + two
+    semi-joins over a SHRINKING edge relation, localCheckpointed per
+    round (the CC loop discipline)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    e = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        # keep is DERIVED FROM e, so a same-name semi-join would be a
+        # self-join with colliding attribute ids — eager checkpoint
+        # gives it fresh lineage, and the aliased explicit conditions
+        # leave no ambiguity for the resolver
+        keep = (
+            deg.where(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        nxt = (
+            e.alias("e")
+            .join(
+                keep.alias("ka"),
+                F.col("e.u") == F.col("ka.node"),
+                "left_semi",
+            )
+            .join(
+                keep.alias("kb"),
+                F.col("e.v") == F.col("kb.node"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == e.count():
+            e = nxt
+            break
+        e = nxt
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return both.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -509,3 +509,57 @@ def test_point_in_time_join_chains(spark):
     step1 = point_in_time_join(facts, dim1).drop("valid_from", "valid_to")
     [r] = point_in_time_join(step1, dim2).collect()
     assert (r["tier"], r["region"]) == ("bronze", "eu")
+
+
+# --------------------------------------------------------------- k-core
+
+
+def test_k_core_peels_tail(spark):
+    from dbscan_pyspark_spark.operators.components import k_core
+
+    # triangle 1-2-3 plus a pendant 3-4: 2-core drops node 4 (degree 1)
+    # and keeps the triangle, whose degrees stay 2 after the peel
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_cascading_peel(spark):
+    from dbscan_pyspark_spark.operators.components import k_core
+
+    # path 1-2-3-4-5: every node eventually has degree < 2 -> empty
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_k_core_matches_networkx_free_bruteforce(spark):
+    from dbscan_pyspark_spark.operators.components import k_core
+
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(30)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=3, max_rounds=20).collect()}
+
+    # python peel to fixpoint
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        nxt = {e for e in und if e[0] in keep and e[1] in keep}
+        if nxt == und:
+            break
+        und = nxt
+    expect = {}
+    for u, v in und:
+        expect[u] = expect.get(u, 0) + 1
+        expect[v] = expect.get(v, 0) + 1
+    assert got == expect
