@@ -2822,8 +2822,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def part_k_core(spark, sf):
         # k-core peeling of the part co-occurrence graph — sixth
-        # iterative operator with an exact unrolled-CTE oracle (rounds
-        # past the fixpoint are no-ops, so early-stop == fixed unroll)
+        # iterative operator with an exact unrolled-CTE oracle. k=80
+        # CONVERGES to a nonempty core in 6 rounds at sf0.01 AND sf0.1
+        # (verified by an independent Python peel), so the 10-round
+        # unroll is past the fixpoint and the output is the true
+        # 80-core, not a truncation artifact
         from dbscan_pyspark_spark.operators.components import k_core
 
         li = load_table(spark, sf, "lineitem").select(
@@ -2838,7 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
-        return k_core(edges, k=90, max_rounds=4).select(
+        return k_core(edges, k=80, max_rounds=10).select(
             F.col("node").alias("p_partkey"), "degree"
         )
 
@@ -5308,7 +5311,7 @@ FROM sp GROUP BY 1
             query_mod=100, recall_eval=True,
         ),
         "part_bfs_hops": _bfs_oracle(max_hops=3),
-        "part_k_core": _kcore_oracle(k=90, rounds=4),
+        "part_k_core": _kcore_oracle(k=80, rounds=10),
         "part_triangle_histogram": """
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

@@ -578,18 +578,18 @@ def k_core(
     function of the edge set, and rounds past the fixpoint are no-ops,
     so stopping early at convergence equals unrolling ``max_rounds``
     CTE rounds (the `part_k_core` oracle) — sixth iterative family
-    with an exact oracle. Each round is a degree aggregate + two
-    semi-joins over a SHRINKING edge relation, localCheckpointed per
-    round (the CC loop discipline)."""
+    with an exact oracle. CAVEAT: that equivalence (and the "k-core"
+    name) holds only when peeling CONVERGES within ``max_rounds``; a
+    truncated run is a well-defined N-round peel but NOT the k-core —
+    size ``max_rounds`` to the graph (the contract query verifies
+    convergence against an independent Python peel). Each round is a
+    degree aggregate + two semi-joins over a SHRINKING edge relation,
+    localCheckpointed per round (the CC loop discipline)."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    e = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _canonical(e).localCheckpoint(eager=True)
+    prev_n = e.count()
     for _ in range(max_rounds):
         both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -616,10 +616,13 @@ def k_core(
             )
             .localCheckpoint(eager=True)
         )
-        if nxt.count() == e.count():
-            e = nxt
+        # one count job per round: last round's nxt.count() is this
+        # round's e.count()
+        n = nxt.count()
+        converged = n == prev_n
+        e, prev_n = nxt, n
+        if converged:
             break
-        e = nxt
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return both.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")

@@ -563,3 +563,52 @@ def test_k_core_matches_networkx_free_bruteforce(spark):
         expect[u] = expect.get(u, 0) + 1
         expect[v] = expect.get(v, 0) + 1
     assert got == expect
+
+
+def test_part_k_core_contract_params_converge(spark):
+    """The 'k-core' name is only honest if peeling CONVERGES within the
+    contract's max_rounds (a truncated run is just an N-round peel):
+    an independent Python peel of the sf0.01 co-occurrence graph must
+    reach fixpoint within 10 rounds and match the contract query."""
+    import collections
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+    )
+    edges = con.sql(
+        """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    und = set(edges)
+    rounds = 0
+    while True:
+        deg = collections.Counter()
+        for u, v in und:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 80}
+        nxt = {e for e in und if e[0] in keep and e[1] in keep}
+        rounds += 1
+        if nxt == und:
+            break
+        und = nxt
+    assert rounds <= 10, f"fixpoint needs {rounds} rounds > max_rounds=10"
+    expect = collections.Counter()
+    for u, v in und:
+        expect[u] += 1
+        expect[v] += 1
+
+    q = entry.queries()["part_k_core"]
+    got = {
+        r["p_partkey"]: r["degree"]
+        for r in q(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == dict(expect)
