@@ -2847,6 +2847,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_k_core"] = part_k_core
 
+    def part_sssp(spark, sf):
+        # bounded Bellman-Ford association distance from the p_size=1
+        # seed set: strong co-occurrence links (>= 3 shared orders)
+        # cost 1, weak links cost 3 — SEVENTH iterative family with an
+        # exact unrolled-CTE oracle. Fixpoint in 3 rounds at sf0.01 AND
+        # sf0.1 (independent Python replay in the tests), so the
+        # 6-round unroll is past convergence.
+        from dbscan_pyspark_spark.operators.components import bounded_sssp
+
+        li = load_table(spark, sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.countDistinct("a.l_orderkey").alias("_c"))
+        )
+        edges = pairs.select(
+            "src", "dst",
+            F.when(F.col("_c") >= 3, 1).otherwise(3).alias("weight"),
+        )
+        seeds = (
+            load_table(spark, sf, "part")
+            .where(F.col("p_size") == 1)
+            .select(F.col("p_partkey").alias("id"))
+        )
+        return bounded_sssp(edges, seeds, rounds=6).select(
+            F.col("node").alias("p_partkey"), "dist"
+        )
+
+    q["part_sssp"] = part_sssp
+
     return _reorder_for_driver_window(q)
 
 
@@ -3323,6 +3363,47 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 SELECT node AS p_partkey, count(*) AS degree
 FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) b
 GROUP BY node"""
+    )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled-CTE replica of operators.components.bounded_sssp over
+    the weighted part co-occurrence graph: one min-relaxation CTE per
+    round. Relaxation is monotone (fixpoint rounds are identity), so
+    the fixed unroll equals the operator's early-stopping loop; weights
+    and distances are exact integers. MATERIALIZED per round — DuckDB
+    would otherwise inline and re-evaluate the chain exponentially."""
+    parts = [
+        """e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CASE WHEN count(DISTINCT a.l_orderkey) >= 3 THEN 1 ELSE 3 END AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)""",
+        "e AS MATERIALIZED (SELECT u, v, w FROM e0"
+        " UNION ALL SELECT v, u, w FROM e0)",
+        """d0 AS (
+  SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM part WHERE p_size = 1
+)""",
+    ]
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.v, {prev}.dist + e.w FROM {prev} JOIN e ON e.u = {prev}.node
+  ) b GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS p_partkey, dist FROM {prev}"
     )
 
 
@@ -5312,6 +5393,7 @@ FROM sp GROUP BY 1
         ),
         "part_bfs_hops": _bfs_oracle(max_hops=3),
         "part_k_core": _kcore_oracle(k=80, rounds=10),
+        "part_sssp": _sssp_oracle(rounds=6),
         "part_triangle_histogram": """
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v

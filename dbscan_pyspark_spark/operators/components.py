@@ -627,3 +627,74 @@ def k_core(
     return both.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str = "weight",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford over an undirected integer-weighted
+    graph: minimum path cost from the seed set using at most ``rounds``
+    relaxation rounds. DataFrame(node, dist) for reached nodes (seeds
+    at 0; parallel edges collapse to their minimum weight).
+
+    Distances are exact integer sums, and relaxation is monotone — a
+    fixpoint round changes nothing — so the early-stopping loop equals
+    a fixed ``rounds``-deep CTE unroll (`part_sssp` oracle; its test
+    pins convergence-within-unroll, the k_core discipline). SEVENTH
+    iterative family with an exact oracle. Per round: one equi-join of
+    the frontier distances with the edge relation + a min aggregate,
+    localCheckpointed (the CC loop discipline)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    und = (
+        e.select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+            "w",
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    both = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(rounds):
+        relaxed = (
+            both.join(
+                dist.select(F.col("node").alias("u"), "dist"), "u"
+            )
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        sig = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        if prev_sig == (sig["n"], sig["s"]):
+            break
+        prev_sig = (sig["n"], sig["s"])
+    return dist

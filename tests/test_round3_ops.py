@@ -612,3 +612,84 @@ def test_part_k_core_contract_params_converge(spark):
         for r in q(spark, "/root/testdata/sf0.01").collect()
     }
     assert got == dict(expect)
+
+
+# ----------------------------------------------------------- bounded SSSP
+
+
+def test_bounded_sssp_weighted_path(spark):
+    from dbscan_pyspark_spark.operators.components import bounded_sssp
+
+    # 1 -2-> 2 -2-> 3 but a direct heavy edge 1 -5-> 3: path via 2 wins
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 2), (1, 3, 5)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["node"]: r["dist"] for r in bounded_sssp(edges, seeds).collect()}
+    assert got == {1: 0, 2: 2, 3: 4}
+
+
+def test_bounded_sssp_parallel_edges_take_min(spark):
+    from dbscan_pyspark_spark.operators.components import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (2, 1, 4), (1, 2, 7)], "src long, dst long, weight long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r["node"]: r["dist"] for r in bounded_sssp(edges, seeds).collect()}
+    assert got == {1: 0, 2: 4}
+
+
+def test_part_sssp_contract_params_converge(spark):
+    """Independent Python Bellman-Ford must reach fixpoint within the
+    contract's 6 unrolled rounds and match the query exactly."""
+    import collections
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    edges = con.sql(
+        """SELECT a.l_partkey, b.l_partkey, count(DISTINCT a.l_orderkey)
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    seeds = [
+        r[0]
+        for r in con.sql(
+            "SELECT p_partkey FROM part WHERE p_size = 1"
+        ).fetchall()
+    ]
+    adj = collections.defaultdict(list)
+    for u, v, c in edges:
+        w = 1 if c >= 3 else 3
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    dist = {s: 0 for s in seeds}
+    rounds = 0
+    while True:
+        nxt = dict(dist)
+        for n, d in dist.items():
+            for m, w in adj[n]:
+                if d + w < nxt.get(m, 1 << 60):
+                    nxt[m] = d + w
+        rounds += 1
+        if nxt == dist:
+            break
+        dist = nxt
+    assert rounds <= 6, f"fixpoint needs {rounds} rounds > 6"
+
+    q = entry.queries()["part_sssp"]
+    got = {
+        r["p_partkey"]: r["dist"]
+        for r in q(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == dist
