@@ -2887,6 +2887,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_sssp"] = part_sssp
 
+    def near_dup_jaccard_prefix(spark, sf):
+        # EXACT Jaccard pairs via prefix filtering (AllPairs/PPJoin
+        # family): bit-identical output to near_dup_jaccard, candidate
+        # join restricted to each doc's rarest shingles — the
+        # no-recall-loss twin of the MinHash scale path. Same oracle
+        # SQL as near_dup_jaccard by construction.
+        from dbscan_pyspark_spark.operators.dedup import (
+            jaccard_prefix_filter_pairs,
+        )
+
+        return jaccard_prefix_filter_pairs(
+            load_table(spark, sf, "documents"), threshold=0.3, n=3
+        )
+
+    q["near_dup_jaccard_prefix"] = near_dup_jaccard_prefix
+
     return _reorder_for_driver_window(q)
 
 
@@ -4474,6 +4490,22 @@ FROM (
 WHERE rank <= 3
 """,
         "near_dup_jaccard": f"""
+WITH {_SHINGLES_CTE}, {_SIZES_CTE},
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.3
+""",
+        # prefix filtering changes the CANDIDATE GENERATION, not the
+        # result: the oracle is the same exact-Jaccard statement
+        "near_dup_jaccard_prefix": f"""
 WITH {_SHINGLES_CTE}, {_SIZES_CTE},
 common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common

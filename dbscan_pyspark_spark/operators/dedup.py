@@ -634,3 +634,98 @@ def minhash_estimate_errors(
     sig.unpersist()
     sh.unpersist()
     return out
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs >= threshold via prefix filtering
+    (Chaudhuri/Bayardo AllPairs-style) — identical output to
+    :func:`ngram_jaccard_pairs`, with the candidate join restricted to
+    each document's RAREST shingles.
+
+    With shingles globally ordered by (document frequency, shingle), a
+    pair with Jaccard >= t has overlap >= ceil(t*|A|), so both docs
+    must share a shingle inside their first |X| - ceil(t*|X|) + 1
+    prefix positions — the candidate equi-join touches only those
+    prefix rows (the rare end of the df distribution), instead of the
+    full inverted index whose cost is Σ df² over ALL shingles. The
+    survivors are then exactly verified with the semi-join-pruned
+    intersection join. At 100 TB this is the exact-dedup twin of the
+    MinHash path: no probabilistic recall loss, candidate volume
+    controlled by the frequency-ordered prefix instead of bands.
+
+    MEASURED (sf0.01, 5k docs, t=0.3): candidate rows 13,985 -> 4,282
+    (3.3x fewer), but wall 0.8 s -> 2.7 s — the df-ranking window costs
+    more than the pruning saves at toy scale. The candidate-volume
+    factor is the scale argument (Σ df_prefix² vs Σ df² grows with
+    corpus); below ~10^5 docs prefer :func:`ngram_jaccard_pairs`.
+    """
+    from pyspark.sql import Window
+
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    prefix = ranked.where(
+        F.col("_pos")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select(id_col, "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
+        cand.select("a_id").distinct(), "a_id", "left_semi"
+    )
+    sb = sh.select(F.col(id_col).alias("b_id"), "shingle").join(
+        cand.select("b_id").distinct(), "b_id", "left_semi"
+    )
+    common = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

@@ -693,3 +693,42 @@ def test_part_sssp_contract_params_converge(spark):
         for r in q(spark, "/root/testdata/sf0.01").collect()
     }
     assert got == dist
+
+
+# ------------------------------------------- prefix-filter exact Jaccard
+
+
+def test_jaccard_prefix_filter_equals_full_join(spark, sf_dir):
+    """The prefix-filtered candidate set must lose NOTHING: output is
+    bit-identical to the full inverted-index exact join."""
+    from dbscan_pyspark_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = sorted(
+        tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in jaccard_prefix_filter_pairs(docs, threshold=0.3).collect()
+    )
+    assert full, "test corpus should contain near-dup pairs"
+    assert pref == full
+
+
+def test_jaccard_prefix_filter_tiny_example(spark):
+    from dbscan_pyspark_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t2 = "the quick brown fox jumps over the lazy cat"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "completely different words here entirely")],
+        "doc_id long, text string",
+    )
+    rows = jaccard_prefix_filter_pairs(df, threshold=0.3).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jaccard"] > 0.5
