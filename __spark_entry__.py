@@ -3655,7 +3655,7 @@ WHERE round({idot} / ({inorm('x')} * {inorm('y')}), 6) >= {threshold}"""
 
 def oracle_sql() -> dict[str, str]:
     sw = ", ".join(repr(w) for w in STOPWORDS)
-    return {
+    oracles = {
         "eps_sweep_metrics": _eps_sweep_oracle([2.0, 3.0], MINPTS_C),
         # SCC variant oracle: directed edges core -> neighbor are mutual
         # exactly when BOTH endpoints are cores (L1 is symmetric), so the
@@ -4490,22 +4490,6 @@ FROM (
 WHERE rank <= 3
 """,
         "near_dup_jaccard": f"""
-WITH {_SHINGLES_CTE}, {_SIZES_CTE},
-common AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT a_id, b_id,
-       round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = a_id
-JOIN sizes sb ON sb.doc_id = b_id
-WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.3
-""",
-        # prefix filtering changes the CANDIDATE GENERATION, not the
-        # result: the oracle is the same exact-Jaccard statement
-        "near_dup_jaccard_prefix": f"""
 WITH {_SHINGLES_CTE}, {_SIZES_CTE},
 common AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
@@ -5691,3 +5675,8 @@ SELECT dup_group_size, CAST(count(*) AS BIGINT) AS n_groups
 FROM sized GROUP BY dup_group_size
 """,
     }
+    # prefix filtering changes CANDIDATE GENERATION, not the result —
+    # one shared exact-Jaccard oracle statement, never two copies to
+    # drift apart
+    oracles["near_dup_jaccard_prefix"] = oracles["near_dup_jaccard"]
+    return oracles

@@ -202,6 +202,52 @@ def minhash_bands(
     ).withColumn("band", F.col("band").cast("long"))
 
 
+def _verify_exact_jaccard(
+    sh: DataFrame,
+    sizes: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set: semi-join
+    prune the shingle relation to candidate docs, count intersections,
+    join sizes, filter round(jaccard, 6) >= threshold. Shared by the
+    MinHash-banded and prefix-filtered candidate generators so the
+    verification semantics can never drift between them."""
+    sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
+        cand.select("a_id").distinct(), "a_id", "left_semi"
+    )
+    sb = sh.select(F.col(id_col).alias("b_id"), "shingle").join(
+        cand.select("b_id").distinct(), "b_id", "left_semi"
+    )
+    common = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -251,31 +297,7 @@ def minhash_near_dup_pairs(
 
     sizes = sig.select(id_col, "n_sh")
     # verification touches only candidate docs: semi-join prune first
-    sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
-        cand.select("a_id").distinct(), "a_id", "left_semi"
-    )
-    sb = sh.select(F.col(id_col).alias("b_id"), "shingle").join(
-        cand.select("b_id").distinct(), "b_id", "left_semi"
-    )
-    common = (
-        cand.join(sa, "a_id")
-        .join(sb, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")), "a_id")
-        .join(sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = _verify_exact_jaccard(sh, sizes, cand, id_col, threshold)
     # The result is tiny (verified near-dup pairs); eagerly materialize
     # it so the sh/sig caches can be RELEASED here instead of leaking —
     # a long-running caller (the streaming filter calls this every
@@ -676,9 +698,22 @@ def jaccard_prefix_filter_pairs(
         .withColumn("_pos", F.row_number().over(w))
         .join(sizes, id_col)
     )
+    # required overlap computed in EXACT RATIONAL arithmetic, from the
+    # rounded acceptance condition: the output keeps round(J, 6) >= t,
+    # so a pair with true J as low as t - 5e-7 can be accepted — the
+    # candidate bound must use t_eff = t - 1/(2e6). Doubles would also
+    # overshoot ceil(t*s) for thresholds like 0.28 (0.28*25 ->
+    # 7.000000000000001 -> ceil 8), silently shortening the prefix and
+    # dropping qualifying pairs; integer div arithmetic cannot.
+    from fractions import Fraction
+
+    t_eff = Fraction(str(threshold)) - Fraction(1, 2 * 10**6)
+    num, den = t_eff.numerator, t_eff.denominator
+    alpha = F.greatest(
+        F.expr(f"({num}L * n_sh + {den - 1}L) div {den}L"), F.lit(1)
+    )
     prefix = ranked.where(
-        F.col("_pos")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        F.col("_pos") <= F.col("n_sh") - alpha + 1
     ).select(id_col, "shingle")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -694,38 +729,7 @@ def jaccard_prefix_filter_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sa = sh.select(F.col(id_col).alias("a_id"), "shingle").join(
-        cand.select("a_id").distinct(), "a_id", "left_semi"
-    )
-    sb = sh.select(F.col(id_col).alias("b_id"), "shingle").join(
-        cand.select("b_id").distinct(), "b_id", "left_semi"
-    )
-    common = (
-        cand.join(sa, "a_id")
-        .join(sb, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(
-            sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")),
-            "a_id",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")),
-            "b_id",
-        )
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    out = _verify_exact_jaccard(sh, sizes, cand, id_col, threshold)
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out

@@ -732,3 +732,30 @@ def test_jaccard_prefix_filter_tiny_example(spark):
     rows = jaccard_prefix_filter_pairs(df, threshold=0.3).collect()
     assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
     assert rows[0]["jaccard"] > 0.5
+
+
+def test_jaccard_prefix_filter_float_hostile_threshold(spark):
+    """Regression (review finding): ceil(0.28 * 25) computed in doubles
+    is 8 (0.28*25 -> 7.000000000000001), shortening the prefix and
+    silently dropping a qualifying pair. The exact-rational bound must
+    keep output identical to the full join at such thresholds."""
+    from dbscan_pyspark_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # doc A: 25 distinct shingles; doc B: exactly the 7 shingles of A
+    # that become globally frequent (shared), so they sort to A's
+    # SUFFIX under (df, shingle) order — J = 7/25 = 0.28 exactly
+    a_words = [f"w{i:02d}" for i in range(27)]          # 27 tokens -> 25 shingles
+    b_words = a_words[18:27]                            # 9 tokens -> 7 shingles, all shared
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    full = sorted(tuple(r) for r in ngram_jaccard_pairs(df, 0.28).collect())
+    pref = sorted(
+        tuple(r) for r in jaccard_prefix_filter_pairs(df, 0.28).collect()
+    )
+    assert full == [(1, 2, 0.28)]
+    assert pref == full
