@@ -554,3 +554,33 @@ def streaming_throttle(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Stream-static point-in-time join: enrich a fact STREAM with the
+    STATIC dimension row valid at each fact's event time — the online
+    half of the feature-store lookup (`operators.events
+    .point_in_time_join` is the batch form; this wrapper delegates to
+    it, so the interval semantics can never drift).
+
+    Stream-static joins are stateless (each micro-batch joins against
+    the static relation; no watermark, no join state), append-mode
+    capable, and Catalyst broadcasts the dimension when it is small —
+    the standard serving shape for slowly-changing features. For a
+    streaming DIMENSION (both sides moving) use foreachBatch over a
+    materialized SCD2 table instead: stream-stream joins cannot bound
+    interval-validity state.
+    """
+    from dbscan_pyspark_spark.operators.events import point_in_time_join
+
+    return point_in_time_join(
+        facts, dim, key_col=key_col, ts_col=ts_col,
+        valid_from=valid_from, valid_to=valid_to, how="left",
+    )

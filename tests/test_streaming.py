@@ -602,3 +602,51 @@ def test_streaming_throttle_multi_chunk_group(spark, tmp_path):
         for r in spark.sql("SELECT * FROM t_throttle_chunks").collect()
     )
     assert kept == [1, 4]
+
+
+def test_streaming_pit_join_matches_batch(spark, stream_dir):
+    """Stream-static temporal lookup under availableNow must equal the
+    batch point_in_time_join on the same files."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.events import point_in_time_join
+    from dbscan_pyspark_spark.streaming.events import streaming_pit_join
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (10, "bronze", base, base + datetime.timedelta(minutes=15)),
+            (10, "gold", base + datetime.timedelta(minutes=15), None),
+            (20, "silver", base, None),
+        ],
+        "user_id long, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    stream = read_event_stream(spark, stream_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    q = (
+        streaming_pit_join(stream, dim)
+        .writeStream.format("memory")
+        .queryName("t_pit")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["tier"])
+        for r in spark.sql("SELECT * FROM t_pit").collect()
+    )
+    batch_facts = (
+        spark.read.json(stream_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .select("event_id", "user_id", "ts")
+    )
+    expect = sorted(
+        (r["event_id"], r["tier"])
+        for r in point_in_time_join(batch_facts, dim).collect()
+    )
+    assert got == expect
+    assert any(t is not None for _, t in got)
