@@ -2903,6 +2903,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_jaccard_prefix"] = near_dup_jaccard_prefix
 
+    def doc_vocab(spark, sf):
+        # deterministic vocabulary induction: top-500 tokens with dense
+        # ids by (count DESC, token) — the word-level tokenizer-
+        # training step; TakeOrdered top-N, no global vocabulary sort
+        from dbscan_pyspark_spark.operators.pipeline import build_vocab
+
+        return build_vocab(load_table(spark, sf, "documents"), size=500)
+
+    q["doc_vocab"] = doc_vocab
+
     return _reorder_for_driver_window(q)
 
 
@@ -4784,6 +4794,18 @@ r AS (
 last AS (SELECT user_id AS uid, max(rn) AS n FROM o GROUP BY user_id)
 SELECT r.user_id, last.n AS n_events, round(r.ew, 6) + 0.0 AS ewma
 FROM r JOIN last ON r.user_id = last.uid AND r.rn = last.n
+""",
+        "doc_vocab": f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split({_NORM}, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token)
+SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
+       token, n_occurrences
+FROM counts
+ORDER BY n_occurrences DESC, token
+LIMIT 500
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -843,3 +843,51 @@ def bigram_fluency(
             ).alias("fluency"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    size: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Deterministic vocabulary induction: the ``size`` most frequent
+    normalized tokens, assigned dense ids by (count DESC, token) —
+    ties broken lexically so the id assignment is reproducible across
+    runs, engines, and cluster sizes (the word-level tokenizer-training
+    step of a text pipeline; BPE merges would iterate on top of this
+    count relation).
+
+    DataFrame(token_id, token, n_occurrences). Scale shape: one
+    partial-aggregatable count shuffle over token occurrences, then
+    TakeOrdered for the top-``size`` slice — no global sort of the
+    full vocabulary domain ever materializes (orderBy().limit() plans
+    as a per-partition top-N + driver merge).
+    """
+    from dbscan_pyspark_spark.functions.text import normalized
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(normalized(F.col(text_col)), " "),
+                lambda x: x != "",
+            )
+        ).alias("token")
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(size)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    # the window runs over the already-limited `size`-row relation, so
+    # the single-partition sort it implies is bounded by the vocab
+    # size, never the corpus
+    return top.select(
+        F.row_number().over(w).alias("token_id"),
+        "token",
+        "n_occurrences",
+    )

@@ -759,3 +759,33 @@ def test_jaccard_prefix_filter_float_hostile_threshold(spark):
     )
     assert full == [(1, 2, 0.28)]
     assert pref == full
+
+
+# ------------------------------------------------------------ vocabulary
+
+
+def test_build_vocab_deterministic_ids(spark):
+    from dbscan_pyspark_spark.operators.pipeline import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id long, text string"
+    )
+    rows = [
+        (r["token_id"], r["token"], r["n_occurrences"])
+        for r in build_vocab(df, size=3).orderBy("token_id").collect()
+    ]
+    # counts: a=3, b=3, c=2, d=1 -> ties (a,b) break lexically
+    assert rows == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+
+
+def test_build_vocab_min_count_and_partition_invariance(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.pipeline import build_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = [tuple(r) for r in build_vocab(docs.repartition(1), 100).collect()]
+    b = [tuple(r) for r in build_vocab(docs.repartition(32), 100).collect()]
+    assert a == b
+    # synthetic corpus has a small closed vocabulary; size caps, not pads
+    assert 0 < len(a) <= 100
+    rare = build_vocab(docs, size=10_000, min_count=10)
+    assert rare.agg(F.min("n_occurrences")).first()[0] >= 10
