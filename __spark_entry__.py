@@ -2714,9 +2714,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("_m"))
         )
+        # per-query relation comes from the SEED query set (mirroring
+        # the oracle's qsel LEFT JOIN ov), not from exact's output: a
+        # query with zero exact top-k rows (degenerate corpus) must
+        # still count in the n_matched=0 bucket
         per_query = (
-            exact.select("query_id")
-            .distinct()
+            qs.select(F.col("vec_id").alias("query_id"))
             .join(ov, "query_id", "left")
             .select(F.coalesce(F.col("_m"), F.lit(0)).alias("n_matched"))
         )
@@ -2916,17 +2919,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder_for_driver_window(q)
 
 
-# Names the driver already verified green (CORRECTNESS_r01 ∪ r02).
+# Names the driver already verified green (CORRECTNESS_r01 ∪ r02 ∪ r03).
 # The driver oracles the FIRST 50 entries of queries() each round, so we
-# rotate: round-2 fixes and anything not yet driver-checked go first;
-# previously-green queries go last.  New queries (absent from this set)
-# sort ahead of green ones, but the round-3 window is SATURATED with 50
-# not-yet-green oracled entries — late round-3 additions therefore sit
-# at positions 51+ and enter the checked window in round 4, once this
-# set absorbs CORRECTNESS_r03's greens (the round-4 rotation step;
-# tests/test_entry_contract.py::test_rotation_wastes_no_checked_slot
-# pins that nothing green occupies a slot while they wait).
+# rotate: round-3 red fixes and anything not yet driver-checked go
+# first; previously-green queries go last, except a regression-recheck
+# tier (_REGRESSION_RECHECK) of the oldest round-1 greens that fills
+# whatever checked slots remain after the non-green front — several r1
+# greens were touched by the round-3 portability sweep since their last
+# driver check (tests/test_entry_contract.py::
+# test_rotation_wastes_no_checked_slot pins that nothing green displaces
+# a waiting non-green query).
 _DRIVER_CHECKED_GREEN = {
+    # round-3 greens (CORRECTNESS_r03: 48/50)
+    "sole_returner_suppliers", "users_click_then_error", "events_hourly",
+    "events_sliding", "events_rollup_cascade", "orders_by_month",
+    "multimodal_stats", "nation_pair_trade", "promo_revenue_share",
+    "large_order_customers", "disjunctive_part_revenue",
+    "wealthy_inactive_customers", "embedding_norm_stats",
+    "sql_segment_revenue", "customer_balance_quartiles",
+    "market_share_by_year", "profit_by_nation_year",
+    "customer_order_distribution", "top_supplier_per_brand",
+    "lineitem_profile", "events_cohort_retention",
+    "embedding_quantization", "doc_tfidf_cosine_pairs",
+    "orders_custkey_skew", "quantity_histogram",
+    "customers_all_priorities", "events_funnel_times",
+    "events_conversion_delay", "doc_repetition", "doc_chunks",
+    "doc_redactions", "events_hourly_anomalies", "nation_monthly_growth",
+    "customer_group_sample", "totalprice_equidepth",
+    "top_quantity_tiers", "multimodal_frame_samples",
+    "events_stickiness", "part_bfs_hops", "ivf_recall_eval",
+    "events_dedup_window", "doc_gopher_filters",
+    "embedding_label_cohesion", "orders_open_backlog",
+    "minhash_jaccard_error", "embedding_covariance", "events_sessions",
+    "doc_stratified_sample",
+    # rounds 1-2
     "anonymize_cells", "busy_customers", "clean_corpus_splits",
     "cube_order_status", "cumulative_customer_revenue",
     "customer_revenue_percentile", "customer_rfm_segments",
@@ -2974,40 +3000,44 @@ _ROWS_ONLY_BACK = {
     "approx_event_stats", "kmember_clusters", "embedding_pca",
 }
 
-# The driver's round-3 checked window, in order: the two round-2
-# hash-mismatch fixes first (to prove them), then every query that has
-# never been in a driver window (CORRECTNESS_r01 ∪ r02 keys vs this
-# list is reproducibly empty after round 3).
+# The driver's round-4 checked window, in order: the two round-3
+# hash-mismatch fixes first (HUGEINT oracle typing, three casts — to
+# prove them), then the ten oracled queries that have never been in a
+# driver window (round-3 late additions at positions 51+).
 _FLAGSHIP_FIRST = [
-    # round-2 reds, fixed this round
-    "events_sessions", "embedding_covariance",
-    # never driver-checked (41 oracled queries)
-    "sole_returner_suppliers", "users_click_then_error",
-    "events_hourly", "events_sliding", "events_rollup_cascade",
-    "events_props_extract", "orders_by_month", "multimodal_stats",
-    "nation_pair_trade", "priority_linestatus_counts",
-    "promo_revenue_share", "large_order_customers",
-    "disjunctive_part_revenue", "wealthy_inactive_customers",
-    "embedding_norm_stats", "doc_stratified_sample",
-    "sql_segment_revenue", "customer_balance_quartiles",
-    "market_share_by_year", "profit_by_nation_year",
-    "customer_order_distribution", "top_supplier_per_brand",
-    "lineitem_profile", "events_cohort_retention",
-    "embedding_quantization", "doc_tfidf_cosine_pairs",
-    "orders_custkey_skew", "quantity_histogram",
-    "customers_all_priorities", "events_funnel_times",
-    "events_conversion_delay", "doc_repetition", "doc_chunks",
-    "doc_redactions", "events_hourly_anomalies",
-    "nation_monthly_growth", "customer_group_sample",
-    "totalprice_equidepth", "top_quantity_tiers",
-    "multimodal_frame_samples", "events_stickiness",
-    # round-3 additions (fill the remaining 7 of the 50 checked slots;
-    # the two flagship iterative/eval queries take slots over the two
-    # simplest additions, which auto-front right after the window and
-    # rotate into round 4's checked slots)
-    "part_bfs_hops", "ivf_recall_eval", "events_dedup_window",
-    "doc_gopher_filters", "embedding_label_cohesion",
-    "orders_open_backlog", "minhash_jaccard_error",
+    # round-3 reds, fixed this round (oracle-side CAST ... AS BIGINT)
+    "events_props_extract", "priority_linestatus_counts",
+    # never driver-checked (round-3 additions at positions 51+)
+    "part_brand_mode", "lang_id_confusion", "part_k_core", "part_sssp",
+    "part_triangle_histogram", "doc_bigram_fluency", "doc_vocab",
+    "events_user_ewma", "events_pit_join", "near_dup_jaccard_prefix",
+]
+
+# Oldest driver greens re-entered for a regression re-check: the round-1
+# window, several of whose queries were touched by the round-3
+# portability sweep since their last driver check.  These fill the
+# checked slots left over AFTER every non-green oracled query (new
+# round-4 additions auto-front ahead of them), so they can never
+# displace a query that still needs its first check.
+_REGRESSION_RECHECK = [
+    "q1_pricing_summary", "nation_revenue", "customers_with_big_orders",
+    "customers_without_orders", "eps_neighbor_counts", "eps_core_points",
+    "eps_pairs", "eps_neighbor_ids", "knn_assign", "group_centroids",
+    "group_cost", "anonymize_cells", "topk_lineitems_per_order",
+    "released_lineitems", "union_segments", "busy_customers",
+    "events_prev_gap", "orders_rank_in_month",
+    "cumulative_customer_revenue", "grouping_sets_pricing",
+    "pivot_orders_priority", "rollup_pricing", "cube_order_status",
+    "part_types_intersect", "part_types_except",
+    "distinct_nations_per_segment", "quantity_percentiles",
+    "poorest_customer", "doc_fingerprints", "doc_winnow_fingerprints",
+    "dedup_exact_docs", "dedup_keep_best_docs", "doc_splits",
+    "doc_pack_bins", "token_stats", "doc_quality", "lang_id_heuristic",
+    "doc_tfidf_top_terms", "near_dup_jaccard", "minhash_band_signatures",
+    "minhash_near_dups", "dedup_near_docs", "simhash_docs",
+    "embedding_cosine_topk", "embedding_near_dups", "events_asof_error",
+    "events_error_context", "supplier_nation_revenue",
+    "shipping_priority", "small_qty_revenue",
 ]
 
 
@@ -3019,9 +3049,13 @@ def _reorder_for_driver_window(q):
         and n not in _ROWS_ONLY_BACK
         and n not in front
     ]
-    back = [n for n in q if n not in front and n not in _ROWS_ONLY_BACK]
+    recheck = [n for n in _REGRESSION_RECHECK if n in q and n not in front]
+    back = [
+        n for n in q
+        if n not in front and n not in recheck and n not in _ROWS_ONLY_BACK
+    ]
     tail = [n for n in q if n in _ROWS_ONLY_BACK]
-    return {n: q[n] for n in front + back + tail}
+    return {n: q[n] for n in front + recheck + back + tail}
 
 
 # ---------------------------------------------------------------------------
@@ -3165,7 +3199,7 @@ nerr{s} AS (
   FROM nassign{s}
 ),
 row{s} AS (
-  SELECT {float(e)} AS eps,
+  SELECT CAST({float(e)} AS DOUBLE) AS eps,
          coalesce(c.n_clusters, 0) AS n_clusters,
          n.n_noise,
          CASE WHEN coalesce(c.n_clusters, 0) = 0 THEN 0.0
@@ -3756,8 +3790,8 @@ LIMIT 10
 """,
         "quantity_histogram": """
 SELECT bin,
-       round(bin * 5.0, 6) AS bin_lo,
-       round((bin + 1) * 5.0, 6) AS bin_hi,
+       round(bin * CAST(5.0 AS DOUBLE), 6) AS bin_lo,
+       round((bin + 1) * CAST(5.0 AS DOUBLE), 6) AS bin_hi,
        count(*) AS cnt
 FROM (
   SELECT CAST(greatest(0, least(9, floor(CAST(l_quantity AS DOUBLE) / 50.0 * 10))) AS INT)
@@ -5193,7 +5227,7 @@ FROM w GROUP BY 1
         "events_props_extract": """
 SELECT event_type, count(*) AS n_events,
        round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """,
         "orders_by_month": """
@@ -5246,8 +5280,8 @@ GROUP BY 1, 2, 3
 """,
         "priority_linestatus_counts": """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """,

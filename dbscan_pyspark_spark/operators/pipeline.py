@@ -131,6 +131,34 @@ def stratified_sample(
     return df.where(bucket < rate)
 
 
+def _surrogate_node_ids(distinct_nodes: DataFrame, id_col: str, hash_fn=None):
+    """Assign long surrogate vertex ids to a distinct node set.
+
+    Fully distributed: ``xxhash64(id)`` per row, no global sort. On web
+    corpora, dup participants are routinely within an order of magnitude
+    of corpus size, so the former
+    ``row_number().over(Window.orderBy(id))`` (a single-partition global
+    sort) was the one scale hazard in this path. A 64-bit hash collides
+    with probability ~n²/2⁶⁵ (~3e-7 at n=10⁹); the audit catches the
+    event exactly (distinct surrogates vs node count) and only then
+    falls back to sorted dense ids — an undetected collision would
+    silently merge two unrelated dup clusters. Returns a PERSISTED
+    ``(id_col, _sid)`` DataFrame; the caller unpersists."""
+    hash_fn = hash_fn if hash_fn is not None else F.xxhash64
+    nodes = distinct_nodes.withColumn("_sid", hash_fn(F.col(id_col))).persist()
+    audit = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_sid").alias("d"),
+    ).first()
+    if audit["n"] != audit["d"]:
+        nodes.unpersist()
+        nodes = distinct_nodes.withColumn(
+            "_sid",
+            F.row_number().over(Window.orderBy(F.col(id_col))).cast("long"),
+        ).persist()
+    return nodes
+
+
 def near_dup_dedup(
     df: DataFrame,
     threshold: float = 0.5,
@@ -167,19 +195,17 @@ def near_dup_dedup(
         comp = comp.withColumnRenamed("component", "dup_group")
     else:
         # Non-numeric ids (URLs, content hashes): connected_components
-        # needs long vertex ids, so map the pair-graph NODES (tiny —
-        # near-dup participants only, never the corpus) to dense
-        # surrogates, solve, then label each component with its minimum
-        # original id. A silent cast would null every edge out and turn
-        # the dedup into a no-op.
-        nodes = (
+        # needs long vertex ids, so map the pair-graph NODES to
+        # xxhash64 surrogates (collision-audited, no global sort — see
+        # _surrogate_node_ids), solve, then label each component with
+        # its minimum original id. A silent cast would null every edge
+        # out and turn the dedup into a no-op.
+        distinct_nodes = (
             pairs.select(F.col("a_id").alias(id_col))
             .union(pairs.select(F.col("b_id").alias(id_col)))
             .distinct()
-            .withColumn(
-                "_sid", F.row_number().over(Window.orderBy(F.col(id_col)))
-            )
-        ).persist()
+        )
+        nodes = _surrogate_node_ids(distinct_nodes, id_col)
         e = (
             pairs.join(nodes.select(F.col(id_col).alias("a_id"), F.col("_sid").alias("_sa")), "a_id")
             .join(nodes.select(F.col(id_col).alias("b_id"), F.col("_sid").alias("_sb")), "b_id")

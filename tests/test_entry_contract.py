@@ -88,6 +88,28 @@ def test_contract_outputs_are_scalar_and_decimal_free(query_frames):
     assert not bad, bad
 
 
+def test_oracle_output_types_are_portable(entry, duck):
+    """DESCRIBE every oracle and reject output types the driver's
+    pandas fetch mangles: DuckDB types any integer sum() as HUGEINT,
+    which pandas coerces to float64 so '99111.0' != '99111' under
+    stringify (CORRECTNESS_r03: events_props_extract,
+    priority_linestatus_counts); DECIMAL stringifies with scale; LIST/
+    STRUCT/MAP crash the canonicalizer. Every oracle output column must
+    be a plain scalar type — wrap integer sums in CAST(... AS BIGINT)."""
+    oracles = entry.oracle_sql()
+    bad = {}
+    for name, sql in oracles.items():
+        offenders = [
+            f"{col}:{typ}"
+            for col, typ, *_ in duck.sql(f"DESCRIBE ({sql})").fetchall()
+            if "HUGEINT" in typ or "DECIMAL" in typ or "[]" in typ
+            or "STRUCT" in typ or "MAP" in typ
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, bad
+
+
 def test_rotation_wastes_no_checked_slot(entry):
     """The driver oracles the FIRST 50 queries() entries. Invariants:
     (a) no rows-only query burns a checked slot, and (b) an oracled

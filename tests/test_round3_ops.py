@@ -5,8 +5,16 @@ from __future__ import annotations
 
 import datetime
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
+
+# The two iterative-convergence tests pin their claims ("fixpoint within
+# the contract's unroll depth AT sf0.01") to the driver's correctness
+# scale, not the small default test scale — one overridable constant
+# instead of scattered literals.
+SF001_DIR = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
 
 
 # ---------------------------------------------------------------- mode
@@ -579,7 +587,7 @@ def test_part_k_core_contract_params_converge(spark):
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW lineitem AS SELECT * FROM "
-        "read_parquet('/root/testdata/sf0.01/lineitem.parquet')"
+        f"read_parquet('{SF001_DIR}/lineitem.parquet')"
     )
     edges = con.sql(
         """SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -609,7 +617,7 @@ def test_part_k_core_contract_params_converge(spark):
     q = entry.queries()["part_k_core"]
     got = {
         r["p_partkey"]: r["degree"]
-        for r in q(spark, "/root/testdata/sf0.01").collect()
+        for r in q(spark, SF001_DIR).collect()
     }
     assert got == dict(expect)
 
@@ -653,7 +661,7 @@ def test_part_sssp_contract_params_converge(spark):
     for t in ("lineitem", "part"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+            f"read_parquet('{SF001_DIR}/{t}.parquet')"
         )
     edges = con.sql(
         """SELECT a.l_partkey, b.l_partkey, count(DISTINCT a.l_orderkey)
@@ -690,7 +698,7 @@ def test_part_sssp_contract_params_converge(spark):
     q = entry.queries()["part_sssp"]
     got = {
         r["p_partkey"]: r["dist"]
-        for r in q(spark, "/root/testdata/sf0.01").collect()
+        for r in q(spark, SF001_DIR).collect()
     }
     assert got == dist
 

@@ -15,51 +15,58 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def canon(val):
-    """Emulate the DRIVER's pandas stringify canonicalizer exactly.
+def to_pandas_frame(cols, rows):
+    """Build the pandas frame the driver builds from collected Spark
+    rows: plain ``pd.DataFrame`` construction, so pandas type inference
+    applies — a bigint column containing a NULL becomes float64 (NaN),
+    exactly like DuckDB's ``.df()`` on the oracle side."""
+    import pandas as pd
 
-    The driver sorts rows via pandas and hashes str() values, so:
-    - list/array/map/struct values CRASH it (unhashable in factorize)
-      -> raise here too, so local green predicts driver green;
-    - Decimals stringify WITH their scale ('1.5000' != '1.5') -> keep
-      them verbatim, never float round-trip;
-    - -0.0 stringifies as '-0.0' != '0.0' -> no normalization here
-      (queries must normalize on both engine sides instead).
-    The previous int-casting canon masked all three classes
-    (CORRECTNESS_r02: 6 driver reds invisible locally).
+    return pd.DataFrame(list(rows), columns=list(cols))
+
+
+def frame_sig(pdf):
+    """Emulate the DRIVER's pandas canonicalizer END-TO-END.
+
+    Input is a pandas DataFrame (Spark side: ``pd.DataFrame`` over the
+    collected rows; oracle side: DuckDB ``.df()`` — NOT ``fetchall()``,
+    whose exact Python ints masked the HUGEINT->float64 coercion that
+    caused the two CORRECTNESS_r03 reds). Canonicalization is pandas
+    ``astype(str)`` per column, which reproduces the driver's observed
+    stringifications:
+    - HUGEINT / nullable BIGINT -> float64 -> '99111.0' / 'nan';
+    - DATE (datetime64 at midnight) -> '1995-01-01' (time part dropped
+      by pandas datetime64 str-casting — why date-output queries were
+      driver-GREEN while HUGEINT sums were RED);
+    - list/array/struct cells crash the driver (unhashable in
+      factorize) -> raise here too, so local green predicts driver
+      green;
+    - Decimals stringify WITH their scale ('1.5000' != '1.5') -> no
+      float round-trip (the contract bans decimal outputs anyway).
     """
-    import datetime
-
-    if val is None:
-        return "NULL"
-    if isinstance(val, (list, tuple, set, dict)):
-        raise TypeError(
-            f"unhashable contract value {type(val).__name__}: the driver "
-            "canonicalizer crashes on array/map/struct columns"
-        )
-    if hasattr(val, "__array__") and not isinstance(val, (str, bytes)):
-        raise TypeError(
-            "unhashable contract value ndarray: the driver canonicalizer "
-            "crashes on array columns"
-        )
-    if isinstance(val, datetime.datetime):
-        # pandas Timestamp and datetime str() agree: micros shown only
-        # when nonzero — both engines return datetime objects here
-        return str(val)
-    return str(val)
-
-
-def frame_sig(cols, rows):
-    cols = list(cols)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sorted_cols = [cols[i] for i in order]
-    canon_rows = sorted(
-        "|".join(canon(r[i]) for i in order) for r in rows
-    )
     import hashlib
 
+    import numpy as np
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    for c in cols:
+        if pdf[c].dtype == object:
+            for v in pdf[c]:
+                if isinstance(v, (list, tuple, set, dict)) or (
+                    hasattr(v, "__array__") and not isinstance(v, (str, bytes))
+                ):
+                    raise TypeError(
+                        f"unhashable contract value {type(v).__name__} in "
+                        f"column {c}: the driver canonicalizer crashes on "
+                        "array/map/struct columns"
+                    )
+    str_df = pdf.astype(str)
+    canon_rows = sorted(
+        "|".join(r) for r in str_df.itertuples(index=False, name=None)
+    )
     h = hashlib.md5("\n".join(canon_rows).encode()).hexdigest()
-    return sorted_cols, h, canon_rows
+    return cols, h, canon_rows
 
 
 def main():
@@ -90,8 +97,8 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
             scols = sdf.columns
+            spdf = to_pandas_frame(scols, [tuple(r) for r in sdf.collect()])
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -101,18 +108,18 @@ def main():
             # the driver canonicalizes rows-only outputs too (r2:
             # kmember_clusters crashed it) — so crash-check them here
             try:
-                frame_sig(scols, [tuple(r) for r in srows])
+                frame_sig(spdf)
             except TypeError as e:
                 print(f"FAIL  {name}: CANON-CRASH (driver would red): {e}")
                 n_fail += 1
                 continue
-            print(f"rows-only  {name}: {len(srows)} rows  ({dt_spark:.1f}s)")
+            print(f"rows-only  {name}: {len(spdf)} rows  ({dt_spark:.1f}s)")
             continue
         t0 = time.time()
         try:
-            ores = con.sql(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # the driver's path: DuckDB -> pandas (HUGEINT becomes
+            # float64 here; fetchall()'s exact ints would mask that)
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
@@ -120,29 +127,30 @@ def main():
         dt_duck = time.time() - t0
 
         try:
-            sc, sh, srows_c = frame_sig(scols, [tuple(r) for r in srows])
-            oc, oh, orows_c = frame_sig(ocols, orows)
+            sc, sh, srows_c = frame_sig(spdf)
+            oc, oh, orows_c = frame_sig(opdf)
         except TypeError as e:
             print(f"FAIL  {name}: CANON-CRASH (driver would red): {e}")
             n_fail += 1
             continue
         status = []
-        if len(srows) != len(orows):
-            status.append(f"ROWCOUNT {len(srows)} vs {len(orows)}")
+        if len(spdf) != len(opdf):
+            status.append(f"ROWCOUNT {len(spdf)} vs {len(opdf)}")
         if sc != oc:
             status.append(f"SCHEMA {sc} vs {oc}")
         if sh != oh:
             status.append("HASH")
         if status:
             print(f"FAIL  {name}: {'; '.join(status)}  (spark {dt_spark:.1f}s duck {dt_duck:.1f}s)")
-            if "HASH" in status and len(srows) == len(orows):
-                diff_s = [r for r in srows_c if r not in set(orows_c)][:3]
-                diff_o = [r for r in orows_c if r not in set(srows_c)][:3]
-                print(f"      spark-only: {diff_s}")
-                print(f"      duck-only:  {diff_o}")
+        if "HASH" in status and len(spdf) == len(opdf):
+            diff_s = [r for r in srows_c if r not in set(orows_c)][:3]
+            diff_o = [r for r in orows_c if r not in set(srows_c)][:3]
+            print(f"      spark-only: {diff_s}")
+            print(f"      duck-only:  {diff_o}")
+        if status:
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows  (spark {dt_spark:.1f}s duck {dt_duck:.1f}s)")
+            print(f"PASS  {name}: {len(spdf)} rows  (spark {dt_spark:.1f}s duck {dt_duck:.1f}s)")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail")
