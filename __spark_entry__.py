@@ -2916,6 +2916,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_vocab"] = doc_vocab
 
+    def doc_shard_order(spark, sf):
+        # deterministic global shuffle + sharding (training export):
+        # portable-hash shard + within-shard rank — per-shard windows,
+        # never a global sort
+        from dbscan_pyspark_spark.operators.pipeline import shard_order
+
+        return shard_order(load_table(spark, sf, "documents"), n_shards=8).select(
+            "doc_id", "shard", "pos"
+        )
+
+    q["doc_shard_order"] = doc_shard_order
+
+    def source_ngram_overlap(spark, sf):
+        # inter-source duplication matrix: shared 3-shingles per source
+        # pair, boilerplate-capped — the drop-this-source diagnostic
+        # that runs BEFORE per-doc dedup
+        from dbscan_pyspark_spark.operators.pipeline import (
+            source_ngram_overlap as _overlap,
+        )
+
+        return _overlap(load_table(spark, sf, "documents"), max_sources=10)
+
+    q["source_ngram_overlap"] = source_ngram_overlap
+
     return _reorder_for_driver_window(q)
 
 
@@ -4840,6 +4864,31 @@ SELECT row_number() OVER (ORDER BY n_occurrences DESC, token) AS token_id,
 FROM counts
 ORDER BY n_occurrences DESC, token
 LIMIT 500
+""",
+        "doc_shard_order": """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM h
+""",
+        "source_ngram_overlap": f"""
+WITH norm AS (SELECT doc_id, source, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, source, string_split(nt, ' ') AS t FROM norm),
+sh AS (
+  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+FROM sh a
+JOIN keep USING (shingle)
+JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

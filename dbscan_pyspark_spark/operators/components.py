@@ -476,6 +476,8 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    sample_p: float | None = None,
+    salt: str = "doulion",
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected graph.
     DataFrame(node, n_triangles) for every node in >= 1 triangle.
@@ -489,8 +491,19 @@ def triangle_counts(
     skewed graphs, vs the hub-degree blow-up of a naive wedge join):
     the shuffles are edge-keyed equi-joins, never a cartesian.
 
-    Self-loops and duplicate/mirrored edges are tolerated (canonical
-    distinct first)."""
+    ``sample_p``: Doulion-style edge sparsification (Tsourakakis,
+    Kang, Miller & Faloutsos, KDD'09) — the density lever when exact
+    wedge enumeration is too expensive (the wedge join's output volume
+    grows ~quadratically with average degree). Each canonical edge is
+    kept iff ``xxhash64(u, v, salt) mod 1e6 < p*1e6`` — deterministic
+    (reproducible across runs, engines, and cluster sizes — no RNG),
+    the filter rides the canonical edge scan, and the exact pipeline
+    then runs on the ~p*|E| sparsified graph: wedge volume shrinks by
+    ~p², surviving triangles by ~p³. Counts are scaled back by 1/p³
+    and returned as DOUBLE column ``est_triangles`` (unbiased for the
+    global count; per-node estimates are noisier — aggregate before
+    trusting small ones). Self-loops and duplicate/mirrored edges are
+    tolerated (canonical distinct first)."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -505,6 +518,16 @@ def triangle_counts(
         # canonicalizing exchange runs once, not per reference
         .localCheckpoint(eager=False)
     )
+    if sample_p is not None:
+        if not (0.0 < sample_p <= 1.0):
+            raise ValueError(f"sample_p must be in (0, 1], got {sample_p}")
+        und = und.where(
+            F.pmod(
+                F.xxhash64(F.col("u"), F.col("v"), F.lit(salt)),
+                F.lit(1_000_000),
+            )
+            < F.lit(int(round(sample_p * 1_000_000)))
+        ).localCheckpoint(eager=False)
     both = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # orient by (degree, id): strict total order, so each edge gets
@@ -558,7 +581,15 @@ def triangle_counts(
         .union(tri.select(F.col("b").alias("node")))
         .union(tri.select(F.col("c").alias("node")))
     )
-    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    if sample_p is not None:
+        counts = counts.select(
+            "node",
+            (F.col("n_triangles") / F.lit(float(sample_p) ** 3)).alias(
+                "est_triangles"
+            ),
+        )
+    return counts
 
 
 def k_core(

@@ -131,6 +131,85 @@ def stratified_sample(
     return df.where(bucket < rate)
 
 
+def shard_order(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export.
+
+    Adds ``shard`` (``portable_hash(id) % n_shards``) and ``pos`` (the
+    row's rank within its shard, ordered by the same hash then id) —
+    the final step of a training-data pipeline: a reproducible
+    pseudo-random read order, split into shards a data loader can
+    consume independently. No RNG: re-runs, incremental rebuilds, and
+    different cluster sizes produce the identical order.
+
+    Scale: one hash projection (rides the scan) + one window per
+    shard — the sort is per-shard (corpus/n_shards rows each),
+    parallel across shards, never a single global sort. At 100 TB pick
+    n_shards in the thousands so each shard sort fits an executor
+    spill budget.
+    """
+    h = portable_hash(id_col, salt=salt)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_sources: int | None = None,
+) -> DataFrame:
+    """Inter-source content-overlap matrix: shared n-gram shingles per
+    source pair. DataFrame(source_a, source_b, n_shared), one row per
+    unordered pair with >= 1 shared shingle.
+
+    The corpus-level twin of per-document near-dup: which crawl
+    sources/dumps duplicate each other's content (mirror sites, CC
+    snapshot overlap, dataset re-publication) — the diagnostic that
+    decides which sources to drop before per-doc dedup pays to find
+    the same text n times.
+
+    Scale: distinct (source, shingle) then a shingle-keyed equi-join —
+    never all-pairs of documents. ``max_sources`` drops shingles
+    present in more than that many sources BEFORE the join: boilerplate
+    n-grams ("all rights reserved") would otherwise fan out ~S² per
+    shingle, and carry no duplication signal anyway.
+    """
+    from dbscan_pyspark_spark.operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(df.select(id_col, text_col), text_col, id_col, n)
+    ss = (
+        sh.join(df.select(id_col, source_col), id_col)
+        .select(source_col, "shingle")
+        .distinct()
+    )
+    if max_sources is not None:
+        keep = (
+            ss.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_sources)
+            .select("shingle")
+        )
+        ss = ss.join(keep, "shingle", "left_semi")
+    a = ss.select(F.col(source_col).alias("source_a"), "shingle")
+    b = ss.select(F.col(source_col).alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def _surrogate_node_ids(distinct_nodes: DataFrame, id_col: str, hash_fn=None):
     """Assign long surrogate vertex ids to a distinct node set.
 

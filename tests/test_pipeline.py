@@ -184,6 +184,53 @@ def test_near_dup_dedup_string_ids(spark):
     assert len(out) == 2
 
 
+def test_shard_order_dense_deterministic(spark):
+    from dbscan_pyspark_spark.operators.pipeline import shard_order
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = shard_order(df, n_shards=4).collect()
+    assert len(out) == 100
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 1..k within every shard
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: a second run yields the identical assignment
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in shard_order(df, n_shards=4).collect()}
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == again
+
+
+def test_source_ngram_overlap_counts_and_boilerplate_cap(spark):
+    from dbscan_pyspark_spark.operators.pipeline import source_ngram_overlap
+
+    boiler = "all rights reserved"  # present in every source
+    docs = [
+        (1, "the quick brown fox " + boiler, "A"),
+        (2, "the quick brown cat " + boiler, "B"),  # shares 'the quick brown'
+        (3, "entirely different words here now " + boiler, "C"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_ngram_overlap(df, max_sources=2).collect()
+    }
+    # A-B share exactly 'the quick brown'; boilerplate shingles sit in
+    # 3 sources > max_sources=2 so contribute nothing; C overlaps via
+    # the boundary shingles around the boilerplate only if < cap —
+    # every surviving pair must come from <=2-source shingles
+    assert got[("A", "B")] >= 1
+    # without the cap, every pair shares the boilerplate shingles
+    full = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_ngram_overlap(df).collect()
+    }
+    assert full[("A", "C")] >= 1 and full[("B", "C")] >= 1
+    assert full[("A", "B")] > got[("A", "B")]
+
+
 def test_surrogate_node_ids_no_global_sort_and_collision_fallback(spark):
     """Default surrogate path must be hash-based (no single-partition
     row_number window — the 100 TB hazard VERDICT r3 flagged); a forced

@@ -319,6 +319,64 @@ def test_triangle_counts_tolerates_dirty_edges(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_triangle_counts_sample_p_one_matches_exact(spark):
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    nodes = [1, 2, 3, 4]
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a < b], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["est_triangles"]
+        for r in triangle_counts(edges, sample_p=1.0).collect()
+    }
+    assert got == {n: 3.0 for n in nodes}  # p=1: exact, scaled by 1
+
+
+def test_triangle_counts_sampled_estimate_near_exact(spark):
+    """Doulion p=0.7 on 30 planted 10-cliques (3600 triangles): the
+    hash-sampled estimate is deterministic (no RNG — same salt, same
+    answer) and the global estimate must land near the truth."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    clique = 10
+    n_nodes = 300
+    edges = (
+        spark.range(n_nodes).alias("a")
+        .join(
+            spark.range(n_nodes).alias("b"),
+            (F.col("a.id") / clique).cast("long")
+            == (F.col("b.id") / clique).cast("long"),
+        )
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    )
+    exact_total = 30 * 120  # C(10,3) per clique
+    est = triangle_counts(edges, sample_p=0.7)
+    est_total = est.agg(F.sum("est_triangles")).first()[0] / 3.0
+    assert abs(est_total - exact_total) / exact_total < 0.30, est_total
+    # determinism: the same sampled run hashes to the same estimate
+    est2_total = (
+        triangle_counts(edges, sample_p=0.7)
+        .agg(F.sum("est_triangles")).first()[0] / 3.0
+    )
+    assert est_total == est2_total
+
+
+def test_triangle_counts_sample_p_validated(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.components import triangle_counts
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        triangle_counts(edges, sample_p=0.0)
+    with _pytest.raises(ValueError):
+        triangle_counts(edges, sample_p=1.5)
+
+
 # ------------------------------------------------------------ batch EWMA
 
 
