@@ -2940,6 +2940,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_ngram_overlap"] = source_ngram_overlap
 
+    def source_caps(spark, sf):
+        # C4/RefinedWeb-style domain cap: keep the 15 longest docs per
+        # source (hash+id tie-break) — two-phase top-k so a mega-domain
+        # never becomes one task's sort
+        from dbscan_pyspark_spark.operators.pipeline import source_cap
+
+        return source_cap(
+            load_table(spark, sf, "documents"), cap=15, score_col="n_chars"
+        ).select("doc_id", "source", "src_rank")
+
+    q["source_caps"] = source_caps
+
     return _reorder_for_driver_window(q)
 
 
@@ -4889,6 +4901,21 @@ FROM sh a
 JOIN keep USING (shingle)
 JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
 GROUP BY 1, 2
+""",
+        "source_caps": """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(concat('0x', substring(md5('srccap:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS src_rank
+FROM r WHERE rk <= 15
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -160,6 +160,57 @@ def shard_order(
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
 
 
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    salt: str = "srccap",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per source (C4/RefinedWeb-style
+    domain caps): the mix-rebalancing step that stops a handful of
+    mega-domains from dominating the training corpus.
+
+    Selection is deterministic: rows rank per source by
+    (``score_col`` DESC if given, then portable id-hash, then id) and
+    the top ``cap`` survive — "keep the best N per domain" with a
+    reproducible pseudo-random tie-break, no RNG. Output = input
+    columns + ``src_rank`` (1-based rank among the survivors).
+
+    Scale: the naive single window per source makes one task sort one
+    mega-domain's every row — the exact skew this op exists to police.
+    Instead a two-phase top-k: phase 1 ranks within
+    (source, hash-bucket) and keeps ``cap`` per bucket, so the big
+    sort splits ``salt_buckets`` ways and phase 2's per-source window
+    sees at most ``cap * salt_buckets`` rows per source. The strict
+    total order makes the two phases exactly equal to the single
+    global window (top-cap of a union of per-bucket top-caps is the
+    top-cap), so the DuckDB oracle stays a one-window SQL.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    out = df.withColumn("_h", portable_hash(id_col, salt=salt))
+    order = [F.col("_h"), F.col(id_col)]
+    if score_col is not None:
+        order = [F.col(score_col).desc()] + order
+    w1 = Window.partitionBy(
+        F.col(source_col), F.pmod(F.col("_h"), F.lit(salt_buckets))
+    ).orderBy(*order)
+    pruned = (
+        out.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= cap)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        pruned.withColumn("src_rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("src_rank") <= cap)
+        .drop("_h")
+    )
+
+
 def source_ngram_overlap(
     df: DataFrame,
     source_col: str = "source",
