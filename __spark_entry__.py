@@ -2952,6 +2952,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_caps"] = source_caps
 
+    def source_temperature_sample(spark, sf):
+        # alpha=0.5 temperature mixing: rates DERIVED from per-source
+        # counts (sqrt law, bit-exact across engines), broadcast back,
+        # hash filter rides the scan
+        from dbscan_pyspark_spark.operators.pipeline import temperature_sample
+
+        return temperature_sample(
+            load_table(spark, sf, "documents"), per_source_target=10
+        ).select("doc_id", "source")
+
+    q["source_temperature_sample"] = source_temperature_sample
+
     return _reorder_for_driver_window(q)
 
 
@@ -4916,6 +4928,23 @@ r AS (
 )
 SELECT doc_id, source, CAST(rk AS BIGINT) AS src_rank
 FROM r WHERE rk <= 15
+""",
+        "source_temperature_sample": """
+WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+r AS (
+  SELECT source,
+         least(1.0, sqrt(CAST(10 AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS rate
+  FROM n
+),
+h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS hh
+  FROM documents
+)
+SELECT h.doc_id, h.source
+FROM h JOIN r USING (source)
+WHERE hh < rate * 1000000.0
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

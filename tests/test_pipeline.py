@@ -244,7 +244,7 @@ def test_source_cap_two_phase_matches_single_window_and_caps(spark):
         (r["doc_id"], r["source"], r["src_rank"])
         for r in source_cap(df, cap=5, score_col="n_chars").collect()
     }
-    # naive single-window reference (what the oracle computes)
+    # single-window reference (what the oracle computes)
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), portable_hash("doc_id", salt="srccap"), "doc_id"
     )
@@ -255,6 +255,23 @@ def test_source_cap_two_phase_matches_single_window_and_caps(spark):
         .collect()
     }
     assert got == want
+    # the extreme-fan-in two-phase variant returns the identical set
+    got2 = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in source_cap(
+            df, cap=5, score_col="n_chars", salt_buckets=4
+        ).collect()
+    }
+    assert got2 == want
+    # scale posture: Catalyst must map-side-prune the default plan
+    # (partial WindowGroupLimit before the exchange)
+    plan = (
+        source_cap(df, cap=5, score_col="n_chars")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
     # every source capped at 5, ranks dense 1..k
     per_source = {}
     for _, s, rk in got:
@@ -280,6 +297,44 @@ def test_source_cap_keeps_small_sources_whole_and_validates(spark):
     assert top_a[0]["doc_id"] == 2
     with _pytest.raises(ValueError):
         source_cap(df, cap=0)
+
+
+def test_temperature_sample_sqrt_law_and_determinism(spark):
+    from dbscan_pyspark_spark.operators.pipeline import temperature_sample
+
+    # head source 400 docs, mid 100, tail 9 (under target -> kept whole)
+    rows = (
+        [(i, "head") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "tail") for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, per_source_target=16).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+    # tail under target: every doc survives
+    assert kept["tail"] == {2000 + i for i in range(9)}
+    # sqrt law in expectation: head ~ sqrt(16*400)=80, mid ~ sqrt(16*100)=40;
+    # hash sampling is deterministic but ~binomial around the mean
+    assert 50 <= len(kept["head"]) <= 110
+    assert 25 <= len(kept["mid"]) <= 55
+    # flattening: head/mid kept ratio ~2, not the raw 4
+    assert len(kept["head"]) < 3 * len(kept["mid"])
+    # deterministic: identical second run
+    again = {(r["doc_id"], r["source"])
+             for r in temperature_sample(df, per_source_target=16).collect()}
+    assert {(r["doc_id"], r["source"]) for r in out} == again
+
+
+def test_temperature_sample_validates_target(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import temperature_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        temperature_sample(df, per_source_target=0)
 
 
 def test_surrogate_node_ids_no_global_sort_and_collision_fallback(spark):
