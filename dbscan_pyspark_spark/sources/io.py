@@ -278,6 +278,68 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+_EXT_MODALITY = {
+    "jpg": ("image", "image/jpeg"), "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"), "gif": ("image", "image/gif"),
+    "webp": ("image", "image/webp"), "bmp": ("image", "image/bmp"),
+    "wav": ("audio", "audio/wav"), "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"), "ogg": ("audio", "audio/ogg"),
+    "mp4": ("video", "video/mp4"), "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"), "avi": ("video", "video/x-msvideo"),
+}
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file, landing directly in the ``MEDIA_SCHEMA`` shape
+    the multimodal operators consume (``operators/multimodal.py``).
+
+    Returns DataFrame(media_id long, modality string, content binary,
+    mime string, meta struct, media_path string, n_bytes long) —
+    ``media_id = xxhash64(path)`` (deterministic: the same file gets
+    the same id on any run/cluster), modality/mime inferred from the
+    extension (unknown extensions -> modality 'binary', mime null),
+    intrinsic ``meta`` left null for the decode stage to fill.
+
+    Scale: binaryFile is a real DataSource — files are split across
+    tasks by the FileIndex, ``pathGlobFilter`` prunes at listing time
+    (never reads filtered files), and
+    ``spark.sql.files.maxPartitionBytes`` packs small files per task.
+    Project metadata columns only (drop ``content``) before any wide
+    op, per the multimodal no-binary-through-shuffle discipline.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    modality = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for e, (mod, mm) in _EXT_MODALITY.items():
+        modality = F.when(ext == e, mod).otherwise(modality)
+        mime = F.when(ext == e, mm).otherwise(mime)
+    return r.load(path).select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(modality, F.lit("binary")).alias("modality"),
+        F.col("content"),
+        mime.alias("mime"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+        F.col("path").alias("media_path"),
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (same pushdown/pruning contract as parquet)."""
     return spark.read.orc(path)

@@ -303,3 +303,42 @@ def test_upsert_parquet_emptied_partition_removed(spark, tmp_path):
     assert not os.path.isdir(os.path.join(p, "part=a"))
     got = sorted(map(tuple, spark.read.parquet(p).collect()))
     assert len(got) == 2
+
+
+def test_read_media_files_binary_source(spark, tmp_path):
+    """binaryFile ingestion lands in the MEDIA_SCHEMA shape, infers
+    modality/mime from extension, assigns deterministic ids, and feeds
+    decode_media end-to-end."""
+    from dbscan_pyspark_spark.operators.multimodal import decode_media
+    from dbscan_pyspark_spark.sources.io import read_media_files
+
+    d = tmp_path / "media" / "nested"
+    d.mkdir(parents=True)
+    (tmp_path / "media" / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (tmp_path / "media" / "b.wav").write_bytes(b"RIFFfakewav")
+    (d / "c.mp4").write_bytes(b"\x00\x00fakemp4")
+    (d / "d.xyz").write_bytes(b"unknown")
+
+    df = read_media_files(spark, str(tmp_path / "media"))
+    rows = {r["media_path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.wav", "c.mp4", "d.xyz"}
+    assert rows["a.jpg"]["modality"] == "image"
+    assert rows["a.jpg"]["mime"] == "image/jpeg"
+    assert rows["b.wav"]["modality"] == "audio"
+    assert rows["c.mp4"]["modality"] == "video"  # recursive lookup
+    assert rows["d.xyz"]["modality"] == "binary"
+    assert rows["d.xyz"]["mime"] is None
+    assert bytes(rows["a.jpg"]["content"]) == b"\xff\xd8fakejpeg"
+    assert rows["b.wav"]["n_bytes"] == 11
+    assert all(r["meta"] is not None for r in rows.values())
+    # deterministic ids: re-read assigns identical media_id per path
+    again = {r["media_path"]: r["media_id"]
+             for r in read_media_files(spark, str(tmp_path / "media")).collect()}
+    assert {r["media_path"]: r["media_id"] for r in rows.values()} == again
+    # glob pruning happens at listing time
+    only_img = read_media_files(spark, str(tmp_path / "media"), glob="*.jpg")
+    assert only_img.count() == 1
+    # the multimodal decode stage consumes this frame directly
+    dec = decode_media(df.select("media_id", "modality", "content", "mime", "meta"))
+    assert dec.count() == 4
+    assert {r["n_bytes"] for r in dec.collect()} == {10, 11, 9, 7}
