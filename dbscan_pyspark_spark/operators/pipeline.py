@@ -295,6 +295,11 @@ def source_ngram_overlap(
         sh.join(df.select(id_col, source_col), id_col)
         .select(source_col, "shingle")
         .distinct()
+        # lineage truncation: ss is referenced by the df-cap groupBy AND
+        # both self-join sides — without this the physical plan
+        # replicates the whole shingle subtree (4 text scans, 13
+        # shuffles at sf0.01; the triangle_counts plan hazard)
+        .localCheckpoint(eager=False)
     )
     if max_sources is not None:
         keep = (
@@ -303,7 +308,7 @@ def source_ngram_overlap(
             .where(F.col("_df") <= max_sources)
             .select("shingle")
         )
-        ss = ss.join(keep, "shingle", "left_semi")
+        ss = ss.join(keep, "shingle", "left_semi").localCheckpoint(eager=False)
     a = ss.select(F.col(source_col).alias("source_a"), "shingle")
     b = ss.select(F.col(source_col).alias("source_b"), "shingle")
     return (
