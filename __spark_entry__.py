@@ -2964,6 +2964,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_temperature_sample"] = source_temperature_sample
 
+    def orders_expectations(spark, sf):
+        # Deequ/dbt-test-shaped rule suite: every row-predicate rule is
+        # one conditional sum in a single agg over a single scan
+        from dbscan_pyspark_spark.operators.pipeline import validate
+
+        return validate(
+            load_table(spark, sf, "orders"),
+            [
+                ("not_null", "o_custkey"),
+                ("in_range", "o_totalprice", 0, 400000),
+                ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+                ("matches", "o_orderpriority", "^[1-5]-"),
+                ("unique", "o_orderkey"),
+            ],
+        )
+
+    q["orders_expectations"] = orders_expectations
+
+    def totalprice_drift(spark, sf):
+        # train/serve-skew detector: order-value distribution shift,
+        # pre-1998 vs 1998+ cohorts, shared fixed edges, per-bin TVD
+        # terms (division+abs only — no libm log, bit-exact both
+        # engines)
+        from dbscan_pyspark_spark.operators.pipeline import column_drift
+
+        o = load_table(spark, sf, "orders")
+        early = o.where(F.year("o_orderdate") < 1998)
+        late = o.where(F.year("o_orderdate") >= 1998)
+        return column_drift(early, late, "o_totalprice", 0.0, 500000.0, 10)
+
+    q["totalprice_drift"] = totalprice_drift
+
     return _reorder_for_driver_window(q)
 
 
@@ -4945,6 +4977,46 @@ h AS (
 SELECT h.doc_id, h.source
 FROM h JOIN r USING (source)
 WHERE hh < rate * 1000000.0
+""",
+        "orders_expectations": """
+WITH s AS (
+  SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 400000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders) u)
+              AS BIGINT) AS v4
+  FROM orders
+)
+SELECT 'not_null:o_custkey' AS rule, v0 AS violations, v0 = 0 AS passed FROM s
+UNION ALL SELECT 'in_range:o_totalprice', v1, v1 = 0 FROM s
+UNION ALL SELECT 'accepted_values:o_orderstatus', v2, v2 = 0 FROM s
+UNION ALL SELECT 'matches:o_orderpriority', v3, v3 = 0 FROM s
+UNION ALL SELECT 'unique:o_orderkey', v4, v4 = 0 FROM s
+""",
+        "totalprice_drift": """
+WITH tagged AS (
+  SELECT CAST(least(greatest(CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER), 0), 9)
+              AS INTEGER) AS bin,
+         CASE WHEN year(o_orderdate) < 1998 THEN 0 ELSE 1 END AS side
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+),
+c AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tagged GROUP BY bin
+),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+SELECT bin, n_a, n_b,
+       round(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS rate_a,
+       round(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS rate_b,
+       round(abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+               - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS tvd_term
+FROM c, t
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

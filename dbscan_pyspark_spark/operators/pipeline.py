@@ -778,6 +778,166 @@ def integrity_check(
     )
 
 
+def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/dbt-test shape):
+    evaluate a rule suite against a snapshot in as few passes as the
+    rules allow and return one row per rule.
+
+    Returns DataFrame(rule string, violations long, passed boolean).
+    ``rule`` is ``kind:column`` (e.g. ``not_null:o_custkey``).
+
+    Supported rules:
+      ("not_null", col)                  — null rows violate
+      ("in_range", col, lo, hi)          — nulls and out-of-bounds violate
+      ("accepted_values", col, [v, ..])  — nulls and unlisted values violate
+      ("matches", col, regex)            — nulls and non-matching violate
+      ("unique", col | [cols])           — violations = rows - distinct keys
+                                           (a shared null key counts once,
+                                           like GROUP BY)
+
+    Scale shape: every row-predicate rule compiles to one conditional
+    sum in a SINGLE aggregation over a SINGLE scan — adding rules adds
+    columns to the agg, not passes over the data. Each ``unique`` rule
+    needs its own distinct count (one extra shuffle per keyset); the
+    tiny per-rule scalars are then stacked driver-free.
+    """
+    preds: list[tuple[str, Column]] = []
+    uniques: list[tuple[str, list[str]]] = []
+    for r in rules:
+        kind = r[0]
+        if kind == "not_null":
+            preds.append((f"not_null:{r[1]}", F.col(r[1]).isNull()))
+        elif kind == "in_range":
+            _, c, lo, hi = r
+            col = F.col(c)
+            preds.append(
+                (f"in_range:{c}", col.isNull() | (col < lo) | (col > hi))
+            )
+        elif kind == "accepted_values":
+            _, c, vals = r
+            preds.append(
+                # explicit isNull: a NULL three-valued ~isin would fall
+                # through when() and silently NOT count as a violation
+                (
+                    f"accepted_values:{c}",
+                    F.col(c).isNull() | ~F.col(c).isin(list(vals)),
+                )
+            )
+        elif kind == "matches":
+            _, c, pattern = r
+            preds.append(
+                (
+                    f"matches:{c}",
+                    F.col(c).isNull() | ~F.col(c).rlike(pattern),
+                )
+            )
+        elif kind == "unique":
+            cols = [r[1]] if isinstance(r[1], str) else list(r[1])
+            uniques.append((f"unique:{','.join(cols)}", cols))
+        else:
+            raise ValueError(f"unknown rule kind: {kind}")
+
+    parts: list[DataFrame] = []
+    if preds:
+        agg = df.agg(
+            *[
+                F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_v{i}")
+                for i, (_, p) in enumerate(preds)
+            ]
+        )
+        stack = ", ".join(
+            f"'{name}', _v{i}" for i, (name, _) in enumerate(preds)
+        )
+        parts.append(
+            agg.selectExpr(
+                f"stack({len(preds)}, {stack}) AS (rule, violations)"
+            )
+        )
+    for name, cols in uniques:
+        total = df.agg(F.count(F.lit(1)).alias("_n"))
+        nkeys = (
+            df.select(*cols).distinct().agg(F.count(F.lit(1)).alias("_k"))
+        )
+        parts.append(
+            total.crossJoin(nkeys).select(
+                F.lit(name).alias("rule"),
+                (F.col("_n") - F.col("_k")).cast("long").alias("violations"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)
+
+
+def column_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution drift between two snapshots of a column (train/serve
+    skew, crawl-to-crawl shift): fixed-width histograms on shared edges
+    plus the per-bin total-variation term.
+
+    Returns DataFrame(bin int, n_a, n_b, rate_a, rate_b, tvd_term) for
+    every bin with >= 1 row on either side; rates and terms rounded to
+    6 digits (``sum(tvd_term)/2`` is the total variation distance).
+    Rows below ``lo`` clamp into bin 0, above ``hi`` into the last bin
+    (nulls are dropped), so both sides always share edges.
+
+    Engine-parity note: TVD over equal-width bins needs only division
+    and abs — both IEEE correctly rounded, so any engine computes
+    bit-identical terms from identical counts. PSI/KL need a log whose
+    last-ulp rounding is libm-specific; that is why the drift score
+    here is total variation, not PSI.
+
+    Scale shape: both sides union into ONE scan with a side tag, bin is
+    a projection, and a single n_bins-row conditional-sum groupBy does
+    the rest — no join of two histogram relations.
+    """
+    if n_bins < 1 or not (hi > lo):
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    width = (float(hi) - float(lo)) / n_bins
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        x = F.col(col).cast("double")
+        b = F.floor((x - F.lit(float(lo))) / F.lit(width)).cast("int")
+        return df.where(x.isNotNull()).select(
+            F.least(F.greatest(b, F.lit(0)), F.lit(n_bins - 1)).alias("bin"),
+            F.lit(tag).alias("_side"),
+        )
+
+    counts = (
+        side(df_a, 0)
+        .unionByName(side(df_b, 1))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    rate_a = F.col("n_a") / F.col("_ta")
+    rate_b = F.col("n_b") / F.col("_tb")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(F.abs(rate_a - rate_b), 6).alias("tvd_term"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     min_tokens: int = 10,

@@ -337,6 +337,84 @@ def test_temperature_sample_validates_target(spark):
         temperature_sample(df, per_source_target=0)
 
 
+def test_validate_rule_suite_counts_violations(spark):
+    from dbscan_pyspark_spark.operators.pipeline import validate
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0),
+            (1, "ok", 50.0),      # duplicate id
+            (2, None, -1.0),      # null status, out of range
+            (3, "bad", 7.0),      # unlisted status
+            (4, "ok", None),      # null value -> in_range violation
+        ],
+        "id long, status string, val double",
+    )
+    rows = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in validate(
+            df,
+            [
+                ("not_null", "status"),
+                ("in_range", "val", 0, 10),
+                ("accepted_values", "status", ["ok"]),
+                ("matches", "status", "^o"),
+                ("unique", "id"),
+            ],
+        ).collect()
+    }
+    assert rows["not_null:status"] == (1, False)
+    assert rows["in_range:val"] == (3, False)  # -1, 50, null
+    assert rows["accepted_values:status"] == (2, False)  # null + 'bad'
+    assert rows["matches:status"] == (2, False)
+    assert rows["unique:id"] == (1, False)
+    # all-green suite
+    clean = validate(df.where("id = 3"), [("not_null", "id")]).collect()
+    assert clean[0]["violations"] == 0 and clean[0]["passed"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        validate(df, [("nope", "id")])
+
+
+def test_validate_single_pass_for_predicate_rules(spark):
+    """Row-predicate rules must compile into ONE aggregation over ONE
+    scan — adding rules adds agg columns, not data passes."""
+    from dbscan_pyspark_spark.operators.pipeline import validate
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    out = validate(
+        df,
+        [("not_null", "v"), ("in_range", "v", 0, 5), ("in_range", "id", 0, 98)],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_column_drift_tvd_and_clamping(spark):
+    from dbscan_pyspark_spark.operators.pipeline import column_drift
+
+    a = spark.createDataFrame(
+        [(v,) for v in [1.0, 2.0, 3.0, 4.0, -5.0]], "x double"
+    )  # -5 clamps into bin 0
+    b = spark.createDataFrame(
+        [(v,) for v in [6.0, 7.0, 8.0, 99.0, None]], "x double"
+    )  # 99 clamps into last bin, null dropped
+    rows = {r["bin"]: r for r in column_drift(a, b, "x", 0.0, 10.0, 5).collect()}
+    assert rows[0]["n_a"] == 2 and rows[0]["n_b"] == 0  # 1.0 and clamped -5
+    assert rows[4]["n_b"] == 2 and rows[4]["n_a"] == 0  # 8.0 + clamped 99
+    assert rows[0]["rate_a"] == 0.4
+    # disjoint distributions -> total variation = 1
+    tvd = sum(r["tvd_term"] for r in rows.values()) / 2
+    assert abs(tvd - 1.0) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        column_drift(a, b, "x", 10.0, 0.0)
+
+
 def test_surrogate_node_ids_no_global_sort_and_collision_fallback(spark):
     """Default surrogate path must be hash-based (no single-partition
     row_number window — the 100 TB hazard VERDICT r3 flagged); a forced
