@@ -2996,6 +2996,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["totalprice_drift"] = totalprice_drift
 
+    def lang_source_drift(spark, sf):
+        # categorical mix shift between source cohorts (top-3 langs +
+        # __other__): one value-keyed groupBy, TVD terms engine-exact
+        from dbscan_pyspark_spark.operators.pipeline import category_drift
+
+        d = load_table(spark, sf, "documents")
+        return category_drift(
+            d.where(F.length("source") == 4),
+            d.where(F.length("source") == 5),
+            "lang",
+            top_n=3,
+        )
+
+    q["lang_source_drift"] = lang_source_drift
+
+    def events_user_state_diff(spark, sf):
+        # CDC snapshot diff: per-user last-event-type state mid-month vs
+        # end of month — one full-outer key join, change is a projection
+        from pyspark.sql import Window
+
+        from dbscan_pyspark_spark.operators.pipeline import snapshot_diff
+
+        ev = load_table(spark, sf, "events")
+
+        def state(df):
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            return (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("user_id", "event_type")
+            )
+
+        old = state(ev.where(F.col("ts") < F.lit("2024-01-16").cast("timestamp")))
+        new = state(ev)
+        return snapshot_diff(old, new, ["user_id"], ["event_type"])
+
+    q["events_user_state_diff"] = events_user_state_diff
+
     return _reorder_for_driver_window(q)
 
 
@@ -5017,6 +5057,56 @@ SELECT bin, n_a, n_b,
        round(abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
                - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS tvd_term
 FROM c, t
+""",
+        "lang_source_drift": """
+WITH tagged AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS value,
+         CASE WHEN length(source) = 4 THEN 0 ELSE 1 END AS side
+  FROM documents WHERE length(source) IN (4, 5)
+),
+c AS (
+  SELECT value,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tagged GROUP BY value
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_a + n_b DESC, value) AS rk FROM c
+),
+folded AS (
+  SELECT CASE WHEN rk <= 3 THEN value ELSE '__other__' END AS value,
+         CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b
+  FROM ranked GROUP BY 1
+),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM folded)
+SELECT value, n_a, n_b,
+       round(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS rate_a,
+       round(CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE), 6) AS rate_b,
+       round(abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+               - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS tvd_term
+FROM folded, t
+""",
+        "events_user_state_diff": """
+WITH old_s AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') x
+  WHERE rn = 1
+),
+new_s AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) x
+  WHERE rn = 1
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN o.event_type IS NOT DISTINCT FROM n.event_type THEN 'same'
+            ELSE 'changed' END AS change
+FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
 """,
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),

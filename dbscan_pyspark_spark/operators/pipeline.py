@@ -938,6 +938,128 @@ def column_drift(
     )
 
 
+def category_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Categorical twin of :func:`column_drift`: per-value share shift
+    between two snapshots (language mix, source mix, label balance).
+
+    Returns DataFrame(value string, n_a, n_b, rate_a, rate_b,
+    tvd_term); nulls count as the literal value '__null__', and with
+    ``top_n`` set, values outside the top N by combined count collapse
+    into '__other__' (ties broken by value — deterministic). Rates and
+    terms rounded to 6 digits; ``sum(tvd_term)/2`` is the total
+    variation distance. Division+abs only — engine-exact, same
+    rationale as column_drift.
+
+    Scale shape: union with a side tag -> ONE value-keyed groupBy; the
+    top-N cut is a rank over the (distinct-values)-sized count
+    relation, not the data.
+    """
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.coalesce(F.col(col).cast("string"), F.lit("__null__")).alias(
+                "value"
+            ),
+            F.lit(tag).alias("_side"),
+        )
+
+    counts = (
+        side(df_a, 0)
+        .unionByName(side(df_b, 1))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    if top_n is not None:
+        w = Window.orderBy(
+            (F.col("n_a") + F.col("n_b")).desc(), F.col("value")
+        )
+        counts = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .withColumn(
+                "value",
+                F.when(F.col("_rk") <= top_n, F.col("value")).otherwise(
+                    F.lit("__other__")
+                ),
+            )
+            .groupBy("value")
+            .agg(F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b"))
+        )
+    totals = counts.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    rate_a = F.col("n_a") / F.col("_ta")
+    rate_b = F.col("n_b") / F.col("_tb")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "value",
+        "n_a",
+        "n_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(F.abs(rate_a - rate_b), 6).alias("tvd_term"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table — the CDC
+    primitive behind incremental recrawls and table replication audits:
+    which keys were added, removed, changed, or are unchanged.
+
+    Returns DataFrame(keys..., change string) with change in
+    {'added','removed','changed','same'}. 'changed' compares
+    ``compare_cols`` null-safely (<=> semantics: null == null).
+
+    Scale shape: ONE full-outer equi-join on the key (both sides
+    project keys + compared columns only — column pruning reaches the
+    scans), change classification is a projection. No second pass, no
+    window. Duplicate keys within a side are the caller's problem —
+    run a ``validate`` unique rule first.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else same & eq
+    change = (
+        F.when(F.col(f"_ok_{keys[0]}").isNull(), "added")
+        .when(F.col(f"_nk_{keys[0]}").isNull(), "removed")
+        .when(same, "same")
+        .otherwise("changed")
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in keys
+        ],
+        change.alias("change"),
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     min_tokens: int = 10,

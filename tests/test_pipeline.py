@@ -415,6 +415,53 @@ def test_column_drift_tvd_and_clamping(spark):
         column_drift(a, b, "x", 10.0, 0.0)
 
 
+def test_category_drift_topn_fold_and_nulls(spark):
+    from dbscan_pyspark_spark.operators.pipeline import category_drift
+
+    a = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 3 + [(None,)], "lang string"
+    )
+    b = spark.createDataFrame(
+        [("en",)] * 2 + [("fr",)] * 5 + [("it",)] * 2 + [("pt",)] * 1,
+        "lang string",
+    )
+    rows = {r["value"]: r for r in category_drift(a, b, "lang", top_n=2).collect()}
+    # top-2 by combined count: en (8), fr (5); rest fold into __other__
+    assert set(rows) == {"en", "fr", "__other__"}
+    assert rows["en"]["n_a"] == 6 and rows["en"]["n_b"] == 2
+    assert rows["fr"]["n_a"] == 0 and rows["fr"]["n_b"] == 5
+    assert rows["__other__"]["n_a"] == 4  # de x3 + null
+    assert rows["__other__"]["n_b"] == 3  # it x2 + pt
+    assert rows["en"]["rate_a"] == 0.6 and rows["en"]["rate_b"] == 0.2
+    # null surfaces as its own value without the fold
+    unfolded = {r["value"] for r in category_drift(a, b, "lang").collect()}
+    assert "__null__" in unfolded
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from dbscan_pyspark_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "id long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "id long, s string, v int",
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(old, new, ["id"], ["s", "v"]).collect()
+    }
+    assert got == {
+        1: "same",
+        2: "changed",
+        3: "same",      # null == null under eqNullSafe
+        4: "removed",
+        5: "added",
+    }
+
+
 def test_surrogate_node_ids_no_global_sort_and_collision_fallback(spark):
     """Default surrogate path must be hash-based (no single-partition
     row_number window — the 100 TB hazard VERDICT r3 flagged); a forced
