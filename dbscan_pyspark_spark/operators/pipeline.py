@@ -152,6 +152,8 @@ def shard_order(
     n_shards in the thousands so each shard sort fits an executor
     spill budget.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = portable_hash(id_col, salt=salt)
     out = df.withColumn("_h", h).withColumn(
         "shard", (F.col("_h") % F.lit(n_shards)).cast("int")
@@ -837,14 +839,23 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
         else:
             raise ValueError(f"unknown rule kind: {kind}")
 
+    if not preds and not uniques:
+        raise ValueError("validate needs at least one rule")
+
     parts: list[DataFrame] = []
+    total = None  # one count(*) shared by every unique rule
     if preds:
-        agg = df.agg(
-            *[
-                F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_v{i}")
-                for i, (_, p) in enumerate(preds)
-            ]
-        )
+        # coalesce: sum over zero rows is NULL — an empty (trivially
+        # clean) snapshot must report 0 violations / passed, not NULL
+        agg_cols = [
+            F.coalesce(F.sum(F.when(p, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"_v{i}")
+            for i, (_, p) in enumerate(preds)
+        ]
+        if uniques:
+            agg_cols.append(F.count(F.lit(1)).alias("_n"))
+        agg = df.agg(*agg_cols)
         stack = ", ".join(
             f"'{name}', _v{i}" for i, (name, _) in enumerate(preds)
         )
@@ -853,8 +864,11 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
                 f"stack({len(preds)}, {stack}) AS (rule, violations)"
             )
         )
-    for name, cols in uniques:
+        if uniques:
+            total = agg.select("_n")
+    if uniques and total is None:
         total = df.agg(F.count(F.lit(1)).alias("_n"))
+    for name, cols in uniques:
         nkeys = (
             df.select(*cols).distinct().agg(F.count(F.lit(1)).alias("_k"))
         )
@@ -1036,6 +1050,11 @@ def snapshot_diff(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
     )
+    # explicit presence markers: inferring side membership from key
+    # nullness misclassifies NULL-keyed rows (a removed NULL-key row
+    # would read as 'added')
+    o = o.withColumn("_o_present", F.lit(True))
+    n = n.withColumn("_n_present", F.lit(True))
     cond = None
     for k in keys:
         eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
@@ -1046,8 +1065,8 @@ def snapshot_diff(
         eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
         same = eq if same is None else same & eq
     change = (
-        F.when(F.col(f"_ok_{keys[0]}").isNull(), "added")
-        .when(F.col(f"_nk_{keys[0]}").isNull(), "removed")
+        F.when(F.col("_o_present").isNull(), "added")
+        .when(F.col("_n_present").isNull(), "removed")
         .when(same, "same")
         .otherwise("changed")
     )

@@ -237,8 +237,13 @@ def test_source_cap_two_phase_matches_single_window_and_caps(spark):
 
     from dbscan_pyspark_spark.operators.pipeline import portable_hash, source_cap
 
-    # 3 sources with 40/25/3 docs; score = n_chars with deliberate ties
-    rows = [(i, f"s{i % 3 if i < 68 else 0}", i % 7) for i in range(68)]
+    # 3 sources with 40/25/3 docs (skewed, incl. an under-cap source
+    # exercised through the bucketed two-phase path); score = n_chars
+    # with deliberate ties
+    rows = [
+        (i, "s0" if i < 40 else ("s1" if i < 65 else "s2"), i % 7)
+        for i in range(68)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     got = {
         (r["doc_id"], r["source"], r["src_rank"])
@@ -413,6 +418,49 @@ def test_column_drift_tvd_and_clamping(spark):
 
     with _pytest.raises(ValueError):
         column_drift(a, b, "x", 10.0, 0.0)
+
+
+def test_validate_empty_input_and_empty_rules(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import validate
+
+    empty = spark.createDataFrame([], "id long, s string")
+    rows = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in validate(
+            empty, [("not_null", "s"), ("unique", "id")]
+        ).collect()
+    }
+    # an empty (trivially clean) snapshot is 0 violations, not NULL
+    assert rows["not_null:s"] == (0, True)
+    assert rows["unique:id"] == (0, True)
+    with _pytest.raises(ValueError):
+        validate(empty, [])
+
+
+def test_snapshot_diff_null_keys_classified_by_side(spark):
+    from dbscan_pyspark_spark.operators.pipeline import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x")], "id string, v string")
+    new = spark.createDataFrame([(None, "x")], "id string, v string")
+    got = sorted(
+        r["change"]
+        for r in snapshot_diff(old, new, ["id"], ["v"]).collect()
+    )
+    # NULL keys never equi-join: one removed (old side), one added
+    # (new side) — never a phantom 'added' for a removed row
+    assert got == ["added", "removed"]
+
+
+def test_shard_order_validates_n_shards(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import shard_order
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        shard_order(df, n_shards=0)
 
 
 def test_category_drift_topn_fold_and_nulls(spark):

@@ -256,7 +256,9 @@ def main() -> None:
     # ~8x; record the error/speedup pair against the exact run above.
     t0 = time.time()
     est = triangle_counts(tri_edges, sample_p=0.5)
-    est_total = est.agg(F.sum("est_triangles")).first()[0] / 3.0
+    # sum over zero rows is None (every triangle sampled away on a
+    # shrunken config) — report 0, don't kill the whole stress run
+    est_total = (est.agg(F.sum("est_triangles")).first()[0] or 0.0) / 3.0
     sampled_wall = round(time.time() - t0, 1)
     exact_total = expected_sum / 3
     print(
@@ -267,8 +269,10 @@ def main() -> None:
                 "wall_s": sampled_wall,
                 "est_triangles": round(est_total, 1),
                 "exact_triangles": exact_total,
-                "err_pct": round(
-                    100.0 * abs(est_total - exact_total) / exact_total, 2
+                "err_pct": (
+                    round(100.0 * abs(est_total - exact_total) / exact_total, 2)
+                    if exact_total
+                    else None
                 ),
             }
         ),
