@@ -512,6 +512,50 @@ def main() -> None:
         flush=True,
     )
 
+    # --- full curation chain on a 20M-doc synthetic corpus ---
+    # The mix-rebalancing tail of a training-data pipeline as ONE DAG:
+    # temperature mixing (rates derived from per-source counts) ->
+    # per-source caps (WindowGroupLimit-pruned rank) -> deterministic
+    # shard/order export. Exponential source sizes (source k holds
+    # ~2^k-sized slices of each 1M-row block: ~21 sources spanning
+    # 19 docs to ~10M) so the chain runs against real skew.
+    from dbscan_pyspark_spark.operators.pipeline import (
+        shard_order,
+        temperature_sample,
+    )
+
+    n_cur = 20_000_000
+    cur = spark.range(n_cur).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("s"),
+            F.floor(F.log2(F.col("id") % 1_048_576 + 1)).cast("string"),
+        ).alias("source"),
+        (F.col("id") % 4096).alias("n_chars"),
+    )
+    t0 = time.time()
+    mixed = temperature_sample(cur, per_source_target=200_000)
+    capped = source_cap(mixed, cap=150_000, score_col="n_chars")
+    exported = shard_order(capped.drop("src_rank"), n_shards=64)
+    cur_stats = exported.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("shard").alias("n_shards"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "stage": "curation_chain_20m",
+                "n_docs_in": n_cur,
+                "n_docs_out": cur_stats["n"],
+                "n_sources": cur_stats["n_sources"],
+                "n_shards": cur_stats["n_shards"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     t0 = time.time()
     n_cells = embedding_covariance(emb, scale=10).count()
     print(
