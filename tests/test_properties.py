@@ -451,3 +451,137 @@ def test_triangle_counts_matches_bruteforce(spark, edges):
             for n in (a, b, c):
                 expect[n] = expect.get(n, 0) + 1
     assert got == expect
+
+
+# ------------------------------------------------- round-4 curation ops
+
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 40),           # doc_id (dups possible -> filtered)
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(0, 9),            # score
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@SET
+@given(docs=docs_strategy, cap=st.integers(1, 5))
+def test_source_cap_matches_bruteforce(spark, docs, cap):
+    """Top-cap per source under the (score DESC, hash, id) total order
+    must equal a Python argsort on the same portable hash values — for
+    the default plan AND the two-phase variant."""
+    import hashlib
+
+    from dbscan_pyspark_spark.operators.pipeline import source_cap
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+
+    def phash(v: int) -> int:
+        return int(hashlib.md5(f"srccap:{v}".encode()).hexdigest()[:15], 16)
+
+    want = set()
+    by_src: dict[str, list[tuple]] = {}
+    for i, s, sc in docs:
+        by_src.setdefault(s, []).append((-sc, phash(i), i))
+    for s, items in by_src.items():
+        for rank, (_, _, i) in enumerate(sorted(items)[:cap], start=1):
+            want.add((i, s, rank))
+    for buckets in (1, 3):
+        got = {
+            (r["doc_id"], r["source"], r["src_rank"])
+            for r in source_cap(
+                df, cap=cap, score_col="n_chars", salt_buckets=buckets
+            ).collect()
+        }
+        assert got == want, (buckets, got, want)
+
+
+@SET
+@given(docs=docs_strategy, target=st.integers(1, 20))
+def test_temperature_sample_matches_bruteforce(spark, docs, target):
+    """The sqrt-law keep decision must replay exactly in Python floats
+    (every step correctly rounded), and under-target sources keep all."""
+    import hashlib
+    import math
+
+    from dbscan_pyspark_spark.operators.pipeline import temperature_sample
+
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_chars long")
+    got = {
+        (r["doc_id"], r["source"])
+        for r in temperature_sample(df, per_source_target=target).collect()
+    }
+    n_by_src: dict[str, int] = {}
+    for _, s, _ in docs:
+        n_by_src[s] = n_by_src.get(s, 0) + 1
+    want = set()
+    for i, s, _ in docs:
+        rate = min(1.0, math.sqrt(float(target) / float(n_by_src[s])))
+        h = int(hashlib.md5(f"temp:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        if h < rate * 1_000_000.0:
+            want.add((i, s))
+    assert got == want
+    for s, n in n_by_src.items():
+        if n <= target:  # under-target sources keep everything
+            assert {(i, t) for i, t, _ in docs if t == s} <= got
+
+
+snapshot_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 3)),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@SET
+@given(old=snapshot_strategy, new=snapshot_strategy)
+def test_snapshot_diff_matches_dict_diff(spark, old, new):
+    from dbscan_pyspark_spark.operators.pipeline import snapshot_diff
+
+    odf = spark.createDataFrame(old, "id long, v long") if old else (
+        spark.createDataFrame([], "id long, v long")
+    )
+    ndf = spark.createDataFrame(new, "id long, v long") if new else (
+        spark.createDataFrame([], "id long, v long")
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in snapshot_diff(odf, ndf, ["id"], ["v"]).collect()
+    }
+    om, nm = dict(old), dict(new)
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            want[k] = "added"
+        elif k not in nm:
+            want[k] = "removed"
+        elif om[k] == nm[k]:
+            want[k] = "same"
+        else:
+            want[k] = "changed"
+    assert got == want
+
+
+@SET
+@given(
+    a=st.lists(st.integers(-20, 120), min_size=1, max_size=25),
+    b=st.lists(st.integers(-20, 120), min_size=1, max_size=25),
+)
+def test_column_drift_rates_sum_to_one_and_tvd_bounded(spark, a, b):
+    from dbscan_pyspark_spark.operators.pipeline import column_drift
+
+    da = spark.createDataFrame([(float(v),) for v in a], "x double")
+    db = spark.createDataFrame([(float(v),) for v in b], "x double")
+    rows = column_drift(da, db, "x", 0.0, 100.0, 5).collect()
+    # rates are rounded to 6dp per bin -> worst-case drift 5e-7 * bins
+    assert abs(sum(r["rate_a"] for r in rows) - 1.0) <= 5e-7 * len(rows) + 1e-9
+    assert abs(sum(r["rate_b"] for r in rows) - 1.0) <= 5e-7 * len(rows) + 1e-9
+    tvd = sum(r["tvd_term"] for r in rows) / 2
+    assert -1e-9 <= tvd <= 1.0 + 1e-9
+    assert sum(r["n_a"] for r in rows) == len(a)  # clamping loses no rows
+    assert sum(r["n_b"] for r in rows) == len(b)
