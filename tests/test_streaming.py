@@ -650,3 +650,85 @@ def test_streaming_pit_join_matches_batch(spark, stream_dir):
     )
     assert got == expect
     assert any(t is not None for _, t in got)
+
+
+def test_streaming_drift_monitor_matches_batch_per_microbatch(spark, stream_dir, tmp_path):
+    """Each micro-batch's drift rows must equal category_drift(reference,
+    that batch's static frame); a replayed batch overwrites its own
+    partition instead of appending duplicate verdicts."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import category_drift
+    from dbscan_pyspark_spark.streaming.quality import (
+        process_drift_batch,
+        streaming_drift_monitor,
+    )
+
+    out = str(tmp_path / "drift_out")
+    ck = str(tmp_path / "drift_ck")
+    reference = spark.read.json(stream_dir)  # full corpus as reference
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = streaming_drift_monitor(stream, reference, "event_type", out, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_ids = sorted(r["monitor_batch"] for r in got.select("monitor_batch").distinct().collect())
+    assert len(batch_ids) == 2  # one per file
+    # part1 (older mtime) = ROWS[:2] -> first micro-batch
+    parts = {batch_ids[0]: ROWS[:2], batch_ids[1]: ROWS[2:]}
+    for bid, rows in parts.items():
+        frame = spark.createDataFrame(
+            [(r["event_type"],) for r in rows], "event_type string"
+        )
+        want = {
+            (r["value"], r["n_a"], r["n_b"], r["rate_a"], r["rate_b"], r["tvd_term"])
+            for r in category_drift(reference, frame, "event_type").collect()
+        }
+        have = {
+            (r["value"], r["n_a"], r["n_b"], r["rate_a"], r["rate_b"], r["tvd_term"])
+            for r in got.where(F.col("monitor_batch") == bid).collect()
+        }
+        assert have == want, bid
+    # replay idempotency: re-processing a batch rewrites, never appends
+    replay = spark.createDataFrame(
+        [(r["event_type"],) for r in ROWS[:2]], "event_type string"
+    )
+    n_before = got.where(F.col("monitor_batch") == batch_ids[0]).count()
+    process_drift_batch(replay, int(batch_ids[0]), reference, "event_type", out)
+    n_after = (
+        spark.read.parquet(out)
+        .where(F.col("monitor_batch") == batch_ids[0])
+        .count()
+    )
+    assert n_after == n_before
+
+
+def test_streaming_expectations_gate(spark, stream_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.quality import streaming_expectations
+
+    out = str(tmp_path / "exp_out")
+    ck = str(tmp_path / "exp_ck")
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = streaming_expectations(
+        stream,
+        [
+            ("not_null", "user_id"),
+            ("accepted_values", "event_type", ["click", "view"]),
+            ("in_range", "value", 0, 3),   # value=4.0 violates in batch 2
+            ("unique", "event_id"),
+        ],
+        out,
+        ck,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 4 rules x 2 micro-batches
+    # every batch passes the null/type gates
+    assert got.where(
+        (F.col("rule") != "in_range:value") & ~F.col("passed")
+    ).count() == 0
+    # the range break (value=4.0, ROWS[3]) is flagged in exactly one batch
+    bad = got.where((F.col("rule") == "in_range:value") & ~F.col("passed")).collect()
+    assert len(bad) == 1 and bad[0]["violations"] == 1
