@@ -936,6 +936,9 @@ def column_drift(
             .cast("long")
             .alias("n_b"),
         )
+        # counts (n_bins rows) feeds both the output and the totals agg
+        # — without truncation the plan re-scans BOTH inputs twice
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
@@ -993,6 +996,9 @@ def category_drift(
             .cast("long")
             .alias("n_b"),
         )
+        # distinct-values rows only; truncate so the totals agg doesn't
+        # re-scan both inputs (same hazard as column_drift)
+        .localCheckpoint(eager=False)
     )
     if top_n is not None:
         w = Window.orderBy(
