@@ -3036,6 +3036,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_user_state_diff"] = events_user_state_diff
 
+    def part_order_hits(spark, sf):
+        # EIGHTH exactly-oracled iterative family: integer HITS over
+        # the order->part bipartite graph (part keys offset 10M) —
+        # max-normalized hub/authority mutual reinforcement, 2 rounds
+        from dbscan_pyspark_spark.operators.components import hits
+
+        li = load_table(spark, sf, "lineitem")
+        edges = li.select(
+            F.col("l_orderkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        return hits(edges, n_iter=2)
+
+    q["part_order_hits"] = part_order_hits
+
     return _reorder_for_driver_window(q)
 
 
@@ -3499,6 +3514,64 @@ def _bfs_oracle(max_hops: int = 3) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT node AS p_partkey, hop FROM h{max_hops}"
+    )
+
+
+def _hits_oracle(n_iter: int) -> str:
+    """Unrolled-CTE replica of operators.components.hits over the
+    order->part bipartite graph (part keys offset by 10M so the two key
+    spaces cannot collide). All integer: scores on a 1e6 micro-unit
+    grid, per-round normalization = (x * 1e6) // max(x) — max is
+    aggregation-order-free and // is exact, so a fixed-round run
+    replays bit-for-bit. MATERIALIZED per round (DuckDB would inline
+    plain CTEs and re-evaluate the chain exponentially)."""
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS a FROM nodes)",
+    ]
+    prev_a = "a0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""h{i}r AS MATERIALIZED (
+  SELECT e.src AS node, CAST(sum({prev_a}.a) AS BIGINT) AS hr
+  FROM e JOIN {prev_a} ON e.dst = {prev_a}.node GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce((h{i}r.hr * 1000000) // (SELECT max(hr) FROM h{i}r), 0) AS BIGINT) AS h
+  FROM nodes n LEFT JOIN h{i}r ON n.node = h{i}r.node
+)"""
+        )
+        parts.append(
+            f"""a{i}r AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(sum(h{i}.h) AS BIGINT) AS ar
+  FROM e JOIN h{i} ON e.src = h{i}.node GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CAST(coalesce((a{i}r.ar * 1000000) // (SELECT max(ar) FROM a{i}r), 0) AS BIGINT) AS a
+  FROM nodes n LEFT JOIN a{i}r ON n.node = a{i}r.node
+)"""
+        )
+        prev_a = f"a{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.node,
+       round(coalesce(h{n_iter}.h, 0) / 1000000.0, 6) AS hub,
+       round(coalesce(a{n_iter}.a, 0) / 1000000.0, 6) AS authority
+FROM nodes n
+LEFT JOIN h{n_iter} ON n.node = h{n_iter}.node
+LEFT JOIN a{n_iter} ON n.node = a{n_iter}.node
+"""
     )
 
 
@@ -5108,6 +5181,7 @@ SELECT coalesce(o.user_id, n.user_id) AS user_id,
             ELSE 'changed' END AS change
 FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
 """,
+        "part_order_hits": _hits_oracle(2),
         "doc_bigram_fluency": f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
 toks AS (

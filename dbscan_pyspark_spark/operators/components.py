@@ -729,3 +729,97 @@ def bounded_sssp(
             break
         prev_sig = (sig["n"], sig["s"])
     return dist
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic integer-arithmetic HITS (Kleinberg, JACM 1999)
+    over a directed graph: ``n_iter`` fixed hub/authority mutual-
+    reinforcement rounds. DataFrame(node, hub double, authority
+    double), scores max-normalized to [0, 1], rounded to 6 digits.
+
+    EIGHTH iterative family with an exact oracle: all scores live on an
+    integer micro-unit grid and the per-round normalization divides by
+    the round's MAX score using integer division — ``(x * scale) div
+    max(x)`` — instead of the textbook L2 norm (a float sqrt whose
+    cross-engine bits are fine, but whose SUM is aggregation-order-
+    dependent). max is order-free, integer division is exact, so a
+    fixed-round run replays bit-for-bit as an unrolled MATERIALIZED-CTE
+    oracle (`part_order_hits`), the pagerank/k-means discipline.
+
+    Update order per round: hubs from the previous authorities
+    (h[u] = Σ a[v] over u→v), normalize; authorities from the fresh
+    hubs (a[v] = Σ h[u] over u→v), normalize. With ≥ 1 edge the round
+    maxima stay positive (authorities start at ``scale``), so the
+    integer divisions are safe; an ``assert_true`` guards the
+    ``max * scale`` long-overflow bound (in-degree × scale² must stay
+    under 2⁶³ — holds to ~9M-degree hubs at the default scale).
+
+    Scale shape: per round two node-keyed equi-joins + two sum
+    aggregates + two 1-row max aggregates broadcast back — the
+    pagerank profile; vectors are localCheckpointed per round (flat
+    lineage)."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    max_safe = (1 << 63) // int(scale) - 1
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        # raw: (node, col) for SOME nodes; normalize to node-complete
+        m = raw.agg(
+            F.max(F.col(col)).alias("_m"),
+            F.assert_true(
+                F.max(F.col(col)) <= F.lit(max_safe),
+                F.lit("hits: max score * scale would overflow long"),
+            ).alias("_chk"),
+        ).select("_m")
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.coalesce(
+                    F.expr(f"({col} * {int(scale)}) div _m"), F.lit(0)
+                ).alias(col),
+            )
+        )
+
+    a = nodes.select("node", F.lit(int(scale)).cast("long").alias("a"))
+    h = None
+    for _ in range(n_iter):
+        h_raw = (
+            e.join(a.select(F.col("node").alias("dst"), "a"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+        )
+        h = _normalized(h_raw, "h").localCheckpoint(eager=True)
+        a_raw = (
+            e.join(h.select(F.col("node").alias("src"), "h"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+        )
+        a = _normalized(a_raw, "a").localCheckpoint(eager=True)
+    out = nodes.join(h, "node", "left").join(a, "node", "left")
+    return out.select(
+        "node",
+        F.round(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(scale)), 6).alias(
+            "hub"
+        ),
+        F.round(F.coalesce(F.col("a"), F.lit(0)) / F.lit(float(scale)), 6).alias(
+            "authority"
+        ),
+    )

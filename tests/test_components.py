@@ -154,3 +154,49 @@ def test_pagerank_deterministic_and_mass_bounded(spark):
     # truncating integer ops + dangling absorption only ever LOSE mass
     # (tolerance: per-node 8-digit output rounding can add ~5e-9 each)
     assert 0 < total <= 1.0 + 5e-9 * len(a)
+
+
+def test_hits_matches_integer_replay(spark):
+    """Fixed-round integer HITS must replay bit-for-bit in plain Python
+    (micro-unit grid, max-normalization via integer division)."""
+    from dbscan_pyspark_spark.operators.components import hits
+
+    edges = [(1, 101), (1, 102), (2, 101), (3, 101), (3, 103), (4, 104)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=2).collect()
+    }
+    S = 1_000_000
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    a = {n: S for n in nodes}
+    h = {}
+    for _ in range(2):
+        hr = {}
+        for u, v in edges:
+            hr[u] = hr.get(u, 0) + a[v]
+        m = max(hr.values())
+        h = {n: (hr.get(n, 0) * S) // m for n in nodes}
+        ar = {}
+        for u, v in edges:
+            ar[v] = ar.get(v, 0) + h[u]
+        m = max(ar.values())
+        a = {n: (ar.get(n, 0) * S) // m for n in nodes}
+    want = {n: (round(h[n] / S, 6), round(a[n] / S, 6)) for n in nodes}
+    assert got == want
+    # the best-connected hub and the most-pointed-at authority win
+    assert got[101][1] == 1.0
+    assert got[1][0] == 1.0 and got[3][0] == 1.0
+
+
+def test_hits_duplicate_edges_collapse(spark):
+    from dbscan_pyspark_spark.operators.components import hits
+
+    once = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 2), (3, 2)], "src long, dst long"
+    )
+    k = lambda df: sorted(  # noqa: E731
+        (r["node"], r["hub"], r["authority"]) for r in hits(df).collect()
+    )
+    assert k(once) == k(dup)

@@ -585,3 +585,40 @@ def test_column_drift_rates_sum_to_one_and_tvd_bounded(spark, a, b):
     assert -1e-9 <= tvd <= 1.0 + 1e-9
     assert sum(r["n_a"] for r in rows) == len(a)  # clamping loses no rows
     assert sum(r["n_b"] for r in rows) == len(b)
+
+
+directed_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=1,
+    max_size=18,
+)
+
+
+@SET
+@given(edges=directed_edges_strategy, n_iter=st.integers(1, 3))
+def test_hits_matches_integer_replay(spark, edges, n_iter):
+    from dbscan_pyspark_spark.operators.components import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, n_iter=n_iter).collect()
+    }
+    S = 1_000_000
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    a = {n: S for n in nodes}
+    h = {n: 0 for n in nodes}
+    for _ in range(n_iter):
+        hr = {}
+        for u, v in es:
+            hr[u] = hr.get(u, 0) + a[v]
+        m = max(hr.values())
+        h = {n: (hr.get(n, 0) * S) // m for n in nodes}
+        ar = {}
+        for u, v in es:
+            ar[v] = ar.get(v, 0) + h[u]
+        m = max(ar.values())
+        a = {n: (ar.get(n, 0) * S) // m for n in nodes}
+    want = {n: (round(h[n] / S, 6), round(a[n] / S, 6)) for n in nodes}
+    assert got == want
