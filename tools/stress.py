@@ -512,6 +512,46 @@ def main() -> None:
         flush=True,
     )
 
+    # --- integer HITS on a 10M-edge bipartite graph ---
+    # The pagerank cost profile (per round: 2 node-keyed equi-joins +
+    # 2 aggregates + 2 broadcast scalar maxes); hub fan-out is skewed
+    # (hub h points at ~h+1 authorities) so the authority-side sums see
+    # real imbalance.
+    from dbscan_pyspark_spark.operators.components import hits
+
+    n_hub = 2_000_000
+    hits_edges = spark.range(10_000_000).select(
+        (F.col("id") % n_hub).alias("src"),
+        (
+            F.lit(n_hub)
+            + F.pmod(
+                F.xxhash64("id", F.lit(3)),
+                (F.col("id") % n_hub) % 997 + 1,
+            )
+        ).alias("dst"),
+    )
+    t0 = time.time()
+    hs = hits(hits_edges, n_iter=2)
+    hstats = hs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("hub").alias("max_hub"),
+        F.max("authority").alias("max_auth"),
+    ).first()
+    print(
+        json.dumps(
+            {
+                "stage": "hits_10m_edges",
+                "n_edges": 10_000_000,
+                "n_nodes": hstats["n"],
+                "n_iter": 2,
+                "wall_s": round(time.time() - t0, 1),
+                "max_scores_unit": hstats["max_hub"] == 1.0
+                and hstats["max_auth"] == 1.0,
+            }
+        ),
+        flush=True,
+    )
+
     # --- full curation chain on a 20M-doc synthetic corpus ---
     # The mix-rebalancing tail of a training-data pipeline as ONE DAG:
     # temperature mixing (rates derived from per-source counts) ->
