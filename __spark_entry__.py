@@ -3051,6 +3051,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["part_order_hits"] = part_order_hits
 
+    def dedup_vs_reference(spark, sf):
+        # incremental-crawl dedup: odd doc_ids are the fresh batch,
+        # even doc_ids the already-deduped corpus; reference touched as
+        # signatures only, candidates via LSH band collision
+        from dbscan_pyspark_spark.operators.dedup import near_dup_vs_reference
+
+        d = load_table(spark, sf, "documents")
+        return near_dup_vs_reference(
+            d.where(F.col("doc_id") % 2 == 1),
+            d.where(F.col("doc_id") % 2 == 0),
+            threshold=0.5,
+        )
+
+    q["dedup_vs_reference"] = dedup_vs_reference
+
     return _reorder_for_driver_window(q)
 
 
@@ -4743,6 +4758,23 @@ WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) >= 0.3
         "minhash_band_signatures": f"""
 WITH {_SHINGLES_CTE}, {_minhash_ctes(16, 4)}
 SELECT doc_id, band, band_hash FROM bands
+""",
+        "dedup_vs_reference": f"""
+WITH {_SHINGLES_CTE}, {_minhash_ctes(16, 4)},
+nb AS (SELECT doc_id, band, band_hash FROM bands WHERE doc_id % 2 = 1),
+rb AS (SELECT doc_id AS rid, band, band_hash FROM bands WHERE doc_id % 2 = 0),
+cand AS (SELECT DISTINCT nb.doc_id, rb.rid FROM nb JOIN rb USING (band, band_hash)),
+est AS (
+  SELECT c.doc_id,
+         ({" + ".join(f"CASE WHEN l.m{i} = r.m{i} THEN 1 ELSE 0 END" for i in range(16))}) / 16.0 AS e
+  FROM cand c
+  JOIN sig l ON c.doc_id = l.doc_id
+  JOIN sig r ON c.rid = r.doc_id
+),
+dup AS (SELECT DISTINCT doc_id FROM est WHERE e >= 0.5)
+SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup_of_ref
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN dup USING (doc_id)
 """,
         "minhash_near_dups": f"""
 WITH {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},

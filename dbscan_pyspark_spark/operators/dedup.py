@@ -248,6 +248,53 @@ def _verify_exact_jaccard(
     )
 
 
+def near_dup_vs_reference(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag new documents that are near-duplicates of an EXISTING
+    reference corpus — the incremental-crawl shape: the corpus is
+    already deduped, only the fresh batch needs checking, and the
+    reference side is touched as signatures only (k longs per doc),
+    never as text. The batch twin of the streaming near-dup filter's
+    store match (``streaming/dedup.py::signature_match``, reused here).
+
+    Returns DataFrame(id_col, is_dup_of_ref boolean) — one row per new
+    doc. Matching is the MinHash position-agreement estimate
+    (fraction of equal minhash positions >= threshold), candidates
+    pruned by LSH band collision first; fully deterministic, so the
+    whole decision column hash-matches a SQL oracle.
+
+    Scale: signatures are one narrow row per doc; the band join is an
+    equi-join on (band, band_hash) — reference lookups cost
+    collisions, not corpus size. Re-signing the reference every run is
+    the local-test path; at scale persist ``minhash_signatures(ref)``
+    once and pass a loaded signature frame via ``ref_sig``-style reuse
+    (the streaming filter's store does exactly this).
+    """
+    from dbscan_pyspark_spark.streaming.dedup import signature_match
+
+    sig_new = minhash_signatures(new_docs, num_hashes, n, text_col, id_col)
+    sig_ref = minhash_signatures(ref_docs, num_hashes, n, text_col, id_col)
+    dup = signature_match(
+        sig_new, sig_ref, num_hashes, threshold, rows_per_band, id_col
+    ).withColumn("_dup", F.lit(True))
+    return (
+        new_docs.select(id_col)
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup_of_ref"),
+        )
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.5,

@@ -230,3 +230,28 @@ def test_fuzzy_pairs_length_band_is_lossless(spark):
         if lev(x, y) <= 2
     }
     assert got == want
+
+
+def test_near_dup_vs_reference_flags_only_cross_corpus_dups(spark):
+    from dbscan_pyspark_spark.operators.dedup import near_dup_vs_reference
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    ref = spark.createDataFrame(
+        [(0, base), (2, "completely different reference text about spark engines")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " ok"),                    # near-dup of ref doc 0
+            (3, "fresh unseen content with no overlap whatsoever here"),
+            (5, "fresh unseen content with no overlap whatsoever here"),
+            # 3 and 5 duplicate EACH OTHER but not the reference — must
+            # NOT be flagged (batch-internal dedup is near_dup_dedup's job)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["is_dup_of_ref"]
+        for r in near_dup_vs_reference(new, ref, threshold=0.5).collect()
+    }
+    assert got == {1: True, 3: False, 5: False}
