@@ -3038,14 +3038,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def part_order_hits(spark, sf):
         # EIGHTH exactly-oracled iterative family: integer HITS over
-        # the order->part bipartite graph (part keys offset 10M) —
+        # the order->part bipartite graph — part keys offset by 1e12,
+        # far above any TPC-H orderkey at any SF (orderkeys grow
+        # ~6M*SF, so a 10M offset would collide from SF~1.7 up) —
         # max-normalized hub/authority mutual reinforcement, 2 rounds
         from dbscan_pyspark_spark.operators.components import hits
 
         li = load_table(spark, sf, "lineitem")
         edges = li.select(
             F.col("l_orderkey").alias("src"),
-            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+            (F.col("l_partkey") + F.lit(1_000_000_000_000)).alias("dst"),
         )
         return hits(edges, n_iter=2)
 
@@ -3534,15 +3536,16 @@ def _bfs_oracle(max_hops: int = 3) -> str:
 
 def _hits_oracle(n_iter: int) -> str:
     """Unrolled-CTE replica of operators.components.hits over the
-    order->part bipartite graph (part keys offset by 10M so the two key
-    spaces cannot collide). All integer: scores on a 1e6 micro-unit
+    order->part bipartite graph (part keys offset by 1e12 — above any
+    TPC-H orderkey at any SF, so the two key spaces cannot collide).
+    All integer: scores on a 1e6 micro-unit
     grid, per-round normalization = (x * 1e6) // max(x) — max is
     aggregation-order-free and // is exact, so a fixed-round run
     replays bit-for-bit. MATERIALIZED per round (DuckDB would inline
     plain CTEs and re-evaluate the chain exponentially)."""
     parts = [
         """e AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey AS src, l_partkey + 10000000 AS dst FROM lineitem
+  SELECT DISTINCT l_orderkey AS src, l_partkey + 1000000000000 AS dst FROM lineitem
 )""",
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS a FROM nodes)",
@@ -5207,11 +5210,13 @@ new_s AS (
   WHERE rn = 1
 )
 SELECT coalesce(o.user_id, n.user_id) AS user_id,
-       CASE WHEN o.user_id IS NULL THEN 'added'
-            WHEN n.user_id IS NULL THEN 'removed'
+       CASE WHEN o.o_present IS NULL THEN 'added'
+            WHEN n.n_present IS NULL THEN 'removed'
             WHEN o.event_type IS NOT DISTINCT FROM n.event_type THEN 'same'
             ELSE 'changed' END AS change
-FROM old_s o FULL OUTER JOIN new_s n ON o.user_id = n.user_id
+FROM (SELECT *, TRUE AS o_present FROM old_s) o
+FULL OUTER JOIN (SELECT *, TRUE AS n_present FROM new_s) n
+  ON o.user_id = n.user_id
 """,
         "part_order_hits": _hits_oracle(2),
         "doc_bigram_fluency": f"""

@@ -756,14 +756,20 @@ def hits(
     (h[u] = Σ a[v] over u→v), normalize; authorities from the fresh
     hubs (a[v] = Σ h[u] over u→v), normalize. With ≥ 1 edge the round
     maxima stay positive (authorities start at ``scale``), so the
-    integer divisions are safe; an ``assert_true`` guards the
-    ``max * scale`` long-overflow bound (in-degree × scale² must stay
-    under 2⁶³ — holds to ~9M-degree hubs at the default scale).
+    integer divisions are safe. Each round's max is pulled to the
+    driver (one 1-row aggregate — A7-bounded, the k-means
+    literal-centroid discipline) both to fail fast when ``max * scale``
+    would overflow a long (in-degree × scale² must stay under 2⁶³ —
+    holds to ~9M-degree hubs at the default scale; a plan-side
+    assert_true would be pruned as unused) and to inline the divisor
+    as a literal, which drops the broadcast-join the normalization
+    would otherwise need.
 
     Scale shape: per round two node-keyed equi-joins + two sum
-    aggregates + two 1-row max aggregates broadcast back — the
-    pagerank profile; vectors are localCheckpointed per round (flat
-    lineage)."""
+    aggregates + two 1-row max pulls — the pagerank profile; vectors
+    are localCheckpointed per round (flat lineage)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -778,22 +784,19 @@ def hits(
 
     def _normalized(raw: DataFrame, col: str) -> DataFrame:
         # raw: (node, col) for SOME nodes; normalize to node-complete
-        m = raw.agg(
-            F.max(F.col(col)).alias("_m"),
-            F.assert_true(
-                F.max(F.col(col)) <= F.lit(max_safe),
-                F.lit("hits: max score * scale would overflow long"),
-            ).alias("_chk"),
-        ).select("_m")
-        return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(m))
-            .select(
-                "node",
-                F.coalesce(
-                    F.expr(f"({col} * {int(scale)}) div _m"), F.lit(0)
-                ).alias(col),
+        m = raw.agg(F.max(F.col(col))).first()[0]
+        if m is None:
+            return nodes.select("node", F.lit(0).cast("long").alias(col))
+        if m > max_safe:
+            raise ValueError(
+                f"hits: max {col} score {m} * scale {scale} would "
+                "overflow a long; lower `scale`"
             )
+        return nodes.join(raw, "node", "left").select(
+            "node",
+            F.coalesce(
+                F.expr(f"({col} * {int(scale)}) div {int(m)}"), F.lit(0)
+            ).alias(col),
         )
 
     a = nodes.select("node", F.lit(int(scale)).cast("long").alias("a"))

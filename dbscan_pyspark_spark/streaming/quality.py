@@ -43,12 +43,18 @@ def process_drift_batch(
         return
     from dbscan_pyspark_spark.operators.pipeline import category_drift
 
-    drift = category_drift(reference, batch, col, top_n=top_n).withColumn(
-        "batch_id", F.lit(batch_id)
-    )
-    drift.write.mode("overwrite").parquet(
-        f"{output_dir}/monitor_batch={batch_id}"
-    )
+    # persist: isEmpty + the drift agg each re-read the source
+    # otherwise (the process_near_dup_batch discipline)
+    batch = batch.persist()
+    try:
+        drift = category_drift(reference, batch, col, top_n=top_n).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        drift.write.mode("overwrite").parquet(
+            f"{output_dir}/monitor_batch={batch_id}"
+        )
+    finally:
+        batch.unpersist()
 
 
 def streaming_drift_monitor(
@@ -92,10 +98,18 @@ def process_expectations_batch(
         return
     from dbscan_pyspark_spark.operators.pipeline import validate
 
-    report = validate(batch, rules).withColumn("batch_id", F.lit(batch_id))
-    report.write.mode("overwrite").parquet(
-        f"{output_dir}/monitor_batch={batch_id}"
-    )
+    # persist: isEmpty + the predicate agg + each unique rule's
+    # distinct count would otherwise re-read the source per trigger
+    batch = batch.persist()
+    try:
+        report = validate(batch, rules).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        report.write.mode("overwrite").parquet(
+            f"{output_dir}/monitor_batch={batch_id}"
+        )
+    finally:
+        batch.unpersist()
 
 
 def streaming_expectations(

@@ -200,3 +200,17 @@ def test_hits_duplicate_edges_collapse(spark):
         (r["node"], r["hub"], r["authority"]) for r in hits(df).collect()
     )
     assert k(once) == k(dup)
+
+
+def test_hits_overflow_guard_fires_and_validates_n_iter(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.components import hits
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    # scale = 2^33 makes max_safe ~2^30 while round-1 raw hub scores
+    # start at `scale` — the driver-side guard must raise, not wrap
+    with _pytest.raises(ValueError, match="overflow"):
+        hits(edges, n_iter=1, scale=1 << 33).collect()
+    with _pytest.raises(ValueError, match="n_iter"):
+        hits(edges, n_iter=0)
