@@ -340,6 +340,62 @@ def read_media_files(
     )
 
 
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-export sink: deterministic shuffle + shard the corpus
+    (``operators/pipeline.py::shard_order``) and write one
+    ``shard=<k>`` partition directory per shard, plus a ``_manifest``
+    CSV (shard, n_rows) a data loader can use to plan work.
+
+    Within a shard, files preserve ``pos`` order via a per-shard
+    ``sortWithinPartitions`` after repartitioning ON the shard column —
+    each output task owns whole shards, so a shard's rows land in one
+    run of files in read order. Returns the manifest DataFrame.
+
+    Scale: the export is one hash repartition on ``shard`` + a
+    per-task sort (corpus/n_shards rows each, spillable); the manifest
+    is an n_shards-row aggregate. Readers pull one shard with
+    partition pruning — see :func:`read_shard`.
+    """
+    from dbscan_pyspark_spark.operators.pipeline import shard_order
+
+    sharded = shard_order(df, n_shards=n_shards, id_col=id_col)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    write_csv(manifest, f"{path}/_manifest", single_file=True)
+    return manifest
+
+
+def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """Data-loader read of ONE exported shard, in ``pos`` order.
+
+    The ``shard = k`` filter is a partition-directory prune — the scan
+    lists and reads only ``shard=<k>``, never the other shards' files
+    (the property that makes N loaders over N shards cost one corpus
+    pass total). The per-shard sort is tiny (corpus/n_shards rows).
+    """
+    return (
+        spark.read.parquet(path)
+        .where(F.col("shard") == shard)
+        .orderBy("pos")
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (same pushdown/pruning contract as parquet)."""
     return spark.read.orc(path)

@@ -342,3 +342,43 @@ def test_read_media_files_binary_source(spark, tmp_path):
     dec = decode_media(df.select("media_id", "modality", "content", "mime", "meta"))
     assert dec.count() == 4
     assert {r["n_bytes"] for r in dec.collect()} == {10, 11, 9, 7}
+
+
+def test_export_training_shards_roundtrip_and_pruning(spark, tmp_path):
+    """Export -> manifest -> single-shard read: shard dirs hold the
+    shard_order assignment, the manifest accounts for every row, and
+    the read_shard scan partition-prunes to ONE shard directory."""
+    from dbscan_pyspark_spark.operators.pipeline import shard_order
+    from dbscan_pyspark_spark.sources.io import export_training_shards, read_shard
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    manifest = export_training_shards(df, out, n_shards=4)
+    m = {r["shard"]: r["n_rows"] for r in manifest.collect()}
+    assert sum(m.values()) == 200 and set(m) == {0, 1, 2, 3}
+    # the written assignment IS shard_order's
+    want = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shard_order(df, n_shards=4).collect()
+    }
+    got = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    # single-shard read returns that shard in pos order
+    s2 = read_shard(spark, out, 2).collect()
+    assert [r["pos"] for r in s2] == sorted(r["pos"] for r in s2)
+    assert {(r["doc_id"], 2, r["pos"]) for r in s2} == {
+        t for t in want if t[1] == 2
+    }
+    # partition pruning: the plan's scan lists exactly one shard dir
+    plan = (
+        read_shard(spark, out, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "shard=2" in plan or "PartitionFilters: [isnotnull(shard" in plan, plan
