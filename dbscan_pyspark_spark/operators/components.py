@@ -800,7 +800,6 @@ def hits(
         )
 
     a = nodes.select("node", F.lit(int(scale)).cast("long").alias("a"))
-    h = None
     for _ in range(n_iter):
         h_raw = (
             e.join(a.select(F.col("node").alias("dst"), "a"), "dst")
@@ -816,13 +815,11 @@ def hits(
             .select(F.col("dst").alias("node"), "a")
         )
         a = _normalized(a_raw, "a").localCheckpoint(eager=True)
-    out = nodes.join(h, "node", "left").join(a, "node", "left")
-    return out.select(
+    # _normalized already returns node-complete vectors (nodes
+    # left-joined, missing scores coalesced to 0) — one equi-join
+    # zips them, no re-join against nodes needed
+    return h.join(a, "node").select(
         "node",
-        F.round(F.coalesce(F.col("h"), F.lit(0)) / F.lit(float(scale)), 6).alias(
-            "hub"
-        ),
-        F.round(F.coalesce(F.col("a"), F.lit(0)) / F.lit(float(scale)), 6).alias(
-            "authority"
-        ),
+        F.round(F.col("h") / F.lit(float(scale)), 6).alias("hub"),
+        F.round(F.col("a") / F.lit(float(scale)), 6).alias("authority"),
     )

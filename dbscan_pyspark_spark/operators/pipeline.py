@@ -884,6 +884,46 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
     return out.withColumn("passed", F.col("violations") == 0)
 
 
+def _side_tagged_counts(
+    side_a: DataFrame, side_b: DataFrame, key: str
+) -> DataFrame:
+    """Shared drift core: union two (key, _side)-tagged relations into
+    ONE key-keyed conditional-sum groupBy -> (key, n_a, n_b). The tiny
+    result is lineage-truncated because both drift ops reference it
+    twice (output + totals agg) — without truncation the plan re-scans
+    BOTH inputs twice."""
+    return (
+        side_a.unionByName(side_b)
+        .groupBy(key)
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def _rates_and_tvd(counts: DataFrame, key: str) -> DataFrame:
+    """Shared drift tail: per-key rates + total-variation terms from a
+    (key, n_a, n_b) relation; totals broadcast back, everything rounded
+    to 6 digits (division+abs only — engine-exact)."""
+    totals = counts.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    rate_a = F.col("n_a") / F.col("_ta")
+    rate_b = F.col("n_b") / F.col("_tb")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        key,
+        "n_a",
+        "n_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(F.abs(rate_a - rate_b), 6).alias("tvd_term"),
+    )
+
+
 def column_drift(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -924,35 +964,8 @@ def column_drift(
             F.lit(tag).alias("_side"),
         )
 
-    counts = (
-        side(df_a, 0)
-        .unionByName(side(df_b, 1))
-        .groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_a"),
-            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_b"),
-        )
-        # counts (n_bins rows) feeds both the output and the totals agg
-        # — without truncation the plan re-scans BOTH inputs twice
-        .localCheckpoint(eager=False)
-    )
-    totals = counts.agg(
-        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
-    )
-    rate_a = F.col("n_a") / F.col("_ta")
-    rate_b = F.col("n_b") / F.col("_tb")
-    return counts.crossJoin(F.broadcast(totals)).select(
-        "bin",
-        "n_a",
-        "n_b",
-        F.round(rate_a, 6).alias("rate_a"),
-        F.round(rate_b, 6).alias("rate_b"),
-        F.round(F.abs(rate_a - rate_b), 6).alias("tvd_term"),
-    )
+    counts = _side_tagged_counts(side(df_a, 0), side(df_b, 1), "bin")
+    return _rates_and_tvd(counts, "bin")
 
 
 def category_drift(
@@ -984,22 +997,7 @@ def category_drift(
             F.lit(tag).alias("_side"),
         )
 
-    counts = (
-        side(df_a, 0)
-        .unionByName(side(df_b, 1))
-        .groupBy("value")
-        .agg(
-            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_a"),
-            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_b"),
-        )
-        # distinct-values rows only; truncate so the totals agg doesn't
-        # re-scan both inputs (same hazard as column_drift)
-        .localCheckpoint(eager=False)
-    )
+    counts = _side_tagged_counts(side(df_a, 0), side(df_b, 1), "value")
     if top_n is not None:
         w = Window.orderBy(
             (F.col("n_a") + F.col("n_b")).desc(), F.col("value")
@@ -1015,17 +1013,7 @@ def category_drift(
             .groupBy("value")
             .agg(F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b"))
         )
-    totals = counts.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
-    rate_a = F.col("n_a") / F.col("_ta")
-    rate_b = F.col("n_b") / F.col("_tb")
-    return counts.crossJoin(F.broadcast(totals)).select(
-        "value",
-        "n_a",
-        "n_b",
-        F.round(rate_a, 6).alias("rate_a"),
-        F.round(rate_b, 6).alias("rate_b"),
-        F.round(F.abs(rate_a - rate_b), 6).alias("tvd_term"),
-    )
+    return _rates_and_tvd(counts, "value")
 
 
 def snapshot_diff(

@@ -319,16 +319,19 @@ def read_media_files(
     if recursive:
         r = r.option("recursiveFileLookup", "true")
     ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
-    modality = F.lit(None).cast("string")
-    mime = F.lit(None).cast("string")
-    for e, (mod, mm) in _EXT_MODALITY.items():
-        modality = F.when(ext == e, mod).otherwise(modality)
-        mime = F.when(ext == e, mm).otherwise(mime)
+    # literal maps instead of a 14-deep when() chain: one flat
+    # expression per column, absent extensions yield NULL
+    modality_map = F.create_map(
+        *[F.lit(x) for e, (mod, _) in _EXT_MODALITY.items() for x in (e, mod)]
+    )
+    mime_map = F.create_map(
+        *[F.lit(x) for e, (_, mm) in _EXT_MODALITY.items() for x in (e, mm)]
+    )
     return r.load(path).select(
         F.xxhash64("path").alias("media_id"),
-        F.coalesce(modality, F.lit("binary")).alias("modality"),
+        F.coalesce(modality_map[ext], F.lit("binary")).alias("modality"),
         F.col("content"),
-        mime.alias("mime"),
+        mime_map[ext].alias("mime"),
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
