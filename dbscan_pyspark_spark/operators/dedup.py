@@ -280,8 +280,15 @@ def near_dup_vs_reference(
     """
     from dbscan_pyspark_spark.streaming.dedup import signature_match
 
-    sig_new = minhash_signatures(new_docs, num_hashes, n, text_col, id_col)
-    sig_ref = minhash_signatures(ref_docs, num_hashes, n, text_col, id_col)
+    # signature_match references each signature relation twice (band
+    # build + estimate join) — truncate so the shingle+min-hash subtree
+    # computes once per side, not twice (4 text scans -> 2)
+    sig_new = minhash_signatures(
+        new_docs, num_hashes, n, text_col, id_col
+    ).localCheckpoint(eager=False)
+    sig_ref = minhash_signatures(
+        ref_docs, num_hashes, n, text_col, id_col
+    ).localCheckpoint(eager=False)
     dup = signature_match(
         sig_new, sig_ref, num_hashes, threshold, rows_per_band, id_col
     ).withColumn("_dup", F.lit(True))
