@@ -481,9 +481,13 @@ def tfidf_cosine_pairs(
             .where(F.col("_trn") <= int(top_terms_per_doc))
             .drop("_trn")
         )
+    # weights feeds norms + both inverted-index sides, and its own
+    # subtree reads the corpus twice (tf + df) — without truncation the
+    # plan scans the text 6-8x (the triangle_counts lineage hazard)
+    weights = weights.localCheckpoint(eager=False)
     norms = weights.groupBy("_id").agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w")).cast("double")).alias("_norm")
-    )
+    ).localCheckpoint(eager=False)
     a = weights.select(
         F.col("_id").alias("a_id"), "term", F.col("_w").alias("_wa")
     )
