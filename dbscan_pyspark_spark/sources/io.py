@@ -404,6 +404,50 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """XML source (built into Spark 4): one row per ``row_tag``
+    element, schema inferred unless given explicitly (give it in
+    production — inference is an extra full pass and type drift across
+    files is silent). Feeds/exports the same relational surface as
+    every other source; attribute fields surface as ``_attrname``
+    columns per the native source's convention."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = False,
+) -> DataFrame:
+    """CSV source with bad-record quarantine — the CSV twin of
+    ``read_json_robust``: PERMISSIVE parse with a ``_corrupt`` column
+    capturing each malformed line verbatim, so every input line is
+    accounted for (clean rows parse, bad rows carry evidence) instead
+    of being silently nulled or dropped. Filter ``_corrupt IS NULL``
+    for the clean relation; the corrupt residue is the ingest
+    dead-letter audit.
+
+    Per Spark semantics the explicit ``schema`` must include the
+    corrupt column; this helper appends it."""
+    full = schema.rstrip() + ", _corrupt string"
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+
+
 def write_orc(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:

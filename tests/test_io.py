@@ -382,3 +382,37 @@ def test_export_training_shards_roundtrip_and_pruning(spark, tmp_path):
         .toString()
     )
     assert "shard=2" in plan or "PartitionFilters: [isnotnull(shard" in plan, plan
+
+
+def test_read_xml_rowtag_and_schema(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import read_xml
+
+    d = tmp_path / "xmls"
+    d.mkdir()
+    (d / "a.xml").write_text(
+        "<rows><row><id>1</id><name>alpha</name></row>"
+        "<row><id>2</id><name>beta</name></row></rows>"
+    )
+    (d / "b.xml").write_text("<rows><row><id>3</id><name>gamma</name></row></rows>")
+    inferred = read_xml(spark, str(d), row_tag="row")
+    assert {(r["id"], r["name"]) for r in inferred.collect()} == {
+        (1, "alpha"), (2, "beta"), (3, "gamma"),
+    }
+    explicit = read_xml(spark, str(d), row_tag="row", schema="id long, name string")
+    assert explicit.schema.simpleString() == "struct<id:bigint,name:string>"
+    assert explicit.count() == 3
+
+
+def test_read_csv_robust_quarantines_bad_lines(spark, tmp_path):
+    from dbscan_pyspark_spark.sources.io import read_csv_robust
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "x.csv").write_text("1,alpha\nnot-an-int,beta\n3,gamma\n")
+    df = read_csv_robust(spark, str(p), "id int, name string")
+    rows = df.collect()
+    assert len(rows) == 3  # every line accounted for
+    clean = {(r["id"], r["name"]) for r in rows if r["_corrupt"] is None}
+    assert clean == {(1, "alpha"), (3, "gamma")}
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["_corrupt"] == "not-an-int,beta"
