@@ -3068,6 +3068,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_vs_reference"] = dedup_vs_reference
 
+    def lineitem_measures_unpivot(spark, sf):
+        # native unpivot (melt): wide measure columns -> long
+        # (measure, value) relation, then a per-measure profile — the
+        # wide-to-long reshape every metrics pipeline needs
+        li = load_table(spark, sf, "lineitem")
+        long = li.select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        ).unpivot(
+            ids=["l_orderkey"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        # integer-grid sum (playbook): a raw double SUM is
+        # aggregation-order-dependent; round(v*1e4) -> long sums
+        # exactly, min/max are order-free
+        iv = F.round(F.col("value") * F.lit(10_000.0), 0).cast("long")
+        return long.groupBy("measure").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(iv) / F.lit(10_000.0), 2).alias("total"),
+            F.round(F.min("value").cast("double"), 4).alias("lo"),
+            F.round(F.max("value").cast("double"), 4).alias("hi"),
+        )
+
+    q["lineitem_measures_unpivot"] = lineitem_measures_unpivot
+
     return _reorder_for_driver_window(q)
 
 
@@ -4778,6 +4804,22 @@ dup AS (SELECT DISTINCT doc_id FROM est WHERE e >= 0.5)
 SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup_of_ref
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN dup USING (doc_id)
+""",
+        "lineitem_measures_unpivot": """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+)
+SELECT measure,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(value * 10000.0, 0) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS total,
+       round(CAST(min(value) AS DOUBLE), 4) AS lo,
+       round(CAST(max(value) AS DOUBLE), 4) AS hi
+FROM long
+GROUP BY measure
 """,
         "minhash_near_dups": f"""
 WITH {_SHINGLES_CTE}, {_SIZES_CTE}, {_minhash_ctes(16, 4)},
