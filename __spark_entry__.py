@@ -3094,6 +3094,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lineitem_measures_unpivot"] = lineitem_measures_unpivot
 
+    def events_trailing_hour_load(spark, sf):
+        # RANGE-frame window (value-based, not row-based): per event,
+        # count + integer-grid sum of the same user's values in the
+        # trailing hour — epoch-seconds order key truncated identically
+        # in both engines, tie rows are frame peers either way
+        from pyspark.sql import Window
+
+        ev = load_table(spark, sf, "events")
+        # NTZ -> epoch seconds: session TZ is pinned UTC, so
+        # unix_timestamp == DuckDB floor(epoch(ts)); ANSI forbids a
+        # direct ntz->long cast
+        epoch = F.unix_timestamp("ts")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(epoch)
+            .rangeBetween(-3600, 0)
+        )
+        iv = F.round(F.col("value") * F.lit(10_000.0), 0).cast("long")
+        return ev.select(
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.round(F.sum(iv).over(w) / F.lit(10_000.0), 2).alias(
+                "trailing_load"
+            ),
+        )
+
+    q["events_trailing_hour_load"] = events_trailing_hour_load
+
     return _reorder_for_driver_window(q)
 
 
@@ -4804,6 +4832,18 @@ dup AS (SELECT DISTINCT doc_id FROM est WHERE e >= 0.5)
 SELECT d.doc_id, (dup.doc_id IS NOT NULL) AS is_dup_of_ref
 FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
 LEFT JOIN dup USING (doc_id)
+""",
+        "events_trailing_hour_load": """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       round(CAST(sum(CAST(round(value * 10000.0, 0) AS BIGINT)) OVER w AS BIGINT)
+             / 10000.0, 2) AS trailing_load
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
 """,
         "lineitem_measures_unpivot": """
 WITH long AS (
