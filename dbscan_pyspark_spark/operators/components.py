@@ -499,11 +499,12 @@ def triangle_counts(
     (reproducible across runs, engines, and cluster sizes — no RNG),
     the filter rides the canonical edge scan, and the exact pipeline
     then runs on the ~p*|E| sparsified graph: wedge volume shrinks by
-    ~p², surviving triangles by ~p³. Counts are scaled back by 1/p³
-    and returned as DOUBLE column ``est_triangles`` (unbiased for the
-    global count; per-node estimates are noisier — aggregate before
-    trusting small ones). Self-loops and duplicate/mirrored edges are
-    tolerated (canonical distinct first)."""
+    ~p², surviving triangles by ~p³. Counts are scaled back by 1/p³;
+    the column name stays ``n_triangles`` in BOTH modes (long when
+    exact, DOUBLE when sampled — the rescale is an unbiased estimate
+    of the global count; per-node estimates are noisier — aggregate
+    before trusting small ones). Self-loops and duplicate/mirrored
+    edges are tolerated (canonical distinct first)."""
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
@@ -583,10 +584,13 @@ def triangle_counts(
     )
     counts = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
     if sample_p is not None:
+        # stable schema across modes: the column stays `n_triangles`
+        # (DOUBLE when sampled — the 1/p^3 rescale is an estimate),
+        # so callers can toggle sampling without a rename
         counts = counts.select(
             "node",
             (F.col("n_triangles") / F.lit(float(sample_p) ** 3)).alias(
-                "est_triangles"
+                "n_triangles"
             ),
         )
     return counts

@@ -986,8 +986,12 @@ def category_drift(
     rationale as column_drift.
 
     Scale shape: union with a side tag -> ONE value-keyed groupBy; the
-    top-N cut is a rank over the (distinct-values)-sized count
-    relation, not the data.
+    top-N cut is the build_vocab TakeOrdered shape — orderBy().limit()
+    plans as per-partition top-N + driver merge, and the kept head
+    (<= top_n rows) broadcasts back onto the count relation to label
+    the tail '__other__'. No unpartitioned window: pointed at a
+    high-cardinality column (URL domains at corpus scale) the old
+    row_number rank single-partition-sorted the whole count relation.
     """
     def side(df: DataFrame, tag: int) -> DataFrame:
         return df.select(
@@ -999,16 +1003,27 @@ def category_drift(
 
     counts = _side_tagged_counts(side(df_a, 0), side(df_b, 1), "value")
     if top_n is not None:
-        w = Window.orderBy(
-            (F.col("n_a") + F.col("n_b")).desc(), F.col("value")
+        # the count relation feeds both the head selection and the
+        # relabel join — truncate so the union+groupBy runs once
+        counts = counts.localCheckpoint(eager=False)
+        head = (
+            counts.orderBy(
+                (F.col("n_a") + F.col("n_b")).desc(), F.col("value")
+            )
+            .limit(top_n)
+            .select(F.col("value").alias("_kept"))
         )
         counts = (
-            counts.withColumn("_rk", F.row_number().over(w))
+            counts.join(
+                F.broadcast(head),
+                F.col("value") == F.col("_kept"),
+                "left",
+            )
             .withColumn(
                 "value",
-                F.when(F.col("_rk") <= top_n, F.col("value")).otherwise(
-                    F.lit("__other__")
-                ),
+                F.when(
+                    F.col("_kept").isNotNull(), F.col("value")
+                ).otherwise(F.lit("__other__")),
             )
             .groupBy("value")
             .agg(F.sum("n_a").alias("n_a"), F.sum("n_b").alias("n_b"))

@@ -430,11 +430,20 @@ def read_csv_robust(
 ) -> DataFrame:
     """CSV source with bad-record quarantine — the CSV twin of
     ``read_json_robust``: PERMISSIVE parse with a ``_corrupt`` column
-    capturing each malformed line verbatim, so every input line is
-    accounted for (clean rows parse, bad rows carry evidence) instead
-    of being silently nulled or dropped. Filter ``_corrupt IS NULL``
-    for the clean relation; the corrupt residue is the ingest
-    dead-letter audit.
+    capturing each malformed line verbatim. Clean rows parse, type-bad
+    and over-long rows carry evidence in ``_corrupt``; filter
+    ``_corrupt IS NULL`` for the clean relation, and the corrupt
+    residue is the ingest dead-letter audit.
+
+    Short rows (fewer tokens than the schema): Spark's PERMISSIVE mode
+    null-pads the missing trailing columns AND records the raw line in
+    ``_corrupt`` on Spark 4.x (pinned by
+    ``test_read_csv_robust_short_row_caveat``; older Spark versions
+    left ``_corrupt`` NULL for short rows). Treat that pin as
+    version-specific: when required columns must be present, follow
+    this read with a null-count expectation (``pipeline.validate``
+    with a ``not_null`` rule on the trailing columns) rather than
+    relying on ``_corrupt`` alone.
 
     Per Spark semantics the explicit ``schema`` must include the
     corrupt column; this helper appends it."""

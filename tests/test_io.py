@@ -416,3 +416,27 @@ def test_read_csv_robust_quarantines_bad_lines(spark, tmp_path):
     assert clean == {(1, "alpha"), (3, "gamma")}
     bad = [r for r in rows if r["_corrupt"] is not None]
     assert len(bad) == 1 and bad[0]["_corrupt"] == "not-an-int,beta"
+
+
+def test_read_csv_robust_short_row_caveat(spark, tmp_path):
+    """Pins the version-specific short-row semantics the docstring
+    documents: on Spark 4.x a line with FEWER tokens than the schema is
+    null-padded AND flagged in _corrupt (older versions left _corrupt
+    NULL) — and the belt-and-braces remedy (a not_null validate rule on
+    trailing columns) catches it independently of _corrupt."""
+    from dbscan_pyspark_spark.operators.pipeline import validate
+    from dbscan_pyspark_spark.sources.io import read_csv_robust
+
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "x.csv").write_text("1,alpha\n2\n3,gamma\n")
+    df = read_csv_robust(spark, str(p), "id int, name string")
+    rows = df.collect()
+    short = [r for r in rows if r["name"] is None]
+    assert len(short) == 1 and short[0]["id"] == 2
+    # Spark 4.x: the short row carries its raw line as evidence
+    assert short[0]["_corrupt"] == "2"
+    # the version-independent expectation flags it too
+    report = validate(df, [("not_null", "name")]).collect()
+    (rule,) = [r for r in report if r["rule"].startswith("not_null")]
+    assert rule["violations"] == 1 and not rule["passed"]

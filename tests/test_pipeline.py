@@ -486,6 +486,25 @@ def test_category_drift_topn_fold_and_nulls(spark):
     assert "__null__" in unfolded
 
 
+def test_category_drift_topn_plan_has_no_unpartitioned_window(spark):
+    """The top-N fold is a TakeOrdered head + broadcast relabel, NOT a
+    row_number over the whole count relation: on a high-cardinality
+    column (URL domains at corpus scale) an unpartitioned WindowExec
+    would single-partition-sort every distinct value."""
+    from dbscan_pyspark_spark.operators.pipeline import category_drift
+    from dbscan_pyspark_spark.plans.inspect import _executed_plan_str
+
+    a = spark.range(100).selectExpr("cast(id % 37 as string) AS k")
+    b = spark.range(100).selectExpr("cast(id % 41 as string) AS k")
+    out = category_drift(a, b, "k", top_n=5)
+    plan = _executed_plan_str(out)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # and the fold itself is still exact: 5 head values + __other__
+    vals = {r["value"] for r in out.collect()}
+    assert "__other__" in vals and len(vals) == 6
+
+
 def test_snapshot_diff_classifies_all_change_kinds(spark):
     from dbscan_pyspark_spark.operators.pipeline import snapshot_diff
 

@@ -326,10 +326,11 @@ def test_triangle_counts_sample_p_one_matches_exact(spark):
     edges = spark.createDataFrame(
         [(a, b) for a in nodes for b in nodes if a < b], "src long, dst long"
     )
-    got = {
-        r["node"]: r["est_triangles"]
-        for r in triangle_counts(edges, sample_p=1.0).collect()
-    }
+    sampled = triangle_counts(edges, sample_p=1.0)
+    # stable schema across modes: same column names, double when sampled
+    assert sampled.columns == triangle_counts(edges).columns
+    assert dict(sampled.dtypes)["n_triangles"] == "double"
+    got = {r["node"]: r["n_triangles"] for r in sampled.collect()}
     assert got == {n: 3.0 for n in nodes}  # p=1: exact, scaled by 1
 
 
@@ -355,12 +356,12 @@ def test_triangle_counts_sampled_estimate_near_exact(spark):
     )
     exact_total = 30 * 120  # C(10,3) per clique
     est = triangle_counts(edges, sample_p=0.7)
-    est_total = est.agg(F.sum("est_triangles")).first()[0] / 3.0
+    est_total = est.agg(F.sum("n_triangles")).first()[0] / 3.0
     assert abs(est_total - exact_total) / exact_total < 0.30, est_total
     # determinism: the same sampled run hashes to the same estimate
     est2_total = (
         triangle_counts(edges, sample_p=0.7)
-        .agg(F.sum("est_triangles")).first()[0] / 3.0
+        .agg(F.sum("n_triangles")).first()[0] / 3.0
     )
     assert est_total == est2_total
 

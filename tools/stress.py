@@ -258,7 +258,7 @@ def main() -> None:
     est = triangle_counts(tri_edges, sample_p=0.5)
     # sum over zero rows is None (every triangle sampled away on a
     # shrunken config) — report 0, don't kill the whole stress run
-    est_total = (est.agg(F.sum("est_triangles")).first()[0] or 0.0) / 3.0
+    est_total = (est.agg(F.sum("n_triangles")).first()[0] or 0.0) / 3.0
     sampled_wall = round(time.time() - t0, 1)
     exact_total = expected_sum / 3
     print(
