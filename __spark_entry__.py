@@ -3125,17 +3125,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder_for_driver_window(q)
 
 
-# Names the driver already verified green (CORRECTNESS_r01 ∪ r02 ∪ r03).
+# Names the driver already verified green (CORRECTNESS_r01 ∪ … ∪ r04 —
+# cumulative driver-green covers all 165 oracled queries as of round 4).
 # The driver oracles the FIRST 50 entries of queries() each round, so we
-# rotate: round-3 red fixes and anything not yet driver-checked go
-# first; previously-green queries go last, except a regression-recheck
+# rotate: anything not yet driver-checked goes first; previously-green
+# queries go last, except (a) a changed-since-last-check tier
+# (_FLAGSHIP_FIRST) — queries whose plan or operator internals changed
+# AFTER their most recent driver check — and (b) a regression-recheck
 # tier (_REGRESSION_RECHECK) of the oldest round-1 greens that fills
-# whatever checked slots remain after the non-green front — several r1
-# greens were touched by the round-3 portability sweep since their last
-# driver check (tests/test_entry_contract.py::
+# whatever checked slots remain (tests/test_entry_contract.py::
 # test_rotation_wastes_no_checked_slot pins that nothing green displaces
 # a waiting non-green query).
 _DRIVER_CHECKED_GREEN = {
+    # round-4 greens (CORRECTNESS_r04: 50/50)
+    "events_props_extract", "priority_linestatus_counts",
+    "part_brand_mode", "lang_id_confusion", "part_k_core", "part_sssp",
+    "part_triangle_histogram", "doc_bigram_fluency", "doc_vocab",
+    "events_user_ewma", "events_pit_join", "near_dup_jaccard_prefix",
+    "doc_shard_order", "source_ngram_overlap", "source_caps",
+    "source_temperature_sample", "orders_expectations",
+    "totalprice_drift", "lang_source_drift", "events_user_state_diff",
+    "part_order_hits", "dedup_vs_reference", "lineitem_measures_unpivot",
+    "events_trailing_hour_load",
     # round-3 greens (CORRECTNESS_r03: 48/50)
     "sole_returner_suppliers", "users_click_then_error", "events_hourly",
     "events_sliding", "events_rollup_cascade", "orders_by_month",
@@ -3206,44 +3217,60 @@ _ROWS_ONLY_BACK = {
     "approx_event_stats", "kmember_clusters", "embedding_pca",
 }
 
-# The driver's round-4 checked window, in order: the two round-3
-# hash-mismatch fixes first (HUGEINT oracle typing, three casts — to
-# prove them), then the ten oracled queries that have never been in a
-# driver window (round-3 late additions at positions 51+).
+# The driver's round-5 checked window, in order: every query whose plan
+# or operator internals changed AFTER its most recent driver check
+# (changed-code-first hygiene — a green from an old round does not
+# cover code that moved since):
+#   - lang_source_drift: category_drift's top-N fold was rebuilt this
+#     round (TakeOrdered head + broadcast relabel, r4-checked before)
+#   - doc_tfidf_cosine_pairs: weight-lineage truncation landed in r4
+#     AFTER its r3 check
+#   - ivf_recall_eval: per-query base-set change landed in r4 AFTER its
+#     r3 check
+#   - the dedup family: r1-checked, but dedup internals (surrogate ids,
+#     lineage truncation) evolved across r2-r4
+# New round-5 additions auto-front behind these (not in the green set).
 _FLAGSHIP_FIRST = [
-    # round-3 reds, fixed this round (oracle-side CAST ... AS BIGINT)
-    "events_props_extract", "priority_linestatus_counts",
-    # never driver-checked (round-3 additions at positions 51+)
-    "part_brand_mode", "lang_id_confusion", "part_k_core", "part_sssp",
-    "part_triangle_histogram", "doc_bigram_fluency", "doc_vocab",
-    "events_user_ewma", "events_pit_join", "near_dup_jaccard_prefix",
+    "lang_source_drift", "doc_tfidf_cosine_pairs", "ivf_recall_eval",
+    "minhash_near_dups", "dedup_near_docs", "minhash_band_signatures",
+    "near_dup_jaccard", "simhash_docs",
 ]
 
-# Oldest driver greens re-entered for a regression re-check: the round-1
-# window, several of whose queries were touched by the round-3
-# portability sweep since their last driver check.  These fill the
-# checked slots left over AFTER every non-green oracled query (new
-# round-4 additions auto-front ahead of them), so they can never
-# displace a query that still needs its first check.
+# Oldest driver greens re-entered for a regression re-check: the
+# round-1/2 greens whose last driver check predates rounds 3-4 (the r4
+# window re-verified q1_pricing_summary … distinct_nations_per_segment;
+# this queue continues from there). These fill the checked slots left
+# over AFTER every non-green oracled query and the changed-since-check
+# tier (new round-5 additions auto-front ahead of them), so they can
+# never displace a query that still needs its first check. Entries
+# beyond the 50-query window roll into round 6.
 _REGRESSION_RECHECK = [
-    "q1_pricing_summary", "nation_revenue", "customers_with_big_orders",
-    "customers_without_orders", "eps_neighbor_counts", "eps_core_points",
-    "eps_pairs", "eps_neighbor_ids", "knn_assign", "group_centroids",
-    "group_cost", "anonymize_cells", "topk_lineitems_per_order",
-    "released_lineitems", "union_segments", "busy_customers",
-    "events_prev_gap", "orders_rank_in_month",
-    "cumulative_customer_revenue", "grouping_sets_pricing",
-    "pivot_orders_priority", "rollup_pricing", "cube_order_status",
-    "part_types_intersect", "part_types_except",
-    "distinct_nations_per_segment", "quantity_percentiles",
-    "poorest_customer", "doc_fingerprints", "doc_winnow_fingerprints",
-    "dedup_exact_docs", "dedup_keep_best_docs", "doc_splits",
-    "doc_pack_bins", "token_stats", "doc_quality", "lang_id_heuristic",
-    "doc_tfidf_top_terms", "near_dup_jaccard", "minhash_band_signatures",
-    "minhash_near_dups", "dedup_near_docs", "simhash_docs",
-    "embedding_cosine_topk", "embedding_near_dups", "events_asof_error",
-    "events_error_context", "supplier_nation_revenue",
-    "shipping_priority", "small_qty_revenue",
+    # queued in r4's list but not reached by its 50-query window
+    "quantity_percentiles", "poorest_customer", "doc_fingerprints",
+    "doc_winnow_fingerprints", "dedup_exact_docs",
+    "dedup_keep_best_docs", "doc_splits", "doc_pack_bins",
+    "token_stats", "doc_quality", "lang_id_heuristic",
+    "doc_tfidf_top_terms", "embedding_cosine_topk",
+    "embedding_near_dups", "events_asof_error", "events_error_context",
+    "supplier_nation_revenue", "shipping_priority", "small_qty_revenue",
+    # remaining r1/r2 greens never rechecked since their first green
+    "clean_corpus_splits", "customer_revenue_percentile",
+    "customer_rfm_segments", "dbscan_assign_customer", "dbscan_customer",
+    "dbscan_scc_customer", "dedup_cluster_sizes", "dedup_savings",
+    "doc_chunk_dedup", "doc_contamination", "doc_corpus_filter",
+    "doc_token_entropy", "doc_weighted_sample", "embedding_kmeans",
+    "embedding_near_dups_lsh_exact", "eps_k_distance",
+    "eps_sweep_metrics", "events_asof_next_view", "events_first_touch",
+    "events_funnel", "events_imputed_values", "events_resampled",
+    "events_rolling_active_users", "events_scd2",
+    "events_session_histogram", "events_transitions",
+    "events_user_intervals", "fk_integrity", "forecast_revenue",
+    "ivf_ann_topk_exact", "lineitem_winsorized_stats", "nation_pagerank",
+    "nation_supplier_hhi", "order_value_outliers", "part_cooccurrence",
+    "part_name_fuzzy_pairs", "pretraining_report",
+    "priority_order_check", "returned_item_customers",
+    "revenue_concentration", "shipping_delay_stats",
+    "sql_priority_share_rank", "top_revenue_supplier",
 ]
 
 
