@@ -732,3 +732,119 @@ def test_streaming_expectations_gate(spark, stream_dir, tmp_path):
     # the range break (value=4.0, ROWS[3]) is flagged in exactly one batch
     bad = got.where((F.col("rule") == "in_range:value") & ~F.col("passed")).collect()
     assert len(bad) == 1 and bad[0]["violations"] == 1
+
+
+# -------------------------------------------- watermark late-data semantics
+
+
+def _batched_dir(tmp_path, *batches):
+    """One json file per batch with strictly ordered mtimes: with
+    max_files_per_trigger=1 the file source processes them as
+    micro-batches in mtime order."""
+    import time
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = d / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        t = now - 60 * (len(batches) - i)
+        os.utime(p, (t, t))
+    return str(d)
+
+
+def _ev(event_id, ts, user_id=1, event_type="click", value=1.0):
+    return {
+        "event_id": event_id,
+        "ts": ts,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def test_streaming_tumbling_append_drops_late_event(spark, tmp_path):
+    """Watermark late-data DROP, end-to-end in append mode. Eviction
+    timing matters: the window's state is flushed at the end of the
+    first batch whose (start-of-batch) watermark exceeds the window
+    end, so the genuinely-late event must arrive in a LATER batch —
+    batch 0 fills window [10:00, 11:00) and advances the max event
+    time, batch 1 runs with watermark 11:30 (closing and emitting the
+    window), batch 2 delivers an event inside the closed window with
+    event-time far below the watermark. The late event must be
+    excluded: no second emission for the window, count unchanged. (Had
+    it NOT been dropped it would re-create state for the closed window
+    and append a second n_events=1 row at the next eviction check.)"""
+    d = _batched_dir(
+        tmp_path,
+        # window [10:00, 11:00) gets 2 events; 13:30 sets max event
+        # time, so the NEXT batch runs with watermark 11:30 > 11:00
+        [
+            _ev(1, "2024-01-01 10:00:00"),
+            _ev(2, "2024-01-01 10:20:00"),
+            _ev(3, "2024-01-01 13:30:00"),
+        ],
+        # on-time filler: the closed window flushes during this batch
+        [_ev(4, "2024-01-01 13:40:00")],
+        # genuinely late: event-time 10:15 < watermark 11:40
+        [_ev(5, "2024-01-01 10:15:00")],
+    )
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        streaming_tumbling_agg(stream, "1 hour", "2 hours")
+        .writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_late_drop").collect()
+    ten = [r for r in rows if r["window_start"].hour == 10]
+    # exactly one emission for the closed window, counting ONLY the two
+    # on-time events — the late event_id=5 left no trace
+    assert len(ten) == 1 and ten[0]["n_events"] == 2, rows
+    # and the 13:00 window never closed (watermark never passed 14:00),
+    # so append emitted nothing for it
+    assert all(r["window_start"].hour == 10 for r in rows), rows
+
+
+def test_streaming_dedup_drops_late_duplicate(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: a duplicate key arriving
+    in a LATER micro-batch — while the first arrival's timestamp is
+    still within the watermark horizon — is excluded; fresh keys pass.
+    The kept subset equals the batch exact-dedup twin on the same
+    rows."""
+    d = _batched_dir(
+        tmp_path,
+        [_ev(1, "2024-01-01 10:00:00"), _ev(2, "2024-01-01 13:30:00")],
+        # batch 2: late re-delivery of event_id=1 plus a fresh event.
+        # Watermark after batch 1 is 11:30 < 10:00 + 2h, so id=1's
+        # dedup state is contractually still alive -> must drop.
+        [
+            _ev(1, "2024-01-01 10:00:00"),
+            _ev(5, "2024-01-01 13:45:00"),
+        ],
+    )
+    from dbscan_pyspark_spark.streaming.events import streaming_exact_dedup
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        streaming_exact_dedup(stream, ["event_id"], watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_late_dup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_late_dup").collect()
+    got = sorted(r["event_id"] for r in rows)
+    assert got == [1, 2, 5], got  # id=1 exactly once: replay excluded
+    # batch twin over the union of both files keeps the same key set
+    batch = spark.read.json(d).dropDuplicates(["event_id"])
+    assert sorted(r["event_id"] for r in batch.collect()) == got
