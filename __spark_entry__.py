@@ -3122,6 +3122,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_trailing_hour_load"] = events_trailing_hour_load
 
+    def doc_lang_heavy_hitters(spark, sf):
+        # Misra-Gries heavy hitters with exact recount: candidates from
+        # the map-side-mergeable sketch, exact counts on the candidate
+        # set, kept iff count*(k+1) > n — the MG guarantee makes the
+        # output the deterministic SQL threshold set (round-5 sketch op)
+        from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+        d = load_table(spark, sf, "documents")
+        return approx_top_k(d, "lang", k=6, exact_recount=True)
+
+    q["doc_lang_heavy_hitters"] = doc_lang_heavy_hitters
+
+    def approx_event_type_topk(spark, sf):
+        # pure-sketch mode: top-k candidates with lower-bound counts;
+        # candidate membership/estimates depend on partitioning ->
+        # rows-only (bound n/(k+1), test_approx_top_k_error_bound).
+        # NOTE on a near-uniform key domain wider than k the MG
+        # decrements can legitimately empty the summary — that's the
+        # sketch telling you there are NO heavy hitters, not a bug
+        # (documents.source, 20 uniform values, does exactly this)
+        from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+        ev = load_table(spark, sf, "events")
+        return approx_top_k(ev, "event_type", k=8)
+
+    q["approx_event_type_topk"] = approx_event_type_topk
+
     return _reorder_for_driver_window(q)
 
 
@@ -3215,6 +3242,8 @@ _DRIVER_CHECKED_GREEN = {
 # (CORRECTNESS_r02: embedding_near_dups_lsh / ivf_ann_topk).
 _ROWS_ONLY_BACK = {
     "approx_event_stats", "kmember_clusters", "embedding_pca",
+    # MG sketch candidates: membership depends on partitioning
+    "approx_event_type_topk",
 }
 
 # The driver's round-5 checked window, in order: every query whose plan
@@ -4871,6 +4900,13 @@ WINDOW w AS (
   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
 )
+""",
+        "doc_lang_heavy_hitters": """
+SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS value,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM documents
+GROUP BY 1
+HAVING count(*) * 7 > (SELECT count(*) FROM documents)
 """,
         "lineitem_measures_unpivot": """
 WITH long AS (

@@ -503,6 +503,139 @@ def profile_columns(
     return row.select(F.explode(entries).alias("p")).select("p.*")
 
 
+def _mg_summarize(batches, key: str, k: int):
+    """Per-partition Misra-Gries summary over a stream of pandas
+    batches: at most ``k`` (key, lower-bound-count) counters, plus ONE
+    null-key row carrying the partition's total row count (so callers
+    get n without a second scan). Decrement rule per batch merge:
+    subtract the (k+1)-th largest counter and drop non-positives — the
+    mergeable-summaries form (Agarwal et al., PODS'12), cumulative
+    undercount <= n_partition/(k+1)."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    total = 0
+    for pdf in batches:
+        total += len(pdf)
+        for val, cnt in pdf[key].value_counts().items():
+            counters[val] = counters.get(val, 0) + int(cnt)
+        if len(counters) > k:
+            vals = sorted(counters.values(), reverse=True)
+            d = vals[k]  # the (k+1)-th largest
+            counters = {x: c - d for x, c in counters.items() if c > d}
+    yield pd.DataFrame(
+        {
+            key: list(counters.keys()) + [None],
+            "_mg_c": list(counters.values()) + [total],
+        }
+    )
+
+
+def _mg_partials(
+    df: DataFrame, key_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """The sketch stage of :func:`approx_top_k`, factored out so tests
+    can assert its plan (the downstream merge is localCheckpointed,
+    which hides this stage behind a Scan ExistingRDD): (keyed
+    projection, per-partition MG summaries of <= k+1 rows each)."""
+    keyed = df.select(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("__null__")).alias(
+            "_mg_key"
+        )
+    )
+    partials = keyed.mapInPandas(
+        lambda batches: _mg_summarize(batches, "_mg_key", k),
+        schema="_mg_key string, _mg_c long",
+    )
+    return keyed, partials
+
+
+def approx_top_k(
+    df: DataFrame,
+    key_col: str,
+    k: int = 100,
+    exact_recount: bool = False,
+) -> DataFrame:
+    """Heavy hitters via a map-side-mergeable Misra-Gries sketch — the
+    100 TB first-pass diagnostic ``key_skew_stats`` can't be: that one
+    shuffles EVERY distinct key's count; this one shuffles at most
+    ``(k+1) * num_partitions`` summary rows regardless of key
+    cardinality.
+
+    Two modes:
+
+    - ``exact_recount=False`` (the pure sketch): DataFrame(value
+      string, est_count long, n_rows long) — the top-``k`` candidates
+      by estimated count. ``est_count`` is a LOWER bound with
+      ``true - est <= n_rows/(k+1)`` (each partition's MG undercount is
+      <= n_p/(k+1); summing partials sums the bounds). Candidate
+      membership depends on partitioning — rows-only under the driver
+      contract, like every estimator.
+    - ``exact_recount=True``: a second pass counts the candidate keys
+      exactly (broadcast semi-join — only candidate rows reach the
+      groupBy) and keeps keys with ``count * (k+1) > n``. The MG
+      guarantee makes this DETERMINISTIC: any key with true count
+      > n/(k+1) has a positive merged estimate on EVERY partitioning,
+      so the output is exactly the SQL set ``HAVING count(*) * (k+1) >
+      (SELECT count(*) FROM t)`` — integer-exact, oracle-able.
+      DataFrame(value string, n_occurrences long).
+
+    Nulls count as the literal '__null__' (the category_drift
+    convention). Scale shape: one Arrow ``mapInPandas`` pass emitting
+    <= k+1 rows per partition (bounded state: the MG dict never exceeds
+    k counters — pinned by ``test_mg_summary_state_bounded``), a tiny
+    groupBy over the summaries, and (recount mode) one candidate-pruned
+    exact count.
+
+    When to use (measured, BASELINE.md round 5): on a NEAR-UNIQUE key
+    domain (map-side combine compresses nothing) the sketch beats the
+    exact groupBy 1.6× at 40M rows locally and shuffles O(k·partitions)
+    instead of O(rows) on a cluster; on a compressible domain (<= ~10^7
+    distinct keys) partial aggregation already wins — use
+    :func:`key_skew_stats` there. On a near-uniform domain wider than
+    ``k`` the sketch can legitimately return EMPTY: no key exceeds the
+    n/(k+1) mass bar, i.e. there are no heavy hitters to report."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    keyed, partials = _mg_partials(df, key_col, int(k))
+    # totals, cand (and recount's broadcast) all read the merged
+    # summary — truncate so the sketch scan runs once, not per branch
+    merged = (
+        partials.groupBy("_mg_key")
+        .agg(F.sum("_mg_c").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = merged.where(F.col("_mg_key").isNull()).select(
+        F.col("_c").alias("_n")
+    )
+    cand = merged.where(F.col("_mg_key").isNotNull())
+    if not exact_recount:
+        return (
+            cand.crossJoin(F.broadcast(totals))
+            .orderBy(F.col("_c").desc(), F.col("_mg_key"))
+            .limit(int(k))
+            .select(
+                F.col("_mg_key").alias("value"),
+                F.col("_c").alias("est_count"),
+                F.col("_n").alias("n_rows"),
+            )
+        )
+    exact = (
+        keyed.join(
+            F.broadcast(cand.select(F.col("_mg_key").alias("_ck"))),
+            F.col("_mg_key") == F.col("_ck"),
+            "left_semi",
+        )
+        .groupBy("_mg_key")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .where(F.col("n_occurrences") * (int(k) + 1) > F.col("_n"))
+        .select(F.col("_mg_key").alias("value"), "n_occurrences")
+    )
+
+
 def key_skew_stats(
     df: DataFrame, key_col: str, top_n: int = 10
 ) -> DataFrame:

@@ -72,3 +72,114 @@ def test_sketches_merge_map_side(spark, events):
     # single post-shuffle aggregate over raw rows would show one
     assert "Exchange" in plan, plan
     assert n_aggs >= 2, plan
+
+
+# ------------------------------------------- Misra-Gries heavy hitters
+
+
+def test_mg_summary_state_bounded():
+    """The per-partition MG generator never holds more than k counters
+    and its total undercount stays within n/(k+1) — pure pandas, no
+    Spark."""
+    import pandas as pd
+
+    from dbscan_pyspark_spark.operators.pipeline import _mg_summarize
+
+    k = 5
+    # 40 distinct keys, one planted heavy hitter at ~1/3 of the mass
+    rows = ["hh"] * 200 + [f"k{i}" for i in range(40)] * 10
+    batches = [
+        pd.DataFrame({"x": rows[i : i + 50]}) for i in range(0, len(rows), 50)
+    ]
+    (out,) = list(_mg_summarize(iter(batches), "x", k))
+    total_row = out[out["x"].isnull()]
+    counters = out[out["x"].notnull()]
+    n = int(total_row["_mg_c"].iloc[0])
+    assert n == len(rows)
+    assert len(counters) <= k
+    est = dict(zip(counters["x"], counters["_mg_c"]))
+    # lower bound within n/(k+1) of the truth for the heavy hitter
+    assert 0 < est["hh"] <= 200
+    assert 200 - est["hh"] <= n / (k + 1)
+
+
+def test_approx_top_k_error_bound(spark, events):
+    """Sketch mode: every estimate is a lower bound within
+    n/(k+1) of the exact count, under adversarial partitioning."""
+    from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+    df = events.select("event_type").repartition(16)
+    got = {
+        r["value"]: (r["est_count"], r["n_rows"])
+        for r in approx_top_k(df, "event_type", k=10).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    assert got, "no candidates returned"
+    for v, (est, n_rows) in got.items():
+        assert n_rows == n
+        assert 0 < est <= exact[v]
+        assert exact[v] - est <= n / 11
+
+
+def test_approx_top_k_exact_recount_is_deterministic(spark):
+    """Recount mode equals the SQL threshold set HAVING count*(k+1) > n
+    regardless of partitioning — the MG guarantee (true > n/(k+1) =>
+    candidate survives) made exact."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+    # 3 heavy keys above n/(k+1), a long tail below it, plus nulls
+    data = (
+        [("a",)] * 400 + [("b",)] * 300 + [("c",)] * 250
+        + [(f"t{i}",) for i in range(60)] * 2 + [(None,)] * 5
+    )
+    df = spark.createDataFrame(data, "x string")
+    want = {
+        (r["x"] if r["x"] is not None else "__null__", r["n"])
+        for r in df.groupBy("x")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") * 11 > len(data))
+        .collect()
+    }
+    assert len(want) >= 3
+    for parts in (1, 7, 32):
+        got = {
+            (r["value"], r["n_occurrences"])
+            for r in approx_top_k(
+                df.repartition(parts), "x", k=10, exact_recount=True
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_approx_top_k_shuffles_summaries_not_rows(spark, events):
+    """Only MG summary rows reach the merge shuffle — the raw relation
+    stays inside the Arrow mapInPandas stage, which emits at most k+1
+    rows per partition regardless of key cardinality: the property that
+    makes the first-pass diagnostic affordable at 100 TB."""
+    from dbscan_pyspark_spark.operators.pipeline import _mg_partials
+
+    k, parts = 10, 8
+    df = events.select("event_id").repartition(parts)
+    _, partials = _mg_partials(df, "event_id", k)
+    plan = partials._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # bounded summary volume: <= (k+1) rows per partition, with far
+    # more distinct user_ids than that in the raw relation
+    assert df.distinct().count() > k * parts
+    assert partials.count() <= (k + 1) * parts
+
+
+def test_approx_top_k_validates_k(spark, events):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+    with _pytest.raises(ValueError):
+        approx_top_k(events, "event_type", k=0)

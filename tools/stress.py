@@ -610,6 +610,63 @@ def main() -> None:
         ),
         flush=True,
     )
+    # --- Misra-Gries heavy hitters at 40M rows, near-unique tail ---
+    # 5 planted hot keys carry ~30% of the mass; the tail draws from a
+    # 100M-key domain (~28M distinct over these rows), so map-side
+    # combine compresses nothing and the exact diagnostic shuffles
+    # ~every row, while the sketch shuffles <= (k+1) per partition.
+    # With exact_recount=True the outputs must be IDENTICAL (the MG
+    # guarantee made deterministic). Measured on local[32]: sketch
+    # 11.9 s vs exact 19.0 s here; at a 1M-key (compressible) tail the
+    # exact JVM groupBy wins instead (8.5 s vs 12.8 s) — the sketch is
+    # the wide-domain lever, not a universal replacement (BASELINE.md
+    # late-additions).
+    from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+    n_hh = 40_000_000
+    hh_k = 20
+    kh = F.abs(F.xxhash64(F.col("id"), F.lit("hh")))
+    keys = spark.range(n_hh).select(
+        F.when(
+            kh % 10 < 3, F.concat(F.lit("hot"), (kh % 5).cast("string"))
+        )
+        .otherwise(
+            F.concat(F.lit("k"), (kh % 100_000_000).cast("string"))
+        )
+        .alias("key")
+    )
+    t0 = time.time()
+    sketch_rows = sorted(
+        (r["value"], r["n_occurrences"])
+        for r in approx_top_k(
+            keys, "key", k=hh_k, exact_recount=True
+        ).collect()
+    )
+    sketch_wall = round(time.time() - t0, 1)
+    t0 = time.time()
+    exact_counts = keys.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    exact_rows = sorted(
+        (r["key"], r["n"])
+        for r in exact_counts.where(
+            F.col("n") * (hh_k + 1) > n_hh
+        ).collect()
+    )
+    exact_wall = round(time.time() - t0, 1)
+    assert sketch_rows == exact_rows, (sketch_rows, exact_rows)
+    print(
+        json.dumps(
+            {
+                "stage": "heavy_hitters_40m",
+                "n_rows": n_hh,
+                "k": hh_k,
+                "n_heavy": len(sketch_rows),
+                "sketch_recount_wall_s": sketch_wall,
+                "exact_groupby_wall_s": exact_wall,
+                "outputs_identical": True,
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 
