@@ -132,3 +132,140 @@ def streaming_expectations(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _latest_sketch(spark, store_dir: str, before_batch: int) -> DataFrame | None:
+    """Most recent MG summary snapshot with sketch_batch < before_batch
+    (excluding the current id, so a replayed batch cannot merge against
+    its own failed attempt — the near-dup store discipline)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        store = spark.read.parquet(store_dir)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+    prior = store.where(F.col("sketch_batch") < F.lit(before_batch))
+    last = prior.agg(F.max("sketch_batch").alias("b")).first()["b"]
+    if last is None:
+        return None
+    return prior.where(F.col("sketch_batch") == F.lit(last)).select(
+        "_mg_key", "_mg_c"
+    )
+
+
+def process_heavy_hitters_batch(
+    batch: DataFrame,
+    batch_id: int,
+    key_col: str,
+    k: int,
+    store_dir: str,
+) -> None:
+    """One micro-batch of the streaming heavy-hitter monitor: merge the
+    batch's Misra-Gries summary into the running sketch and write the
+    new snapshot to ``sketch_batch=<id>`` (replay-idempotent — a
+    reprocessed batch rewrites its own snapshot from the same prior
+    state, bit-for-bit).
+
+    Merge rule (mergeable summaries, Agarwal et al., PODS'12): sum
+    counters by key across (prior snapshot ∪ batch summary); if more
+    than ``k`` keys survive, subtract the (k+1)-th largest counter and
+    drop non-positives. Cumulative undercount stays <= n_total/(k+1)
+    across ANY number of batches. Every relation here is <= k*P rows —
+    the merge never touches raw history, which is what lets the monitor
+    run forever: state is O(k), not O(stream)."""
+    if batch.isEmpty():
+        return
+    from dbscan_pyspark_spark.operators.pipeline import _mg_partials
+
+    spark = batch.sparkSession
+    _, partials = _mg_partials(batch, key_col, int(k))
+    summary = partials.groupBy("_mg_key").agg(F.sum("_mg_c").alias("_mg_c"))
+    prior = _latest_sketch(spark, store_dir, batch_id)
+    if prior is not None:
+        summary = (
+            summary.unionByName(prior)
+            .groupBy("_mg_key")
+            .agg(F.sum("_mg_c").alias("_mg_c"))
+        )
+    # tiny relation from here on (<= k*P + k + 2 rows); the decrement
+    # needs the (k+1)-th largest counter among real keys
+    summary = summary.localCheckpoint(eager=True)
+    top = (
+        summary.where(F.col("_mg_key").isNotNull())
+        .orderBy(F.col("_mg_c").desc(), F.col("_mg_key"))
+        .limit(int(k) + 1)
+    )
+    d_row = top.agg(
+        F.when(F.count(F.lit(1)) == int(k) + 1, F.min("_mg_c"))
+        .otherwise(F.lit(0))
+        .alias("_d")
+    )
+    snapshot = (
+        summary.crossJoin(F.broadcast(d_row))
+        .where(
+            F.col("_mg_key").isNull() | (F.col("_mg_c") > F.col("_d"))
+        )
+        .select(
+            "_mg_key",
+            F.when(
+                F.col("_mg_key").isNull(), F.col("_mg_c")
+            )  # the null row carries n_total: never decremented
+            .otherwise(F.col("_mg_c") - F.col("_d"))
+            .alias("_mg_c"),
+        )
+    )
+    snapshot.write.mode("overwrite").parquet(
+        f"{store_dir}/sketch_batch={batch_id}"
+    )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    key_col: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    k: int = 100,
+):
+    """Streaming deployment of the batch ``approx_top_k`` sketch: a
+    running Misra-Gries summary of the hottest keys in an unbounded
+    stream with O(k) state (which key is suddenly dominating ingestion —
+    crawler traps, bot bursts, one exploding source). Returns the
+    started StreamingQuery (availableNow trigger); read the current
+    answer with :func:`heavy_hitters_snapshot`."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_heavy_hitters_batch(
+            batch_df, int(batch_id), key_col, k, store_dir
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def heavy_hitters_snapshot(spark, store_dir: str) -> DataFrame:
+    """The latest streaming MG snapshot as DataFrame(value string,
+    est_count long, n_rows long) — same shape as batch
+    ``approx_top_k``'s sketch mode, same lower-bound contract
+    (true - est <= n_rows/(k+1))."""
+    latest = _latest_sketch(spark, store_dir, 2**62)
+    if latest is None:
+        raise ValueError(f"no heavy-hitter snapshots under {store_dir}")
+    totals = latest.where(F.col("_mg_key").isNull()).select(
+        F.col("_mg_c").alias("_n")
+    )
+    return (
+        latest.where(F.col("_mg_key").isNotNull())
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("_mg_key").alias("value"),
+            F.col("_mg_c").alias("est_count"),
+            F.col("_n").alias("n_rows"),
+        )
+    )

@@ -848,3 +848,70 @@ def test_streaming_dedup_drops_late_duplicate(spark, tmp_path):
     # batch twin over the union of both files keeps the same key set
     batch = spark.read.json(d).dropDuplicates(["event_id"])
     assert sorted(r["event_id"] for r in batch.collect()) == got
+
+
+# ------------------------------------------ streaming heavy hitters (MG)
+
+
+def test_streaming_heavy_hitters_bound_and_replay(spark, tmp_path):
+    """A running Misra-Gries sketch across micro-batches: the planted
+    hot key survives every merge with its lower bound within
+    n_total/(k+1) of the exact count, the null row accumulates the
+    exact total, and replaying a batch rewrites its snapshot
+    bit-for-bit (idempotent foreachBatch)."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.quality import (
+        heavy_hitters_snapshot,
+        process_heavy_hitters_batch,
+        streaming_heavy_hitters,
+    )
+
+    def mk(n_hot, others, t0):
+        rows = [_ev(1000 + i, t0, event_type="hot") for i in range(n_hot)]
+        rows += [
+            _ev(2000 + i, t0, event_type=t) for i, t in enumerate(others)
+        ]
+        return rows
+
+    tail = ["click", "view", "error", "signup", "purchase"]
+    b0 = mk(30, tail * 2, "2024-01-01 10:00:00")
+    b1 = mk(25, tail * 3, "2024-01-01 11:00:00")
+    b2 = mk(20, tail * 2, "2024-01-01 12:00:00")
+    d = _batched_dir(tmp_path, b0, b1, b2)
+    store = str(tmp_path / "hh_store")
+    ck = str(tmp_path / "hh_ck")
+    k = 3
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = streaming_heavy_hitters(stream, "event_type", store, ck, k=k)
+    q.awaitTermination(120)
+
+    snap = {
+        r["value"]: (r["est_count"], r["n_rows"])
+        for r in heavy_hitters_snapshot(spark, store).collect()
+    }
+    n_total = len(b0) + len(b1) + len(b2)
+    true_hot = 75
+    assert snap, "empty snapshot"
+    assert len(snap) <= k
+    est, n_seen = snap["hot"]
+    assert n_seen == n_total
+    assert 0 < est <= true_hot
+    assert true_hot - est <= n_total / (k + 1)
+
+    # replay idempotency: reprocess micro-batch 1 from the same prior
+    # state -> its snapshot partition is rewritten identically
+    batch1 = (
+        spark.read.json(d + "/b1.json")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    def canon(path):
+        return sorted(
+            ((r["_mg_key"] or "", r["_mg_c"]) for r in
+             spark.read.parquet(path).collect())
+        )
+
+    before = canon(store + "/sketch_batch=1")
+    process_heavy_hitters_batch(batch1, 1, "event_type", k, store)
+    after = canon(store + "/sketch_batch=1")
+    assert after == before
