@@ -582,10 +582,12 @@ def approx_top_k(
 
     Nulls count as the literal '__null__' (the category_drift
     convention). Scale shape: one Arrow ``mapInPandas`` pass emitting
-    <= k+1 rows per partition (bounded state: the MG dict never exceeds
-    k counters — pinned by ``test_mg_summary_state_bounded``), a tiny
-    groupBy over the summaries, and (recount mode) one candidate-pruned
-    exact count.
+    <= k+1 rows per partition (state bounded by k + the distinct keys
+    of ONE Arrow batch — the decrement runs after each batch merge, so
+    the dict transiently holds up to k + maxRecordsPerBatch entries;
+    the EMITTED summary never exceeds k counters, pinned by
+    ``test_mg_summary_state_bounded``), a tiny groupBy over the
+    summaries, and (recount mode) one candidate-pruned exact count.
 
     When to use (measured, BASELINE.md round 5): on a NEAR-UNIQUE key
     domain (map-side combine compresses nothing) the sketch beats the
@@ -1136,9 +1138,9 @@ def category_drift(
 
     counts = _side_tagged_counts(side(df_a, 0), side(df_b, 1), "value")
     if top_n is not None:
-        # the count relation feeds both the head selection and the
-        # relabel join — truncate so the union+groupBy runs once
-        counts = counts.localCheckpoint(eager=False)
+        # counts is already lineage-truncated by _side_tagged_counts,
+        # so the head selection and the relabel join share one
+        # materialization of the union+groupBy
         head = (
             counts.orderBy(
                 (F.col("n_a") + F.col("n_b")).desc(), F.col("value")

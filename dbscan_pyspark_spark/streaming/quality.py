@@ -174,12 +174,30 @@ def process_heavy_hitters_batch(
     drop non-positives. Cumulative undercount stays <= n_total/(k+1)
     across ANY number of batches. Every relation here is <= k*P rows —
     the merge never touches raw history, which is what lets the monitor
-    run forever: state is O(k), not O(stream)."""
+    run forever: state is O(k), not O(stream). Superseded snapshots
+    older than the previous one are pruned after each write (the
+    previous snapshot is retained because a checkpoint replay of THIS
+    batch must re-merge against it), so the store's directory count —
+    and the per-batch listing cost — stays O(1) too."""
     if batch.isEmpty():
         return
     from dbscan_pyspark_spark.operators.pipeline import _mg_partials
 
     spark = batch.sparkSession
+    # persist: isEmpty + the sketch pass would otherwise re-read the
+    # source (the process_drift_batch discipline)
+    batch = batch.persist()
+    try:
+        _write_heavy_hitters_snapshot(spark, batch, batch_id, key_col, k, store_dir)
+    finally:
+        batch.unpersist()
+
+
+def _write_heavy_hitters_snapshot(
+    spark, batch: DataFrame, batch_id: int, key_col: str, k: int, store_dir: str
+) -> None:
+    from dbscan_pyspark_spark.operators.pipeline import _mg_partials
+
     _, partials = _mg_partials(batch, key_col, int(k))
     summary = partials.groupBy("_mg_key").agg(F.sum("_mg_c").alias("_mg_c"))
     prior = _latest_sketch(spark, store_dir, batch_id)
@@ -219,6 +237,36 @@ def process_heavy_hitters_batch(
     snapshot.write.mode("overwrite").parquet(
         f"{store_dir}/sketch_batch={batch_id}"
     )
+    _prune_superseded_snapshots(store_dir, batch_id)
+
+
+def _prune_superseded_snapshots(store_dir: str, batch_id: int) -> None:
+    """Delete snapshot directories older than the PREVIOUS one: only
+    the latest snapshot is ever read forward, and a checkpoint replay
+    re-runs at most the last uncommitted batch (which merges against
+    the snapshot before it) — anything older is dead weight that would
+    grow the per-batch listing linearly with stream age. Local-FS
+    best-effort (the upsert_parquet caveat): on remote filesystems the
+    glob matches nothing and the store just grows, documented."""
+    import glob
+    import os
+    import shutil
+
+    by_id = {}
+    for d in glob.glob(os.path.join(store_dir, "sketch_batch=*")):
+        try:
+            by_id[int(os.path.basename(d).split("=", 1)[1])] = d
+        except ValueError:
+            continue
+    # the newest PRIOR snapshot (not batch_id - 1: empty batches write
+    # nothing, so prior ids can be sparse) must survive for replay
+    prior = [b for b in by_id if b < batch_id]
+    keep = max(prior) if prior else batch_id
+    for bid, d in by_id.items():
+        # never touch ids >= batch_id (an out-of-order replay must not
+        # destroy newer state), keep the newest prior for replay
+        if bid < keep:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def streaming_heavy_hitters(

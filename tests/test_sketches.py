@@ -171,7 +171,7 @@ def test_approx_top_k_shuffles_summaries_not_rows(spark, events):
     assert "MapInPandas" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     # bounded summary volume: <= (k+1) rows per partition, with far
-    # more distinct user_ids than that in the raw relation
+    # more distinct event_ids than that in the raw relation
     assert df.distinct().count() > k * parts
     assert partials.count() <= (k + 1) * parts
 

@@ -899,19 +899,31 @@ def test_streaming_heavy_hitters_bound_and_replay(spark, tmp_path):
     assert 0 < est <= true_hot
     assert true_hot - est <= n_total / (k + 1)
 
-    # replay idempotency: reprocess micro-batch 1 from the same prior
-    # state -> its snapshot partition is rewritten identically
-    batch1 = (
-        spark.read.json(d + "/b1.json")
+    # superseded snapshots are pruned: only the latest and its prior
+    # survive (the prior because a checkpoint replay of the LAST batch
+    # must re-merge against it) — per-batch listing cost stays O(1)
+    import os
+
+    dirs = sorted(
+        p for p in os.listdir(store) if p.startswith("sketch_batch=")
+    )
+    assert dirs == ["sketch_batch=1", "sketch_batch=2"], dirs
+
+    # replay idempotency: reprocess the LAST micro-batch (the only one
+    # a Spark checkpoint ever replays) from the same prior state -> its
+    # snapshot partition is rewritten identically
+    batch2 = (
+        spark.read.json(d + "/b2.json")
         .withColumn("ts", F.to_timestamp("ts"))
     )
+
     def canon(path):
         return sorted(
             ((r["_mg_key"] or "", r["_mg_c"]) for r in
              spark.read.parquet(path).collect())
         )
 
-    before = canon(store + "/sketch_batch=1")
-    process_heavy_hitters_batch(batch1, 1, "event_type", k, store)
-    after = canon(store + "/sketch_batch=1")
+    before = canon(store + "/sketch_batch=2")
+    process_heavy_hitters_batch(batch2, 2, "event_type", k, store)
+    after = canon(store + "/sketch_batch=2")
     assert after == before

@@ -617,7 +617,7 @@ def main() -> None:
     # ~every row, while the sketch shuffles <= (k+1) per partition.
     # With exact_recount=True the outputs must be IDENTICAL (the MG
     # guarantee made deterministic). Measured on local[32]: sketch
-    # 11.9 s vs exact 19.0 s here; at a 1M-key (compressible) tail the
+    # 11.0 s vs exact 19.8 s here; at a 1M-key (compressible) tail the
     # exact JVM groupBy wins instead (8.5 s vs 12.8 s) — the sketch is
     # the wide-domain lever, not a universal replacement (BASELINE.md
     # late-additions).
@@ -626,10 +626,11 @@ def main() -> None:
     n_hh = 40_000_000
     hh_k = 20
     kh = F.abs(F.xxhash64(F.col("id"), F.lit("hh")))
+    # independent hash for the hot-key id: kh % 10 < 3 constrains
+    # kh % 5 to {0,1,2}, which would silently plant only 3 hot keys
+    hot_id = F.abs(F.xxhash64(F.col("id"), F.lit("hotid"))) % 5
     keys = spark.range(n_hh).select(
-        F.when(
-            kh % 10 < 3, F.concat(F.lit("hot"), (kh % 5).cast("string"))
-        )
+        F.when(kh % 10 < 3, F.concat(F.lit("hot"), hot_id.cast("string")))
         .otherwise(
             F.concat(F.lit("k"), (kh % 100_000_000).cast("string"))
         )
