@@ -927,3 +927,35 @@ def test_streaming_heavy_hitters_bound_and_replay(spark, tmp_path):
     process_heavy_hitters_batch(batch2, 2, "event_type", k, store)
     after = canon(store + "/sketch_batch=2")
     assert after == before
+
+
+def test_prune_superseded_snapshots_edges(tmp_path):
+    """Pure-FS pruning contract: sparse prior ids keep the NEWEST prior
+    (not batch_id-1), ids at or above the current batch are never
+    touched (an out-of-order replay must not destroy newer state), and
+    non-snapshot directories survive."""
+    import os
+
+    from dbscan_pyspark_spark.streaming.quality import (
+        _prune_superseded_snapshots,
+    )
+
+    store = tmp_path / "store"
+    for name in [
+        "sketch_batch=0", "sketch_batch=3", "sketch_batch=5",
+        "sketch_batch=7", "_spark_metadata",
+    ]:
+        (store / name).mkdir(parents=True)
+
+    # writing batch 5: newest prior is 3 (ids are sparse) -> 0 pruned,
+    # 3 kept for replay, 7 (newer) untouched
+    _prune_superseded_snapshots(str(store), 5)
+    left = sorted(os.listdir(store))
+    assert left == [
+        "_spark_metadata", "sketch_batch=3", "sketch_batch=5",
+        "sketch_batch=7",
+    ], left
+
+    # replaying batch 3 later must not delete anything newer
+    _prune_superseded_snapshots(str(store), 3)
+    assert sorted(os.listdir(store)) == left
