@@ -3134,6 +3134,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lang_heavy_hitters"] = doc_lang_heavy_hitters
 
+    def lang_char_heavy_hitters(spark, sf):
+        # WEIGHTED heavy hitters: languages whose n_chars MASS exceeds
+        # 1/(k+1) of the corpus — the token-budget question, not the
+        # doc-count one. Same deterministic recount contract with the
+        # threshold on summed weight (round-5 weighted MG)
+        from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+        d = load_table(spark, sf, "documents")
+        return approx_top_k(
+            d, "lang", k=4, exact_recount=True, weight_col="n_chars"
+        )
+
+    q["lang_char_heavy_hitters"] = lang_char_heavy_hitters
+
     def approx_event_type_topk(spark, sf):
         # pure-sketch mode: top-k candidates with lower-bound counts;
         # candidate membership/estimates depend on partitioning ->
@@ -4907,6 +4921,13 @@ SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS value,
 FROM documents
 GROUP BY 1
 HAVING count(*) * 7 > (SELECT count(*) FROM documents)
+""",
+        "lang_char_heavy_hitters": """
+SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS value,
+       CAST(sum(n_chars) AS BIGINT) AS n_occurrences
+FROM documents
+GROUP BY 1
+HAVING sum(n_chars) * 5 > (SELECT sum(n_chars) FROM documents)
 """,
         "lineitem_measures_unpivot": """
 WITH long AS (

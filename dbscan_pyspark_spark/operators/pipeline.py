@@ -503,22 +503,29 @@ def profile_columns(
     return row.select(F.explode(entries).alias("p")).select("p.*")
 
 
-def _mg_summarize(batches, key: str, k: int):
+def _mg_summarize(batches, key: str, k: int, weight: str | None = None):
     """Per-partition Misra-Gries summary over a stream of pandas
     batches: at most ``k`` (key, lower-bound-count) counters, plus ONE
-    null-key row carrying the partition's total row count (so callers
-    get n without a second scan). Decrement rule per batch merge:
-    subtract the (k+1)-th largest counter and drop non-positives — the
-    mergeable-summaries form (Agarwal et al., PODS'12), cumulative
-    undercount <= n_partition/(k+1)."""
+    null-key row carrying the partition's total mass (so callers get n
+    without a second scan). With ``weight`` the update adds that
+    column's nonnegative integer mass instead of 1 per row (weighted
+    heavy hitters — Misra-Gries is update-weight-agnostic: the
+    guarantee bounds undercount by total_mass/(k+1) either way).
+    Decrement rule per batch merge: subtract the (k+1)-th largest
+    counter and drop non-positives — the mergeable-summaries form
+    (Agarwal et al., PODS'12)."""
     import pandas as pd
 
     counters: dict[str, int] = {}
     total = 0
     for pdf in batches:
-        total += len(pdf)
-        for val, cnt in pdf[key].value_counts().items():
+        if weight is None:
+            updates = pdf[key].value_counts()
+        else:
+            updates = pdf.groupby(key, sort=False)[weight].sum()
+        for val, cnt in updates.items():
             counters[val] = counters.get(val, 0) + int(cnt)
+            total += int(cnt)
         if len(counters) > k:
             vals = sorted(counters.values(), reverse=True)
             d = vals[k]  # the (k+1)-th largest
@@ -532,19 +539,37 @@ def _mg_summarize(batches, key: str, k: int):
 
 
 def _mg_partials(
-    df: DataFrame, key_col: str, k: int
+    df: DataFrame, key_col: str, k: int, weight_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The sketch stage of :func:`approx_top_k`, factored out so tests
     can assert its plan (the downstream merge is localCheckpointed,
     which hides this stage behind a Scan ExistingRDD): (keyed
     projection, per-partition MG summaries of <= k+1 rows each)."""
-    keyed = df.select(
+    cols = [
         F.coalesce(F.col(key_col).cast("string"), F.lit("__null__")).alias(
             "_mg_key"
         )
-    )
+    ]
+    if weight_col is not None:
+        # negative mass breaks the MG invariant (counters must only
+        # grow on update); clamp nulls to 0, reject negatives hard
+        w = F.col(weight_col).cast("long")
+        cols.append(
+            F.coalesce(
+                F.when(
+                    w < 0,
+                    F.raise_error(
+                        F.lit("approx_top_k: negative weight")
+                    ).cast("long"),
+                ).otherwise(w),
+                F.lit(0),
+            ).alias("_mg_w")
+        )
+    keyed = df.select(*cols)
     partials = keyed.mapInPandas(
-        lambda batches: _mg_summarize(batches, "_mg_key", k),
+        lambda batches: _mg_summarize(
+            batches, "_mg_key", k, "_mg_w" if weight_col is not None else None
+        ),
         schema="_mg_key string, _mg_c long",
     )
     return keyed, partials
@@ -555,6 +580,7 @@ def approx_top_k(
     key_col: str,
     k: int = 100,
     exact_recount: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Heavy hitters via a map-side-mergeable Misra-Gries sketch — the
     100 TB first-pass diagnostic ``key_skew_stats`` can't be: that one
@@ -580,6 +606,15 @@ def approx_top_k(
       (SELECT count(*) FROM t)`` — integer-exact, oracle-able.
       DataFrame(value string, n_occurrences long).
 
+    ``weight_col`` switches both modes from row counts to MASS: each
+    row contributes its nonnegative integer weight (token/byte budgets —
+    "which sources dominate the corpus by n_chars"), nulls weigh 0,
+    negatives raise. Column names stay IDENTICAL (the triangle_counts
+    lesson); ``est_count``/``n_occurrences``/``n_rows`` then measure
+    summed weight, and the recount threshold becomes ``mass*(k+1) >
+    total_mass`` — still integer-exact and oracle-able (``HAVING
+    sum(w)*(k+1) > (SELECT sum(w) FROM t)``).
+
     Nulls count as the literal '__null__' (the category_drift
     convention). Scale shape: one Arrow ``mapInPandas`` pass emitting
     <= k+1 rows per partition (state bounded by k + the distinct keys
@@ -599,7 +634,7 @@ def approx_top_k(
     n/(k+1) mass bar, i.e. there are no heavy hitters to report."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    keyed, partials = _mg_partials(df, key_col, int(k))
+    keyed, partials = _mg_partials(df, key_col, int(k), weight_col)
     # totals, cand (and recount's broadcast) all read the merged
     # summary — truncate so the sketch scan runs once, not per branch
     merged = (
@@ -622,6 +657,11 @@ def approx_top_k(
                 F.col("_n").alias("n_rows"),
             )
         )
+    mass = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum("_mg_w").cast("long")
+    )
     exact = (
         keyed.join(
             F.broadcast(cand.select(F.col("_mg_key").alias("_ck"))),
@@ -629,7 +669,7 @@ def approx_top_k(
             "left_semi",
         )
         .groupBy("_mg_key")
-        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .agg(mass.alias("n_occurrences"))
     )
     return (
         exact.crossJoin(F.broadcast(totals))

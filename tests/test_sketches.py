@@ -183,3 +183,102 @@ def test_approx_top_k_validates_k(spark, events):
 
     with _pytest.raises(ValueError):
         approx_top_k(events, "event_type", k=0)
+
+
+def test_approx_top_k_weighted_recount_matches_sql(spark):
+    """Weighted recount mode equals HAVING sum(w)*(k+1) > total_mass on
+    every partitioning; nulls weigh 0."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+    data = (
+        [("big", 100)] * 20 + [("mid", 30)] * 20
+        + [(f"t{i}", 2) for i in range(50)] * 4
+        + [("big", None)]  # null weight contributes 0 mass
+    )
+    df = spark.createDataFrame(data, "x string, w int")
+    total = sum(w for _, w in data if w is not None)
+    want = {
+        (r["x"], r["m"])
+        for r in df.groupBy("x")
+        .agg(F.sum(F.coalesce("w", F.lit(0))).alias("m"))
+        .where(F.col("m") * 5 > total)
+        .collect()
+    }
+    assert want  # 'big' (2000) and 'mid' (600) vs total 3000, k=4
+    for parts in (1, 5, 32):
+        got = {
+            (r["value"], r["n_occurrences"])
+            for r in approx_top_k(
+                df.repartition(parts), "x", k=4,
+                exact_recount=True, weight_col="w",
+            ).collect()
+        }
+        assert got == want, parts
+
+
+def test_approx_top_k_weighted_bound_and_negative_weight(spark):
+    """Weighted sketch mode: n_rows carries total MASS and the lower
+    bound is within total_mass/(k+1); a negative weight raises."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    from dbscan_pyspark_spark.operators.pipeline import approx_top_k
+
+    data = [("hh", 50)] * 10 + [(f"t{i}", 1) for i in range(30)]
+    df = spark.createDataFrame(data, "x string, w int").repartition(6)
+    total = 500 + 30
+    got = {
+        r["value"]: (r["est_count"], r["n_rows"])
+        for r in approx_top_k(df, "x", k=5, weight_col="w").collect()
+    }
+    est, mass = got["hh"]
+    assert mass == total
+    assert 0 < est <= 500 and 500 - est <= total / 6
+    bad = spark.createDataFrame([("a", -1)], "x string, w int")
+    import pytest as _pytest
+
+    with _pytest.raises((PythonException, SparkRuntimeException, Exception)):
+        approx_top_k(bad, "x", k=2, weight_col="w").collect()
+
+
+def test_mg_guarantee_property():
+    """Hypothesis: for ANY multiset and ANY batch split, every key with
+    count > n/(k+1) appears in the MG summary with a positive
+    lower-bound estimate <= its true count, and the summary never
+    exceeds k counters."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dbscan_pyspark_spark.operators.pipeline import _mg_summarize
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(0, 12), min_size=1, max_size=300),
+        st.integers(1, 8),
+        st.integers(1, 40),
+    )
+    def check(vals, k, batch_size):
+        rows = [f"v{v}" for v in vals]
+        batches = [
+            pd.DataFrame({"x": rows[i : i + batch_size]})
+            for i in range(0, len(rows), batch_size)
+        ]
+        (out,) = list(_mg_summarize(iter(batches), "x", k))
+        counters = out[out["x"].notnull()]
+        assert len(counters) <= k
+        n = int(out[out["x"].isnull()]["_mg_c"].iloc[0])
+        assert n == len(rows)
+        est = dict(zip(counters["x"], counters["_mg_c"]))
+        from collections import Counter
+
+        true = Counter(rows)
+        for key, cnt in true.items():
+            if cnt * (k + 1) > n:
+                assert key in est and 0 < est[key] <= cnt, (key, k)
+            if key in est:
+                assert est[key] <= cnt and cnt - est[key] <= n / (k + 1)
+
+    check()
