@@ -3314,6 +3314,30 @@ _REGRESSION_RECHECK = [
     "priority_order_check", "returned_item_customers",
     "revenue_concentration", "shipping_delay_stats",
     "sql_priority_share_rank", "top_revenue_supplier",
+    # round-3 greens (checked r3) follow so the rotation is
+    # self-sustaining: once the r1/r2 remainder above clears the
+    # window, these roll in oldest-first with no list rebuild needed
+    "sole_returner_suppliers", "users_click_then_error",
+    "events_hourly", "events_sliding", "events_rollup_cascade",
+    "orders_by_month", "multimodal_stats", "nation_pair_trade",
+    "promo_revenue_share", "large_order_customers",
+    "disjunctive_part_revenue", "wealthy_inactive_customers",
+    "embedding_norm_stats", "sql_segment_revenue",
+    "customer_balance_quartiles", "market_share_by_year",
+    "profit_by_nation_year", "customer_order_distribution",
+    "top_supplier_per_brand", "lineitem_profile",
+    "events_cohort_retention", "embedding_quantization",
+    "orders_custkey_skew", "quantity_histogram",
+    "customers_all_priorities", "events_funnel_times",
+    "events_conversion_delay", "doc_repetition", "doc_chunks",
+    "doc_redactions", "events_hourly_anomalies",
+    "nation_monthly_growth", "customer_group_sample",
+    "totalprice_equidepth", "top_quantity_tiers",
+    "multimodal_frame_samples", "events_stickiness", "part_bfs_hops",
+    "events_dedup_window", "doc_gopher_filters",
+    "embedding_label_cohesion", "orders_open_backlog",
+    "minhash_jaccard_error", "embedding_covariance",
+    "events_sessions", "doc_stratified_sample",
 ]
 
 

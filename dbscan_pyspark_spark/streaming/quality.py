@@ -161,6 +161,7 @@ def process_heavy_hitters_batch(
     key_col: str,
     k: int,
     store_dir: str,
+    weight_col: str | None = None,
 ) -> None:
     """One micro-batch of the streaming heavy-hitter monitor: merge the
     batch's Misra-Gries summary into the running sketch and write the
@@ -181,24 +182,30 @@ def process_heavy_hitters_batch(
     and the per-batch listing cost — stays O(1) too."""
     if batch.isEmpty():
         return
-    from dbscan_pyspark_spark.operators.pipeline import _mg_partials
-
     spark = batch.sparkSession
     # persist: isEmpty + the sketch pass would otherwise re-read the
     # source (the process_drift_batch discipline)
     batch = batch.persist()
     try:
-        _write_heavy_hitters_snapshot(spark, batch, batch_id, key_col, k, store_dir)
+        _write_heavy_hitters_snapshot(
+            spark, batch, batch_id, key_col, k, store_dir, weight_col
+        )
     finally:
         batch.unpersist()
 
 
 def _write_heavy_hitters_snapshot(
-    spark, batch: DataFrame, batch_id: int, key_col: str, k: int, store_dir: str
+    spark,
+    batch: DataFrame,
+    batch_id: int,
+    key_col: str,
+    k: int,
+    store_dir: str,
+    weight_col: str | None = None,
 ) -> None:
     from dbscan_pyspark_spark.operators.pipeline import _mg_partials
 
-    _, partials = _mg_partials(batch, key_col, int(k))
+    _, partials = _mg_partials(batch, key_col, int(k), weight_col)
     summary = partials.groupBy("_mg_key").agg(F.sum("_mg_c").alias("_mg_c"))
     prior = _latest_sketch(spark, store_dir, batch_id)
     if prior is not None:
@@ -275,6 +282,7 @@ def streaming_heavy_hitters(
     store_dir: str,
     checkpoint_dir: str,
     k: int = 100,
+    weight_col: str | None = None,
 ):
     """Streaming deployment of the batch ``approx_top_k`` sketch: a
     running Misra-Gries summary of the hottest keys in an unbounded
@@ -285,7 +293,7 @@ def streaming_heavy_hitters(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         process_heavy_hitters_batch(
-            batch_df, int(batch_id), key_col, k, store_dir
+            batch_df, int(batch_id), key_col, k, store_dir, weight_col
         )
 
     return (

@@ -959,3 +959,50 @@ def test_prune_superseded_snapshots_edges(tmp_path):
     # replaying batch 3 later must not delete anything newer
     _prune_superseded_snapshots(str(store), 3)
     assert sorted(os.listdir(store)) == left
+
+
+def test_streaming_heavy_hitters_weighted(spark, tmp_path):
+    """Weighted streaming sketch: the running snapshot measures MASS
+    (sum of the weight column) and the dominant-mass key survives with
+    the mass-bound contract."""
+    from dbscan_pyspark_spark.streaming.quality import (
+        heavy_hitters_snapshot,
+        streaming_heavy_hitters,
+    )
+
+    # 'hot' carries 50-weight rows; the tail is 1-weight rows
+    def mk(n_hot, n_tail, t0, tail_off=0):
+        rows = [
+            dict(_ev(5000 + tail_off + i, t0, event_type="hot"), value=50.0)
+            for i in range(n_hot)
+        ]
+        rows += [
+            dict(
+                _ev(6000 + tail_off + i, t0, event_type=f"t{tail_off + i}"),
+                value=1.0,
+            )
+            for i in range(n_tail)
+        ]
+        return rows
+
+    b0 = mk(4, 10, "2024-01-01 10:00:00")
+    b1 = mk(3, 10, "2024-01-01 11:00:00", tail_off=100)
+    d = _batched_dir(tmp_path, b0, b1)
+    store = str(tmp_path / "whh_store")
+    ck = str(tmp_path / "whh_ck")
+    k = 3
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    q = streaming_heavy_hitters(
+        stream, "event_type", store, ck, k=k, weight_col="value"
+    )
+    q.awaitTermination(120)
+    snap = {
+        r["value"]: (r["est_count"], r["n_rows"])
+        for r in heavy_hitters_snapshot(spark, store).collect()
+    }
+    total_mass = 7 * 50 + 20 * 1
+    true_hot = 7 * 50
+    est, mass = snap["hot"]
+    assert mass == total_mass
+    assert 0 < est <= true_hot
+    assert true_hot - est <= total_mass / (k + 1)
