@@ -524,8 +524,13 @@ def _mg_summarize(batches, key: str, k: int, weight: str | None = None):
         else:
             updates = pdf.groupby(key, sort=False)[weight].sum()
         for val, cnt in updates.items():
-            counters[val] = counters.get(val, 0) + int(cnt)
-            total += int(cnt)
+            c = int(cnt)
+            total += c
+            # zero-mass keys (all-null / all-zero weights) must not
+            # enter the summary: a 0-valued counter would surface as a
+            # bogus top-k candidate in sketch mode
+            if c > 0:
+                counters[val] = counters.get(val, 0) + c
         if len(counters) > k:
             vals = sorted(counters.values(), reverse=True)
             d = vals[k]  # the (k+1)-th largest
@@ -551,17 +556,35 @@ def _mg_partials(
         )
     ]
     if weight_col is not None:
-        # negative mass breaks the MG invariant (counters must only
-        # grow on update); clamp nulls to 0, reject negatives hard
-        w = F.col(weight_col).cast("long")
+        # negative or fractional mass breaks the MG integer-counter
+        # invariant, and a failed numeric cast silently weighing 0
+        # would hide a schema bug: clamp genuine nulls to 0, reject
+        # everything else out-of-contract hard
+        raw = F.col(weight_col)
+        # try_cast: under ANSI a plain cast would raise its own
+        # NumberFormatException mid-scan; null-on-malformed lets the
+        # contract predicate below own the error message
+        wd = raw.try_cast("double")
+        bad = (
+            (raw.isNotNull() & wd.isNull())  # non-numeric string etc.
+            | F.isnan(wd)
+            | (wd < 0)
+            | (wd != F.floor(wd))  # fractional would floor silently
+        )
         cols.append(
             F.coalesce(
                 F.when(
-                    w < 0,
+                    bad,
                     F.raise_error(
-                        F.lit("approx_top_k: negative weight")
+                        F.concat(
+                            F.lit(
+                                "approx_top_k: weight must be a "
+                                "nonnegative integer, got "
+                            ),
+                            raw.cast("string"),
+                        )
                     ).cast("long"),
-                ).otherwise(w),
+                ).otherwise(wd.cast("long")),
                 F.lit(0),
             ).alias("_mg_w")
         )

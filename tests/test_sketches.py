@@ -218,15 +218,18 @@ def test_approx_top_k_weighted_recount_matches_sql(spark):
         assert got == want, parts
 
 
-def test_approx_top_k_weighted_bound_and_negative_weight(spark):
-    """Weighted sketch mode: n_rows carries total MASS and the lower
-    bound is within total_mass/(k+1); a negative weight raises."""
-    from pyspark.sql import functions as F  # noqa: F401
+def test_approx_top_k_weighted_bound_and_bad_weights(spark):
+    """Weighted sketch mode: n_rows carries total MASS, the lower
+    bound is within total_mass/(k+1), zero-mass keys never surface as
+    candidates, and out-of-contract weights (negative, fractional,
+    non-numeric) raise instead of silently flooring/zeroing."""
+    import pytest as _pytest
     from pyspark.errors import PythonException, SparkRuntimeException
 
     from dbscan_pyspark_spark.operators.pipeline import approx_top_k
 
     data = [("hh", 50)] * 10 + [(f"t{i}", 1) for i in range(30)]
+    data += [("ghost", None), ("ghost", 0)]  # zero observed mass
     df = spark.createDataFrame(data, "x string, w int").repartition(6)
     total = 500 + 30
     got = {
@@ -236,11 +239,19 @@ def test_approx_top_k_weighted_bound_and_negative_weight(spark):
     est, mass = got["hh"]
     assert mass == total
     assert 0 < est <= 500 and 500 - est <= total / 6
-    bad = spark.createDataFrame([("a", -1)], "x string, w int")
-    import pytest as _pytest
-
-    with _pytest.raises((PythonException, SparkRuntimeException, Exception)):
-        approx_top_k(bad, "x", k=2, weight_col="w").collect()
+    assert "ghost" not in got  # zero-mass key is not a candidate
+    for bad_rows, schema in [
+        ([("a", -1)], "x string, w int"),
+        ([("a", 0.5)], "x string, w double"),
+        ([("a", "many")], "x string, w string"),
+    ]:
+        bad = spark.createDataFrame(bad_rows, schema)
+        with _pytest.raises((PythonException, SparkRuntimeException)):
+            approx_top_k(bad, "x", k=2, weight_col="w").collect()
+    # integral doubles are in-contract (50.0 weighs 50)
+    okd = spark.createDataFrame([("a", 50.0)], "x string, w double")
+    row = approx_top_k(okd, "x", k=2, weight_col="w").collect()[0]
+    assert (row["value"], row["est_count"], row["n_rows"]) == ("a", 50, 50)
 
 
 def test_mg_guarantee_property():
