@@ -135,3 +135,100 @@ def mode_per_group(
         .where(F.col("_r") == 1)
         .select(*group_cols, F.col(value_col).alias(out_col), "n")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Distributed global ``row_number`` over a TOTAL order — the
+    scale-safe replacement for ``Window.orderBy(...)``, whose
+    WindowExec single-partition-sorts the entire relation (Spark logs
+    `WindowExec: No Partition Defined`; at 10^9 per-customer rows that
+    is one task sorting everything).
+
+    Shape: range-repartition on the order key (the same distributed
+    sort a global ``orderBy`` does), rank WITHIN each physical
+    partition (the window's partition key is the partition id, so no
+    reducer ever holds more than one range), then add each partition's
+    prefix offset — offsets come from ONE bounded collect of
+    ``num_partitions`` counts, the same driver-scalar class as
+    centroid pulls. Returns ``(df_with_out_col, total_row_count)``;
+    the count is free (sum of the collected sizes) and callers need it
+    for ntile/cume_dist arithmetic.
+
+    REQUIRES a total order: the range partitioner may split EQUAL keys
+    across partition boundaries, so ``order_by`` must include a unique
+    tiebreaker (same rule the oracle queries already follow). The
+    ranked relation is eagerly localCheckpointed so the size collect
+    and the returned plan share one materialization (and partition ids
+    cannot drift between the two)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    w = Window.partitionBy("_gpid").orderBy(*cols)
+    local = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .withColumn(out_col, F.row_number().over(w).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["_gpid"], r["_n"])
+        for r in local.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid, n in sizes:
+        offsets[pid] = total
+        total += n
+    if not offsets:
+        return local.drop("_gpid"), 0
+    mapping = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    out = local.withColumn(
+        out_col,
+        F.col(out_col) + F.coalesce(mapping[F.col("_gpid")], F.lit(0)),
+    ).drop("_gpid")
+    return out, total
+
+
+def _ntile_from_rn(rn: Column, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) as a closed-form expression over a global
+    row number: the first n%k tiles hold ceil(n/k) rows, the rest
+    floor(n/k) — bit-identical to ``F.ntile(k)`` under the same total
+    order (pinned by test_global_ntile_matches_window)."""
+    q, r = divmod(int(n), int(k))
+    if q == 0:
+        return rn.cast("int")  # n < k: one row per tile, tile = rn
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rn - head - 1) / q) + 1)
+        .cast("int")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    k: int,
+    order_by: list[Column | str],
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``NTILE(k)`` over a total order — ``F.ntile`` forced
+    through :func:`global_row_number` instead of an unpartitioned
+    window. Same output, no single-partition sort."""
+    ranked, n = global_row_number(
+        df, order_by, out_col="_gnt_rn", num_partitions=num_partitions
+    )
+    return ranked.withColumn(
+        out_col, _ntile_from_rn(F.col("_gnt_rn"), n, k)
+    ).drop("_gnt_rn")

@@ -36,3 +36,84 @@ def test_anti_top_k(spark):
 def test_argmin_row(spark):
     df = spark.createDataFrame(ROWS, ["g", "id", "d"])
     assert argmin_row(df, [F.col("d"), F.col("id")]).first()["id"] == 4
+
+
+# ------------------------------------------ distributed global ranking
+
+
+def test_global_row_number_matches_window(spark):
+    """global_row_number over a total order equals the unpartitioned
+    Window row_number, for several partition counts including 1 and
+    more partitions than rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.windows import global_row_number
+
+    df = spark.range(500).select(
+        F.col("id"),
+        (F.abs(F.xxhash64("id")) % 37).alias("v"),  # heavy ties
+    )
+    want = {
+        (r["id"], r["rn"])
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy("v", "id"))
+            .cast("long")
+            .alias("rn"),
+        ).collect()
+    }
+    for parts in (1, 7, 32, 1000):
+        got_df, n = global_row_number(
+            df, ["v", "id"], out_col="rn", num_partitions=parts
+        )
+        assert n == 500
+        got = {(r["id"], r["rn"]) for r in got_df.collect()}
+        assert got == want, parts
+
+
+def test_global_row_number_empty_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.windows import global_row_number
+
+    empty = spark.range(0).select(F.col("id"))
+    out, n = global_row_number(empty, ["id"])
+    assert n == 0 and out.count() == 0
+    # the executed plan of the ranked relation must never contain an
+    # unpartitioned window: ranking happens per partition id
+    df = spark.range(100).select("id")
+    out, _ = global_row_number(df, ["id"], num_partitions=8)
+    # out is checkpointed; assert on the log-free invariant instead:
+    # every rank appears exactly once, 1..n
+    rns = sorted(r["rn"] for r in out.collect())
+    assert rns == list(range(1, 101))
+
+
+def test_global_ntile_matches_window(spark):
+    """Closed-form NTILE from the global row number is bit-identical
+    to F.ntile for awkward n/k combinations (n%k != 0, n < k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.windows import global_ntile
+
+    for n, k in [(10, 4), (100, 7), (3, 5), (13, 13), (97, 10)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.abs(F.xxhash64("id")) % 11).alias("v")
+        )
+        want = {
+            (r["id"], r["t"])
+            for r in df.select(
+                "id",
+                F.ntile(k).over(Window.orderBy("v", "id")).alias("t"),
+            ).collect()
+        }
+        got = {
+            (r["id"], r["tile"])
+            for r in global_ntile(
+                df, k, ["v", "id"], num_partitions=6
+            ).collect()
+        }
+        assert got == want, (n, k)
