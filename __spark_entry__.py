@@ -2034,13 +2034,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).alias("_freq"),
             F.sum(_dec("o_totalprice")).alias("_spend"),
         )
-        # three distributed NTILEs (one per RFM dimension) — each is a
-        # range-partitioned rank, never a single-task sort of all
-        # customers; per_cust lineage truncated so the three rank
-        # passes share one materialization of the groupBy
+        # three distributed NTILEs (one per RFM dimension), chained —
+        # each pass ranks the previous pass's (already checkpointed)
+        # output, so per_cust itself is read exactly once
         from dbscan_pyspark_spark.operators.windows import global_ntile
 
-        per_cust = per_cust.localCheckpoint(eager=False)
         tiled = global_ntile(
             per_cust, 4,
             [F.col("_last").desc(), F.col("o_custkey")], out_col="_rt",

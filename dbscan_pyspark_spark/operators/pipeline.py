@@ -561,9 +561,12 @@ def _mg_partials(
         # would hide a schema bug: clamp genuine nulls to 0, reject
         # everything else out-of-contract hard
         raw = F.col(weight_col)
-        # try_cast: under ANSI a plain cast would raise its own
-        # NumberFormatException mid-scan; null-on-malformed lets the
-        # contract predicate below own the error message
+        # the double probe only VALIDATES (try_cast: under ANSI a plain
+        # cast would raise its own NumberFormatException mid-scan;
+        # null-on-malformed lets the contract predicate own the error);
+        # the MASS itself comes from try_cast('long') so integer
+        # weights above 2^53 keep exact precision — routing them
+        # through double would silently round them
         wd = raw.try_cast("double")
         bad = (
             (raw.isNotNull() & wd.isNull())  # non-numeric string etc.
@@ -584,7 +587,7 @@ def _mg_partials(
                             raw.cast("string"),
                         )
                     ).cast("long"),
-                ).otherwise(wd.cast("long")),
+                ).otherwise(raw.try_cast("long")),
                 F.lit(0),
             ).alias("_mg_w")
         )

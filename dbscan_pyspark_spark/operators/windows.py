@@ -183,20 +183,27 @@ def global_row_number(
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     total = 0
     for pid, n in sizes:
-        offsets[pid] = total
+        offsets.append((pid, total))
         total += n
     if not offsets:
         return local.drop("_gpid"), 0
-    mapping = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # broadcast JOIN, not a literal create_map lookup: Catalyst
+    # evaluates GetMapValue on a literal map as a per-row linear scan
+    # over all entries — O(num_partitions) per row, real money at the
+    # scale this operator exists for. The hash join is O(1) per row.
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_gpid int, _goff long"
     )
-    out = local.withColumn(
-        out_col,
-        F.col(out_col) + F.coalesce(mapping[F.col("_gpid")], F.lit(0)),
-    ).drop("_gpid")
+    out = (
+        local.join(F.broadcast(off_df), "_gpid", "left")
+        .withColumn(
+            out_col, F.col(out_col) + F.coalesce(F.col("_goff"), F.lit(0))
+        )
+        .drop("_gpid", "_goff")
+    )
     return out, total
 
 
@@ -226,6 +233,8 @@ def global_ntile(
     """Distributed ``NTILE(k)`` over a total order — ``F.ntile`` forced
     through :func:`global_row_number` instead of an unpartitioned
     window. Same output, no single-partition sort."""
+    if k < 1:
+        raise ValueError(f"ntile k must be >= 1, got {k}")
     ranked, n = global_row_number(
         df, order_by, out_col="_gnt_rn", num_partitions=num_partitions
     )

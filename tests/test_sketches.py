@@ -252,6 +252,13 @@ def test_approx_top_k_weighted_bound_and_bad_weights(spark):
     okd = spark.createDataFrame([("a", 50.0)], "x string, w double")
     row = approx_top_k(okd, "x", k=2, weight_col="w").collect()[0]
     assert (row["value"], row["est_count"], row["n_rows"]) == ("a", 50, 50)
+    # long weights above 2^53 keep exact precision: the double probe
+    # only validates, the mass comes from the long cast
+    big = spark.createDataFrame([("x", 2**53 + 1)], "x string, w long")
+    row = approx_top_k(
+        big, "x", k=2, exact_recount=True, weight_col="w"
+    ).collect()[0]
+    assert row["n_occurrences"] == 2**53 + 1
 
 
 def test_mg_guarantee_property():

@@ -54,26 +54,37 @@ def test_global_row_number_matches_window(spark):
         F.col("id"),
         (F.abs(F.xxhash64("id")) % 37).alias("v"),  # heavy ties
     )
-    want = {
-        (r["id"], r["rn"])
-        for r in df.select(
-            "id",
-            F.row_number()
-            .over(Window.orderBy("v", "id"))
-            .cast("long")
-            .alias("rn"),
-        ).collect()
-    }
-    for parts in (1, 7, 32, 1000):
-        got_df, n = global_row_number(
-            df, ["v", "id"], out_col="rn", num_partitions=parts
-        )
-        assert n == 500
-        got = {(r["id"], r["rn"]) for r in got_df.collect()}
-        assert got == want, parts
+    # ascending AND descending leading keys: every production caller
+    # orders by a .desc() column, so the desc path must be pinned too
+    for order in (
+        [F.col("v"), F.col("id")],
+        [F.col("v").desc(), F.col("id")],
+    ):
+        want = {
+            (r["id"], r["rn"])
+            for r in df.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy(*order))
+                .cast("long")
+                .alias("rn"),
+            ).collect()
+        }
+        for parts in (1, 7, 32, 1000):
+            got_df, n = global_row_number(
+                df, list(order), out_col="rn", num_partitions=parts
+            )
+            assert n == 500
+            got = {(r["id"], r["rn"]) for r in got_df.collect()}
+            assert got == want, (parts, str(order))
 
 
-def test_global_row_number_empty_and_plan(spark):
+def test_global_row_number_empty_and_dense(spark):
+    """Empty input yields (empty, 0); on real input every rank appears
+    exactly once, 1..n (the ranked relation is checkpointed, so the
+    partition-id window itself is not inspectable from the final plan —
+    the per-partition window shape is what the implementation builds by
+    construction, and its WindowExec always has the _gpid key)."""
     from pyspark.sql import functions as F
 
     from dbscan_pyspark_spark.operators.windows import global_row_number
@@ -81,14 +92,20 @@ def test_global_row_number_empty_and_plan(spark):
     empty = spark.range(0).select(F.col("id"))
     out, n = global_row_number(empty, ["id"])
     assert n == 0 and out.count() == 0
-    # the executed plan of the ranked relation must never contain an
-    # unpartitioned window: ranking happens per partition id
     df = spark.range(100).select("id")
     out, _ = global_row_number(df, ["id"], num_partitions=8)
-    # out is checkpointed; assert on the log-free invariant instead:
-    # every rank appears exactly once, 1..n
     rns = sorted(r["rn"] for r in out.collect())
     assert rns == list(range(1, 101))
+
+
+def test_global_ntile_validates_k(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.windows import global_ntile
+
+    df = spark.range(5).select("id")
+    with _pytest.raises(ValueError):
+        global_ntile(df, 0, ["id"])
 
 
 def test_global_ntile_matches_window(spark):
@@ -103,17 +120,21 @@ def test_global_ntile_matches_window(spark):
         df = spark.range(n).select(
             F.col("id"), (F.abs(F.xxhash64("id")) % 11).alias("v")
         )
-        want = {
-            (r["id"], r["t"])
-            for r in df.select(
-                "id",
-                F.ntile(k).over(Window.orderBy("v", "id")).alias("t"),
-            ).collect()
-        }
-        got = {
-            (r["id"], r["tile"])
-            for r in global_ntile(
-                df, k, ["v", "id"], num_partitions=6
-            ).collect()
-        }
-        assert got == want, (n, k)
+        for order in (
+            [F.col("v"), F.col("id")],
+            [F.col("v").desc(), F.col("id")],
+        ):
+            want = {
+                (r["id"], r["t"])
+                for r in df.select(
+                    "id",
+                    F.ntile(k).over(Window.orderBy(*order)).alias("t"),
+                ).collect()
+            }
+            got = {
+                (r["id"], r["tile"])
+                for r in global_ntile(
+                    df, k, list(order), num_partitions=6
+                ).collect()
+            }
+            assert got == want, (n, k, str(order))
