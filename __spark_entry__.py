@@ -3166,6 +3166,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_char_heavy_hitters"] = lang_char_heavy_hitters
 
+    def revenue_lorenz_top100(spark, sf):
+        # Lorenz/Pareto curve head: the 100 highest-revenue customers
+        # with their cumulative share of all revenue — exact
+        # integer-cent prefix sums via the distributed global cumsum
+        # (range-partitioned running sum + broadcast offsets, never an
+        # unpartitioned running-sum window; round-5 ranking family)
+        from dbscan_pyspark_spark.operators.windows import global_cumsum
+
+        o = load_table(spark, sf, "orders")
+        cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+        per_cust = o.groupBy("o_custkey").agg(
+            F.sum(cents).alias("_cents")
+        )
+        ranked, _, total = global_cumsum(
+            per_cust,
+            [F.col("_cents").desc(), F.col("o_custkey")],
+            "_cents",
+            out_col="_cs",
+            rn_col="_rn",
+        )
+        return ranked.where(F.col("_rn") <= 100).select(
+            F.col("_rn").alias("rnk"),
+            "o_custkey",
+            F.round(F.col("_cents") / F.lit(100.0), 2).alias("revenue"),
+            F.round(
+                F.col("_cs") / F.lit(float(total)), 6
+            ).alias("cum_share"),
+        )
+
+    q["revenue_lorenz_top100"] = revenue_lorenz_top100
+
     def approx_event_type_topk(spark, sf):
         # pure-sketch mode: top-k candidates with lower-bound counts;
         # candidate membership/estimates depend on partitioning ->
@@ -4974,6 +5005,27 @@ SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS value,
 FROM documents
 GROUP BY 1
 HAVING sum(n_chars) * 5 > (SELECT sum(n_chars) FROM documents)
+""",
+        "revenue_lorenz_top100": """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT o_custkey, cents,
+         CAST(row_number() OVER w AS BIGINT) AS rnk,
+         CAST(sum(cents) OVER w AS BIGINT) AS cs
+  FROM pc
+  WINDOW w AS (ORDER BY cents DESC, o_custkey)
+),
+tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM pc)
+SELECT rnk, o_custkey,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(cs AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+         AS cum_share
+FROM r WHERE rnk <= 100
 """,
         "lineitem_measures_unpivot": """
 WITH long AS (

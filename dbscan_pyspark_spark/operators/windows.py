@@ -241,3 +241,74 @@ def global_ntile(
     return ranked.withColumn(
         out_col, _ntile_from_rn(F.col("_gnt_rn"), n, k)
     ).drop("_gnt_rn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_col: str,
+    out_col: str = "csum",
+    rn_col: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Distributed prefix sum over a TOTAL order — the Lorenz-curve /
+    cumulative-share primitive (``SUM(x) OVER (ORDER BY ...)``) without
+    the unpartitioned window's single-task sort. Same skeleton as
+    :func:`global_row_number`: range repartition, per-partition-id
+    running sum, broadcast-joined per-partition prefix offsets from one
+    bounded collect (this time of (count, sum) pairs).
+
+    ``value_col`` must be integral (long) for exactness — float prefix
+    sums are addition-order-dependent in ANY engine; quantize money to
+    cents first (the oracle-parity grid trick). Optionally also emits
+    the global row number as ``rn_col`` (same order, zero extra cost).
+    Returns ``(df, total_rows, total_sum)``.
+
+    Equivalence note: a position-based prefix sum equals SQL's default
+    RANGE frame only under a total order (no peers) — same requirement
+    the rank carries, for the same range-partitioner reason."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n_parts = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    w_order = Window.partitionBy("_gpid").orderBy(*cols)
+    w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .withColumn(out_col, F.sum(value_col).over(w_sum).cast("long"))
+    )
+    if rn_col is not None:
+        local = local.withColumn(
+            rn_col, F.row_number().over(w_order).cast("long")
+        )
+    local = local.localCheckpoint(eager=True)
+    stats = sorted(
+        (r["_gpid"], r["_n"], r["_s"])
+        for r in local.groupBy("_gpid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(value_col).cast("long").alias("_s"),
+        )
+        .collect()
+    )
+    offsets: list[tuple[int, int, int]] = []
+    total_n, total_s = 0, 0
+    for pid, n, s in stats:
+        offsets.append((pid, total_n, total_s))
+        total_n += n
+        total_s += int(s or 0)
+    if not offsets:
+        return local.drop("_gpid"), 0, 0
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_gpid int, _gnoff long, _gsoff long"
+    )
+    out = local.join(F.broadcast(off_df), "_gpid", "left").withColumn(
+        out_col, F.col(out_col) + F.coalesce(F.col("_gsoff"), F.lit(0))
+    )
+    if rn_col is not None:
+        out = out.withColumn(
+            rn_col, F.col(rn_col) + F.coalesce(F.col("_gnoff"), F.lit(0))
+        )
+    return out.drop("_gpid", "_gnoff", "_gsoff"), total_n, total_s

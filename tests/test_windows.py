@@ -138,3 +138,50 @@ def test_global_ntile_matches_window(spark):
                 ).collect()
             }
             assert got == want, (n, k, str(order))
+
+
+def test_global_cumsum_matches_window(spark):
+    """Distributed prefix sum (+ optional rank) equals the
+    unpartitioned running-sum window under a total order, ascending and
+    descending, across partition counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.windows import global_cumsum
+
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.abs(F.xxhash64("id")) % 23).alias("v"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 1000).alias("x"),
+    )
+    for order in (
+        [F.col("v"), F.col("id")],
+        [F.col("v").desc(), F.col("id")],
+    ):
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            (r["id"], r["cs"], r["rn"])
+            for r in df.select(
+                "id",
+                F.sum("x").over(w).cast("long").alias("cs"),
+                F.row_number()
+                .over(Window.orderBy(*order))
+                .cast("long")
+                .alias("rn"),
+            ).collect()
+        }
+        for parts in (1, 9, 64):
+            got_df, n, total = global_cumsum(
+                df, list(order), "x", out_col="cs", rn_col="rn",
+                num_partitions=parts,
+            )
+            assert n == 400
+            got = {(r["id"], r["cs"], r["rn"]) for r in got_df.collect()}
+            assert got == want, (parts, str(order))
+            # the final cumulative value is the total
+            assert total == max(cs for _, cs, _ in got)
+    # empty input
+    out, n, total = global_cumsum(df.where(F.lit(False)), ["id"], "x")
+    assert n == 0 and total == 0 and out.count() == 0
