@@ -164,47 +164,18 @@ def global_row_number(
     tiebreaker (same rule the oracle queries already follow). The
     ranked relation is eagerly localCheckpointed so the size collect
     and the returned plan share one materialization (and partition ids
-    cannot drift between the two)."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    n_parts = int(
-        num_partitions
-        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    cannot drift between the two).
+
+    Implemented as the prefix sum of a constant 1 — ONE skeleton for
+    the whole ranking family lives in :func:`global_cumsum`."""
+    out, n, _ = global_cumsum(
+        df.withColumn("_gone", F.lit(1).cast("long")),
+        order_by,
+        "_gone",
+        out_col=out_col,
+        num_partitions=num_partitions,
     )
-    w = Window.partitionBy("_gpid").orderBy(*cols)
-    local = (
-        df.repartitionByRange(n_parts, *cols)
-        .withColumn("_gpid", F.spark_partition_id())
-        .withColumn(out_col, F.row_number().over(w).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    sizes = sorted(
-        (r["_gpid"], r["_n"])
-        for r in local.groupBy("_gpid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
-    offsets: list[tuple[int, int]] = []
-    total = 0
-    for pid, n in sizes:
-        offsets.append((pid, total))
-        total += n
-    if not offsets:
-        return local.drop("_gpid"), 0
-    # broadcast JOIN, not a literal create_map lookup: Catalyst
-    # evaluates GetMapValue on a literal map as a per-row linear scan
-    # over all entries — O(num_partitions) per row, real money at the
-    # scale this operator exists for. The hash join is O(1) per row.
-    off_df = df.sparkSession.createDataFrame(
-        offsets, "_gpid int, _goff long"
-    )
-    out = (
-        local.join(F.broadcast(off_df), "_gpid", "left")
-        .withColumn(
-            out_col, F.col(out_col) + F.coalesce(F.col("_goff"), F.lit(0))
-        )
-        .drop("_gpid", "_goff")
-    )
-    return out, total
+    return out.drop("_gone"), n
 
 
 def _ntile_from_rn(rn: Column, n: int, k: int) -> Column:
@@ -258,11 +229,15 @@ def global_cumsum(
     running sum, broadcast-joined per-partition prefix offsets from one
     bounded collect (this time of (count, sum) pairs).
 
-    ``value_col`` must be integral (long) for exactness — float prefix
-    sums are addition-order-dependent in ANY engine; quantize money to
-    cents first (the oracle-parity grid trick). Optionally also emits
-    the global row number as ``rn_col`` (same order, zero extra cost).
-    Returns ``(df, total_rows, total_sum)``.
+    ``value_col`` must be integral (long) and NON-NULL for exactness —
+    float prefix sums are addition-order-dependent in ANY engine
+    (quantize money to cents first, the oracle-parity grid trick), and
+    a NULL value cannot reproduce the window's null-propagation
+    semantics from per-partition pieces, so it raises (coalesce to 0
+    upstream if that is the intent). Optionally also emits the global
+    row number as ``rn_col`` (same order, zero extra cost). Returns
+    ``(df, total_rows, total_sum)``. ``out_col == value_col`` is safe:
+    the running sum is computed from an internal copy of the value.
 
     Equivalence note: a position-based prefix sum equals SQL's default
     RANGE frame only under a total order (no peers) — same requirement
@@ -272,12 +247,22 @@ def global_cumsum(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    # internal value copy: (a) the null contract raise, (b) makes
+    # out_col == value_col collisions safe — the stats agg reads the
+    # copy, never the (possibly overwritten) caller column
+    gval = F.when(
+        F.col(value_col).isNull(),
+        F.raise_error(
+            F.lit(f"global_cumsum: {value_col} must be non-null")
+        ).cast("long"),
+    ).otherwise(F.col(value_col).cast("long"))
     w_order = Window.partitionBy("_gpid").orderBy(*cols)
     w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = (
-        df.repartitionByRange(n_parts, *cols)
+        df.withColumn("_gval", gval)
+        .repartitionByRange(n_parts, *cols)
         .withColumn("_gpid", F.spark_partition_id())
-        .withColumn(out_col, F.sum(value_col).over(w_sum).cast("long"))
+        .withColumn(out_col, F.sum("_gval").over(w_sum).cast("long"))
     )
     if rn_col is not None:
         local = local.withColumn(
@@ -289,7 +274,7 @@ def global_cumsum(
         for r in local.groupBy("_gpid")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.sum(value_col).cast("long").alias("_s"),
+            F.sum("_gval").cast("long").alias("_s"),
         )
         .collect()
     )
@@ -300,7 +285,11 @@ def global_cumsum(
         total_n += n
         total_s += int(s or 0)
     if not offsets:
-        return local.drop("_gpid"), 0, 0
+        return local.drop("_gpid", "_gval"), 0, 0
+    # broadcast JOIN, not a literal create_map lookup: Catalyst
+    # evaluates GetMapValue on a literal map as a per-row linear scan
+    # over all entries — O(num_partitions) per row, real money at the
+    # scale this operator exists for. The hash join is O(1) per row.
     off_df = df.sparkSession.createDataFrame(
         offsets, "_gpid int, _gnoff long, _gsoff long"
     )
@@ -311,4 +300,4 @@ def global_cumsum(
         out = out.withColumn(
             rn_col, F.col(rn_col) + F.coalesce(F.col("_gnoff"), F.lit(0))
         )
-    return out.drop("_gpid", "_gnoff", "_gsoff"), total_n, total_s
+    return out.drop("_gpid", "_gnoff", "_gsoff", "_gval"), total_n, total_s

@@ -185,3 +185,27 @@ def test_global_cumsum_matches_window(spark):
     # empty input
     out, n, total = global_cumsum(df.where(F.lit(False)), ["id"], "x")
     assert n == 0 and total == 0 and out.count() == 0
+
+
+def test_global_cumsum_null_and_collision_contracts(spark):
+    """NULL values raise (per-partition pieces cannot reproduce the
+    window's null propagation); out_col == value_col is safe because
+    the running sum reads an internal copy of the value."""
+    import pytest as _pytest
+    from pyspark.errors import PythonException, SparkRuntimeException
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.windows import global_cumsum
+
+    bad = spark.createDataFrame([(1, 10), (2, None)], "id long, x int")
+    with _pytest.raises((PythonException, SparkRuntimeException)):
+        global_cumsum(bad, ["id"], "x", num_partitions=2)
+
+    df = spark.range(6).select("id", (F.col("id") + 1).alias("x"))
+    out, n, total = global_cumsum(
+        df, ["id"], "x", out_col="x", num_partitions=3
+    )
+    assert (n, total) == (6, 21)
+    got = sorted((r["id"], r["x"]) for r in out.collect())
+    # x overwritten by its own exact prefix sums: 1,3,6,10,15,21
+    assert got == [(0, 1), (1, 3), (2, 6), (3, 10), (4, 15), (5, 21)]
