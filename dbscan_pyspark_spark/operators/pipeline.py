@@ -568,11 +568,16 @@ def _mg_partials(
         # weights above 2^53 keep exact precision — routing them
         # through double would silently round them
         wd = raw.try_cast("double")
+        wl = raw.try_cast("long")
         bad = (
             (raw.isNotNull() & wd.isNull())  # non-numeric string etc.
             | F.isnan(wd)
             | (wd < 0)
             | (wd != F.floor(wd))  # fractional would floor silently
+            # beyond long range the mass cast nulls out — without this
+            # predicate the coalesce below would silently weigh the
+            # row 0 instead of raising like every other contract break
+            | (wd.isNotNull() & wl.isNull())
         )
         cols.append(
             F.coalesce(
@@ -587,7 +592,7 @@ def _mg_partials(
                             raw.cast("string"),
                         )
                     ).cast("long"),
-                ).otherwise(raw.try_cast("long")),
+                ).otherwise(wl),
                 F.lit(0),
             ).alias("_mg_w")
         )

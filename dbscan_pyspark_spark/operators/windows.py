@@ -137,6 +137,19 @@ def mode_per_group(
     )
 
 
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating platforms
+    where the conf is not a plain integer (Databricks AQE
+    auto-optimized shuffle sets it to ``'auto'``) — fall back to the
+    cluster's default parallelism rather than breaking every
+    global-rank query whose caller relied on the default."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[Column | str],
@@ -243,9 +256,8 @@ def global_cumsum(
     RANGE frame only under a total order (no peers) — same requirement
     the rank carries, for the same range-partitioner reason."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    n_parts = int(
-        num_partitions
-        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n_parts = int(num_partitions) if num_partitions else _shuffle_partitions(
+        df.sparkSession
     )
     # internal value copy: (a) the null contract raise, (b) makes
     # out_col == value_col collisions safe — the stats agg reads the

@@ -140,10 +140,29 @@ def _latest_sketch(spark, store_dir: str, before_batch: int) -> DataFrame | None
     its own failed attempt — the near-dup store discipline)."""
     from pyspark.errors import AnalysisException
 
+    # probe the store path BEFORE reading: cold start (no snapshot dir
+    # yet) is an expected state, not an exception to string-match — a
+    # Spark version changing the PATH_NOT_FOUND message must not turn
+    # every first micro-batch into a hard failure. Hadoop FS, not
+    # os.path: store_dir is any Hadoop-FS URI at scale.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
     try:
         store = spark.read.parquet(store_dir)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+        # fallback for races (dir created empty between probe and
+        # read): match the error CLASS first, message text last
+        get_class = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", lambda: None
+        )
+        err_class = get_class() or ""
+        if (
+            "PATH_NOT_FOUND" in err_class
+            or "PATH_NOT_FOUND" in str(exc)
+            or "Path does not exist" in str(exc)
+        ):
             return None
         raise
     prior = store.where(F.col("sketch_batch") < F.lit(before_batch))

@@ -244,6 +244,10 @@ def test_approx_top_k_weighted_bound_and_bad_weights(spark):
         ([("a", -1)], "x string, w int"),
         ([("a", 0.5)], "x string, w double"),
         ([("a", "many")], "x string, w string"),
+        # over long range: try_cast('long') nulls on overflow — must
+        # raise, not silently assign the key 0 mass (r5 advice)
+        ([("a", float(2**64))], "x string, w double"),
+        ([("a", str(2**70))], "x string, w string"),
     ]:
         bad = spark.createDataFrame(bad_rows, schema)
         with _pytest.raises((PythonException, SparkRuntimeException)):

@@ -929,6 +929,33 @@ def test_streaming_heavy_hitters_bound_and_replay(spark, tmp_path):
     assert after == before
 
 
+def test_latest_sketch_cold_start_probes_path(spark, tmp_path):
+    """Cold start (no snapshot store yet) returns None via an explicit
+    Hadoop-FS existence probe — NOT by substring-matching an
+    AnalysisException message, which a Spark version bump could reword
+    into a hard failure on every first micro-batch (r5 advice)."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.streaming.quality import _latest_sketch
+
+    missing = str(tmp_path / "never_written_store")
+    assert _latest_sketch(spark, missing, before_batch=5) is None
+
+    # a store whose only snapshot is the current batch id is also a
+    # cold start for THAT batch (replay must not merge against its own
+    # failed attempt)
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [("a", 3)], "_mg_key string, _mg_c long"
+    ).withColumn("sketch_batch", F.lit(5)).write.partitionBy(
+        "sketch_batch"
+    ).parquet(store)
+    assert _latest_sketch(spark, store, before_batch=5) is None
+    prior = _latest_sketch(spark, store, before_batch=6)
+    assert prior is not None
+    assert [(r["_mg_key"], r["_mg_c"]) for r in prior.collect()] == [("a", 3)]
+
+
 def test_prune_superseded_snapshots_edges(tmp_path):
     """Pure-FS pruning contract: sparse prior ids keep the NEWEST prior
     (not batch_id-1), ids at or above the current batch are never

@@ -209,3 +209,34 @@ def test_global_cumsum_null_and_collision_contracts(spark):
     got = sorted((r["id"], r["x"]) for r in out.collect())
     # x overwritten by its own exact prefix sums: 1,3,6,10,15,21
     assert got == [(0, 1), (1, 3), (2, 6), (3, 10), (4, 15), (5, 21)]
+
+
+def test_shuffle_partitions_tolerates_non_integer_conf(spark):
+    """Platforms that set spark.sql.shuffle.partitions to 'auto'
+    (Databricks AQE auto-optimized shuffle) must not break the
+    global-rank default — fall back to defaultParallelism (r5
+    advice)."""
+    from dbscan_pyspark_spark.operators.windows import _shuffle_partitions
+
+    class _FakeConf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key):
+            assert key == "spark.sql.shuffle.partitions"
+            return self._v
+
+    class _FakeSpark:
+        def __init__(self, value, parallelism):
+            self.conf = _FakeConf(value)
+            self.sparkContext = type(
+                "SC", (), {"defaultParallelism": parallelism}
+            )()
+
+    assert _shuffle_partitions(_FakeSpark("17", 4)) == 17
+    assert _shuffle_partitions(_FakeSpark("auto", 4)) == 4
+    assert _shuffle_partitions(_FakeSpark(None, 8)) == 8
+    # the real session still resolves through the same helper
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
