@@ -3215,87 +3215,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder_for_driver_window(q)
 
 
-# Names the driver already verified green (CORRECTNESS_r01 ∪ … ∪ r04 —
-# cumulative driver-green covers all 165 oracled queries as of round 4).
-# The driver oracles the FIRST 50 entries of queries() each round, so we
-# rotate: anything not yet driver-checked goes first; previously-green
-# queries go last, except (a) a changed-since-last-check tier
+# Names the driver already verified green (CORRECTNESS_r01 ∪ … ∪ r05 —
+# cumulative driver-green covers all 168 oracled queries as of round 5,
+# so this is simply every oracled name; new round-6 queries are NOT
+# added here until their first driver green, which auto-fronts them).
+# The driver oracles the FIRST 50 entries of queries() each round, so
+# we rotate: anything not yet driver-checked goes first; previously-
+# green queries go last, except (a) a changed-since-last-check tier
 # (_FLAGSHIP_FIRST) — queries whose plan or operator internals changed
 # AFTER their most recent driver check — and (b) a regression-recheck
-# tier (_REGRESSION_RECHECK) of the oldest round-1 greens that fills
+# tier (_REGRESSION_RECHECK), oldest-last-check-first, that fills
 # whatever checked slots remain (tests/test_entry_contract.py::
-# test_rotation_wastes_no_checked_slot pins that nothing green displaces
-# a waiting non-green query).
+# test_rotation_wastes_no_checked_slot pins that nothing green
+# displaces a waiting non-green query).
 _DRIVER_CHECKED_GREEN = {
-    # round-4 greens (CORRECTNESS_r04: 50/50)
-    "events_props_extract", "priority_linestatus_counts",
-    "part_brand_mode", "lang_id_confusion", "part_k_core", "part_sssp",
-    "part_triangle_histogram", "doc_bigram_fluency", "doc_vocab",
-    "events_user_ewma", "events_pit_join", "near_dup_jaccard_prefix",
-    "doc_shard_order", "source_ngram_overlap", "source_caps",
-    "source_temperature_sample", "orders_expectations",
-    "totalprice_drift", "lang_source_drift", "events_user_state_diff",
-    "part_order_hits", "dedup_vs_reference", "lineitem_measures_unpivot",
-    "events_trailing_hour_load",
-    # round-3 greens (CORRECTNESS_r03: 48/50)
-    "sole_returner_suppliers", "users_click_then_error", "events_hourly",
-    "events_sliding", "events_rollup_cascade", "orders_by_month",
-    "multimodal_stats", "nation_pair_trade", "promo_revenue_share",
-    "large_order_customers", "disjunctive_part_revenue",
-    "wealthy_inactive_customers", "embedding_norm_stats",
-    "sql_segment_revenue", "customer_balance_quartiles",
-    "market_share_by_year", "profit_by_nation_year",
-    "customer_order_distribution", "top_supplier_per_brand",
-    "lineitem_profile", "events_cohort_retention",
-    "embedding_quantization", "doc_tfidf_cosine_pairs",
-    "orders_custkey_skew", "quantity_histogram",
-    "customers_all_priorities", "events_funnel_times",
-    "events_conversion_delay", "doc_repetition", "doc_chunks",
-    "doc_redactions", "events_hourly_anomalies", "nation_monthly_growth",
-    "customer_group_sample", "totalprice_equidepth",
-    "top_quantity_tiers", "multimodal_frame_samples",
-    "events_stickiness", "part_bfs_hops", "ivf_recall_eval",
-    "events_dedup_window", "doc_gopher_filters",
-    "embedding_label_cohesion", "orders_open_backlog",
-    "minhash_jaccard_error", "embedding_covariance", "events_sessions",
-    "doc_stratified_sample",
-    # rounds 1-2
     "anonymize_cells", "busy_customers", "clean_corpus_splits",
     "cube_order_status", "cumulative_customer_revenue",
-    "customer_revenue_percentile", "customer_rfm_segments",
+    "customer_balance_quartiles", "customer_group_sample",
+    "customer_order_distribution", "customer_revenue_percentile",
+    "customer_rfm_segments", "customers_all_priorities",
     "customers_with_big_orders", "customers_without_orders",
     "dbscan_assign_customer", "dbscan_customer", "dbscan_scc_customer",
     "dedup_cluster_sizes", "dedup_exact_docs", "dedup_keep_best_docs",
-    "dedup_near_docs", "dedup_savings", "distinct_nations_per_segment",
-    "doc_chunk_dedup", "doc_contamination", "doc_corpus_filter",
-    "doc_fingerprints", "doc_pack_bins", "doc_quality", "doc_splits",
-    "doc_tfidf_top_terms", "doc_token_entropy", "doc_weighted_sample",
+    "dedup_near_docs", "dedup_savings", "dedup_vs_reference",
+    "disjunctive_part_revenue", "distinct_nations_per_segment",
+    "doc_bigram_fluency", "doc_chunk_dedup", "doc_chunks",
+    "doc_contamination", "doc_corpus_filter", "doc_fingerprints",
+    "doc_gopher_filters", "doc_lang_heavy_hitters", "doc_pack_bins",
+    "doc_quality", "doc_redactions", "doc_repetition",
+    "doc_shard_order", "doc_splits", "doc_stratified_sample",
+    "doc_tfidf_cosine_pairs", "doc_tfidf_top_terms",
+    "doc_token_entropy", "doc_vocab", "doc_weighted_sample",
     "doc_winnow_fingerprints", "embedding_cosine_topk",
-    "embedding_kmeans", "embedding_near_dups",
-    "embedding_near_dups_lsh_exact", "eps_core_points",
-    "eps_k_distance", "eps_neighbor_counts", "eps_neighbor_ids",
-    "eps_pairs", "eps_sweep_metrics", "events_asof_error",
-    "events_asof_next_view", "events_error_context",
-    "events_first_touch", "events_funnel", "events_imputed_values",
-    "events_prev_gap", "events_resampled",
-    "events_rolling_active_users", "events_scd2",
-    "events_session_histogram", "events_transitions",
-    "events_user_intervals", "fk_integrity", "forecast_revenue",
+    "embedding_covariance", "embedding_kmeans",
+    "embedding_label_cohesion", "embedding_near_dups",
+    "embedding_near_dups_lsh_exact", "embedding_norm_stats",
+    "embedding_quantization", "eps_core_points", "eps_k_distance",
+    "eps_neighbor_counts", "eps_neighbor_ids", "eps_pairs",
+    "eps_sweep_metrics", "events_asof_error", "events_asof_next_view",
+    "events_cohort_retention", "events_conversion_delay",
+    "events_dedup_window", "events_error_context",
+    "events_first_touch", "events_funnel", "events_funnel_times",
+    "events_hourly", "events_hourly_anomalies",
+    "events_imputed_values", "events_pit_join", "events_prev_gap",
+    "events_props_extract", "events_resampled",
+    "events_rolling_active_users", "events_rollup_cascade",
+    "events_scd2", "events_session_histogram", "events_sessions",
+    "events_sliding", "events_stickiness", "events_trailing_hour_load",
+    "events_transitions", "events_user_ewma", "events_user_intervals",
+    "events_user_state_diff", "fk_integrity", "forecast_revenue",
     "group_centroids", "group_cost", "grouping_sets_pricing",
-    "ivf_ann_topk_exact", "knn_assign", "lang_id_heuristic",
-    "lineitem_winsorized_stats", "minhash_band_signatures",
-    "minhash_near_dups", "nation_pagerank", "nation_revenue",
-    "nation_supplier_hhi", "near_dup_jaccard", "order_value_outliers",
-    "orders_rank_in_month", "part_cooccurrence",
-    "part_name_fuzzy_pairs", "part_types_except",
-    "part_types_intersect", "pivot_orders_priority", "poorest_customer",
-    "pretraining_report", "priority_order_check", "q1_pricing_summary",
-    "quantity_percentiles", "released_lineitems",
-    "returned_item_customers", "revenue_concentration",
-    "rollup_pricing", "shipping_delay_stats", "shipping_priority",
-    "simhash_docs", "small_qty_revenue", "sql_priority_share_rank",
-    "supplier_nation_revenue", "token_stats", "top_revenue_supplier",
-    "topk_lineitems_per_order", "union_segments",
+    "ivf_ann_topk_exact", "ivf_recall_eval", "knn_assign",
+    "lang_char_heavy_hitters", "lang_id_confusion",
+    "lang_id_heuristic", "lang_source_drift", "large_order_customers",
+    "lineitem_measures_unpivot", "lineitem_profile",
+    "lineitem_winsorized_stats", "market_share_by_year",
+    "minhash_band_signatures", "minhash_jaccard_error",
+    "minhash_near_dups", "multimodal_frame_samples",
+    "multimodal_stats", "nation_monthly_growth", "nation_pagerank",
+    "nation_pair_trade", "nation_revenue", "nation_supplier_hhi",
+    "near_dup_jaccard", "near_dup_jaccard_prefix",
+    "order_value_outliers", "orders_by_month", "orders_custkey_skew",
+    "orders_expectations", "orders_open_backlog",
+    "orders_rank_in_month", "part_bfs_hops", "part_brand_mode",
+    "part_cooccurrence", "part_k_core", "part_name_fuzzy_pairs",
+    "part_order_hits", "part_sssp", "part_triangle_histogram",
+    "part_types_except", "part_types_intersect",
+    "pivot_orders_priority", "poorest_customer", "pretraining_report",
+    "priority_linestatus_counts", "priority_order_check",
+    "profit_by_nation_year", "promo_revenue_share",
+    "q1_pricing_summary", "quantity_histogram", "quantity_percentiles",
+    "released_lineitems", "returned_item_customers",
+    "revenue_concentration", "revenue_lorenz_top100", "rollup_pricing",
+    "shipping_delay_stats", "shipping_priority", "simhash_docs",
+    "small_qty_revenue", "sole_returner_suppliers", "source_caps",
+    "source_ngram_overlap", "source_temperature_sample",
+    "sql_priority_share_rank", "sql_segment_revenue",
+    "supplier_nation_revenue", "token_stats", "top_quantity_tiers",
+    "top_revenue_supplier", "top_supplier_per_brand",
+    "topk_lineitems_per_order", "totalprice_drift",
+    "totalprice_equidepth", "union_segments", "users_click_then_error",
+    "wealthy_inactive_customers",
 }
 
 # Rows-only queries (no exact oracle possible: randomized k-member,
@@ -3309,88 +3309,97 @@ _ROWS_ONLY_BACK = {
     "approx_event_type_topk",
 }
 
-# The driver's round-5 checked window, in order: every query whose plan
-# or operator internals changed AFTER its most recent driver check
-# (changed-code-first hygiene — a green from an old round does not
-# cover code that moved since):
-#   - lang_source_drift: category_drift's top-N fold was rebuilt this
-#     round (TakeOrdered head + broadcast relabel, r4-checked before)
-#   - doc_tfidf_cosine_pairs: weight-lineage truncation landed in r4
-#     AFTER its r3 check
-#   - ivf_recall_eval: per-query base-set change landed in r4 AFTER its
-#     r3 check
-#   - the dedup family: r1-checked, but dedup internals (surrogate ids,
-#     lineage truncation) evolved across r2-r4
-# New round-5 additions auto-front behind these (not in the green set).
+# The driver's round-6 checked window, in order: every query whose
+# operator internals changed AFTER its most recent (round-5) driver
+# check — the round-6 review hardening touched approx_top_k's weighted
+# contract (lang_char_heavy_hitters, doc_lang_heavy_hitters) and the
+# global_cumsum/_row_number/_ntile partition default
+# (revenue_lorenz_top100 and the global-rank family). New round-6
+# additions auto-front behind these (not in the green set).
 _FLAGSHIP_FIRST = [
-    "lang_source_drift", "doc_tfidf_cosine_pairs", "ivf_recall_eval",
-    "minhash_near_dups", "dedup_near_docs", "minhash_band_signatures",
-    "near_dup_jaccard", "simhash_docs",
-    # round-5 global-rank rewrites (distributed ntile/cume_dist/top-N
-    # replacing unpartitioned windows) — changed after their last check
-    "revenue_concentration", "customer_rfm_segments",
-    "customer_revenue_percentile", "part_cooccurrence",
+    "lang_char_heavy_hitters", "doc_lang_heavy_hitters",
+    "revenue_lorenz_top100", "revenue_concentration",
+    "customer_rfm_segments", "customer_revenue_percentile",
 ]
 
-# Oldest driver greens re-entered for a regression re-check: the
-# round-1/2 greens whose last driver check predates rounds 3-4 (the r4
-# window re-verified q1_pricing_summary … distinct_nations_per_segment;
-# this queue continues from there). These fill the checked slots left
-# over AFTER every non-green oracled query and the changed-since-check
-# tier (new round-5 additions auto-front ahead of them), so they can
-# never displace a query that still needs its first check. Entries
-# beyond the 50-query window roll into round 6.
+# Oldest driver greens re-entered for a regression re-check, strictly
+# oldest-last-check-first: the 23 oracled queries last checked in
+# round 2, then the 46 last checked in round 3 (round 7 inherits the
+# overflow), then rounds 4 and 5 so the rotation is self-sustaining
+# with no list rebuild needed. These fill the checked slots left over
+# AFTER every non-green query and the changed-since-check tier, so
+# they can never displace a query that still needs its first check.
 _REGRESSION_RECHECK = [
-    # queued in r4's list but not reached by its 50-query window
-    "quantity_percentiles", "poorest_customer", "doc_fingerprints",
-    "doc_winnow_fingerprints", "dedup_exact_docs",
-    "dedup_keep_best_docs", "doc_splits", "doc_pack_bins",
-    "token_stats", "doc_quality", "lang_id_heuristic",
-    "doc_tfidf_top_terms", "embedding_cosine_topk",
-    "embedding_near_dups", "events_asof_error", "events_error_context",
-    "supplier_nation_revenue", "shipping_priority", "small_qty_revenue",
-    # remaining r1/r2 greens never rechecked since their first green
-    "clean_corpus_splits", "customer_revenue_percentile",
-    "customer_rfm_segments", "dbscan_assign_customer", "dbscan_customer",
-    "dbscan_scc_customer", "dedup_cluster_sizes", "dedup_savings",
-    "doc_chunk_dedup", "doc_contamination", "doc_corpus_filter",
-    "doc_token_entropy", "doc_weighted_sample", "embedding_kmeans",
-    "embedding_near_dups_lsh_exact", "eps_k_distance",
-    "eps_sweep_metrics", "events_asof_next_view", "events_first_touch",
-    "events_funnel", "events_imputed_values", "events_resampled",
-    "events_rolling_active_users", "events_scd2",
+    # last checked round 2
+    "events_first_touch", "events_funnel", "events_imputed_values",
+    "events_resampled", "events_rolling_active_users", "events_scd2",
     "events_session_histogram", "events_transitions",
     "events_user_intervals", "fk_integrity", "forecast_revenue",
-    "ivf_ann_topk_exact", "lineitem_winsorized_stats", "nation_pagerank",
-    "nation_supplier_hhi", "order_value_outliers", "part_cooccurrence",
+    "ivf_ann_topk_exact", "lineitem_winsorized_stats",
+    "nation_pagerank", "nation_supplier_hhi", "order_value_outliers",
     "part_name_fuzzy_pairs", "pretraining_report",
     "priority_order_check", "returned_item_customers",
-    "revenue_concentration", "shipping_delay_stats",
-    "sql_priority_share_rank", "top_revenue_supplier",
-    # round-3 greens (checked r3) follow so the rotation is
-    # self-sustaining: once the r1/r2 remainder above clears the
-    # window, these roll in oldest-first with no list rebuild needed
-    "sole_returner_suppliers", "users_click_then_error",
-    "events_hourly", "events_sliding", "events_rollup_cascade",
-    "orders_by_month", "multimodal_stats", "nation_pair_trade",
-    "promo_revenue_share", "large_order_customers",
-    "disjunctive_part_revenue", "wealthy_inactive_customers",
-    "embedding_norm_stats", "sql_segment_revenue",
-    "customer_balance_quartiles", "market_share_by_year",
-    "profit_by_nation_year", "customer_order_distribution",
-    "top_supplier_per_brand", "lineitem_profile",
-    "events_cohort_retention", "embedding_quantization",
-    "orders_custkey_skew", "quantity_histogram",
-    "customers_all_priorities", "events_funnel_times",
-    "events_conversion_delay", "doc_repetition", "doc_chunks",
-    "doc_redactions", "events_hourly_anomalies",
-    "nation_monthly_growth", "customer_group_sample",
-    "totalprice_equidepth", "top_quantity_tiers",
-    "multimodal_frame_samples", "events_stickiness", "part_bfs_hops",
-    "events_dedup_window", "doc_gopher_filters",
-    "embedding_label_cohesion", "orders_open_backlog",
-    "minhash_jaccard_error", "embedding_covariance",
-    "events_sessions", "doc_stratified_sample",
+    "shipping_delay_stats", "sql_priority_share_rank",
+    "top_revenue_supplier",
+    # last checked round 3
+    "customer_balance_quartiles", "customer_group_sample",
+    "customer_order_distribution", "customers_all_priorities",
+    "disjunctive_part_revenue", "doc_chunks", "doc_gopher_filters",
+    "doc_redactions", "doc_repetition", "doc_stratified_sample",
+    "embedding_covariance", "embedding_label_cohesion",
+    "embedding_norm_stats", "embedding_quantization",
+    "events_cohort_retention", "events_conversion_delay",
+    "events_dedup_window", "events_funnel_times", "events_hourly",
+    "events_hourly_anomalies", "events_rollup_cascade",
+    "events_sessions", "events_sliding", "events_stickiness",
+    "large_order_customers", "lineitem_profile",
+    "market_share_by_year", "minhash_jaccard_error",
+    "multimodal_frame_samples", "multimodal_stats",
+    "nation_monthly_growth", "nation_pair_trade", "orders_by_month",
+    "orders_custkey_skew", "orders_open_backlog", "part_bfs_hops",
+    "profit_by_nation_year", "promo_revenue_share",
+    "quantity_histogram", "sole_returner_suppliers",
+    "sql_segment_revenue", "top_quantity_tiers",
+    "top_supplier_per_brand", "totalprice_equidepth",
+    "users_click_then_error", "wealthy_inactive_customers",
+    # last checked round 4
+    "anonymize_cells", "busy_customers", "cube_order_status",
+    "cumulative_customer_revenue", "customers_with_big_orders",
+    "customers_without_orders", "dedup_vs_reference",
+    "distinct_nations_per_segment", "doc_bigram_fluency",
+    "doc_shard_order", "doc_vocab", "eps_core_points",
+    "eps_neighbor_counts", "eps_neighbor_ids", "eps_pairs",
+    "events_pit_join", "events_prev_gap", "events_props_extract",
+    "events_trailing_hour_load", "events_user_ewma",
+    "events_user_state_diff", "group_centroids", "group_cost",
+    "grouping_sets_pricing", "knn_assign", "lang_id_confusion",
+    "lineitem_measures_unpivot", "nation_revenue",
+    "near_dup_jaccard_prefix", "orders_expectations",
+    "orders_rank_in_month", "part_brand_mode", "part_k_core",
+    "part_order_hits", "part_sssp", "part_triangle_histogram",
+    "part_types_except", "part_types_intersect",
+    "pivot_orders_priority", "priority_linestatus_counts",
+    "q1_pricing_summary", "released_lineitems", "rollup_pricing",
+    "source_caps", "source_ngram_overlap", "source_temperature_sample",
+    "topk_lineitems_per_order", "totalprice_drift", "union_segments",
+    # last checked round 5
+    "clean_corpus_splits", "dbscan_assign_customer", "dbscan_customer",
+    "dbscan_scc_customer", "dedup_cluster_sizes", "dedup_exact_docs",
+    "dedup_keep_best_docs", "dedup_near_docs", "dedup_savings",
+    "doc_chunk_dedup", "doc_contamination", "doc_corpus_filter",
+    "doc_fingerprints", "doc_pack_bins", "doc_quality", "doc_splits",
+    "doc_tfidf_cosine_pairs", "doc_tfidf_top_terms",
+    "doc_token_entropy", "doc_weighted_sample",
+    "doc_winnow_fingerprints", "embedding_cosine_topk",
+    "embedding_kmeans", "embedding_near_dups",
+    "embedding_near_dups_lsh_exact", "eps_k_distance",
+    "eps_sweep_metrics", "events_asof_error", "events_asof_next_view",
+    "events_error_context", "ivf_recall_eval", "lang_id_heuristic",
+    "lang_source_drift", "minhash_band_signatures",
+    "minhash_near_dups", "near_dup_jaccard", "part_cooccurrence",
+    "poorest_customer", "quantity_percentiles", "shipping_priority",
+    "simhash_docs", "small_qty_revenue", "supplier_nation_revenue",
+    "token_stats",
 ]
 
 
