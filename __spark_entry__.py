@@ -3014,6 +3014,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["totalprice_drift"] = totalprice_drift
 
+    def totalprice_ks_drift(spark, sf):
+        # CDF-shaped drift twin of totalprice_drift: exact two-sample
+        # Kolmogorov-Smirnov distance on integer cents, urgent-priority
+        # orders vs the rest — integer numerator max|sa*nb - sb*na| over
+        # the merged value grid via ONE distributed prefix-sum pass
+        # (global_cumsums), never an unpartitioned window
+        from dbscan_pyspark_spark.operators.pipeline import ks_drift
+
+        o = load_table(spark, sf, "orders").withColumn(
+            "_cents", F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+        )
+        urgent = o.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        rest = o.where(
+            ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        return ks_drift(urgent, rest, "_cents")
+
+    q["totalprice_ks_drift"] = totalprice_ks_drift
+
     def lang_source_drift(spark, sf):
         # categorical mix shift between source cohorts (top-3 langs +
         # __other__): one value-keyed groupBy, TVD terms engine-exact
@@ -5438,6 +5459,37 @@ SELECT bin, n_a, n_b,
        round(abs(CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
                - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS tvd_term
 FROM c, t
+""",
+        "totalprice_ks_drift": """
+WITH tagged AS (
+  SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END AS side
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+c AS (
+  SELECT v,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY v
+),
+cum AS (
+  SELECT CAST(sum(ca) OVER w AS BIGINT) AS sa,
+         CAST(sum(cb) OVER w AS BIGINT) AS sb
+  FROM c WINDOW w AS (ORDER BY v)
+),
+t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM c)
+SELECT CAST(max(abs(sa * (SELECT nb FROM t) - sb * (SELECT na FROM t)))
+            AS BIGINT) AS ks_num,
+       (SELECT na FROM t) AS n_a,
+       (SELECT nb FROM t) AS n_b,
+       round(CAST(max(abs(sa * (SELECT nb FROM t) - sb * (SELECT na FROM t)))
+                  AS DOUBLE)
+             / (CAST((SELECT na FROM t) AS DOUBLE)
+                * CAST((SELECT nb FROM t) AS DOUBLE)), 6) AS ks_stat
+FROM cum
 """,
         "lang_source_drift": """
 WITH tagged AS (

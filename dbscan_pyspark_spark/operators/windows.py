@@ -227,6 +227,127 @@ def global_ntile(
     ).drop("_gnt_rn")
 
 
+def global_cumsums(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_cols: list[str],
+    out_cols: list[str] | None = None,
+    rn_col: str | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int, list[int]]:
+    """Distributed prefix sums over a TOTAL order — the Lorenz-curve /
+    cumulative-share / CDF primitive (``SUM(x) OVER (ORDER BY ...)``,
+    one per value column, all sharing ONE sort) without the
+    unpartitioned window's single-task sort. Same skeleton as
+    :func:`global_row_number`: range repartition, per-partition-id
+    running sums, broadcast-joined per-partition prefix offsets from
+    one bounded collect (this time of (count, sum...) tuples).
+
+    Every value column must be integral (long) and NON-NULL for
+    exactness — float prefix sums are addition-order-dependent in ANY
+    engine (quantize money to cents first, the oracle-parity grid
+    trick), and a NULL value cannot reproduce the window's
+    null-propagation semantics from per-partition pieces, so it raises
+    (coalesce to 0 upstream if that is the intent). Optionally also
+    emits the global row number as ``rn_col`` (same order, zero extra
+    cost). Returns ``(df, total_rows, [total_sum per value col])``.
+    ``out_cols[i] == value_cols[i]`` is safe: the running sums are
+    computed from internal copies of the values.
+
+    Multiple columns cost ONE extra running-sum expression each inside
+    the same window — the two-sample KS statistic (:func:`ks_drift`)
+    needs both sides' CDFs on the same value grid, which two separate
+    cumsum calls would pay a second range shuffle for.
+
+    Equivalence note: a position-based prefix sum equals SQL's default
+    RANGE frame only under a total order (no peers) — same requirement
+    the rank carries, for the same range-partitioner reason."""
+    if not value_cols:
+        raise ValueError("global_cumsums: value_cols must be non-empty")
+    out_cols = out_cols or [f"csum_{c}" for c in value_cols]
+    if len(out_cols) != len(value_cols):
+        raise ValueError("global_cumsums: out_cols/value_cols mismatch")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n_parts = int(num_partitions) if num_partitions else _shuffle_partitions(
+        df.sparkSession
+    )
+    # internal value copies: (a) the null contract raise, (b) make
+    # out_col == value_col collisions safe — the stats agg reads the
+    # copies, never the (possibly overwritten) caller columns
+    k = len(value_cols)
+    gvals = [
+        F.when(
+            F.col(vc).isNull(),
+            F.raise_error(
+                F.lit(f"global_cumsum: {vc} must be non-null")
+            ).cast("long"),
+        )
+        .otherwise(F.col(vc).cast("long"))
+        .alias(f"_gval{i}")
+        for i, vc in enumerate(value_cols)
+    ]
+    w_order = Window.partitionBy("_gpid").orderBy(*cols)
+    w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        df.select("*", *gvals)
+        .repartitionByRange(n_parts, *cols)
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+    for i, oc in enumerate(out_cols):
+        local = local.withColumn(
+            oc, F.sum(f"_gval{i}").over(w_sum).cast("long")
+        )
+    if rn_col is not None:
+        local = local.withColumn(
+            rn_col, F.row_number().over(w_order).cast("long")
+        )
+    local = local.localCheckpoint(eager=True)
+    stats = sorted(
+        tuple(r[c] for c in ["_gpid", "_n", *(f"_s{i}" for i in range(k))])
+        for r in local.groupBy("_gpid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *(
+                F.sum(f"_gval{i}").cast("long").alias(f"_s{i}")
+                for i in range(k)
+            ),
+        )
+        .collect()
+    )
+    offsets: list[tuple] = []
+    total_n = 0
+    total_s = [0] * k
+    for pid, n, *sums in stats:
+        offsets.append((pid, total_n, *total_s))
+        total_n += n
+        for i, s in enumerate(sums):
+            total_s[i] += int(s or 0)
+    gval_names = [f"_gval{i}" for i in range(k)]
+    if not offsets:
+        return local.drop("_gpid", *gval_names), 0, [0] * k
+    # broadcast JOIN, not a literal create_map lookup: Catalyst
+    # evaluates GetMapValue on a literal map as a per-row linear scan
+    # over all entries — O(num_partitions) per row, real money at the
+    # scale this operator exists for. The hash join is O(1) per row.
+    off_schema = "_gpid int, _gnoff long, " + ", ".join(
+        f"_gsoff{i} long" for i in range(k)
+    )
+    off_df = df.sparkSession.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), "_gpid", "left")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, F.col(oc) + F.coalesce(F.col(f"_gsoff{i}"), F.lit(0))
+        )
+    if rn_col is not None:
+        out = out.withColumn(
+            rn_col, F.col(rn_col) + F.coalesce(F.col("_gnoff"), F.lit(0))
+        )
+    out = out.drop(
+        "_gpid", "_gnoff", *(f"_gsoff{i}" for i in range(k)), *gval_names
+    )
+    return out, total_n, total_s
+
+
 def global_cumsum(
     df: DataFrame,
     order_by: list[Column | str],
@@ -235,81 +356,15 @@ def global_cumsum(
     rn_col: str | None = None,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """Distributed prefix sum over a TOTAL order — the Lorenz-curve /
-    cumulative-share primitive (``SUM(x) OVER (ORDER BY ...)``) without
-    the unpartitioned window's single-task sort. Same skeleton as
-    :func:`global_row_number`: range repartition, per-partition-id
-    running sum, broadcast-joined per-partition prefix offsets from one
-    bounded collect (this time of (count, sum) pairs).
-
-    ``value_col`` must be integral (long) and NON-NULL for exactness —
-    float prefix sums are addition-order-dependent in ANY engine
-    (quantize money to cents first, the oracle-parity grid trick), and
-    a NULL value cannot reproduce the window's null-propagation
-    semantics from per-partition pieces, so it raises (coalesce to 0
-    upstream if that is the intent). Optionally also emits the global
-    row number as ``rn_col`` (same order, zero extra cost). Returns
-    ``(df, total_rows, total_sum)``. ``out_col == value_col`` is safe:
-    the running sum is computed from an internal copy of the value.
-
-    Equivalence note: a position-based prefix sum equals SQL's default
-    RANGE frame only under a total order (no peers) — same requirement
-    the rank carries, for the same range-partitioner reason."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    n_parts = int(num_partitions) if num_partitions else _shuffle_partitions(
-        df.sparkSession
+    """Single-column :func:`global_cumsums` — see there for the
+    contract (integral non-null values, total order, returns
+    ``(df, total_rows, total_sum)``)."""
+    out, total_n, totals = global_cumsums(
+        df,
+        order_by,
+        [value_col],
+        out_cols=[out_col],
+        rn_col=rn_col,
+        num_partitions=num_partitions,
     )
-    # internal value copy: (a) the null contract raise, (b) makes
-    # out_col == value_col collisions safe — the stats agg reads the
-    # copy, never the (possibly overwritten) caller column
-    gval = F.when(
-        F.col(value_col).isNull(),
-        F.raise_error(
-            F.lit(f"global_cumsum: {value_col} must be non-null")
-        ).cast("long"),
-    ).otherwise(F.col(value_col).cast("long"))
-    w_order = Window.partitionBy("_gpid").orderBy(*cols)
-    w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local = (
-        df.withColumn("_gval", gval)
-        .repartitionByRange(n_parts, *cols)
-        .withColumn("_gpid", F.spark_partition_id())
-        .withColumn(out_col, F.sum("_gval").over(w_sum).cast("long"))
-    )
-    if rn_col is not None:
-        local = local.withColumn(
-            rn_col, F.row_number().over(w_order).cast("long")
-        )
-    local = local.localCheckpoint(eager=True)
-    stats = sorted(
-        (r["_gpid"], r["_n"], r["_s"])
-        for r in local.groupBy("_gpid")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum("_gval").cast("long").alias("_s"),
-        )
-        .collect()
-    )
-    offsets: list[tuple[int, int, int]] = []
-    total_n, total_s = 0, 0
-    for pid, n, s in stats:
-        offsets.append((pid, total_n, total_s))
-        total_n += n
-        total_s += int(s or 0)
-    if not offsets:
-        return local.drop("_gpid", "_gval"), 0, 0
-    # broadcast JOIN, not a literal create_map lookup: Catalyst
-    # evaluates GetMapValue on a literal map as a per-row linear scan
-    # over all entries — O(num_partitions) per row, real money at the
-    # scale this operator exists for. The hash join is O(1) per row.
-    off_df = df.sparkSession.createDataFrame(
-        offsets, "_gpid int, _gnoff long, _gsoff long"
-    )
-    out = local.join(F.broadcast(off_df), "_gpid", "left").withColumn(
-        out_col, F.col(out_col) + F.coalesce(F.col("_gsoff"), F.lit(0))
-    )
-    if rn_col is not None:
-        out = out.withColumn(
-            rn_col, F.col(rn_col) + F.coalesce(F.col("_gnoff"), F.lit(0))
-        )
-    return out.drop("_gpid", "_gnoff", "_gsoff", "_gval"), total_n, total_s
+    return out, total_n, totals[0]

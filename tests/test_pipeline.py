@@ -463,6 +463,46 @@ def test_shard_order_validates_n_shards(spark):
         shard_order(df, n_shards=0)
 
 
+def test_ks_drift_exact_statistic_and_contracts(spark):
+    """ks_num/(n_a*n_b) equals the brute-force two-sample KS distance,
+    nulls are excluded from both samples, and an empty side raises (D
+    is undefined)."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import ks_drift
+
+    a_vals = [1, 1, 2, 5, 9, 9, 12]
+    b_vals = [2, 3, 3, 7, 9, 15]
+    a = spark.createDataFrame(
+        [(v,) for v in a_vals] + [(None,)], "x int"
+    ).repartition(4)
+    b = spark.createDataFrame(
+        [(v,) for v in b_vals] + [(None,)], "x int"
+    ).repartition(3)
+    row = ks_drift(a, b, "x", num_partitions=3).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (len(a_vals), len(b_vals))
+    # brute force: D = max over merged grid of |F_a(x) - F_b(x)|
+    grid = sorted(set(a_vals + b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    expect = max(
+        abs(
+            sum(v <= x for v in a_vals) * nb
+            - sum(v <= x for v in b_vals) * na
+        )
+        for x in grid
+    )
+    assert row["ks_num"] == expect
+    assert row["ks_stat"] == round(expect / (na * nb), 6)
+
+    # identical samples -> D = 0
+    same = ks_drift(a, a, "x").collect()[0]
+    assert same["ks_num"] == 0 and same["ks_stat"] == 0.0
+
+    empty = spark.createDataFrame([], "x int")
+    with _pytest.raises(ValueError, match="both sides need rows"):
+        ks_drift(a, empty, "x")
+
+
 def test_category_drift_topn_fold_and_nulls(spark):
     from dbscan_pyspark_spark.operators.pipeline import category_drift
 
