@@ -1802,6 +1802,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_chunk_dedup"] = doc_chunk_dedup
 
+    def doc_boilerplate_strip(spark, sf):
+        # CCNet-style boilerplate removal: drop 3-token segments
+        # occurring in > 3 distinct docs, reassemble survivors in
+        # order; clean_text hashed (md5) to keep the compare row slim
+        from dbscan_pyspark_spark.operators.dedup import (
+            strip_frequent_segments,
+        )
+
+        out = strip_frequent_segments(
+            load_table(spark, sf, "documents"), max_doc_freq=3,
+            seg_tokens=3,
+        )
+        return out.select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_segments",
+            "n_dropped",
+        )
+
+    q["doc_boilerplate_strip"] = doc_boilerplate_strip
+
     def doc_token_entropy(spark, sf):
         from dbscan_pyspark_spark.operators.pipeline import (
             token_entropy_stats,
@@ -4427,6 +4448,31 @@ c AS (
 SELECT doc_id, chunk, len(sl) AS n_tokens,
        md5(array_to_string(sl, ' ')) AS chunk_md5
 FROM c
+""",
+        "doc_boilerplate_strip": """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(1 + ceil(greatest(len(toks) - 3, 0) / 3.0) AS INT) AS n_win
+  FROM t
+),
+segs AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         array_to_string(list_slice(toks, u.i * 3 + 1, least(u.i * 3 + 3, n)), ' ') AS seg
+  FROM w, unnest(range(0, n_win)) AS u(i)
+),
+freq AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 3),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.seg, f.seg IS NOT NULL AS dropped
+  FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+)
+SELECT doc_id,
+       md5(coalesce(string_agg(CASE WHEN NOT dropped THEN seg END, ' ' ORDER BY pos), '')) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id
 """,
         "doc_redactions": """
 SELECT doc_id,

@@ -556,6 +556,78 @@ def chunk_dedup_stats(
     )
 
 
+def strip_frequent_segments(
+    df: DataFrame,
+    max_doc_freq: int,
+    seg_tokens: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal (Wenzek et al., LREC'20 — there
+    at paragraph granularity): drop every segment whose text occurs in
+    MORE THAN ``max_doc_freq`` distinct documents (nav bars, cookie
+    banners, license footers — content shared across many pages is
+    boilerplate, not signal), and reassemble each document from its
+    surviving segments in original order.
+
+    Real corpora segment on newlines/paragraphs; this corpus is
+    single-line, so segments are the disjoint ``seg_tokens``-token
+    windows of :func:`~dbscan_pyspark_spark.operators.pipeline.
+    chunk_documents` — the deterministic fallback segmenter (swap in a
+    newline split upstream for paragraph data; the frequency/strip
+    machinery is segmenter-agnostic).
+
+    Returns DataFrame(id, clean_text, n_segments, n_dropped); a fully
+    boilerplate document comes back with ``clean_text = ''``, never
+    disappears.
+
+    Scale shape: ONE explode of the corpus into segments, ONE
+    segment-keyed groupBy for document frequency (map-side combine;
+    fine-grained evenly-hashing key), then a left join of the segment
+    rows against the FREQUENT set only — bounded above by
+    total_segments / max_doc_freq, so AQE plans it broadcast in the
+    common case — and ONE per-document re-aggregation. No window, no
+    self-join, nothing quadratic.
+    """
+    from dbscan_pyspark_spark.operators.pipeline import chunk_documents
+
+    if max_doc_freq < 1:
+        raise ValueError("strip_frequent_segments: max_doc_freq >= 1")
+    segs = chunk_documents(
+        df, chunk_tokens=seg_tokens, id_col=id_col, text_col=text_col
+    ).select(id_col, "chunk", "chunk_text")
+    frequent = (
+        segs.groupBy("chunk_text")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("chunk_text", F.lit(True).alias("_drop"))
+    )
+    flagged = segs.join(frequent, "chunk_text", "left")
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_drop").isNull(),
+                            F.struct(
+                                F.col("chunk").alias("pos"),
+                                F.col("chunk_text").alias("seg"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.coalesce(F.col("_drop").cast("long"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     col: str,

@@ -255,3 +255,41 @@ def test_near_dup_vs_reference_flags_only_cross_corpus_dups(spark):
         for r in near_dup_vs_reference(new, ref, threshold=0.5).collect()
     }
     assert got == {1: True, 3: False, 5: False}
+
+
+def test_strip_frequent_segments_drops_boilerplate_keeps_order(spark):
+    """Segments in > max_doc_freq docs are stripped, survivors
+    reassemble in original order, a fully-boilerplate doc returns ''
+    (never disappears), and max_doc_freq validates."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.dedup import strip_frequent_segments
+
+    bp = "accept all cookies"  # 3-token boilerplate in 3 docs
+    rows = [
+        (1, f"{bp} alpha beta gamma delta eps zeta"),
+        (2, f"one two three {bp} four five six"),  # segment-aligned
+        (3, bp),  # boilerplate-only doc
+        (4, "seven eight nine ten eleven twelve"),
+        (5, f"pad {bp} tail tail2"),  # NOT segment-aligned
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_dropped"])
+        for r in strip_frequent_segments(
+            df, max_doc_freq=2, seg_tokens=3
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1] == ("alpha beta gamma delta eps zeta", 3, 1)
+    assert out[2] == ("one two three four five six", 3, 1)
+    assert out[3] == ("", 1, 1)
+    assert out[4] == ("seven eight nine ten eleven twelve", 2, 0)
+    # doc 5's windows straddle the boilerplate ("pad accept all" /
+    # "cookies tail tail2"), so its segments never match bp and nothing
+    # drops: segment identity is positional, like CCNet's paragraph
+    # hashing — misaligned copies are the recall limit of this stage
+    assert out[5] == (f"pad {bp} tail tail2", 2, 0)
+
+    with _pytest.raises(ValueError):
+        strip_frequent_segments(df, max_doc_freq=0)
