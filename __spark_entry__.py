@@ -2228,6 +2228,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups_lsh_exact"] = embedding_near_dups_lsh_exact
 
+    def embedding_semantic_dedup(spark, sf):
+        # SemDeDup-shaped corpus dedup in embedding space: exact-replay
+        # LSH pairs (integer planes + quantized vectors, the lsh_exact
+        # trick) -> connected components -> keep the min-id
+        # representative per duplicate group
+        from dbscan_pyspark_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x * 1000, 0).cast("long")
+            ).alias("qemb"),
+        )
+        out = semantic_dedup(
+            e, threshold=0.4, vec_col="qemb", plane_scale=1000
+        )
+        return out.select("vec_id", "dup_group", "dup_group_size")
+
+    q["embedding_semantic_dedup"] = embedding_semantic_dedup
+
     def events_asof_next_view(spark, sf):
         # FORWARD as-of: for each error, the first view at-or-after it
         # for the same user (the "what did the user see next" join)
@@ -4095,7 +4117,7 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 """
 
 
-def _rp_lsh_oracle(
+def _rp_lsh_pair_ctes(
     n_planes: int = 16,
     rows_per_band: int = 4,
     dim: int = 64,
@@ -4103,11 +4125,13 @@ def _rp_lsh_oracle(
     plane_scale: int = 1000,
     threshold: float = 0.4,
     seed: int = 42,
-) -> str:
+) -> tuple[str, str]:
     """Replica of similarity.rp_lsh_near_dup_pairs with integer planes:
     the same fixed-seed hyperplanes quantized to ints, so sign bits,
     banding, candidates, and round-6 integer-cosine verification all
-    replay bit-exact — an LSH with an exact oracle."""
+    replay bit-exact — an LSH with an exact oracle. Returns
+    ``(cte_chain, pair_select)`` so composite oracles (semantic dedup's
+    connected components) can build on the verified pair set."""
     import numpy as np
 
     planes = np.round(
@@ -4142,7 +4166,7 @@ def _rp_lsh_oracle(
         f"sqrt(CAST(list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> {t}.v[i] * {t}.v[i])) AS DOUBLE))"
     )
-    return f"""WITH qe AS (
+    ctes = f"""qe AS (
   SELECT vec_id,
          list_transform(embedding, e -> CAST(round(e * {scale}) AS BIGINT)) AS v
   FROM embeddings
@@ -4153,11 +4177,49 @@ cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
-)
-SELECT c.a_id, c.b_id,
+)"""
+    pair_select = f"""SELECT c.a_id, c.b_id,
        round({idot} / ({inorm('x')} * {inorm('y')}), 6) AS score
 FROM cand c JOIN qe x ON x.vec_id = c.a_id JOIN qe y ON y.vec_id = c.b_id
 WHERE round({idot} / ({inorm('x')} * {inorm('y')}), 6) >= {threshold}"""
+    return ctes, pair_select
+
+
+def _rp_lsh_oracle(**kwargs) -> str:
+    ctes, pair_select = _rp_lsh_pair_ctes(**kwargs)
+    return f"WITH {ctes}\n{pair_select}"
+
+
+def _semantic_dedup_oracle(**kwargs) -> str:
+    """semantic_dedup replica: the exact LSH pair set above, transitive
+    closure via recursive CTE (the dedup_near_docs shape), min-id
+    component labels, survivors = the labels themselves."""
+    ctes, pair_select = _rp_lsh_pair_ctes(**kwargs)
+    return f"""WITH RECURSIVE {ctes},
+lshp AS ({pair_select}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM lshp
+  UNION SELECT b_id, a_id FROM lshp
+  UNION SELECT a_id, a_id FROM lshp
+  UNION SELECT b_id, b_id FROM lshp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS vec_id, min(v) AS dup_group FROM reach GROUP BY u),
+labeled AS (
+  SELECT e.vec_id, coalesce(c.dup_group, e.vec_id) AS dup_group
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.vec_id
+),
+sized AS (
+  SELECT dup_group, CAST(count(*) AS BIGINT) AS dup_group_size
+  FROM labeled GROUP BY dup_group
+)
+SELECT l.vec_id, l.dup_group, s.dup_group_size
+FROM labeled l JOIN sized s ON l.dup_group = s.dup_group
+WHERE l.vec_id = l.dup_group"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6201,6 +6263,10 @@ FROM sp GROUP BY 1
 """,
         "sql_priority_share_rank": _SQL_PRIORITY_SHARE_RANK,
         "embedding_near_dups_lsh_exact": _rp_lsh_oracle(
+            n_planes=16, rows_per_band=4, dim=64, scale=1000,
+            plane_scale=1000, threshold=0.4,
+        ),
+        "embedding_semantic_dedup": _semantic_dedup_oracle(
             n_planes=16, rows_per_band=4, dim=64, scale=1000,
             plane_scale=1000, threshold=0.4,
         ),

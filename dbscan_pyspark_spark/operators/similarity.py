@@ -15,7 +15,7 @@ Two paths, sharing one scoring expression:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.functions.distance import dot, l2_distance_sq, norm2
@@ -265,6 +265,74 @@ def rp_lsh_near_dup_pairs(
         "b_id",
         F.round(_cosine_from_norms("_av", "_bv", "_an", "_bn"), 6).alias("score"),
     ).where(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    plane_scale: int | None = None,
+    score: Column | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al., arXiv:2303.09540):
+    embedding near-dup pairs -> connected components of the >=threshold
+    cosine graph -> ONE surviving representative per duplicate group.
+    The embedding-space sibling of ``pipeline.near_dup_dedup`` (same
+    output contract): returns the surviving rows with ``dup_group``
+    (min id of the component) and ``dup_group_size`` appended.
+
+    ``score`` picks the representative (SemDeDup proper keeps the
+    vector farthest from its cluster centroid — pass that as a score
+    column to reproduce it); default is lowest id, which is
+    deterministic and lets the whole pipeline carry an exact oracle
+    when combined with integer-quantized vectors + ``plane_scale``
+    (the :func:`rp_lsh_near_dup_pairs` exact-replay trick).
+
+    Scale shape: candidate pairs come from banded LSH (bucket
+    equi-join, never all-pairs); the pair graph is tiny relative to
+    the corpus (near-dups only), so components run on the contracted
+    graph; survivors filter back with one id-keyed join.
+    """
+    from dbscan_pyspark_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = rp_lsh_near_dup_pairs(
+        vectors,
+        threshold,
+        n_planes=n_planes,
+        rows_per_band=rows_per_band,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        plane_scale=plane_scale,
+    )
+    comp = connected_components(
+        pairs, src="a_id", dst="b_id", id_col=id_col
+    ).withColumnRenamed("component", "dup_group")
+    labeled = vectors.join(comp, id_col, "left").withColumn(
+        "dup_group", F.coalesce(F.col("dup_group"), F.col(id_col))
+    )
+    w_grp = Window.partitionBy("dup_group")
+    if score is None:
+        # components already label with the min id -> the survivor IS
+        # the label; no ranking window needed
+        survivors = labeled.where(F.col(id_col) == F.col("dup_group"))
+    else:
+        w = w_grp.orderBy(score.desc(), F.col(id_col).asc())
+        survivors = (
+            labeled.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    sizes = labeled.groupBy("dup_group").agg(
+        F.count(F.lit(1)).alias("dup_group_size")
+    )
+    return survivors.join(sizes, "dup_group")
 
 
 def train_ivf_centroids(

@@ -335,3 +335,57 @@ def test_rp_lsh_integer_planes_subset_of_exact(spark):
     again = {(r["a_id"], r["b_id"]) for r in rp_lsh_near_dup_pairs(
         df, threshold=0.9, vec_col="qemb", plane_scale=1000).collect()}
     assert got == again
+
+
+def test_semantic_dedup_transitive_groups_and_representative(spark):
+    """A~B and B~C land in ONE dup group even when A!~C (transitive
+    closure, not pairwise greedy); default representative is the min
+    id; a score column overrides it; singletons survive untouched."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.similarity import semantic_dedup
+
+    # 4-d integer vectors: 10 and 11 are near-identical, 12 overlaps 11
+    # but is farther from 10; 20 is its own cluster; 30 is orthogonal
+    rows = [
+        (10, [1000, 0, 0, 0]),
+        (11, [995, 100, 0, 0]),
+        (12, [940, 340, 0, 0]),
+        (20, [0, 1000, 50, 0]),
+        (30, [0, 0, 0, 1000]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<long>")
+    out = semantic_dedup(
+        df,
+        threshold=0.95,
+        vec_col="emb",
+        n_planes=8,
+        rows_per_band=2,
+        plane_scale=1000,
+    )
+    got = {
+        r["vec_id"]: (r["dup_group"], r["dup_group_size"])
+        for r in out.collect()
+    }
+    # 10-11 ~ 0.995 and 11-12 ~ 0.97 pass the 0.95 threshold; 10-12
+    # ~ 0.94 does NOT — yet all three land in one group: transitive
+    # closure through 11, labeled by the min id, one survivor
+    assert got[10] == (10, 3)
+    assert 11 not in got and 12 not in got
+    assert got[20] == (20, 1) and got[30] == (30, 1)
+
+    # score-based representative: highest first norm wins -> 12? no,
+    # highest LAST component wins picks a specific member
+    out2 = semantic_dedup(
+        df,
+        threshold=0.95,
+        vec_col="emb",
+        n_planes=8,
+        rows_per_band=2,
+        plane_scale=1000,
+        score=F.element_at(F.col("emb"), 2),
+    )
+    got2 = {r["vec_id"]: r["dup_group"] for r in out2.collect()}
+    # max 2nd component in the {10,11,12} group is vec 12 (340)
+    assert set(got2) == {12, 20, 30}
+    assert got2[12] == 10  # group label stays the min id
