@@ -85,6 +85,64 @@ def streaming_drift_monitor(
     )
 
 
+def process_ks_batch(
+    batch: DataFrame,
+    batch_id: int,
+    reference: DataFrame,
+    col: str,
+    output_dir: str,
+) -> None:
+    """One micro-batch of the KS drift monitor (pure batch code,
+    unit-testable without a stream; ``streaming_ks_monitor`` wraps it
+    in ``foreachBatch``). Writes the 1-row ``ks_drift(reference,
+    batch)`` statistic + batch_id to the batch's own partition
+    (replay-idempotent — a reprocessed batch recomputes the identical
+    integer-exact statistic and overwrites its own partition)."""
+    if batch.isEmpty():
+        return
+    from dbscan_pyspark_spark.operators.pipeline import ks_drift
+
+    # persist: isEmpty + the two side scans re-read the source
+    # otherwise (the process_drift_batch discipline)
+    batch = batch.persist()
+    try:
+        ks = ks_drift(reference, batch, col).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        ks.write.mode("overwrite").parquet(
+            f"{output_dir}/monitor_batch={batch_id}"
+        )
+    finally:
+        batch.unpersist()
+
+
+def streaming_ks_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Per-micro-batch two-sample KS drift vs a static reference: the
+    streaming deployment of the batch ``ks_drift`` gate — the
+    CDF-shaped twin of ``streaming_drift_monitor`` for numeric columns
+    (is this hour's value distribution still the training
+    distribution, without choosing bins up front?).
+
+    Returns the started StreamingQuery (availableNow trigger)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        process_ks_batch(batch_df, batch_id, reference, col, output_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def process_expectations_batch(
     batch: DataFrame,
     batch_id: int,

@@ -703,6 +703,60 @@ def test_streaming_drift_monitor_matches_batch_per_microbatch(spark, stream_dir,
     assert n_after == n_before
 
 
+def test_streaming_ks_monitor_matches_batch_per_microbatch(
+    spark, stream_dir, tmp_path
+):
+    """Each micro-batch's 1-row KS statistic must equal
+    ks_drift(reference, that batch's static frame) — integer-exact, so
+    strict equality; a replayed batch overwrites its own partition."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import ks_drift
+    from dbscan_pyspark_spark.streaming.quality import (
+        process_ks_batch,
+        streaming_ks_monitor,
+    )
+
+    out = str(tmp_path / "ks_out")
+    ck = str(tmp_path / "ks_ck")
+    reference = spark.read.json(stream_dir)
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = streaming_ks_monitor(stream, reference, "user_id", out, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_ids = sorted(
+        r["monitor_batch"]
+        for r in got.select("monitor_batch").distinct().collect()
+    )
+    assert len(batch_ids) == 2  # one per file
+    parts = {batch_ids[0]: ROWS[:2], batch_ids[1]: ROWS[2:]}
+    for bid, rows in parts.items():
+        frame = spark.createDataFrame(
+            [(r["user_id"],) for r in rows], "user_id long"
+        )
+        want = [
+            (r["ks_num"], r["n_a"], r["n_b"], r["ks_stat"])
+            for r in ks_drift(reference, frame, "user_id").collect()
+        ]
+        have = [
+            (r["ks_num"], r["n_a"], r["n_b"], r["ks_stat"])
+            for r in got.where(F.col("monitor_batch") == bid).collect()
+        ]
+        assert have == want, bid
+    # replay idempotency: re-processing a batch rewrites, never appends
+    replay = spark.createDataFrame(
+        [(r["user_id"],) for r in ROWS[:2]], "user_id long"
+    )
+    process_ks_batch(replay, int(batch_ids[0]), reference, "user_id", out)
+    assert (
+        spark.read.parquet(out)
+        .where(F.col("monitor_batch") == batch_ids[0])
+        .count()
+        == 1
+    )
+
+
 def test_streaming_expectations_gate(spark, stream_dir, tmp_path):
     from pyspark.sql import functions as F
 

@@ -668,6 +668,131 @@ def main() -> None:
         ),
         flush=True,
     )
+    # --- exact KS drift at 40M rows, 1M-value grid, planted 0.001 shift ---
+    from dbscan_pyspark_spark.operators.pipeline import ks_drift
+
+    n_ks = 40_000_000
+    grid = 1_000_000
+    shift = 1_000
+    rows = spark.range(n_ks).select(
+        (
+            F.pmod(F.xxhash64(F.col("id"), F.lit("ksv")), F.lit(grid))
+            # side B (odd ids) shifted up by `shift`: for a uniform
+            # grid the true D is shift/grid = 0.001
+            + F.when(F.col("id") % 2 == 1, F.lit(shift)).otherwise(F.lit(0))
+        ).alias("v"),
+        (F.col("id") % 2).alias("side"),
+    )
+    t0 = time.time()
+    ks = ks_drift(
+        rows.where(F.col("side") == 0),
+        rows.where(F.col("side") == 1),
+        "v",
+    ).collect()[0]
+    assert ks["n_a"] == n_ks // 2 and ks["n_b"] == n_ks // 2
+    assert 0.0005 < ks["ks_stat"] < 0.002, ks["ks_stat"]
+    print(
+        json.dumps(
+            {
+                "stage": "ks_drift_40m",
+                "n_rows": n_ks,
+                "value_grid": grid,
+                "planted_D": shift / grid,
+                "ks_stat": ks["ks_stat"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- boilerplate strip at 2M docs, planted 4-token banner in 30% ---
+    from dbscan_pyspark_spark.operators.dedup import strip_frequent_segments
+
+    n_docs_bp = 2_000_000
+    body = F.format_string(
+        "a%1$d b%1$d c%1$d d%1$d e%1$d f%1$d g%1$d h%1$d i%1$d j%1$d"
+        " k%1$d l%1$d",
+        F.col("id"),
+    )  # 12 unique-per-doc tokens -> every body segment has df = 1
+    banner = "terms of service apply"  # one aligned 4-token segment
+    docs_bp = spark.range(n_docs_bp).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 < 3, F.concat_ws(" ", F.lit(banner), body)
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+    n_planted = sum(1 for i in range(10) if i < 3) * (n_docs_bp // 10)
+    t0 = time.time()
+    stats = (
+        strip_frequent_segments(
+            docs_bp, max_doc_freq=100, seg_tokens=4
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_dropped").alias("dropped"),
+        )
+        .collect()[0]
+    )
+    assert stats["n_docs"] == n_docs_bp
+    assert stats["dropped"] == n_planted, stats["dropped"]
+    print(
+        json.dumps(
+            {
+                "stage": "boilerplate_strip_2m",
+                "n_docs": n_docs_bp,
+                "n_planted_banners": n_planted,
+                "n_dropped": stats["dropped"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- semantic dedup at 200k vectors (100k exact-duplicate pairs) ---
+    from dbscan_pyspark_spark.operators.similarity import semantic_dedup
+
+    n_sem = 200_000
+    dim_sem = 64
+    vecs = spark.range(n_sem).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim_sem - 1)),
+            # ids 2c and 2c+1 share the concept c -> identical vectors
+            # (cos = 1.0, found at ANY threshold/recall); at 64-d the
+            # chance of two random concepts passing cos > 0.95 is
+            # ~1e-14 per pair, so groups are exactly the planted pairs
+            lambda i: F.pmod(
+                F.xxhash64((F.col("id") / 2).cast("long") * dim_sem + i),
+                F.lit(2001),
+            )
+            - 1000,
+        ).alias("qemb"),
+    )
+    t0 = time.time()
+    surv = semantic_dedup(
+        vecs, threshold=0.95, vec_col="qemb", plane_scale=1000
+    )
+    agg = surv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dup_group_size").alias("mn"),
+        F.max("dup_group_size").alias("mx"),
+    ).collect()[0]
+    assert (agg["n"], agg["mn"], agg["mx"]) == (n_sem // 2, 2, 2), agg
+    print(
+        json.dumps(
+            {
+                "stage": "semantic_dedup_200k",
+                "n_vectors": n_sem,
+                "dim": dim_sem,
+                "n_survivors": agg["n"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
