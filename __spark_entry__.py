@@ -3078,6 +3078,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["totalprice_ks_drift"] = totalprice_ks_drift
 
+    def lang_nchars_ks_drift(spark, sf):
+        # stratified KS: per-language doc-length distribution shift
+        # between source cohorts — partitioned windows (scale-safe by
+        # construction: distributed across languages)
+        from dbscan_pyspark_spark.operators.pipeline import (
+            ks_drift_by_group,
+        )
+
+        d = load_table(spark, sf, "documents")
+        return ks_drift_by_group(
+            d.where(F.length("source") == 4),
+            d.where(F.length("source") == 5),
+            "n_chars",
+            "lang",
+        )
+
+    q["lang_nchars_ks_drift"] = lang_nchars_ks_drift
+
     def lang_source_drift(spark, sf):
         # categorical mix shift between source cohorts (top-3 langs +
         # __other__): one value-keyed groupBy, TVD terms engine-exact
@@ -5598,6 +5616,40 @@ SELECT CAST(max(abs(sa * (SELECT nb FROM t) - sb * (SELECT na FROM t)))
              / (CAST((SELECT na FROM t) AS DOUBLE)
                 * CAST((SELECT nb FROM t) AS DOUBLE)), 6) AS ks_stat
 FROM cum
+""",
+        "lang_nchars_ks_drift": """
+WITH tagged AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+         CASE WHEN length(source) = 4 THEN 0 ELSE 1 END AS side
+  FROM documents
+  WHERE length(source) IN (4, 5)
+    AND n_chars IS NOT NULL AND lang IS NOT NULL
+),
+c AS (
+  SELECT g, v,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tagged GROUP BY g, v
+),
+cum AS (
+  SELECT g,
+         CAST(sum(ca) OVER wc AS BIGINT) AS sa,
+         CAST(sum(cb) OVER wc AS BIGINT) AS sb,
+         CAST(sum(ca) OVER wg AS BIGINT) AS na,
+         CAST(sum(cb) OVER wg AS BIGINT) AS nb
+  FROM c
+  WINDOW wc AS (PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wg AS (PARTITION BY g)
+)
+SELECT g AS lang,
+       CAST(max(abs(sa * nb - sb * na)) AS BIGINT) AS ks_num,
+       max(na) AS n_a, max(nb) AS n_b,
+       round(CAST(max(abs(sa * nb - sb * na)) AS DOUBLE)
+             / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
+         AS ks_stat
+FROM cum WHERE na > 0 AND nb > 0
+GROUP BY g
 """,
         "lang_source_drift": """
 WITH tagged AS (

@@ -1252,6 +1252,91 @@ def ks_drift(
     )
 
 
+def ks_drift_by_group(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group :func:`ks_drift`: one integer-exact two-sample KS row
+    per group (did THIS language's / THIS source's value distribution
+    shift?) — the stratified version of the corpus-level statistic.
+
+    Returns DataFrame(group, ks_num, n_a, n_b, ks_stat) for every
+    group with rows on BOTH sides (one-sided groups are dropped — D is
+    undefined there, and a NULL statistic row would poison downstream
+    ``max(ks_stat)`` alerting).
+
+    Scale shape: unlike the global statistic (which needs
+    :func:`~dbscan_pyspark_spark.operators.windows.global_cumsums` to
+    avoid a single-task sort), the per-group CDFs use windows
+    PARTITIONED by the group — distributed across groups by
+    construction. One union scan, one (group, value) groupBy, one
+    window pass, one per-group max agg. A single mega-group degrades
+    to that group's distinct-value count in one task — for that regime
+    run the global ``ks_drift`` on the group's rows instead."""
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.where(
+            F.col(col).isNotNull() & F.col(group_col).isNotNull()
+        ).select(
+            F.col(group_col).alias("_g"),
+            F.col(col).cast("long").alias("_v"),
+            F.lit(tag).alias("_side"),
+        )
+
+    counts = (
+        side(df_a, 0)
+        .unionByName(side(df_b, 1))
+        .groupBy("_g", "_v")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("_ca"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("_cb"),
+        )
+    )
+    w_cdf = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_grp = Window.partitionBy("_g")
+    cum = counts.select(
+        "_g",
+        F.sum("_ca").over(w_cdf).alias("_sa"),
+        F.sum("_cb").over(w_cdf).alias("_sb"),
+        F.sum("_ca").over(w_grp).alias("_na"),
+        F.sum("_cb").over(w_grp).alias("_nb"),
+    )
+    return (
+        cum.where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max(
+                F.abs(F.col("_sa") * F.col("_nb") - F.col("_sb") * F.col("_na"))
+            ).alias("ks_num"),
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("_sa") * F.col("_nb")
+                        - F.col("_sb") * F.col("_na")
+                    )
+                )
+                / (
+                    F.max("_na").cast("double")
+                    * F.max("_nb").cast("double")
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
 def category_drift(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -503,6 +503,30 @@ def test_ks_drift_exact_statistic_and_contracts(spark):
         ks_drift(a, empty, "x")
 
 
+def test_ks_drift_by_group_matches_global_per_group(spark):
+    """Each group's row equals the global ks_drift run on that group's
+    rows alone; one-sided groups are dropped, null groups excluded."""
+    from dbscan_pyspark_spark.operators.pipeline import ks_drift, ks_drift_by_group
+
+    a_rows = [("g1", v) for v in [1, 2, 2, 9]] + [("g2", v) for v in [5, 6]]
+    b_rows = [("g1", v) for v in [2, 3, 9, 9]] + [("g3", v) for v in [7]]
+    a_rows += [(None, 1)]  # null group excluded
+    a = spark.createDataFrame(a_rows, "g string, x int").repartition(3)
+    b = spark.createDataFrame(b_rows, "g string, x int").repartition(2)
+    got = {
+        r["g"]: (r["ks_num"], r["n_a"], r["n_b"], r["ks_stat"])
+        for r in ks_drift_by_group(a, b, "x", "g").collect()
+    }
+    # g2 (A-only) and g3 (B-only) are one-sided -> dropped
+    assert set(got) == {"g1"}
+    want = ks_drift(
+        a.where(a.g == "g1"), b.where(b.g == "g1"), "x"
+    ).collect()[0]
+    assert got["g1"] == (
+        want["ks_num"], want["n_a"], want["n_b"], want["ks_stat"]
+    )
+
+
 def test_category_drift_topn_fold_and_nulls(spark):
     from dbscan_pyspark_spark.operators.pipeline import category_drift
 
