@@ -3078,6 +3078,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["totalprice_ks_drift"] = totalprice_ks_drift
 
+    def priority_totalprice_ttest(spark, sf):
+        # the A/B mean-shift gate next to the distribution-shaped KS:
+        # Welch t on integer cents, urgent-priority vs the rest —
+        # decimal-exact moments feed a fixed IEEE expression tree, so
+        # the statistic replays bit-for-bit in DuckDB
+        from dbscan_pyspark_spark.operators.pipeline import welch_t_test
+
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority").isNotNull()
+        ).withColumn(
+            "_cents", F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+        )
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return welch_t_test(o.where(hi), o.where(~hi), "_cents")
+
+    q["priority_totalprice_ttest"] = priority_totalprice_ttest
+
     def lang_nchars_ks_drift(spark, sf):
         # stratified KS: per-language doc-length distribution shift
         # between source cohorts — partitioned windows (scale-safe by
@@ -5616,6 +5633,42 @@ SELECT CAST(max(abs(sa * (SELECT nb FROM t) - sb * (SELECT na FROM t)))
              / (CAST((SELECT na FROM t) AS DOUBLE)
                 * CAST((SELECT nb FROM t) AS DOUBLE)), 6) AS ks_stat
 FROM cum
+""",
+        "priority_totalprice_ttest": """
+WITH tagged AS (
+  SELECT CAST(round(o_totalprice * 100.0, 0) AS HUGEINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END AS side
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+s AS (
+  SELECT CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN side = 0 THEN v END) AS DOUBLE) AS sa,
+         CAST(sum(CASE WHEN side = 1 THEN v END) AS DOUBLE) AS sb,
+         CAST(sum(CASE WHEN side = 0 THEN v * v END) AS DOUBLE) AS qa,
+         CAST(sum(CASE WHEN side = 1 THEN v * v END) AS DOUBLE) AS qb
+  FROM tagged
+),
+e AS (
+  SELECT n_a, n_b,
+         sa / CAST(n_a AS DOUBLE) AS ma,
+         sb / CAST(n_b AS DOUBLE) AS mb,
+         ((qa - (sa * (sa / CAST(n_a AS DOUBLE)))) / (CAST(n_a AS DOUBLE) - 1))
+           / CAST(n_a AS DOUBLE) AS se2a,
+         ((qb - (sb * (sb / CAST(n_b AS DOUBLE)))) / (CAST(n_b AS DOUBLE) - 1))
+           / CAST(n_b AS DOUBLE) AS se2b
+  FROM s
+)
+SELECT n_a, n_b,
+       round(ma, 6) AS mean_a,
+       round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(se2a + se2b), 6) AS t_stat,
+       round(((se2a + se2b) * (se2a + se2b))
+             / (((se2a * se2a) / (CAST(n_a AS DOUBLE) - 1))
+                + ((se2b * se2b) / (CAST(n_b AS DOUBLE) - 1))), 6) AS dof
+FROM e
 """,
         "lang_nchars_ks_drift": """
 WITH tagged AS (

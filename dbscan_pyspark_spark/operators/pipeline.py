@@ -1252,6 +1252,89 @@ def ks_drift(
     )
 
 
+def welch_t_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Two-sample Welch t-test on an integral column — the experiment/
+    A/B gate ("did the treatment shift the mean?") next to the
+    distribution-shaped drift tests. Returns ONE row ``(n_a, n_b,
+    mean_a, mean_b, t_stat, dof)`` (means/t/dof rounded to 6).
+
+    Engine parity: Σx and Σx² accumulate as DECIMAL(38,0) — exact and
+    addition-order-independent where a double sum is neither and a
+    BIGINT Σx² overflows at corpus scale (cents² × 10⁹ rows). The
+    exact integers then feed a FIXED IEEE expression tree (/, -, *,
+    sqrt are all correctly rounded — the column_drift TVD-not-PSI
+    argument), so any engine reproduces the statistic bit-for-bit.
+
+    Nulls are excluded; a side with < 2 rows or a zero pooled standard
+    error (both sides constant) raises — plan-side, on the 1-row
+    aggregate, where it cannot be pruned."""
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        return df.where(F.col(col).isNotNull()).select(
+            F.col(col).cast("decimal(38,0)").alias("_v"),
+            F.lit(tag).alias("_side"),
+        )
+
+    def msum(expr) -> Column:
+        return F.coalesce(F.sum(expr), F.lit(0).cast("decimal(38,0)"))
+
+    is_a, is_b = F.col("_side") == 0, F.col("_side") == 1
+    agg = (
+        side(df_a, 0)
+        .unionByName(side(df_b, 1))
+        .agg(
+            F.count(F.when(is_a, 1)).alias("n_a"),
+            F.count(F.when(is_b, 1)).alias("n_b"),
+            msum(F.when(is_a, F.col("_v"))).alias("_sa"),
+            msum(F.when(is_b, F.col("_v"))).alias("_sb"),
+            msum(F.when(is_a, F.col("_v") * F.col("_v"))).alias("_qa"),
+            msum(F.when(is_b, F.col("_v") * F.col("_v"))).alias("_qb"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    se2a = (qa - sa * ma) / (na - 1) / na
+    se2b = (qb - sb * mb) / (nb - 1) / nb
+    se2 = se2a + se2b
+    bad = (
+        (F.col("n_a") < 2)
+        | (F.col("n_b") < 2)
+        | (F.sqrt(se2) == 0)
+    )
+    guard = lambda expr: F.when(  # noqa: E731
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("welch_t_test: need >= 2 rows per side and a "),
+                F.lit("nonzero pooled se; got n_a="),
+                F.col("n_a").cast("string"),
+                F.lit(" n_b="),
+                F.col("n_b").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(expr)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        guard(F.round((ma - mb) / F.sqrt(se2), 6)).alias("t_stat"),
+        guard(
+            F.round(
+                (se2 * se2)
+                / (se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)),
+                6,
+            )
+        ).alias("dof"),
+    )
+
+
 def ks_drift_by_group(
     df_a: DataFrame,
     df_b: DataFrame,

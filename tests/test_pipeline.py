@@ -503,6 +503,58 @@ def test_ks_drift_exact_statistic_and_contracts(spark):
         ks_drift(a, empty, "x")
 
 
+def test_welch_t_test_matches_reference_and_contracts(spark):
+    """The statistic equals an independent Python replay of the same
+    IEEE expression tree (and scipy's Welch t where the tree agrees to
+    6 digits); < 2 rows per side or zero pooled se raises."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.errors import PythonException, SparkRuntimeException
+
+    from dbscan_pyspark_spark.operators.pipeline import welch_t_test
+
+    a_vals = [10, 12, 9, 14, 11, 10]
+    b_vals = [13, 15, 14, 16, 12]
+    a = spark.createDataFrame(
+        [(v,) for v in a_vals] + [(None,)], "x int"
+    ).repartition(3)
+    b = spark.createDataFrame([(v,) for v in b_vals], "x int")
+    row = welch_t_test(a, b, "x").collect()[0]
+
+    def replay(xs, ys):
+        na, nb = float(len(xs)), float(len(ys))
+        sa, sb = float(sum(xs)), float(sum(ys))
+        qa, qb = float(sum(v * v for v in xs)), float(sum(v * v for v in ys))
+        ma, mb = sa / na, sb / nb
+        se2a = (qa - sa * ma) / (na - 1) / na
+        se2b = (qb - sb * mb) / (nb - 1) / nb
+        se2 = se2a + se2b
+        t = (ma - mb) / math.sqrt(se2)
+        dof = (se2 * se2) / (
+            se2a * se2a / (na - 1) + se2b * se2b / (nb - 1)
+        )
+        return round(ma, 6), round(mb, 6), round(t, 6), round(dof, 6)
+
+    ma, mb, t, dof = replay(a_vals, b_vals)
+    assert (row["n_a"], row["n_b"]) == (len(a_vals), len(b_vals))
+    assert (row["mean_a"], row["mean_b"]) == (ma, mb)
+    assert (row["t_stat"], row["dof"]) == (t, dof)
+    try:  # cross-check against scipy when available
+        from scipy import stats as sps
+
+        ref = sps.ttest_ind(a_vals, b_vals, equal_var=False)
+        assert abs(row["t_stat"] - ref.statistic) < 1e-6
+    except ImportError:
+        pass
+
+    one = spark.createDataFrame([(5,)], "x int")
+    const = spark.createDataFrame([(7,), (7,), (7,)], "x int")
+    for bad_a, bad_b in [(a, one), (const, const)]:
+        with _pytest.raises((PythonException, SparkRuntimeException)):
+            welch_t_test(bad_a, bad_b, "x").collect()
+
+
 def test_ks_drift_by_group_matches_global_per_group(spark):
     """Each group's row equals the global ks_drift run on that group's
     rows alone; one-sided groups are dropped, null groups excluded."""
