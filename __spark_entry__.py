@@ -3411,14 +3411,18 @@ _ROWS_ONLY_BACK = {
 # The driver's round-6 checked window, in order: every query whose
 # operator internals changed AFTER its most recent (round-5) driver
 # check — the round-6 review hardening touched approx_top_k's weighted
-# contract (lang_char_heavy_hitters, doc_lang_heavy_hitters) and the
+# contract (lang_char_heavy_hitters, doc_lang_heavy_hitters), the
 # global_cumsum/_row_number/_ntile partition default
-# (revenue_lorenz_top100 and the global-rank family). New round-6
+# (revenue_lorenz_top100 and the global-rank family), and
+# rp_lsh_near_dup_pairs gained the auto-banding branch
+# (embedding_near_dups_lsh_exact; its round-6 sibling
+# embedding_semantic_dedup auto-fronts as a new query). New round-6
 # additions auto-front behind these (not in the green set).
 _FLAGSHIP_FIRST = [
     "lang_char_heavy_hitters", "doc_lang_heavy_hitters",
     "revenue_lorenz_top100", "revenue_concentration",
     "customer_rfm_segments", "customer_revenue_percentile",
+    "embedding_near_dups_lsh_exact",
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly

@@ -168,11 +168,33 @@ def cosine_near_dup_pairs(
     )
 
 
+def auto_band_size(
+    n_vectors: int, n_bands: int = 4, target_occupancy: int = 16
+) -> tuple[int, int]:
+    """Pick LSH banding for a corpus size: ``rows_per_band`` such that
+    expected bucket occupancy ``n / 2^rows_per_band`` is about
+    ``target_occupancy`` (floored at 4 bits), with ``n_planes =
+    n_bands * rows_per_band``. Returns ``(n_planes, rows_per_band)``.
+
+    Deterministic in ``n_vectors``, so an auto-sized pipeline stays
+    replayable given the same corpus. 500 vectors -> (20, 5); 200k ->
+    (56, 14); 1e9 -> (104, 26). More bits per band = fewer chance
+    collisions but lower recall for NON-identical near-dups (exact
+    duplicates share every signature at any banding) — callers tuning
+    recall should set the banding explicitly."""
+    import math
+
+    if n_vectors < 1:
+        raise ValueError("auto_band_size: need n_vectors >= 1")
+    rpb = max(4, math.ceil(math.log2(max(n_vectors / target_occupancy, 1))))
+    return n_bands * rpb, rpb
+
+
 def rp_lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
-    n_planes: int = 16,
-    rows_per_band: int = 4,
+    n_planes: int | None = 16,
+    rows_per_band: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -190,7 +212,9 @@ def rp_lsh_near_dup_pairs(
     ``~ n^2 / 2^rows_per_band`` per band — raise ``rows_per_band`` (and
     ``n_planes`` with it) as the corpus grows or the bucket join
     degenerates toward all-pairs (measured 117× at 200k vectors:
-    see :func:`semantic_dedup`). Output is a subset of
+    see :func:`semantic_dedup`). Pass ``rows_per_band="auto"`` to size
+    the banding from one count job (:func:`auto_band_size`). Output is
+    a subset of
     :func:`cosine_near_dup_pairs` (recall < 1 by design; collision
     probability per plane is 1 - theta/pi).
     Deterministic: hyperplanes from a fixed-seed RNG, broadcast as
@@ -204,10 +228,19 @@ def rp_lsh_near_dup_pairs(
     """
     import numpy as np
 
+    if rows_per_band == "auto":
+        # one count job sizes the banding to the corpus (the 117×
+        # stress lesson); explicit ints skip the count entirely
+        n_planes, rows_per_band = auto_band_size(vectors.count())
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         raise ValueError("empty vectors")
     dim = int(dim_row["d"])
+    if n_planes is None or n_planes % rows_per_band:
+        raise ValueError(
+            "rp_lsh_near_dup_pairs: n_planes must be a multiple of "
+            f"rows_per_band, got {n_planes}/{rows_per_band}"
+        )
     planes = np.random.RandomState(seed).randn(n_planes, dim)
     if plane_scale is not None:
         planes = np.round(planes * plane_scale).astype(np.int64)
@@ -277,8 +310,8 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
-    rows_per_band: int = 4,
+    n_planes: int | None = 16,
+    rows_per_band: int | str = 4,
     seed: int = 42,
     plane_scale: int | None = None,
     score: Column | None = None,
@@ -309,7 +342,8 @@ def semantic_dedup(
     buckets per band (measured 4134 s) where 64/16 — 65k buckets —
     runs the identical job in 35 s. Raising ``rows_per_band`` trades
     recall for candidates EXCEPT for exact duplicates, which share
-    every signature at any banding.
+    every signature at any banding. ``rows_per_band="auto"`` sizes the
+    banding from one count job (:func:`auto_band_size`).
     """
     from dbscan_pyspark_spark.operators.components import (
         connected_components,

@@ -389,3 +389,45 @@ def test_semantic_dedup_transitive_groups_and_representative(spark):
     # max 2nd component in the {10,11,12} group is vec 12 (340)
     assert set(got2) == {12, 20, 30}
     assert got2[12] == 10  # group label stays the min id
+
+
+def test_auto_band_size_and_auto_lsh_path(spark):
+    """auto_band_size targets ~16 occupancy with a 4-bit floor and
+    stays deterministic; rows_per_band='auto' wires it into the LSH
+    join and still finds exact duplicates (recall 1.0 at any banding)."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.similarity import (
+        auto_band_size,
+        rp_lsh_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    assert auto_band_size(1) == (16, 4)  # floor
+    assert auto_band_size(500) == (20, 5)
+    assert auto_band_size(200_000) == (56, 14)
+    assert auto_band_size(10**9) == (104, 26)
+    with _pytest.raises(ValueError):
+        auto_band_size(0)
+
+    rows = [
+        (0, [1000, 0, 0, 0]), (1, [1000, 0, 0, 0]),  # exact dup pair
+        (2, [0, 1000, 0, 0]), (3, [0, 0, 1000, 0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<long>")
+    pairs = rp_lsh_near_dup_pairs(
+        df, threshold=0.99, rows_per_band="auto", vec_col="emb",
+        plane_scale=1000,
+    )
+    assert [(r["a_id"], r["b_id"]) for r in pairs.collect()] == [(0, 1)]
+    surv = semantic_dedup(
+        df, threshold=0.99, vec_col="emb", plane_scale=1000,
+        rows_per_band="auto",
+    )
+    assert sorted(r["vec_id"] for r in surv.collect()) == [0, 2, 3]
+
+    # n_planes not a multiple of rows_per_band raises
+    with _pytest.raises(ValueError, match="multiple"):
+        rp_lsh_near_dup_pairs(
+            df, threshold=0.9, n_planes=10, rows_per_band=4, vec_col="emb"
+        ).collect()
