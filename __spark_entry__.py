@@ -3095,6 +3095,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["priority_totalprice_ttest"] = priority_totalprice_ttest
 
+    def totalprice_quantile_drift(spark, sf):
+        # WHERE the distribution moved: exact p50/p90/p99 per side
+        # (discrete order statistics, integer rank arithmetic) and the
+        # per-percentile shift — one CDF pass per side, all percents
+        # from the same prefix sums
+        from dbscan_pyspark_spark.operators.pipeline import quantile_drift
+
+        o = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority").isNotNull()
+        ).withColumn(
+            "_cents", F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+        )
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return quantile_drift(o.where(hi), o.where(~hi), "_cents")
+
+    q["totalprice_quantile_drift"] = totalprice_quantile_drift
+
     def lang_nchars_ks_drift(spark, sf):
         # stratified KS: per-language doc-length distribution shift
         # between source cohorts — partitioned windows (scale-safe by
@@ -5673,6 +5690,39 @@ SELECT n_a, n_b,
              / (((se2a * se2a) / (CAST(n_a AS DOUBLE) - 1))
                 + ((se2b * se2b) / (CAST(n_b AS DOUBLE) - 1))), 6) AS dof
 FROM e
+""",
+        "totalprice_quantile_drift": """
+WITH tagged AS (
+  SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS v,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 0 ELSE 1 END AS side
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+c AS (
+  SELECT side, v, CAST(count(*) AS BIGINT) AS cnt
+  FROM tagged GROUP BY side, v
+),
+cum AS (
+  SELECT side, v,
+         CAST(sum(cnt) OVER (PARTITION BY side ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cs,
+         CAST(sum(cnt) OVER (PARTITION BY side) AS BIGINT) AS n
+  FROM c
+),
+p(pct) AS (VALUES (50), (90), (99)),
+q AS (
+  SELECT p.pct, cum.side, min(cum.v) AS value
+  FROM p JOIN cum ON cum.cs >= ((cum.n * p.pct + 99) // 100)
+  GROUP BY p.pct, cum.side
+)
+SELECT pct,
+       max(CASE WHEN side = 0 THEN value END) AS val_a,
+       max(CASE WHEN side = 1 THEN value END) AS val_b,
+       max(CASE WHEN side = 1 THEN value END)
+         - max(CASE WHEN side = 0 THEN value END) AS shift
+FROM q GROUP BY pct
 """,
         "lang_nchars_ks_drift": """
 WITH tagged AS (

@@ -1335,6 +1335,97 @@ def welch_t_test(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    percents: list[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact distributed order statistics on an integral column —
+    discrete (lower) percentile semantics: the p-th percentile is the
+    SMALLEST value whose at-or-below count reaches ``ceil(n*p/100)``,
+    always an actual data value, so the output is integer-exact and
+    engine-portable (interpolating percentiles average two neighbors
+    in float — parity-hostile and physically meaningless for counts).
+
+    ``percents`` are INTEGER percents (50, 90, 99): the rank threshold
+    ``(n*p + 99) // 100`` stays in integer arithmetic end-to-end —
+    ``ceil(0.9 * n)`` in a double can land one rank off when ``0.9 * n``
+    rounds above the integer. Returns DataFrame(pct int, value long),
+    one row per percent. Nulls excluded; empty input raises.
+
+    Scale shape: value-keyed count groupBy (map-side combine), ONE
+    range-partitioned prefix-sum pass (:func:`~dbscan_pyspark_spark.
+    operators.windows.global_cumsum`), then a single agg computes ALL
+    requested percentiles from the same CDF — never one sort per
+    percentile, never an unpartitioned window."""
+    from dbscan_pyspark_spark.operators.windows import global_cumsum
+
+    if not percents or any(
+        not isinstance(p, int) or not 0 < p <= 100 for p in percents
+    ):
+        raise ValueError(
+            "exact_percentiles: percents must be ints in (0, 100]"
+        )
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("long").alias("_v"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cum, _, n = global_cumsum(
+        counts, ["_v"], "_c", out_col="_cs", num_partitions=num_partitions
+    )
+    if n == 0:
+        raise ValueError("exact_percentiles: no non-null rows")
+    row = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("_cs") >= F.lit((n * p + 99) // 100), F.col("_v"))
+            ).alias(f"_p{p}")
+            for p in percents
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("pct"), F.col(f"_p{p}").alias("value")
+            )
+            for p in percents
+        ]
+    )
+    return row.select(F.explode(pairs).alias("_s")).select(
+        "_s.pct", "_s.value"
+    )
+
+
+def quantile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    percents: list[int] = [50, 90, 99],  # noqa: B006 (read-only)
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Named-quantile drift between two snapshots — the readable
+    companion to :func:`ks_drift` (KS says THAT the distribution
+    moved; this says WHERE: "p99 latency grew 40ms"). One row per
+    percent: DataFrame(pct, val_a, val_b, shift), all integer-exact
+    (:func:`exact_percentiles` on each side, broadcast-joined on the
+    tiny percent key)."""
+    pa = exact_percentiles(df_a, col, percents, num_partitions)
+    pb = exact_percentiles(df_b, col, percents, num_partitions)
+    return (
+        pa.withColumnRenamed("value", "val_a")
+        .join(pb.withColumnRenamed("value", "val_b"), "pct")
+        .select(
+            "pct",
+            "val_a",
+            "val_b",
+            (F.col("val_b") - F.col("val_a")).alias("shift"),
+        )
+    )
+
+
 def ks_drift_by_group(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -503,6 +503,51 @@ def test_ks_drift_exact_statistic_and_contracts(spark):
         ks_drift(a, empty, "x")
 
 
+def test_exact_percentiles_and_quantile_drift(spark):
+    """Discrete percentile = smallest value whose at-or-below count
+    reaches ceil(n*p/100), verified against a sorted-list replay;
+    contract raises on bad percents and empty input; quantile_drift
+    reports exact per-percentile shifts."""
+    import math
+
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import (
+        exact_percentiles,
+        quantile_drift,
+    )
+
+    vals = [5, 1, 9, 1, 7, 3, 3, 3, 8, 2]  # n = 10, with ties
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)], "x int"
+    ).repartition(4)
+    got = {
+        r["pct"]: r["value"]
+        for r in exact_percentiles(df, "x", [10, 50, 90, 100]).collect()
+    }
+    s = sorted(vals)
+    want = {p: s[math.ceil(len(s) * p / 100) - 1] for p in [10, 50, 90, 100]}
+    assert got == want
+
+    with _pytest.raises(ValueError, match="percents"):
+        exact_percentiles(df, "x", [0])
+    with _pytest.raises(ValueError, match="percents"):
+        exact_percentiles(df, "x", [])
+    empty = spark.createDataFrame([(None,)], "x int")
+    with _pytest.raises(ValueError, match="no non-null rows"):
+        exact_percentiles(empty, "x", [50])
+
+    b = spark.createDataFrame([(v + 10,) for v in vals], "x int")
+    drift = {
+        r["pct"]: (r["val_a"], r["val_b"], r["shift"])
+        for r in quantile_drift(df, b, "x", [50, 90]).collect()
+    }
+    assert drift == {
+        50: (want[50], want[50] + 10, 10),
+        90: (want[90], want[90] + 10, 10),
+    }
+
+
 def test_welch_t_test_matches_reference_and_contracts(spark):
     """The statistic equals an independent Python replay of the same
     IEEE expression tree (and scipy's Welch t where the tree agrees to
