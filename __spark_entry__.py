@@ -3440,6 +3440,10 @@ _FLAGSHIP_FIRST = [
     "revenue_lorenz_top100", "revenue_concentration",
     "customer_rfm_segments", "customer_revenue_percentile",
     "embedding_near_dups_lsh_exact",
+    # near_dup_dedup's component labeling was factored into the shared
+    # dup_components helper in the round-6 review pass — changed after
+    # their round-5 checks
+    "dedup_near_docs", "dedup_cluster_sizes",
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly

@@ -349,6 +349,47 @@ def _surrogate_node_ids(distinct_nodes: DataFrame, id_col: str, hash_fn=None):
     return nodes
 
 
+def dup_components(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """Connected components of a duplicate-pair graph (columns
+    ``a_id``/``b_id``), labeled ``dup_group`` = min original id —
+    shared by :func:`near_dup_dedup` (text MinHash pairs) and
+    ``similarity.semantic_dedup`` (embedding LSH pairs).
+
+    Numeric ids go straight to ``connected_components``; non-numeric
+    ids (URLs, content hashes) are mapped to xxhash64 surrogates first
+    (collision-audited, no global sort — see ``_surrogate_node_ids``)
+    because connected_components needs long vertex ids and a silent
+    cast would null every edge out and turn the dedup into a no-op.
+    Returns DataFrame(id_col, dup_group)."""
+    from dbscan_pyspark_spark.operators.components import connected_components
+
+    id_type = dict(df.dtypes)[id_col]
+    if id_type in ("tinyint", "smallint", "int", "bigint"):
+        comp = connected_components(pairs, src="a_id", dst="b_id", id_col=id_col)
+        return comp.withColumnRenamed("component", "dup_group")
+    distinct_nodes = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .union(pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    nodes = _surrogate_node_ids(distinct_nodes, id_col)
+    e = (
+        pairs.join(nodes.select(F.col(id_col).alias("a_id"), F.col("_sid").alias("_sa")), "a_id")
+        .join(nodes.select(F.col(id_col).alias("b_id"), F.col("_sid").alias("_sb")), "b_id")
+    )
+    comp_s = connected_components(e, src="_sa", dst="_sb", id_col="_sid")
+    comp = (
+        comp_s.join(nodes, "_sid")
+        .withColumn(
+            "dup_group", F.min(F.col(id_col)).over(Window.partitionBy("component"))
+        )
+        .select(id_col, "dup_group")
+        .localCheckpoint(eager=True)  # materialize before releasing nodes
+    )
+    nodes.unpersist()
+    return comp
+
+
 def near_dup_dedup(
     df: DataFrame,
     threshold: float = 0.5,
@@ -373,43 +414,12 @@ def near_dup_dedup(
     the corpus (near-dups only), so components run on the contracted
     graph, and the survivors filter is a broadcast-friendly semi join.
     """
-    from dbscan_pyspark_spark.operators.components import connected_components
     from dbscan_pyspark_spark.operators.dedup import minhash_near_dup_pairs
 
     pairs = minhash_near_dup_pairs(
         df, threshold, num_hashes, rows_per_band, n, text_col, id_col
     )
-    id_type = dict(df.dtypes)[id_col]
-    if id_type in ("tinyint", "smallint", "int", "bigint"):
-        comp = connected_components(pairs, src="a_id", dst="b_id", id_col=id_col)
-        comp = comp.withColumnRenamed("component", "dup_group")
-    else:
-        # Non-numeric ids (URLs, content hashes): connected_components
-        # needs long vertex ids, so map the pair-graph NODES to
-        # xxhash64 surrogates (collision-audited, no global sort — see
-        # _surrogate_node_ids), solve, then label each component with
-        # its minimum original id. A silent cast would null every edge
-        # out and turn the dedup into a no-op.
-        distinct_nodes = (
-            pairs.select(F.col("a_id").alias(id_col))
-            .union(pairs.select(F.col("b_id").alias(id_col)))
-            .distinct()
-        )
-        nodes = _surrogate_node_ids(distinct_nodes, id_col)
-        e = (
-            pairs.join(nodes.select(F.col(id_col).alias("a_id"), F.col("_sid").alias("_sa")), "a_id")
-            .join(nodes.select(F.col(id_col).alias("b_id"), F.col("_sid").alias("_sb")), "b_id")
-        )
-        comp_s = connected_components(e, src="_sa", dst="_sb", id_col="_sid")
-        comp = (
-            comp_s.join(nodes, "_sid")
-            .withColumn(
-                "dup_group", F.min(F.col(id_col)).over(Window.partitionBy("component"))
-            )
-            .select(id_col, "dup_group")
-            .localCheckpoint(eager=True)  # materialize before releasing nodes
-        )
-        nodes.unpersist()
+    comp = dup_components(pairs, df, id_col)
     labeled = df.join(comp, id_col, "left").withColumn(
         "dup_group", F.coalesce(F.col("dup_group"), F.col(id_col))
     )
@@ -1279,9 +1289,6 @@ def welch_t_test(
             F.lit(tag).alias("_side"),
         )
 
-    def msum(expr) -> Column:
-        return F.coalesce(F.sum(expr), F.lit(0).cast("decimal(38,0)"))
-
     is_a, is_b = F.col("_side") == 0, F.col("_side") == 1
     agg = (
         side(df_a, 0)
@@ -1289,23 +1296,44 @@ def welch_t_test(
         .agg(
             F.count(F.when(is_a, 1)).alias("n_a"),
             F.count(F.when(is_b, 1)).alias("n_b"),
-            msum(F.when(is_a, F.col("_v"))).alias("_sa"),
-            msum(F.when(is_b, F.col("_v"))).alias("_sb"),
-            msum(F.when(is_a, F.col("_v") * F.col("_v"))).alias("_qa"),
-            msum(F.when(is_b, F.col("_v") * F.col("_v"))).alias("_qb"),
+            F.sum(F.when(is_a, F.col("_v"))).alias("_sa"),
+            F.sum(F.when(is_b, F.col("_v"))).alias("_sb"),
+            F.sum(F.when(is_a, F.col("_v") * F.col("_v"))).alias("_qa"),
+            F.sum(F.when(is_b, F.col("_v") * F.col("_v"))).alias("_qb"),
         )
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
     qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
     ma, mb = sa / na, sb / nb
-    se2a = (qa - sa * ma) / (na - 1) / na
-    se2b = (qb - sb * mb) / (nb - 1) / nb
+    # the n >= 2 condition lives INSIDE the expressions (null below),
+    # not only in the `bad` disjunction: codegen's common-subexpression
+    # elimination hoists the shared se2 past the Or's short-circuit,
+    # and an unconditional (n-1) denominator then divides by zero
+    # under ANSI while merely EVALUATING the guard
+    se2a = F.when(
+        F.col("n_a") >= 2, (qa - sa * ma) / (na - 1) / na
+    )
+    se2b = F.when(
+        F.col("n_b") >= 2, (qb - sb * mb) / (nb - 1) / nb
+    )
     se2 = se2a + se2b
     bad = (
         (F.col("n_a") < 2)
         | (F.col("n_b") < 2)
-        | (F.sqrt(se2) == 0)
+        # a null Σ with n >= 2 is decimal(38,0) overflow under
+        # ansi=false (ANSI raises upstream) — raise, never treat the
+        # lost mass as 0 (the approx_top_k weighted-overflow lesson)
+        | F.col("_sa").isNull()
+        | F.col("_sb").isNull()
+        | F.col("_qa").isNull()
+        | F.col("_qb").isNull()
+        # se2 <= 0 covers both genuinely-constant sides AND the
+        # >2^53 double-rounding cancellation that can leave a tiny
+        # NEGATIVE residue (sqrt -> NaN) — NaN itself sorts ABOVE
+        # every number in Spark, so test isnan explicitly too
+        | ~(se2 > 0)
+        | F.isnan(se2)
     )
     guard = lambda expr: F.when(  # noqa: E731
         bad,
@@ -1361,11 +1389,15 @@ def exact_percentiles(
     percentile, never an unpartitioned window."""
     from dbscan_pyspark_spark.operators.windows import global_cumsum
 
-    if not percents or any(
-        not isinstance(p, int) or not 0 < p <= 100 for p in percents
+    if (
+        not percents
+        or any(
+            not isinstance(p, int) or not 0 < p <= 100 for p in percents
+        )
+        or len(set(percents)) != len(percents)
     ):
         raise ValueError(
-            "exact_percentiles: percents must be ints in (0, 100]"
+            "exact_percentiles: percents must be distinct ints in (0, 100]"
         )
     counts = (
         df.where(F.col(col).isNotNull())

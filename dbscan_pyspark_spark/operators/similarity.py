@@ -230,7 +230,15 @@ def rp_lsh_near_dup_pairs(
 
     if rows_per_band == "auto":
         # one count job sizes the banding to the corpus (the 117×
-        # stress lesson); explicit ints skip the count entirely
+        # stress lesson); explicit ints skip the count entirely.
+        # auto OWNS n_planes — silently overriding an explicit plane
+        # count would hand back lower recall than the caller asked for
+        if n_planes not in (None, 16):
+            raise ValueError(
+                "rp_lsh_near_dup_pairs: rows_per_band='auto' sets "
+                "n_planes itself — pass n_planes=None (or set both "
+                "explicitly to tune recall)"
+            )
         n_planes, rows_per_band = auto_band_size(vectors.count())
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
@@ -345,9 +353,7 @@ def semantic_dedup(
     every signature at any banding. ``rows_per_band="auto"`` sizes the
     banding from one count job (:func:`auto_band_size`).
     """
-    from dbscan_pyspark_spark.operators.components import (
-        connected_components,
-    )
+    from dbscan_pyspark_spark.operators.pipeline import dup_components
 
     pairs = rp_lsh_near_dup_pairs(
         vectors,
@@ -359,28 +365,30 @@ def semantic_dedup(
         seed=seed,
         plane_scale=plane_scale,
     )
-    comp = connected_components(
-        pairs, src="a_id", dst="b_id", id_col=id_col
-    ).withColumnRenamed("component", "dup_group")
-    labeled = vectors.join(comp, id_col, "left").withColumn(
-        "dup_group", F.coalesce(F.col("dup_group"), F.col(id_col))
-    )
+    # dup_components handles non-numeric ids via xxhash64 surrogates —
+    # a silent long cast would null every edge and no-op the dedup
+    comp = dup_components(pairs, vectors, id_col)
     w_grp = Window.partitionBy("dup_group")
+    labeled = (
+        vectors.join(comp, id_col, "left")
+        .withColumn(
+            "dup_group", F.coalesce(F.col("dup_group"), F.col(id_col))
+        )
+        # size in the SAME pass (the near_dup_dedup shape) — a separate
+        # sizes aggregate would scan the labeled relation twice and pay
+        # an extra dup_group join
+        .withColumn("dup_group_size", F.count(F.lit(1)).over(w_grp))
+    )
     if score is None:
         # components already label with the min id -> the survivor IS
         # the label; no ranking window needed
-        survivors = labeled.where(F.col(id_col) == F.col("dup_group"))
-    else:
-        w = w_grp.orderBy(score.desc(), F.col(id_col).asc())
-        survivors = (
-            labeled.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    sizes = labeled.groupBy("dup_group").agg(
-        F.count(F.lit(1)).alias("dup_group_size")
+        return labeled.where(F.col(id_col) == F.col("dup_group"))
+    w = w_grp.orderBy(score.desc(), F.col(id_col).asc())
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    return survivors.join(sizes, "dup_group")
 
 
 def train_ivf_centroids(

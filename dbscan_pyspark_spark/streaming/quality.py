@@ -98,14 +98,18 @@ def process_ks_batch(
     batch)`` statistic + batch_id to the batch's own partition
     (replay-idempotent — a reprocessed batch recomputes the identical
     integer-exact statistic and overwrites its own partition)."""
-    if batch.isEmpty():
-        return
     from dbscan_pyspark_spark.operators.pipeline import ks_drift
 
-    # persist: isEmpty + the two side scans re-read the source
-    # otherwise (the process_drift_batch discipline)
+    # persist: the emptiness probe + the two side scans re-read the
+    # source otherwise (the process_drift_batch discipline)
     batch = batch.persist()
     try:
+        # a batch with NO non-null values (not just no rows — an
+        # optional column can arrive all-null) has no place on a CDF:
+        # skip it rather than let ks_drift's empty-side ValueError
+        # kill the whole StreamingQuery inside foreachBatch
+        if batch.where(F.col(col).isNotNull()).isEmpty():
+            return
         ks = ks_drift(reference, batch, col).withColumn(
             "batch_id", F.lit(batch_id)
         )
@@ -202,11 +206,16 @@ def _latest_sketch(spark, store_dir: str, before_batch: int) -> DataFrame | None
     # yet) is an expected state, not an exception to string-match — a
     # Spark version changing the PATH_NOT_FOUND message must not turn
     # every first micro-batch into a hard failure. Hadoop FS, not
-    # os.path: store_dir is any Hadoop-FS URI at scale.
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return None
+    # os.path: store_dir is any Hadoop-FS URI at scale. Guarded: on
+    # Spark Connect there is no _jvm — fall through to the
+    # read-and-classify path below instead of failing every call.
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+    except Exception:
+        pass
     try:
         store = spark.read.parquet(store_dir)
     except AnalysisException as exc:

@@ -533,6 +533,8 @@ def test_exact_percentiles_and_quantile_drift(spark):
         exact_percentiles(df, "x", [0])
     with _pytest.raises(ValueError, match="percents"):
         exact_percentiles(df, "x", [])
+    with _pytest.raises(ValueError, match="distinct"):
+        exact_percentiles(df, "x", [50, 50])
     empty = spark.createDataFrame([(None,)], "x int")
     with _pytest.raises(ValueError, match="no non-null rows"):
         exact_percentiles(empty, "x", [50])

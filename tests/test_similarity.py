@@ -390,6 +390,25 @@ def test_semantic_dedup_transitive_groups_and_representative(spark):
     assert set(got2) == {12, 20, 30}
     assert got2[12] == 10  # group label stays the min id
 
+    # non-numeric ids route through xxhash64 surrogates — a silent
+    # long cast would null every edge and return all rows as
+    # singletons (the near_dup_dedup no-op hazard, r6 review)
+    sdf = spark.createDataFrame(
+        [(f"img_{i:03d}", v) for i, v in rows], "vec_id string, emb array<long>"
+    )
+    gots = {
+        r["vec_id"]: (r["dup_group"], r["dup_group_size"])
+        for r in semantic_dedup(
+            sdf, threshold=0.95, vec_col="emb", n_planes=8,
+            rows_per_band=2, plane_scale=1000,
+        ).collect()
+    }
+    assert gots == {
+        "img_010": ("img_010", 3),
+        "img_020": ("img_020", 1),
+        "img_030": ("img_030", 1),
+    }
+
 
 def test_auto_band_size_and_auto_lsh_path(spark):
     """auto_band_size targets ~16 occupancy with a 4-bit floor and
@@ -431,3 +450,10 @@ def test_auto_band_size_and_auto_lsh_path(spark):
         rp_lsh_near_dup_pairs(
             df, threshold=0.9, n_planes=10, rows_per_band=4, vec_col="emb"
         ).collect()
+    # auto owns n_planes: an explicit non-default plane count alongside
+    # rows_per_band='auto' raises instead of being silently discarded
+    with _pytest.raises(ValueError, match="auto"):
+        rp_lsh_near_dup_pairs(
+            df, threshold=0.9, n_planes=128, rows_per_band="auto",
+            vec_col="emb",
+        )

@@ -755,6 +755,15 @@ def test_streaming_ks_monitor_matches_batch_per_microbatch(
         .count()
         == 1
     )
+    # a non-empty batch whose monitored column is all null is SKIPPED
+    # (no partition written) instead of killing the stream with
+    # ks_drift's empty-side ValueError (r6 review)
+    allnull = spark.createDataFrame([(None,), (None,)], "user_id long")
+    process_ks_batch(allnull, 999, reference, "user_id", out)
+    assert (
+        spark.read.parquet(out).where(F.col("monitor_batch") == 999).count()
+        == 0
+    )
 
 
 def test_streaming_expectations_gate(spark, stream_dir, tmp_path):
