@@ -3331,19 +3331,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder_for_driver_window(q)
 
 
-# Names the driver already verified green (CORRECTNESS_r01 ∪ … ∪ r05 —
-# cumulative driver-green covers all 168 oracled queries as of round 5,
-# so this is simply every oracled name; new round-6 queries are NOT
-# added here until their first driver green, which auto-fronts them).
+# Names the driver already verified green (cumulative CORRECTNESS_r01
+# ∪ … ∪ r06 — every oracled query has a green driver record as of
+# round 6; new queries are NOT added here until their first driver
+# green, which auto-fronts them).
 # The driver oracles the FIRST 50 entries of queries() each round, so
-# we rotate: anything not yet driver-checked goes first; previously-
-# green queries go last, except (a) a changed-since-last-check tier
-# (_FLAGSHIP_FIRST) — queries whose plan or operator internals changed
-# AFTER their most recent driver check — and (b) a regression-recheck
-# tier (_REGRESSION_RECHECK), oldest-last-check-first, that fills
-# whatever checked slots remain (tests/test_entry_contract.py::
+# we rotate: (1) a changed-since-last-check tier (_FLAGSHIP_FIRST) —
+# queries whose plan or operator internals changed AFTER their most
+# recent driver check; (2) oracled queries with no driver record yet;
+# (3) rows-only queries with no green driver record (_ROWS_ONLY minus
+# _ROWS_ONLY_GREEN) — rows-only checks are cheap (rows+schema) and
+# every registry entry deserves a green record (round-6 verdict:
+# kmember_clusters / embedding_pca carried r2-FAIL records for four
+# rounds under the old park-at-the-back policy); (4) a regression-
+# recheck tier (_REGRESSION_RECHECK), strictly oldest-last-check-
+# first. tests/test_entry_contract.py::
 # test_rotation_wastes_no_checked_slot pins that nothing green
-# displaces a waiting non-green query).
+# displaces a waiting non-green query.
 _DRIVER_CHECKED_GREEN = {
     "anonymize_cells", "busy_customers", "clean_corpus_splits",
     "cube_order_status", "cumulative_customer_revenue",
@@ -3355,10 +3359,10 @@ _DRIVER_CHECKED_GREEN = {
     "dedup_cluster_sizes", "dedup_exact_docs", "dedup_keep_best_docs",
     "dedup_near_docs", "dedup_savings", "dedup_vs_reference",
     "disjunctive_part_revenue", "distinct_nations_per_segment",
-    "doc_bigram_fluency", "doc_chunk_dedup", "doc_chunks",
-    "doc_contamination", "doc_corpus_filter", "doc_fingerprints",
-    "doc_gopher_filters", "doc_lang_heavy_hitters", "doc_pack_bins",
-    "doc_quality", "doc_redactions", "doc_repetition",
+    "doc_bigram_fluency", "doc_boilerplate_strip", "doc_chunk_dedup",
+    "doc_chunks", "doc_contamination", "doc_corpus_filter",
+    "doc_fingerprints", "doc_gopher_filters", "doc_lang_heavy_hitters",
+    "doc_pack_bins", "doc_quality", "doc_redactions", "doc_repetition",
     "doc_shard_order", "doc_splits", "doc_stratified_sample",
     "doc_tfidf_cosine_pairs", "doc_tfidf_top_terms",
     "doc_token_entropy", "doc_vocab", "doc_weighted_sample",
@@ -3366,9 +3370,10 @@ _DRIVER_CHECKED_GREEN = {
     "embedding_covariance", "embedding_kmeans",
     "embedding_label_cohesion", "embedding_near_dups",
     "embedding_near_dups_lsh_exact", "embedding_norm_stats",
-    "embedding_quantization", "eps_core_points", "eps_k_distance",
-    "eps_neighbor_counts", "eps_neighbor_ids", "eps_pairs",
-    "eps_sweep_metrics", "events_asof_error", "events_asof_next_view",
+    "embedding_quantization", "embedding_semantic_dedup",
+    "eps_core_points", "eps_k_distance", "eps_neighbor_counts",
+    "eps_neighbor_ids", "eps_pairs", "eps_sweep_metrics",
+    "events_asof_error", "events_asof_next_view",
     "events_cohort_retention", "events_conversion_delay",
     "events_dedup_window", "events_error_context",
     "events_first_touch", "events_funnel", "events_funnel_times",
@@ -3383,94 +3388,79 @@ _DRIVER_CHECKED_GREEN = {
     "group_centroids", "group_cost", "grouping_sets_pricing",
     "ivf_ann_topk_exact", "ivf_recall_eval", "knn_assign",
     "lang_char_heavy_hitters", "lang_id_confusion",
-    "lang_id_heuristic", "lang_source_drift", "large_order_customers",
-    "lineitem_measures_unpivot", "lineitem_profile",
-    "lineitem_winsorized_stats", "market_share_by_year",
-    "minhash_band_signatures", "minhash_jaccard_error",
-    "minhash_near_dups", "multimodal_frame_samples",
-    "multimodal_stats", "nation_monthly_growth", "nation_pagerank",
-    "nation_pair_trade", "nation_revenue", "nation_supplier_hhi",
-    "near_dup_jaccard", "near_dup_jaccard_prefix",
-    "order_value_outliers", "orders_by_month", "orders_custkey_skew",
-    "orders_expectations", "orders_open_backlog",
-    "orders_rank_in_month", "part_bfs_hops", "part_brand_mode",
-    "part_cooccurrence", "part_k_core", "part_name_fuzzy_pairs",
-    "part_order_hits", "part_sssp", "part_triangle_histogram",
-    "part_types_except", "part_types_intersect",
-    "pivot_orders_priority", "poorest_customer", "pretraining_report",
+    "lang_id_heuristic", "lang_nchars_ks_drift", "lang_source_drift",
+    "large_order_customers", "lineitem_measures_unpivot",
+    "lineitem_profile", "lineitem_winsorized_stats",
+    "market_share_by_year", "minhash_band_signatures",
+    "minhash_jaccard_error", "minhash_near_dups",
+    "multimodal_frame_samples", "multimodal_stats",
+    "nation_monthly_growth", "nation_pagerank", "nation_pair_trade",
+    "nation_revenue", "nation_supplier_hhi", "near_dup_jaccard",
+    "near_dup_jaccard_prefix", "order_value_outliers",
+    "orders_by_month", "orders_custkey_skew", "orders_expectations",
+    "orders_open_backlog", "orders_rank_in_month", "part_bfs_hops",
+    "part_brand_mode", "part_cooccurrence", "part_k_core",
+    "part_name_fuzzy_pairs", "part_order_hits", "part_sssp",
+    "part_triangle_histogram", "part_types_except",
+    "part_types_intersect", "pivot_orders_priority",
+    "poorest_customer", "pretraining_report",
     "priority_linestatus_counts", "priority_order_check",
-    "profit_by_nation_year", "promo_revenue_share",
-    "q1_pricing_summary", "quantity_histogram", "quantity_percentiles",
-    "released_lineitems", "returned_item_customers",
-    "revenue_concentration", "revenue_lorenz_top100", "rollup_pricing",
-    "shipping_delay_stats", "shipping_priority", "simhash_docs",
-    "small_qty_revenue", "sole_returner_suppliers", "source_caps",
-    "source_ngram_overlap", "source_temperature_sample",
-    "sql_priority_share_rank", "sql_segment_revenue",
-    "supplier_nation_revenue", "token_stats", "top_quantity_tiers",
-    "top_revenue_supplier", "top_supplier_per_brand",
-    "topk_lineitems_per_order", "totalprice_drift",
-    "totalprice_equidepth", "union_segments", "users_click_then_error",
-    "wealthy_inactive_customers",
+    "priority_totalprice_ttest", "profit_by_nation_year",
+    "promo_revenue_share", "q1_pricing_summary", "quantity_histogram",
+    "quantity_percentiles", "released_lineitems",
+    "returned_item_customers", "revenue_concentration",
+    "revenue_lorenz_top100", "rollup_pricing", "shipping_delay_stats",
+    "shipping_priority", "simhash_docs", "small_qty_revenue",
+    "sole_returner_suppliers", "source_caps", "source_ngram_overlap",
+    "source_temperature_sample", "sql_priority_share_rank",
+    "sql_segment_revenue", "supplier_nation_revenue", "token_stats",
+    "top_quantity_tiers", "top_revenue_supplier",
+    "top_supplier_per_brand", "topk_lineitems_per_order",
+    "totalprice_drift", "totalprice_equidepth", "totalprice_ks_drift",
+    "totalprice_quantile_drift", "union_segments",
+    "users_click_then_error", "wealthy_inactive_customers",
 }
 
-# Rows-only queries (no exact oracle possible: randomized k-member,
-# float eigensolve, engine-specific sketch estimates) are parked at the
-# ABSOLUTE BACK: a no-oracle entry inside the driver's 50-query checked
-# window is a guaranteed red under the driver contract
-# (CORRECTNESS_r02: embedding_near_dups_lsh / ivf_ann_topk).
-_ROWS_ONLY_BACK = {
-    "approx_event_stats", "kmember_clusters", "embedding_pca",
-    # MG sketch candidates: membership depends on partitioning
+# Queries with no exact oracle possible (randomized k-member, float
+# eigensolve, engine-specific sketch estimates): the driver records a
+# weaker rows+schema check. They rotate like everything else (tier 3
+# above until first green, then via _REGRESSION_RECHECK), but never
+# ahead of a changed oracled query.
+_ROWS_ONLY = {
+    "approx_event_stats", "approx_event_type_topk", "embedding_pca",
+    "kmember_clusters",
+}
+# order within tier 3: the two r2-FAIL records first (oldest debt)
+_ROWS_ONLY_ORDER = [
+    "kmember_clusters", "embedding_pca", "approx_event_stats",
     "approx_event_type_topk",
-}
+]
+# rows-only names whose LATEST driver record is green (rows+schema
+# match): none yet — round 7 fronts all four for their first green
+_ROWS_ONLY_GREEN: set = set()
 
-# The driver's round-6 checked window, in order: every query whose
-# operator internals changed AFTER its most recent (round-5) driver
-# check — the round-6 review hardening touched approx_top_k's weighted
-# contract (lang_char_heavy_hitters, doc_lang_heavy_hitters), the
-# global_cumsum/_row_number/_ntile partition default
-# (revenue_lorenz_top100 and the global-rank family), and
-# rp_lsh_near_dup_pairs gained the auto-banding branch
-# (embedding_near_dups_lsh_exact; its round-6 sibling
-# embedding_semantic_dedup auto-fronts as a new query). New round-6
-# additions auto-front behind these (not in the green set).
+# The driver's round-7 checked window, in order: every query whose
+# operator internals changed AFTER its most recent (round-6) driver
+# check — the round-7 ADVICE hardening touched rp_lsh_near_dup_pairs'
+# n_planes/rows_per_band contract (embedding_near_dups_lsh_exact,
+# embedding_semantic_dedup) and global_cumsums' out_col/order_by
+# shadow guard (revenue_lorenz_top100 and the ks/quantile drift
+# family). New round-7 additions auto-front behind these.
 _FLAGSHIP_FIRST = [
-    "lang_char_heavy_hitters", "doc_lang_heavy_hitters",
-    "revenue_lorenz_top100", "revenue_concentration",
-    "customer_rfm_segments", "customer_revenue_percentile",
-    "embedding_near_dups_lsh_exact",
-    # near_dup_dedup's component labeling was factored into the shared
-    # dup_components helper in the round-6 review pass — changed after
-    # their round-5 checks
-    "dedup_near_docs", "dedup_cluster_sizes",
+    "embedding_near_dups_lsh_exact", "embedding_semantic_dedup",
+    "revenue_lorenz_top100", "totalprice_ks_drift",
+    "totalprice_quantile_drift", "lang_nchars_ks_drift",
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly
-# oldest-last-check-first: the 23 oracled queries last checked in
-# round 2, then the 46 last checked in round 3 (round 7 inherits the
-# overflow), then rounds 4 and 5 so the rotation is self-sustaining
-# with no list rebuild needed. These fill the checked slots left over
-# AFTER every non-green query and the changed-since-check tier, so
-# they can never displace a query that still needs its first check.
+# oldest-last-check-first: the 34 oracled queries last checked in
+# round 3 (round 7's window takes all of them), then rounds 4, 5 and
+# 6 so the rotation is self-sustaining with no list rebuild needed.
+# These fill the checked slots left over AFTER every non-green query
+# and the changed-since-check tier, so they can never displace a
+# query that still needs its first check.
 _REGRESSION_RECHECK = [
-    # last checked round 2
-    "events_first_touch", "events_funnel", "events_imputed_values",
-    "events_resampled", "events_rolling_active_users", "events_scd2",
-    "events_session_histogram", "events_transitions",
-    "events_user_intervals", "fk_integrity", "forecast_revenue",
-    "ivf_ann_topk_exact", "lineitem_winsorized_stats",
-    "nation_pagerank", "nation_supplier_hhi", "order_value_outliers",
-    "part_name_fuzzy_pairs", "pretraining_report",
-    "priority_order_check", "returned_item_customers",
-    "shipping_delay_stats", "sql_priority_share_rank",
-    "top_revenue_supplier",
     # last checked round 3
-    "customer_balance_quartiles", "customer_group_sample",
-    "customer_order_distribution", "customers_all_priorities",
-    "disjunctive_part_revenue", "doc_chunks", "doc_gopher_filters",
-    "doc_redactions", "doc_repetition", "doc_stratified_sample",
-    "embedding_covariance", "embedding_label_cohesion",
     "embedding_norm_stats", "embedding_quantization",
     "events_cohort_retention", "events_conversion_delay",
     "events_dedup_window", "events_funnel_times", "events_hourly",
@@ -3508,15 +3498,13 @@ _REGRESSION_RECHECK = [
     "topk_lineitems_per_order", "totalprice_drift", "union_segments",
     # last checked round 5
     "clean_corpus_splits", "dbscan_assign_customer", "dbscan_customer",
-    "dbscan_scc_customer", "dedup_cluster_sizes", "dedup_exact_docs",
-    "dedup_keep_best_docs", "dedup_near_docs", "dedup_savings",
-    "doc_chunk_dedup", "doc_contamination", "doc_corpus_filter",
-    "doc_fingerprints", "doc_pack_bins", "doc_quality", "doc_splits",
-    "doc_tfidf_cosine_pairs", "doc_tfidf_top_terms",
-    "doc_token_entropy", "doc_weighted_sample",
+    "dbscan_scc_customer", "dedup_exact_docs", "dedup_keep_best_docs",
+    "dedup_savings", "doc_chunk_dedup", "doc_contamination",
+    "doc_corpus_filter", "doc_fingerprints", "doc_pack_bins",
+    "doc_quality", "doc_splits", "doc_tfidf_cosine_pairs",
+    "doc_tfidf_top_terms", "doc_token_entropy", "doc_weighted_sample",
     "doc_winnow_fingerprints", "embedding_cosine_topk",
-    "embedding_kmeans", "embedding_near_dups",
-    "embedding_near_dups_lsh_exact", "eps_k_distance",
+    "embedding_kmeans", "embedding_near_dups", "eps_k_distance",
     "eps_sweep_metrics", "events_asof_error", "events_asof_next_view",
     "events_error_context", "ivf_recall_eval", "lang_id_heuristic",
     "lang_source_drift", "minhash_band_signatures",
@@ -3524,6 +3512,27 @@ _REGRESSION_RECHECK = [
     "poorest_customer", "quantity_percentiles", "shipping_priority",
     "simhash_docs", "small_qty_revenue", "supplier_nation_revenue",
     "token_stats",
+    # last checked round 6
+    "customer_balance_quartiles", "customer_group_sample",
+    "customer_order_distribution", "customer_revenue_percentile",
+    "customer_rfm_segments", "customers_all_priorities",
+    "dedup_cluster_sizes", "dedup_near_docs",
+    "disjunctive_part_revenue", "doc_boilerplate_strip", "doc_chunks",
+    "doc_gopher_filters", "doc_lang_heavy_hitters", "doc_redactions",
+    "doc_repetition", "doc_stratified_sample", "embedding_covariance",
+    "embedding_label_cohesion", "events_first_touch", "events_funnel",
+    "events_imputed_values", "events_resampled",
+    "events_rolling_active_users", "events_scd2",
+    "events_session_histogram", "events_transitions",
+    "events_user_intervals", "fk_integrity", "forecast_revenue",
+    "ivf_ann_topk_exact", "lang_char_heavy_hitters",
+    "lineitem_winsorized_stats", "nation_pagerank",
+    "nation_supplier_hhi", "order_value_outliers",
+    "part_name_fuzzy_pairs", "pretraining_report",
+    "priority_order_check", "priority_totalprice_ttest",
+    "returned_item_customers", "revenue_concentration",
+    "shipping_delay_stats", "sql_priority_share_rank",
+    "top_revenue_supplier",
 ]
 
 
@@ -3532,16 +3541,16 @@ def _reorder_for_driver_window(q):
     front += [
         n for n in q
         if n not in _DRIVER_CHECKED_GREEN
-        and n not in _ROWS_ONLY_BACK
+        and n not in _ROWS_ONLY
         and n not in front
     ]
-    recheck = [n for n in _REGRESSION_RECHECK if n in q and n not in front]
-    back = [
-        n for n in q
-        if n not in front and n not in recheck and n not in _ROWS_ONLY_BACK
+    front += [
+        n for n in _ROWS_ONLY_ORDER
+        if n in q and n not in _ROWS_ONLY_GREEN
     ]
-    tail = [n for n in q if n in _ROWS_ONLY_BACK]
-    return {n: q[n] for n in front + recheck + back + tail}
+    recheck = [n for n in _REGRESSION_RECHECK if n in q and n not in front]
+    back = [n for n in q if n not in front and n not in recheck]
+    return {n: q[n] for n in front + recheck + back}
 
 
 # ---------------------------------------------------------------------------

@@ -193,7 +193,7 @@ def auto_band_size(
 def rp_lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
-    n_planes: int | None = 16,
+    n_planes: int | None = None,
     rows_per_band: int | str = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -232,19 +232,30 @@ def rp_lsh_near_dup_pairs(
         # one count job sizes the banding to the corpus (the 117×
         # stress lesson); explicit ints skip the count entirely.
         # auto OWNS n_planes — silently overriding an explicit plane
-        # count would hand back lower recall than the caller asked for
-        if n_planes not in (None, 16):
+        # count would hand back lower recall than the caller asked
+        # for, so ANY explicit value (including 16, the pre-sentinel
+        # default) raises; None is the only 'unset' spelling
+        if n_planes is not None:
             raise ValueError(
                 "rp_lsh_near_dup_pairs: rows_per_band='auto' sets "
                 "n_planes itself — pass n_planes=None (or set both "
                 "explicitly to tune recall)"
             )
         n_planes, rows_per_band = auto_band_size(vectors.count())
+    elif not isinstance(rows_per_band, int) or isinstance(rows_per_band, bool):
+        # a typo'd string ('Auto') would otherwise surface as an opaque
+        # TypeError from the modulo below — reject it at the contract
+        raise ValueError(
+            "rp_lsh_near_dup_pairs: rows_per_band must be an int or "
+            f"the string 'auto', got {rows_per_band!r}"
+        )
+    if n_planes is None:
+        n_planes = 16
     dim_row = vectors.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         raise ValueError("empty vectors")
     dim = int(dim_row["d"])
-    if n_planes is None or n_planes % rows_per_band:
+    if n_planes % rows_per_band:
         raise ValueError(
             "rp_lsh_near_dup_pairs: n_planes must be a multiple of "
             f"rows_per_band, got {n_planes}/{rows_per_band}"
@@ -318,7 +329,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int | None = 16,
+    n_planes: int | None = None,
     rows_per_band: int | str = 4,
     seed: int = 42,
     plane_scale: int | None = None,

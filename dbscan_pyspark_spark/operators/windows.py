@@ -267,6 +267,21 @@ def global_cumsums(
     out_cols = out_cols or [f"csum_{c}" for c in value_cols]
     if len(out_cols) != len(value_cols):
         raise ValueError("global_cumsums: out_cols/value_cols mismatch")
+    # out_col == value_col is safe (internal copies), but an out_col
+    # that SHADOWS an order_by sort key is not: F.col resolves lazily,
+    # so the withColumn overwrite would make every later window
+    # expression (running sums for i>0, rn_col) sort by the prefix sum
+    # instead of the original key — silent order corruption
+    order_names = {c for c in order_by if isinstance(c, str)}
+    shadowed = order_names.intersection(out_cols)
+    if rn_col in order_names:
+        shadowed.add(rn_col)
+    if shadowed:
+        raise ValueError(
+            "global_cumsums: output column(s) "
+            f"{sorted(shadowed)} shadow order_by sort keys — alias the "
+            "output or the sort key"
+        )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n_parts = int(num_partitions) if num_partitions else _shuffle_partitions(
         df.sparkSession

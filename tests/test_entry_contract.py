@@ -111,24 +111,44 @@ def test_oracle_output_types_are_portable(entry, duck):
 
 
 def test_rotation_wastes_no_checked_slot(entry):
-    """The driver oracles the FIRST 50 queries() entries. Invariants:
-    (a) no rows-only query burns a checked slot, and (b) an oracled
-    not-yet-green query may sit outside the window ONLY when the window
-    is already saturated with oracled not-yet-green entries (i.e. it
-    will rotate in next round, nothing green is wasting its slot)."""
+    """The driver oracles the FIRST 50 queries() entries. Invariants
+    (round-7 amended rule — rows-only entries rotate like everything
+    else, they just can't displace changed/new oracled queries):
+    (a) a rows-only query may occupy a window slot ONLY while it has
+    no green driver record, and must sit BEHIND every oracled
+    not-yet-green entry; (b) an oracled not-yet-green query may sit
+    outside the window ONLY when the window is already saturated with
+    oracled not-yet-green entries (i.e. it will rotate in next round,
+    nothing green is wasting its slot)."""
     import __spark_entry__ as m
 
     names = list(entry.queries())
     oracles = entry.oracle_sql()
     window = names[:50]
-    in_window_rows_only = [n for n in window if n not in oracles]
-    assert not in_window_rows_only, in_window_rows_only
+    rows_only_in_window = [n for n in window if n not in oracles]
+    # (a) only not-yet-green rows-only entries may burn a slot...
+    greened = [n for n in rows_only_in_window if n in m._ROWS_ONLY_GREEN]
+    assert not greened, greened
+    # ...and each sits behind every oracled not-yet-green entry
+    oracled_nongreen_pos = [
+        i for i, n in enumerate(names)
+        if n in oracles and n not in m._DRIVER_CHECKED_GREEN
+    ]
+    if rows_only_in_window and oracled_nongreen_pos:
+        first_rows_only = names.index(rows_only_in_window[0])
+        assert first_rows_only > max(oracled_nongreen_pos), (
+            f"rows-only {rows_only_in_window[0]} sits ahead of a "
+            "changed/new oracled query"
+        )
     displaced = [
         n for n in names[50:]
         if n in oracles and n not in m._DRIVER_CHECKED_GREEN
     ]
     if displaced:
-        wasted = [n for n in window if n in m._DRIVER_CHECKED_GREEN]
+        wasted = [
+            n for n in window
+            if n in m._DRIVER_CHECKED_GREEN or n in m._ROWS_ONLY_GREEN
+        ]
         assert not wasted, (
             f"already-green {wasted} occupy checked slots while "
             f"{displaced} wait outside the window"

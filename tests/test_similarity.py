@@ -457,3 +457,15 @@ def test_auto_band_size_and_auto_lsh_path(spark):
             df, threshold=0.9, n_planes=128, rows_per_band="auto",
             vec_col="emb",
         )
+    # ... INCLUDING an explicit 16 (the old non-sentinel default):
+    # 'unset' is spelled n_planes=None only
+    with _pytest.raises(ValueError, match="auto"):
+        rp_lsh_near_dup_pairs(
+            df, threshold=0.9, n_planes=16, rows_per_band="auto",
+            vec_col="emb",
+        )
+    # a typo'd banding string fails the contract, not an opaque modulo
+    with _pytest.raises(ValueError, match="rows_per_band"):
+        rp_lsh_near_dup_pairs(
+            df, threshold=0.9, rows_per_band="Auto", vec_col="emb"
+        )

@@ -210,6 +210,16 @@ def test_global_cumsum_null_and_collision_contracts(spark):
     # x overwritten by its own exact prefix sums: 1,3,6,10,15,21
     assert got == [(0, 1), (1, 3), (2, 6), (3, 10), (4, 15), (5, 21)]
 
+    # an out_col (or rn_col) that SHADOWS an order_by sort key raises —
+    # the lazy F.col re-resolution would silently corrupt the order for
+    # later window expressions (round-6 advice)
+    from dbscan_pyspark_spark.operators.windows import global_cumsums
+
+    with _pytest.raises(ValueError, match="shadow"):
+        global_cumsums(df, ["id"], ["x"], out_cols=["id"])
+    with _pytest.raises(ValueError, match="shadow"):
+        global_cumsums(df, ["id"], ["x"], rn_col="id")
+
 
 def test_shuffle_partitions_tolerates_non_integer_conf(spark):
     """Platforms that set spark.sql.shuffle.partitions to 'auto'
