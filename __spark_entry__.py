@@ -1802,6 +1802,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_chunk_dedup"] = doc_chunk_dedup
 
+    def doc_dup_spans(spark, sf):
+        # variable-length exact substring dedup (suffix-array-lite
+        # k-gram span merge, Lee et al. 2022): one row per maximal
+        # span whose every 10-token window occurs >=2 times in the
+        # corpus — the alignment-free complement of doc_chunk_dedup's
+        # fixed disjoint windows
+        from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+        return duplicated_spans(
+            load_table(spark, sf, "documents"), k=10
+        ).select("doc_id", "span_start", "span_len")
+
+    q["doc_dup_spans"] = doc_dup_spans
+
     def doc_boilerplate_strip(spark, sf):
         # CCNet-style boilerplate removal: drop 3-token segments
         # occurring in > 3 distinct docs, reassemble survivors in
@@ -6367,6 +6381,29 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
        round(CAST(sum(dup) AS DOUBLE) / count(*), 4) AS dup_ratio
 FROM marked GROUP BY doc_id
+""",
+        "doc_dup_spans": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+9], ' ')) AS fp
+  FROM toks, unnest(range(1, len(t) - 10 + 2)) AS u(i)
+  WHERE len(t) >= 10
+),
+anch AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS c FROM grams
+  ) WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM anch
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) - min(pos) + 10 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, grp
 """,
         "doc_token_entropy": r"""
 WITH tok AS (

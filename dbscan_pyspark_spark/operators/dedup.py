@@ -556,6 +556,99 @@ def chunk_dedup_stats(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Variable-length exact substring dedup — the suffix-array-lite
+    span merge (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", there with a corpus suffix array on a
+    single machine; here a sorted-k-gram anchor merge that
+    distributes).
+
+    A token position ``p`` in a document is an *anchor* iff the
+    ``k``-token window starting there occurs at least ``min_count``
+    times in the corpus (all occurrences counted, same-document
+    repeats included). Maximal runs of CONSECUTIVE anchor positions
+    merge into one span covering tokens ``[span_start, span_start +
+    span_len)`` — so every ``k``-window inside a reported span is
+    corpus-duplicated, and no span can be extended in either
+    direction. That is exactly the k-gram upper bound on the suffix
+    array's maximal duplicated substrings (every true duplicated
+    substring of length >= k is contained in a reported span; a
+    reported span's windows may match DIFFERENT other occurrences, so
+    the span itself need not appear twice verbatim). Unlike
+    :func:`chunk_dedup_stats`'s fixed disjoint windows, spans here are
+    variable-length and alignment-free.
+
+    Tokenization is :func:`~dbscan_pyspark_spark.functions.text.
+    normalized` + single-space split — the corpus-wide canonical form,
+    so the whole operator is ANSI-SQL-expressible and carries an exact
+    DuckDB oracle (`doc_dup_spans`).
+
+    Returns DataFrame(id, span_start long, span_len long), one row per
+    maximal duplicated span, ``span_len >= k``.
+
+    Scale shape: the ONLY wide exchanges are (1) one shuffle of the
+    k-gram stream keyed on the 32-hex md5 of the window text (never
+    the window text itself — the gaps-and-islands merge needs every
+    position's verdict, so the count is a window over the fingerprint,
+    one shuffle, not a groupBy + join-back's two), and (2) one shuffle
+    on the doc id for the island merge — both fine-grained keys that
+    hash-partition evenly. The token array is bound to a column before
+    the window transform (no CSE inside higher-order-function lambdas
+    — the measured 10x shingle lesson). Degenerate-corpus note: a
+    corpus that is ONE phrase repeated everywhere sends every k-gram
+    to few fingerprints; the window count still partial-sorts per
+    partition, and the anchor stream is the full gram stream — that
+    regime is the signal (everything is duplicated), not a failure.
+    """
+    if k < 2:
+        raise ValueError(f"duplicated_spans: k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"duplicated_spans: min_count must be >= 2, got {min_count}"
+        )
+    from pyspark.sql import Window
+
+    toks = F.split(normalized(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+                ),
+            )
+        ).alias("pos", "_fp"),
+    )
+    w_fp = Window.partitionBy("_fp")
+    anchors = grams.withColumn(
+        "_cnt", F.count(F.lit(1)).over(w_fp)
+    ).where(F.col("_cnt") >= min_count)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    islands = anchors.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w_doc)
+    )
+    return (
+        islands.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(k))
+            .cast("long")
+            .alias("span_len"),
+        )
+        .drop("_grp")
+    )
+
+
 def strip_frequent_segments(
     df: DataFrame,
     max_doc_freq: int,

@@ -293,3 +293,84 @@ def test_strip_frequent_segments_drops_boilerplate_keeps_order(spark):
 
     with _pytest.raises(ValueError):
         strip_frequent_segments(df, max_doc_freq=0)
+
+
+def test_duplicated_spans_planted_cross_doc(spark):
+    """A phrase shared by two docs becomes ONE maximal span per doc at
+    the right offset/length; windows straddling the span edge are
+    unique so the span cannot be extended (maximality)."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),
+            (2, "b1 " + shared + " b2 b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, k=5).collect()
+    )
+    assert got == [(1, 3, 15), (2, 1, 15)]
+
+    with _pytest.raises(ValueError, match="k"):
+        duplicated_spans(df, k=1)
+    with _pytest.raises(ValueError, match="min_count"):
+        duplicated_spans(df, k=5, min_count=1)
+
+
+def test_duplicated_spans_gap_splits_and_same_doc_repeats(spark):
+    """Two separated duplicated regions in one doc yield two spans
+    (the gap breaks the anchor island); repeats WITHIN one document
+    count toward min_count (corpus occurrences, not distinct docs)."""
+    from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+    r1 = " ".join(f"p{i}" for i in range(6))
+    r2 = " ".join(f"q{i}" for i in range(6))
+    df = spark.createDataFrame(
+        [
+            (1, r1 + " x1 x2 x3 " + r2),
+            (2, "y1 " + r1 + " y2 y3 " + r2 + " y4"),
+            # doc 3: the same phrase twice with a separator — both
+            # occurrences' windows occur twice in the corpus
+            (3, r1.replace("p", "w") + " z1 " + r1.replace("p", "w")),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, k=5).collect()
+    )
+    assert got == [
+        (1, 0, 6), (1, 9, 6),
+        (2, 1, 6), (2, 9, 6),
+        (3, 0, 6), (3, 7, 6),
+    ]
+
+
+def test_duplicated_spans_short_docs_and_normalization(spark):
+    """Docs shorter than k tokens emit nothing; tokenization is the
+    corpus-canonical normalized form, so case/punctuation variants of
+    the same phrase still anchor each other."""
+    from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "The Quick, Brown Fox! Jumps over the lazy dog end1"),
+            (2, "the quick brown fox jumps over THE lazy dog... end2"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, k=5).collect()
+    )
+    # shared normalized region: 'the quick brown fox jumps over the
+    # lazy dog' = 9 tokens at position 0 of both docs
+    assert got == [(1, 0, 9), (2, 0, 9)]

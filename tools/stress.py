@@ -805,6 +805,73 @@ def main() -> None:
         flush=True,
     )
 
+    # --- duplicated spans at 2M docs (planted 12-token spans) ---
+    from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+    n_span_docs = 2_000_000
+    doc_tokens = 30
+    planted_frac_mod = 50  # id % 50 < 5 -> 10% of docs planted
+    # 30 alnum tokens per doc from a ~1e12 vocab (random 10-gram
+    # collisions impossible); planted docs overwrite tokens [9, 21)
+    # with one of 5 shared phrases -> anchors at 9,10,11 with k=10,
+    # i.e. exactly one maximal span (start 9, len 12) per planted doc
+    planted = F.pmod("id", F.lit(planted_frac_mod)) < 5
+    span_docs = spark.range(n_span_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(doc_tokens - 1)),
+                lambda j: F.when(
+                    planted & j.between(9, 20),
+                    F.concat(
+                        F.lit("d"),
+                        F.pmod("id", F.lit(5)).cast("string"),
+                        F.lit("x"),
+                        j.cast("string"),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("id") * 37 + j),
+                            F.lit(10**12),
+                        ).cast("string"),
+                    )
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    spans = duplicated_spans(span_docs, k=10)
+    span_agg = spans.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("span_start").alias("mn_s"),
+        F.max("span_start").alias("mx_s"),
+        F.min("span_len").alias("mn_l"),
+        F.max("span_len").alias("mx_l"),
+    ).collect()[0]
+    n_planted_spans = n_span_docs // planted_frac_mod * 5
+    assert (
+        span_agg["n"],
+        span_agg["mn_s"],
+        span_agg["mx_s"],
+        span_agg["mn_l"],
+        span_agg["mx_l"],
+    ) == (n_planted_spans, 9, 9, 12, 12), span_agg
+    print(
+        json.dumps(
+            {
+                "stage": "dup_spans_2m",
+                "n_docs": n_span_docs,
+                "n_grams": n_span_docs * (doc_tokens - 9),
+                "n_spans": span_agg["n"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
