@@ -1793,6 +1793,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_kmeans"] = embedding_kmeans
 
+    def kmember_quantized_embeddings(spark, sf):
+        # deterministic exactly-oracled twin of the randomized
+        # kmember_clusters (reference pipeline 2): integer grid +
+        # lowest-id init + fixed repair rounds -> bit-exact replay
+        from dbscan_pyspark_spark.operators.kmember import (
+            kmember_quantized,
+        )
+
+        return kmember_quantized(
+            load_table(spark, sf, "embeddings"),
+            k=50,
+            n_clusters=8,
+            n_iter=2,
+            repair_rounds=2,
+            id_col="vec_id",
+            features="embedding",
+            scale=1000,
+        )
+
+    q["kmember_quantized_embeddings"] = kmember_quantized_embeddings
+
     def doc_chunk_dedup(spark, sf):
         from dbscan_pyspark_spark.operators.dedup import chunk_dedup_stats
 
@@ -3854,6 +3875,125 @@ def _kmeans_oracle(
     — so the iterative algorithm is bit-exact across engines."""
     ctes = _kmeans_ctes(k, n_iter, dim, scale)
     return f"WITH {ctes}\nSELECT vec_id, cid AS cluster FROM a{n_iter}"
+
+
+def _kmember_oracle(
+    k_anon: int = 50,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    repair_rounds: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+) -> str:
+    """Unrolled-CTE replica of operators.kmember.kmember_quantized —
+    the NINTH exactly-oracled iterative family: same integer grid,
+    lowest-id init, integer-L1 (distance, cid) argmin, the SAME fixed
+    repair rounds (release beyond-k of surplus clusters -> claim to
+    nearest deficient centroid -> cap at need; a fixpoint round is the
+    identity, the k-core-peel unroll argument), same floor(sum/count)
+    centroid snap. Deficiency is derived from the assignment counts in
+    both engines, so zero-member clusters are (identically) never
+    repaired. MATERIALIZED per step — DuckDB would otherwise inline
+    the chain exponentially."""
+
+    def dist(t: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> abs({t}.v[i]-{c}.c[i])))"
+        )
+
+    def argmin(out: str, points: str, cents: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT vec_id, cid, d FROM (
+    SELECT t.vec_id, c.cid, {dist('t', 'c')} AS d,
+           row_number() OVER (
+             PARTITION BY t.vec_id ORDER BY {dist('t', 'c')}, c.cid
+           ) AS rn
+    FROM {points} t, {cents} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [
+        f"""v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT cid, c FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           v AS c FROM v
+  ) WHERE cid < {n_clusters}
+)""",
+    ]
+    for t in range(n_iter + 1):
+        parts.append(argmin(f"a{t}r0", "v", f"c{t}"))
+        for j in range(1, repair_rounds + 1):
+            prev = f"a{t}r{j - 1}"
+            parts.append(
+                f"""cnt{t}r{j} AS MATERIALIZED (
+  SELECT cid, count(*) AS cnt FROM {prev} GROUP BY cid
+)"""
+            )
+            parts.append(
+                f"""rel{t}r{j} AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT a.vec_id,
+           row_number() OVER (
+             PARTITION BY a.cid ORDER BY a.d, a.vec_id
+           ) AS rn
+    FROM {prev} a JOIN cnt{t}r{j} x ON a.cid = x.cid AND x.cnt > {k_anon}
+  ) WHERE rn > {k_anon}
+)"""
+            )
+            parts.append(
+                argmin(
+                    f"clm{t}r{j}",
+                    f"(SELECT t.* FROM v t JOIN rel{t}r{j} USING (vec_id))",
+                    f"""(SELECT c.cid, c.c FROM c{t} c
+       JOIN cnt{t}r{j} x ON c.cid = x.cid AND x.cnt < {k_anon})""",
+                )
+            )
+            parts.append(
+                f"""acc{t}r{j} AS MATERIALIZED (
+  SELECT vec_id, cid, d FROM (
+    SELECT m.vec_id, m.cid, m.d, x.cnt,
+           row_number() OVER (
+             PARTITION BY m.cid ORDER BY m.d, m.vec_id
+           ) AS rn
+    FROM clm{t}r{j} m JOIN cnt{t}r{j} x USING (cid)
+  ) WHERE rn <= {k_anon} - cnt
+)"""
+            )
+            parts.append(
+                f"""a{t}r{j} AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, a.d FROM {prev} a
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM acc{t}r{j})
+  UNION ALL SELECT vec_id, cid, d FROM acc{t}r{j}
+)"""
+            )
+        if t < n_iter:
+            parts.append(
+                f"""c{t + 1} AS MATERIALIZED (
+  SELECT cid, list(cv ORDER BY pos) AS c FROM (
+    SELECT a.cid, u.pos,
+           CAST((sum(u.val)
+                 - ((sum(u.val) % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS cv
+    FROM (SELECT t.vec_id, unnest(t.v) AS val,
+                 generate_subscripts(t.v, 1) AS pos FROM v t) u
+    JOIN a{t}r{repair_rounds} a USING (vec_id)
+    GROUP BY a.cid, u.pos
+  ) GROUP BY cid
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS distance
+FROM a{n_iter}r{repair_rounds}"""
+    )
 
 
 def _bfs_oracle(max_hops: int = 3) -> str:
@@ -6358,6 +6498,10 @@ SELECT c_nationkey, quartile, count(*) AS n_custs,
 FROM q GROUP BY c_nationkey, quartile
 """,
         "embedding_kmeans": _kmeans_oracle(k=8, n_iter=3, dim=64, scale=1000),
+        "kmember_quantized_embeddings": _kmember_oracle(
+            k_anon=50, n_clusters=8, n_iter=2, repair_rounds=2, dim=64,
+            scale=1000,
+        ),
         "doc_chunk_dedup": r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

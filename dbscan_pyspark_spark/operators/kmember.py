@@ -264,3 +264,207 @@ def kmember_search(
                 best = res
     assert best is not None
     return best
+
+
+def _l1_int(v, c) -> F.Column:
+    """Exact integer L1 between two long arrays (the reference
+    pipeline's k-member metric, F1/A4) — order-free, engine-exact."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_struct_l1(
+    centroids: list[tuple[int, list[int]]], v_col: str
+) -> F.Column:
+    """Map-side nearest-centroid (dist, cid) struct under integer L1 —
+    ties break toward the lower centroid id via the struct order."""
+    from dbscan_pyspark_spark.operators.kmeans import _centroid_literal
+
+    cents = _centroid_literal(centroids)
+    return F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                _l1_int(F.col(v_col), c.getField("c")).alias("d"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+    )
+
+
+def _repair_quantized(
+    assign: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    k: int,
+    repair_rounds: int,
+    id_col: str,
+) -> DataFrame:
+    """Fixed-round deterministic repair on integer distances: release
+    the beyond-k farthest members of surplus clusters, claim each to
+    its nearest DEFICIENT centroid, cap each deficient cluster at its
+    need. A round at the fixpoint (no deficient cluster) is the
+    identity, so a fixed unroll equals the early-stopping loop exactly
+    (the k-core-peel argument) — which is what lets the DuckDB oracle
+    replay it CTE-for-CTE. ``assign`` carries (id, _v, cluster, dist);
+    all per-round driver state is the cluster-count table
+    (n_clusters rows, the bounded-collect discipline of SURVEY §2 A7).
+    Clusters with ZERO members never appear in the count table and are
+    therefore never repaired — mirrored deliberately by the oracle
+    (and by :func:`_repair`); an empty cluster has no rows to
+    de-anonymize, so the k-anonymity contract is vacuous for it."""
+    for _ in range(repair_rounds):
+        counts = [
+            (int(r["cluster"]), int(r["_cnt"]))
+            for r in assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .collect()
+        ]
+        deficient = {cid: k - cnt for cid, cnt in counts if cnt < k}
+        if not deficient:
+            break
+        surplus = {cid for cid, cnt in counts if cnt > k}
+        if not surplus:
+            break
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("dist").asc(), F.col(id_col).asc()
+        )
+        released = (
+            assign.where(F.col("cluster").isin(*surplus))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > k)
+            .select(id_col, "_v")
+        )
+        deficient_cents = [
+            (cid, vec) for cid, vec in centroids if cid in deficient
+        ]
+        need_df = F.broadcast(
+            assign.sparkSession.createDataFrame(
+                [(cid, n) for cid, n in deficient.items()],
+                "cluster int, _need int",
+            )
+        )
+        claims = released.select(
+            id_col,
+            _assign_struct_l1(deficient_cents, "_v").alias("_a"),
+            "_v",
+        ).select(
+            id_col,
+            F.col("_a.cid").alias("cluster"),
+            F.col("_a.d").alias("dist"),
+            "_v",
+        )
+        wc = Window.partitionBy("cluster").orderBy(
+            F.col("dist").asc(), F.col(id_col).asc()
+        )
+        accepted = (
+            claims.join(need_df, "cluster")
+            .withColumn("_rn", F.row_number().over(wc))
+            .where(F.col("_rn") <= F.col("_need"))
+            .select(id_col, "_v", "cluster", "dist")
+        )
+        assign = (
+            assign.join(accepted.select(id_col), id_col, "left_anti")
+            .unionByName(accepted)
+            .localCheckpoint(eager=True)
+        )
+    return assign
+
+
+def kmember_quantized(
+    points: DataFrame,
+    k: int,
+    n_clusters: int,
+    n_iter: int = 2,
+    repair_rounds: int = 2,
+    id_col: str = "id",
+    features: str = "features",
+    scale: int | None = 1000,
+) -> DataFrame:
+    """Deterministic exactly-oracle-able twin of
+    :func:`kmember_kmeans` — the kmeans_quantized pattern applied to
+    the constrained pipeline (reference ``k-means.ipynb cell0``):
+    integer grid quantization (``round(x * scale)``), lowest-id init,
+    integer-L1 assignment with (distance, cid) tie-break, a FIXED
+    number of :func:`_repair_quantized` rounds per iteration, and
+    ``floor(sum / count)`` centroid snap — exact integer arithmetic
+    end to end, so every step replays bit-for-bit in any engine (the
+    DuckDB oracle unrolls it as chained CTEs,
+    ``__spark_entry__._kmember_oracle``). The randomized
+    :func:`kmember_kmeans` stays as the production-shaped op; this
+    twin is the verification surface (the ninth exactly-oracled
+    iterative family).
+
+    Returns DataFrame(id, cluster int, distance long) after ``n_iter``
+    centroid updates plus a final assign+repair, distance in quantized
+    L1 units against the final centroids' repair-time values.
+
+    Scale shape: assignment is map-side only (centroid literals in the
+    plan — one scan, no join); each centroid update shuffles
+    n_clusters rows of dim partial sums; each repair round is two
+    ranked windows over the (small) surplus/claim relations plus one
+    id-keyed anti-join. Driver state is the n_clusters-row count/
+    centroid tables only.
+    """
+    if k < 1 or n_clusters < 1:
+        raise ValueError("kmember_quantized: k and n_clusters must be >= 1")
+    from dbscan_pyspark_spark.operators.kmeans import _quantized
+
+    if scale is not None:
+        q = points.select(
+            F.col(id_col), _quantized(features, scale).alias("_v")
+        )
+    else:
+        q = points.select(
+            F.col(id_col), F.col(features).cast("array<bigint>").alias("_v")
+        )
+    q = q.where(F.col("_v").isNotNull() & (F.size("_v") > 0)).persist()
+    n = q.count()
+    if n < k * n_clusters:
+        q.unpersist()
+        raise ValueError(
+            f"infeasible: n={n} < k*n_clusters={k * n_clusters}"
+        )
+
+    init_rows = q.orderBy(id_col).limit(n_clusters).collect()
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(init_rows)]
+    dim = len(centroids[0][1])
+
+    assign = None
+    for it in range(n_iter + 1):
+        assign = q.select(
+            id_col, "_v", _assign_struct_l1(centroids, "_v").alias("_a")
+        ).select(
+            id_col,
+            "_v",
+            F.col("_a.cid").alias("cluster"),
+            F.col("_a.d").alias("dist"),
+        )
+        assign = _repair_quantized(
+            assign, centroids, k, repair_rounds, id_col
+        )
+        if it == n_iter:
+            break
+        sums = [F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)]
+        upd = (
+            assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        centroids = sorted(
+            (
+                int(r["cluster"]),
+                [int(r[f"s{i}"] // r["n"]) for i in range(dim)],
+            )
+            for r in upd
+        )
+
+    out = assign.select(
+        id_col,
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("distance"),
+    ).localCheckpoint(eager=True)
+    q.unpersist()
+    return out

@@ -67,3 +67,58 @@ def test_kmember_search_picks_feasible_best(spark, blob_points):
     res = kmember_search(blob_points, k=15, candidates=[3, 6], restarts=1, max_iter=4)
     sizes = [r["count"] for r in res.assignments.groupBy("cluster_id").count().collect()]
     assert all(s >= 15 for s in sizes)
+
+
+def test_kmember_quantized_constraint_and_determinism(spark):
+    from dbscan_pyspark_spark.operators.kmember import kmember_quantized
+
+    pts = [(i, [float(i % 7), float(i // 7)]) for i in range(30)]
+    df = spark.createDataFrame(pts, ["id", "features"])
+    out1 = sorted(
+        map(tuple, kmember_quantized(df, k=10, n_clusters=3).collect())
+    )
+    out2 = sorted(
+        map(tuple, kmember_quantized(df, k=10, n_clusters=3).collect())
+    )
+    # bit-for-bit deterministic (no seed, no sampling)
+    assert out1 == out2
+    assert len(out1) == 30
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in out1)
+    # n == k * n_clusters: exactly k everywhere after repair
+    assert sorted(sizes.values()) == [10, 10, 10]
+
+
+def test_kmember_quantized_fixpoint_rounds_are_identity(spark):
+    """Extra repair rounds past the fixpoint must not change the
+    result — the unroll-equals-loop argument the oracle relies on."""
+    from dbscan_pyspark_spark.operators.kmember import kmember_quantized
+
+    pts = [(i, [float(i % 5), float(i * 3 % 11)]) for i in range(40)]
+    df = spark.createDataFrame(pts, ["id", "features"])
+    a = sorted(map(tuple, kmember_quantized(
+        df, k=8, n_clusters=4, repair_rounds=2).collect()))
+    b = sorted(map(tuple, kmember_quantized(
+        df, k=8, n_clusters=4, repair_rounds=6).collect()))
+    assert a == b
+
+
+def test_kmember_quantized_contracts(spark):
+    from dbscan_pyspark_spark.operators.kmember import kmember_quantized
+
+    df = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(5)], ["id", "features"]
+    )
+    with pytest.raises(ValueError, match="infeasible"):
+        kmember_quantized(df, k=10, n_clusters=3)
+    with pytest.raises(ValueError, match="must be"):
+        kmember_quantized(df, k=0, n_clusters=3)
+
+    # scale=None: already-integral features pass through exactly
+    dfi = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 3)]) for i in range(12)],
+        ["id", "features"],
+    )
+    out = kmember_quantized(dfi, k=4, n_clusters=3, scale=None)
+    assert out.count() == 12
