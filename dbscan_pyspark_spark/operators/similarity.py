@@ -190,6 +190,76 @@ def auto_band_size(
     return n_bands * rpb, rpb
 
 
+def rp_lsh_banded(
+    vectors: DataFrame,
+    n_planes: int,
+    rows_per_band: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    plane_scale: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane band signatures: one row per (vector, band) —
+    DataFrame(id, vec, _n L2 norm, band int, bits string). The
+    hyperplanes come from a fixed-seed RNG and are embedded in the
+    plan as literals, so two calls with the same (n_planes,
+    rows_per_band, dim, seed, plane_scale) produce IDENTICAL
+    signatures — the property the streaming signature store relies on
+    (a stored vector's bands can be recomputed map-side in any later
+    batch and still collide with its near-dups). Shared by
+    :func:`rp_lsh_near_dup_pairs` (self-join) and
+    ``streaming/dedup.py``'s semantic filter (batch-vs-store join).
+    Expects resolved int parameters; the 'auto'/None contract sugar
+    lives in :func:`rp_lsh_near_dup_pairs`."""
+    import numpy as np
+
+    if n_planes % rows_per_band:
+        raise ValueError(
+            "rp_lsh_banded: n_planes must be a multiple of "
+            f"rows_per_band, got {n_planes}/{rows_per_band}"
+        )
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    if plane_scale is not None:
+        planes = np.round(planes * plane_scale).astype(np.int64)
+        lits = [[int(w) for w in p] for p in planes]
+        zero = F.lit(0).cast("long")
+    else:
+        lits = [[float(w) for w in p] for p in planes]
+        zero = F.lit(0.0).cast("double")
+
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(w) for w in lits[p]]),
+                    lambda x, h: x * h,
+                ),
+                zero,
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    n_bands = n_planes // rows_per_band
+    bands = F.array(
+        *[
+            F.concat(*sig_bits[bd * rows_per_band : (bd + 1) * rows_per_band])
+            for bd in range(n_bands)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm2(vec_col).alias("_n"),
+        F.posexplode(bands).alias("band", "bits"),
+    )
+
+
 def rp_lsh_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -226,8 +296,6 @@ def rp_lsh_near_dup_pairs(
     oracle (`embedding_near_dups_lsh_exact`), which no float-projection
     LSH can.
     """
-    import numpy as np
-
     if rows_per_band == "auto":
         # one count job sizes the banding to the corpus (the 117×
         # stress lesson); explicit ints skip the count entirely.
@@ -260,44 +328,15 @@ def rp_lsh_near_dup_pairs(
             "rp_lsh_near_dup_pairs: n_planes must be a multiple of "
             f"rows_per_band, got {n_planes}/{rows_per_band}"
         )
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
-    if plane_scale is not None:
-        planes = np.round(planes * plane_scale).astype(np.int64)
-        lits = [[int(w) for w in p] for p in planes]
-        zero = F.lit(0).cast("long")
-    else:
-        lits = [[float(w) for w in p] for p in planes]
-        zero = F.lit(0.0).cast("double")
-
-    sig_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(w) for w in lits[p]]),
-                    lambda x, h: x * h,
-                ),
-                zero,
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit("1"),
-        )
-        .otherwise(F.lit("0"))
-        for p in range(n_planes)
-    ]
-    n_bands = n_planes // rows_per_band
-    bands = F.array(
-        *[
-            F.concat(*sig_bits[bd * rows_per_band : (bd + 1) * rows_per_band])
-            for bd in range(n_bands)
-        ]
-    )
-    banded = vectors.select(
-        F.col(id_col),
-        F.col(vec_col),
-        norm2(vec_col).alias("_n"),
-        F.posexplode(bands).alias("band", "bits"),
+    banded = rp_lsh_banded(
+        vectors,
+        n_planes=n_planes,
+        rows_per_band=rows_per_band,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        plane_scale=plane_scale,
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

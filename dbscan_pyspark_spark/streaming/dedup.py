@@ -180,3 +180,200 @@ def streaming_near_dup_filter(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vector_match_vs_store(
+    batch_vecs: DataFrame,
+    store_vecs: DataFrame,
+    threshold: float,
+    n_planes: int,
+    rows_per_band: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    plane_scale: int | None = None,
+) -> DataFrame:
+    """Ids from ``batch_vecs`` whose exact cosine with ANY accepted
+    ``store_vecs`` row reaches ``threshold``. Candidates are pruned by
+    RP-LSH band collision first (the hyperplanes are fixed-seed plan
+    literals, so a stored vector's bands recompute identically in
+    every later batch); the exact-cosine verify runs only on bucket
+    collisions — state lookups stay proportional to collisions, not
+    corpus size. Embedding twin of :func:`signature_match` (which is
+    estimate-only because retaining shingle sets would be corpus-
+    sized; vectors ARE their own verification payload, so this match
+    verifies exactly)."""
+    from dbscan_pyspark_spark.operators.similarity import (
+        _cosine_from_norms,
+        rp_lsh_banded,
+    )
+
+    def banded(df, prefix):
+        b = rp_lsh_banded(
+            df,
+            n_planes=n_planes,
+            rows_per_band=rows_per_band,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            plane_scale=plane_scale,
+        )
+        if prefix:
+            b = b.select(
+                F.col(id_col).alias("_rid"),
+                F.col(vec_col).alias("_rv"),
+                F.col("_n").alias("_rn"),
+                "band",
+                "bits",
+            )
+        return b
+
+    cand = (
+        banded(batch_vecs, None)
+        .join(banded(store_vecs, "_r"), ["band", "bits"])
+        .select(id_col, vec_col, "_n", "_rid", "_rv", "_rn")
+        .distinct()
+    )
+    return (
+        cand.where(
+            F.round(
+                _cosine_from_norms(vec_col, "_rv", "_n", "_rn"), 6
+            )
+            >= F.lit(threshold)
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
+def process_semantic_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    output_dir: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    plane_scale: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the streaming SEMANTIC dedup filter — the
+    embedding-space twin of :func:`process_near_dup_batch`, closing
+    the streaming gap for ``operators/similarity.py::semantic_dedup``
+    the same way MinHash got its streaming twin: each batch is checked
+    against the vector store of previously accepted rows (band-join +
+    exact cosine), deduped against itself with the batch operator's
+    exact semantics (components of the >=threshold cosine graph, one
+    representative), and the survivors' VECTORS are appended to the
+    store. First-accepted wins across batches.
+
+    State is one row per accepted vector (id + dim floats + norm —
+    the SemDeDup state is inherently the embedding corpus; bands are
+    recomputed map-side from the fixed-seed plan-literal hyperplanes,
+    so the store never materializes signatures). Output/store land in
+    ``ingest_batch=<id>`` partition dirs with per-partition overwrite
+    — the idempotent-``foreachBatch`` replay pattern; the store read
+    excludes the current batch id, so a replayed batch cannot match
+    against its own failed attempt."""
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    batch = batch.persist()
+    dim_row = batch.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+
+    store = _read_store(spark, store_dir, batch_id)
+    if store is not None and not store.isEmpty():
+        dup_vs_store = vector_match_vs_store(
+            batch,
+            store,
+            threshold,
+            n_planes=n_planes,
+            rows_per_band=rows_per_band,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            plane_scale=plane_scale,
+        )
+        survivors0 = batch.join(dup_vs_store, id_col, "left_anti")
+        if survivors0.isEmpty():
+            # every batch row matched the store: nothing to accept.
+            # Skipping the writes entirely is replay-safe — the batch
+            # recomputes deterministically, so a replayed all-dup
+            # batch is all-dup again (and an empty parquet write
+            # would leave a schema-less partition the read-back
+            # cannot infer)
+            batch.unpersist()
+            return
+    else:
+        survivors0 = batch
+
+    from dbscan_pyspark_spark.operators.similarity import semantic_dedup
+
+    kept = semantic_dedup(
+        survivors0,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        rows_per_band=rows_per_band,
+        seed=seed,
+        plane_scale=plane_scale,
+    ).drop("dup_group", "dup_group_size")
+
+    kept.write.mode("overwrite").parquet(
+        f"{output_dir}/ingest_batch={batch_id}"
+    )
+    kept_back = spark.read.parquet(
+        f"{output_dir}/ingest_batch={batch_id}"
+    ).select(id_col, vec_col)
+    kept_back.write.mode("overwrite").parquet(
+        f"{store_dir}/ingest_batch={batch_id}"
+    )
+    batch.unpersist()
+
+
+def streaming_semantic_dedup_filter(
+    vectors: DataFrame,
+    store_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    plane_scale: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Start the streaming semantic dedup filter over a streaming
+    ``vectors`` DataFrame; returns the ``StreamingQuery``. Survivors
+    land under ``output_dir``, accepted vectors under ``store_dir``,
+    both partitioned by ``ingest_batch`` for idempotent replay."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        process_semantic_dedup_batch(
+            batch,
+            batch_id,
+            store_dir,
+            output_dir,
+            threshold=threshold,
+            n_planes=n_planes,
+            rows_per_band=rows_per_band,
+            seed=seed,
+            plane_scale=plane_scale,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -116,3 +116,139 @@ def test_streaming_near_dup_filter_end_to_end(spark, tmp_path):
     # doc 3 is dropped whether it shares a micro-batch with doc 1 (batch
     # dedup) or arrives later (store match); either batching yields 1,2,4
     assert kept == [1, 2, 4]
+
+
+def _vec(vec_id, base, eps=0.0):
+    # 8-d integer-grid vectors; eps=0 -> exact dup (cos 1.0)
+    return (vec_id, [float(x + (eps if i == 0 else 0)) for i, x in enumerate(base)])
+
+
+_VA = [100.0, 50.0, -30.0, 80.0, 10.0, -60.0, 40.0, 20.0]
+_VB = [-70.0, 90.0, 15.0, -45.0, 60.0, 30.0, -80.0, 55.0]
+_VC = [5.0, -95.0, 70.0, 25.0, -40.0, 85.0, 10.0, -65.0]
+
+
+def test_semantic_batch_filter_across_batches(spark, tmp_path):
+    from dbscan_pyspark_spark.streaming.dedup import (
+        process_semantic_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "vstore"), str(tmp_path / "vout")
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame([_vec(1, _VA), _vec(2, _VB)], schema)
+    # vec 3 exactly duplicates vec 1 (accepted in batch 0) -> dropped by
+    # the store match; vec 4 is novel -> kept
+    b2 = spark.createDataFrame([_vec(3, _VA), _vec(4, _VC)], schema)
+    process_semantic_dedup_batch(
+        b1, 0, store, out, threshold=0.99
+    )
+    process_semantic_dedup_batch(
+        b2, 1, store, out, threshold=0.99
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(out).select("vec_id").collect()
+    )
+    assert kept == [1, 2, 4]
+    # store holds one vector row per accepted id
+    assert spark.read.parquet(store).count() == 3
+
+
+def test_semantic_batch_replay_is_idempotent(spark, tmp_path):
+    from dbscan_pyspark_spark.streaming.dedup import (
+        process_semantic_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "vstore"), str(tmp_path / "vout")
+    schema = "vec_id long, embedding array<double>"
+    b1 = spark.createDataFrame([_vec(1, _VA)], schema)
+    process_semantic_dedup_batch(
+        b1, 0, store, out, threshold=0.99
+    )
+    # replay of the same micro-batch: must not drop vec 1 against its
+    # own stored vector, nor duplicate it in output or store
+    process_semantic_dedup_batch(
+        b1, 0, store, out, threshold=0.99
+    )
+    assert [r["vec_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert spark.read.parquet(store).count() == 1
+
+
+def test_semantic_streaming_matches_batch_on_cliques(spark, tmp_path):
+    """The per-batch ≡ batch pin: with id-ordered arrival and
+    duplicate groups that are cliques (exact duplicates — every member
+    matches every other), the streaming filter keeps exactly the batch
+    semantic_dedup survivors (lowest id per group). Transitive chains
+    (A~B, B~C, A!~C) are the documented divergence of ANY
+    first-accepted-wins stream and are excluded by construction."""
+    from dbscan_pyspark_spark.operators.similarity import semantic_dedup
+    from dbscan_pyspark_spark.streaming.dedup import (
+        process_semantic_dedup_batch,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    # groups: {1,4,7} (=_VA), {2,5} (=_VB), {3} (=_VC singleton)
+    rows = [
+        _vec(1, _VA), _vec(2, _VB), _vec(3, _VC),
+        _vec(4, _VA), _vec(5, _VB), _vec(7, _VA),
+    ]
+    batch_surv = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            spark.createDataFrame(rows, schema),
+            threshold=0.99,
+        ).collect()
+    )
+
+    store, out = str(tmp_path / "vstore"), str(tmp_path / "vout")
+    for i in range(0, len(rows), 2):  # id-ordered 2-row micro-batches
+        process_semantic_dedup_batch(
+            spark.createDataFrame(rows[i : i + 2], schema),
+            i // 2,
+            store,
+            out,
+            threshold=0.99,
+        )
+    stream_surv = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(out).select("vec_id").collect()
+    )
+    assert stream_surv == batch_surv == [1, 2, 3]
+
+
+def test_semantic_streaming_filter_end_to_end(spark, tmp_path):
+    from dbscan_pyspark_spark.streaming.dedup import (
+        streaming_semantic_dedup_filter,
+    )
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    with open(src / "f0.json", "w") as f:
+        f.write(json.dumps({"vec_id": 1, "embedding": _VA}) + "\n")
+        f.write(json.dumps({"vec_id": 2, "embedding": _VB}) + "\n")
+    with open(src / "f1.json", "w") as f:
+        f.write(json.dumps({"vec_id": 3, "embedding": _VA}) + "\n")
+        f.write(json.dumps({"vec_id": 4, "embedding": _VC}) + "\n")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = streaming_semantic_dedup_filter(
+        stream,
+        str(tmp_path / "vstore"),
+        str(tmp_path / "vout"),
+        str(tmp_path / "vckpt"),
+        threshold=0.99,
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "vout"))
+        .select("vec_id")
+        .collect()
+    )
+    # vec 3 drops whether it shares a micro-batch with vec 1 (batch
+    # dedup) or arrives later (store match)
+    assert kept == [1, 2, 4]
