@@ -649,6 +649,62 @@ def duplicated_spans(
     )
 
 
+def strip_duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The removal step of substring-level dedup (Lee et al. 2022 strip
+    every duplicated substring from the corpus): drop every token that
+    lies inside ANY :func:`duplicated_spans` span of its document and
+    reassemble the survivors in original order. Conservative variant —
+    all occurrences go, not all-but-one (the deterministic
+    keep-first-occurrence rule needs a global occurrence order that
+    costs one more corpus shuffle; curation pipelines that strip
+    boilerplate-grade repetition want all-gone anyway, cf.
+    :func:`strip_frequent_segments`).
+
+    Returns DataFrame(id, clean_text, n_tokens, n_dropped). Tokens are
+    the corpus-canonical normalized form (same as
+    :func:`duplicated_spans`), so ``clean_text`` is normalized text.
+
+    Scale shape: the spans relation is tiny relative to the corpus
+    (near-dup regions only), so coverage is decided doc-locally — one
+    groupBy collects each doc's spans to an array (bounded by spans
+    per doc, not corpus), a LEFT join hands it to the token pass, and
+    an ``exists()`` lambda per token checks span membership. No token
+    explode, no per-token shuffle.
+    """
+    spans = duplicated_spans(
+        df, k=k, min_count=min_count, id_col=id_col, text_col=text_col
+    )
+    doc_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    toks = F.split(normalized(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), toks.alias("_toks")).join(
+        doc_spans, id_col, "left"
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (i >= s.getField("span_start"))
+        & (i < s.getField("span_start") + s.getField("span_len")),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), F.col("_toks")
+    ).otherwise(
+        F.filter("_toks", lambda t, i: ~covered(i.cast("long")))
+    )
+    return base.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
 def strip_frequent_segments(
     df: DataFrame,
     max_doc_freq: int,

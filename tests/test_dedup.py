@@ -374,3 +374,61 @@ def test_duplicated_spans_short_docs_and_normalization(spark):
     # shared normalized region: 'the quick brown fox jumps over the
     # lazy dog' = 9 tokens at position 0 of both docs
     assert got == [(1, 0, 9), (2, 0, 9)]
+
+
+def test_strip_duplicated_spans_removes_all_occurrences(spark):
+    """Every token inside any duplicated span goes — in BOTH documents
+    sharing the phrase (the conservative all-occurrences variant);
+    unique tokens and sub-k docs survive untouched."""
+    from dbscan_pyspark_spark.operators.dedup import strip_duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + shared + " a3"),
+            (2, shared + " b1 b2 b3"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_dropped"])
+        for r in strip_duplicated_spans(df, k=5).collect()
+    }
+    assert out[1] == ("a1 a2 a3", 11, 8)
+    assert out[2] == ("b1 b2 b3", 11, 8)
+    assert out[3] == ("tiny doc", 2, 0)
+
+
+def test_strip_duplicated_spans_overlapping_coverage(spark):
+    """Two islands whose token coverage overlaps must not double-drop:
+    n_dropped counts the coverage UNION."""
+    from dbscan_pyspark_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    # doc 1 carries r1 then r2 with a 1-token gap; with k=3 the gap
+    # token's windows straddle both regions and are unique, so two
+    # islands form whose k-extended coverage overlaps the gap region
+    r1 = "p0 p1 p2 p3"
+    r2 = "q0 q1 q2 q3"
+    df = spark.createDataFrame(
+        [
+            (1, r1 + " z " + r2),
+            (2, r1 + " y1 y2 " + r2 + " y3"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, k=3).collect()
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in strip_duplicated_spans(df, k=3).collect()
+    }
+    # doc 1: spans cover tokens 0-3 and 5-8; the gap 'z' survives
+    assert out[1] == ("z", 8)
+    assert out[2] == ("y1 y2 y3", 8)
+    assert all(ln >= 3 for _, _, ln in spans)

@@ -805,6 +805,52 @@ def main() -> None:
         flush=True,
     )
 
+    # --- constrained k-member at 1M points (deterministic twin) ---
+    from dbscan_pyspark_spark.operators.kmember import kmember_quantized
+
+    n_km = 1_000_000
+    km_pts = spark.range(n_km).select(
+        F.col("id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.abs(F.xxhash64("id")), F.lit(8)) * 100
+                    + F.pmod(F.abs(F.xxhash64(F.col("id") + d + 1)), F.lit(21))
+                ).cast("double")
+                for d in range(3)
+            ]
+        ).alias("features"),
+    )
+    t0 = time.time()
+    km = kmember_quantized(
+        km_pts, k=500, n_clusters=16, n_iter=2, repair_rounds=3,
+        scale=None,
+    )
+    km_agg = (
+        km.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").alias("total"),
+            F.min("n").alias("mn"),
+            F.count(F.lit(1)).alias("n_clusters"),
+        )
+        .collect()[0]
+    )
+    assert km_agg["total"] == n_km, km_agg
+    print(
+        json.dumps(
+            {
+                "stage": "kmember_quantized_1m",
+                "n_points": n_km,
+                "n_clusters": km_agg["n_clusters"],
+                "min_cluster_size": km_agg["mn"],
+                "k_constraint": 500,
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     # --- duplicated spans at 2M docs (planted 12-token spans) ---
     from dbscan_pyspark_spark.operators.dedup import duplicated_spans
 
