@@ -3480,16 +3480,15 @@ _DRIVER_CHECKED_GREEN = {
 # eigensolve, engine-specific sketch estimates): the driver records a
 # weaker rows+schema check. They rotate like everything else (tier 3
 # above until first green, then via _REGRESSION_RECHECK), but never
-# ahead of a changed oracled query.
-_ROWS_ONLY = {
-    "approx_event_stats", "approx_event_type_topk", "embedding_pca",
-    "kmember_clusters",
-}
-# order within tier 3: the two r2-FAIL records first (oldest debt)
+# ahead of a changed oracled query. ONE source of truth — the ordered
+# list (the two r2-FAIL records first, oldest debt); the set is
+# derived, so a name can never be rows-only-parked without also
+# holding a tier-3 slot (the round-7 review trap).
 _ROWS_ONLY_ORDER = [
     "kmember_clusters", "embedding_pca", "approx_event_stats",
     "approx_event_type_topk",
 ]
+_ROWS_ONLY = frozenset(_ROWS_ONLY_ORDER)
 # rows-only names whose LATEST driver record is green (rows+schema
 # match): none yet — round 7 fronts all four for their first green
 _ROWS_ONLY_GREEN: set = set()

@@ -684,8 +684,14 @@ def strip_duplicated_spans(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )
     toks = F.split(normalized(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), toks.alias("_toks")).join(
-        doc_spans, id_col, "left"
+    # NULL text would flow through as size(NULL) = -1 (a nonsense
+    # negative token count) — drop those docs, matching the oracle's
+    # unnest-of-NULL behavior (emits no row) and duplicated_spans'
+    # own size >= k filter
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), toks.alias("_toks"))
+        .join(doc_spans, id_col, "left")
     )
     covered = lambda i: F.exists(  # noqa: E731
         F.col("_spans"),

@@ -214,10 +214,10 @@ def rp_lsh_banded(
     lives in :func:`rp_lsh_near_dup_pairs`."""
     import numpy as np
 
-    if n_planes % rows_per_band:
+    if rows_per_band < 1 or n_planes < 1 or n_planes % rows_per_band:
         raise ValueError(
-            "rp_lsh_banded: n_planes must be a multiple of "
-            f"rows_per_band, got {n_planes}/{rows_per_band}"
+            "rp_lsh_banded: n_planes must be a positive multiple of a "
+            f"positive rows_per_band, got {n_planes}/{rows_per_band}"
         )
     planes = np.random.RandomState(seed).randn(n_planes, dim)
     if plane_scale is not None:
@@ -310,12 +310,18 @@ def rp_lsh_near_dup_pairs(
                 "explicitly to tune recall)"
             )
         n_planes, rows_per_band = auto_band_size(vectors.count())
-    elif not isinstance(rows_per_band, int) or isinstance(rows_per_band, bool):
+    elif (
+        not isinstance(rows_per_band, int)
+        or isinstance(rows_per_band, bool)
+        or rows_per_band < 1
+    ):
         # a typo'd string ('Auto') would otherwise surface as an opaque
-        # TypeError from the modulo below — reject it at the contract
+        # TypeError from the modulo below, 0 as a ZeroDivisionError,
+        # and a negative value as a silently EMPTY pair set (negative
+        # n_bands -> no bands) — reject all at the contract
         raise ValueError(
-            "rp_lsh_near_dup_pairs: rows_per_band must be an int or "
-            f"the string 'auto', got {rows_per_band!r}"
+            "rp_lsh_near_dup_pairs: rows_per_band must be a positive "
+            f"int or the string 'auto', got {rows_per_band!r}"
         )
     if n_planes is None:
         n_planes = 16

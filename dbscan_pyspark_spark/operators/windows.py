@@ -251,8 +251,13 @@ def global_cumsums(
     (coalesce to 0 upstream if that is the intent). Optionally also
     emits the global row number as ``rn_col`` (same order, zero extra
     cost). Returns ``(df, total_rows, [total_sum per value col])``.
-    ``out_cols[i] == value_cols[i]`` is safe: the running sums are
-    computed from internal copies of the values.
+    ``out_cols[i] == value_cols[i]`` is safe (the running sums read
+    internal copies of the values), and so is an output name that
+    shadows an order_by sort key — every window expression is computed
+    in ONE projection against the pre-rename plan, so later
+    expressions can never re-resolve a sort key to a prefix sum. The
+    shadowed input column is replaced in the output, as with any
+    ``withColumn`` overwrite.
 
     Multiple columns cost ONE extra running-sum expression each inside
     the same window — the two-sample KS statistic (:func:`ks_drift`)
@@ -267,20 +272,16 @@ def global_cumsums(
     out_cols = out_cols or [f"csum_{c}" for c in value_cols]
     if len(out_cols) != len(value_cols):
         raise ValueError("global_cumsums: out_cols/value_cols mismatch")
-    # out_col == value_col is safe (internal copies), but an out_col
-    # that SHADOWS an order_by sort key is not: F.col resolves lazily,
-    # so the withColumn overwrite would make every later window
-    # expression (running sums for i>0, rn_col) sort by the prefix sum
-    # instead of the original key — silent order corruption
-    order_names = {c for c in order_by if isinstance(c, str)}
-    shadowed = order_names.intersection(out_cols)
-    if rn_col in order_names:
-        shadowed.add(rn_col)
-    if shadowed:
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"global_cumsums: duplicate out_cols {out_cols}")
+    reserved = {"_gpid"} | {f"_gval{i}" for i in range(len(value_cols))}
+    bad = reserved.intersection(out_cols) | (
+        {rn_col} & reserved if rn_col else set()
+    )
+    if bad:
         raise ValueError(
-            "global_cumsums: output column(s) "
-            f"{sorted(shadowed)} shadow order_by sort keys — alias the "
-            "output or the sort key"
+            f"global_cumsums: output name(s) {sorted(bad)} collide with "
+            "internal columns"
         )
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n_parts = int(num_partitions) if num_partitions else _shuffle_partitions(
@@ -308,15 +309,26 @@ def global_cumsums(
         .repartitionByRange(n_parts, *cols)
         .withColumn("_gpid", F.spark_partition_id())
     )
-    for i, oc in enumerate(out_cols):
-        local = local.withColumn(
-            oc, F.sum(f"_gval{i}").over(w_sum).cast("long")
-        )
+    # ALL window expressions in ONE projection against the same child
+    # plan: an out_col (or rn_col) may freely shadow an order_by sort
+    # key or a value column, because every sort key resolves against
+    # the pre-projection plan — a sequential withColumn chain instead
+    # re-resolves lazily and silently sorts the LATER expressions by
+    # the already-written prefix sum (the round-7 review hazard; this
+    # also covers Column-typed order_by entries, which no name-based
+    # guard can inspect)
+    win = {
+        oc: F.sum(f"_gval{i}").over(w_sum).cast("long").alias(oc)
+        for i, oc in enumerate(out_cols)
+    }
     if rn_col is not None:
-        local = local.withColumn(
-            rn_col, F.row_number().over(w_order).cast("long")
-        )
-    local = local.localCheckpoint(eager=True)
+        if rn_col in win:
+            raise ValueError(
+                f"global_cumsums: rn_col {rn_col!r} collides with an out_col"
+            )
+        win[rn_col] = F.row_number().over(w_order).cast("long").alias(rn_col)
+    replaced = [win.pop(c) if c in win else F.col(c) for c in local.columns]
+    local = local.select(*replaced, *win.values()).localCheckpoint(eager=True)
     stats = sorted(
         tuple(r[c] for c in ["_gpid", "_n", *(f"_s{i}" for i in range(k))])
         for r in local.groupBy("_gpid")

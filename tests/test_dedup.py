@@ -432,3 +432,17 @@ def test_strip_duplicated_spans_overlapping_coverage(spark):
     assert out[1] == ("z", 8)
     assert out[2] == ("y1 y2 y3", 8)
     assert all(ln >= 3 for _, _, ln in spans)
+
+
+def test_strip_duplicated_spans_null_text_dropped(spark):
+    """NULL text must not leak size(NULL) = -1 as a token count — the
+    doc is dropped, matching the oracle's unnest-of-NULL (no row)."""
+    from dbscan_pyspark_spark.operators.dedup import strip_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "some real text here today"), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = strip_duplicated_spans(df, k=3).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert all(r["n_tokens"] >= 0 for r in rows)

@@ -469,3 +469,10 @@ def test_auto_band_size_and_auto_lsh_path(spark):
         rp_lsh_near_dup_pairs(
             df, threshold=0.9, rows_per_band="Auto", vec_col="emb"
         )
+    # 0 would be an opaque ZeroDivisionError; a NEGATIVE value would
+    # silently produce zero bands and hence an always-empty pair set
+    for bad in (0, -4):
+        with _pytest.raises(ValueError, match="positive"):
+            rp_lsh_near_dup_pairs(
+                df, threshold=0.9, rows_per_band=bad, vec_col="emb"
+            )

@@ -210,15 +210,43 @@ def test_global_cumsum_null_and_collision_contracts(spark):
     # x overwritten by its own exact prefix sums: 1,3,6,10,15,21
     assert got == [(0, 1), (1, 3), (2, 6), (3, 10), (4, 15), (5, 21)]
 
-    # an out_col (or rn_col) that SHADOWS an order_by sort key raises —
-    # the lazy F.col re-resolution would silently corrupt the order for
-    # later window expressions (round-6 advice)
+    # an out_col (or rn_col) that SHADOWS an order_by sort key is SAFE:
+    # all window expressions compute in one projection against the
+    # pre-rename plan (round-6 advice; round-7 review closed the
+    # Column-typed order_by hole the original name-based guard missed).
+    # The multi-column case is the dangerous one — the second running
+    # sum must still sort by the ORIGINAL id, not x's prefix sums.
     from dbscan_pyspark_spark.operators.windows import global_cumsums
 
-    with _pytest.raises(ValueError, match="shadow"):
-        global_cumsums(df, ["id"], ["x"], out_cols=["id"])
-    with _pytest.raises(ValueError, match="shadow"):
-        global_cumsums(df, ["id"], ["x"], rn_col="id")
+    df2 = df.select(
+        "id", "x", (F.lit(10) - F.col("id")).alias("y")
+    )  # y descends as id ascends
+    out2, n2, totals = global_cumsums(
+        df2,
+        [F.col("id")],  # Column-typed sort key — uninspectable by name
+        ["x", "y"],
+        out_cols=["id", "cy"],  # first output SHADOWS the sort key
+        rn_col="rn",
+        num_partitions=3,
+    )
+    assert (n2, totals) == (6, [21, 45])
+    got2 = sorted(
+        (r["rn"], r["id"], r["cy"]) for r in out2.collect()
+    )
+    # id overwritten by x's prefix sums in id order (1,3,6,10,15,21);
+    # cy = prefix sums of y=10-id in the SAME id order: 10,19,27,34,40,45
+    assert got2 == [
+        (1, 1, 10), (2, 3, 19), (3, 6, 27),
+        (4, 10, 34), (5, 15, 40), (6, 21, 45),
+    ]
+
+    # genuinely ambiguous outputs still raise
+    with _pytest.raises(ValueError, match="duplicate"):
+        global_cumsums(df2, ["id"], ["x", "y"], out_cols=["cx", "cx"])
+    with _pytest.raises(ValueError, match="collides"):
+        global_cumsums(df2, ["id"], ["x"], out_cols=["cx"], rn_col="cx")
+    with _pytest.raises(ValueError, match="internal"):
+        global_cumsums(df2, ["id"], ["x"], out_cols=["_gpid"])
 
 
 def test_shuffle_partitions_tolerates_non_integer_conf(spark):

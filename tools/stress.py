@@ -836,7 +836,10 @@ def main() -> None:
         )
         .collect()[0]
     )
-    assert km_agg["total"] == n_km, km_agg
+    # gate the CONSTRAINT, not just conservation: every surviving
+    # cluster must hold >= k members after the fixed repair rounds
+    # (cluster count is data-dependent — empty clusters drop out)
+    assert km_agg["total"] == n_km and km_agg["mn"] >= 500, km_agg
     print(
         json.dumps(
             {
