@@ -446,3 +446,32 @@ def test_strip_duplicated_spans_null_text_dropped(spark):
     rows = strip_duplicated_spans(df, k=3).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert all(r["n_tokens"] >= 0 for r in rows)
+
+
+def test_duplicated_spans_fingerprint_modes_agree(spark):
+    """The xxhash64 scale key and the oracle-portable md5 key find the
+    SAME spans on a collision-free corpus; unknown modes raise."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + shared + " a3 a4"),
+            (2, shared + " b1 b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13"),
+        ],
+        "doc_id long, text string",
+    )
+    md5_out = sorted(map(tuple, duplicated_spans(df, k=5).collect()))
+    xx_out = sorted(
+        map(
+            tuple,
+            duplicated_spans(df, k=5, fingerprint="xxhash64").collect(),
+        )
+    )
+    assert md5_out == xx_out and len(md5_out) == 2
+
+    with _pytest.raises(ValueError, match="fingerprint"):
+        duplicated_spans(df, k=5, fingerprint="sha1")
