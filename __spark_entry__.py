@@ -3068,6 +3068,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_caps"] = source_caps
 
+    def source_token_waterfill(spark, sf):
+        # data-mixing budget split: fair-share (max-min) waterfill of a
+        # 12007-token training budget across sources from each
+        # source's available token mass; all integer -> hash-exact
+        from dbscan_pyspark_spark.functions.text import token_count
+        from dbscan_pyspark_spark.operators.pipeline import (
+            budget_waterfill,
+        )
+
+        avail = (
+            load_table(spark, sf, "documents")
+            .groupBy("source")
+            .agg(F.sum(token_count("text")).cast("long").alias("avail"))
+        )
+        return budget_waterfill(avail, 12007)
+
+    q["source_token_waterfill"] = source_token_waterfill
+
     def source_temperature_sample(spark, sf):
         # alpha=0.5 temperature mixing: rates DERIVED from per-source
         # counts (sqrt law, bit-exact across engines), broadcast back,
@@ -6609,6 +6627,38 @@ SELECT tp.doc_id,
        CAST(count(c.i) AS BIGINT) AS n_dropped
 FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i = c.i
 GROUP BY tp.doc_id
+""",
+        "source_token_waterfill": r"""
+WITH avail AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, avail,
+         CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS j,
+         CAST(sum(avail) OVER (
+           ORDER BY avail, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS s,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM avail
+),
+lev AS (
+  SELECT *,
+         coalesce(max(CASE WHEN s + avail * (n - j) <= 12007 THEN j END)
+                  OVER (), 0) AS jstar,
+         coalesce(max(CASE WHEN s + avail * (n - j) <= 12007 THEN s END)
+                  OVER (), 0) AS sstar
+  FROM ranked
+)
+SELECT source, avail,
+       CAST(CASE WHEN j <= jstar THEN avail
+            ELSE (12007 - sstar) // (n - jstar)
+                 + CASE WHEN j - jstar <= (12007 - sstar) % (n - jstar)
+                        THEN 1 ELSE 0 END
+       END AS BIGINT) AS alloc
+FROM lev
 """,
         "doc_token_entropy": r"""
 WITH tok AS (

@@ -1990,3 +1990,91 @@ def build_vocab(
         "token",
         "n_occurrences",
     )
+
+
+def budget_waterfill(
+    sources: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    avail_col: str = "avail",
+) -> DataFrame:
+    """Fair-share (max-min / waterfilling) token-budget allocation
+    across sources — the data-mixing planner's core split: given each
+    source's available token count and a total training budget,
+    allocate ``min(avail, theta)`` per source where the water level
+    ``theta`` is the largest level the budget affords. Small sources
+    are taken whole; the budget left over is divided EQUALLY among the
+    rest — the allocation that maximizes the minimum share (the
+    flattening step behind mixture tuning, cf. temperature_sample's
+    alpha=0.5 law; this is the alpha->0 limit with exact conservation).
+
+    Closed form, no iteration: sort sources by (avail, group), prefix-
+    sum, pick the largest j* with ``S_j + a_j * (n - j) <= budget``
+    (sources 1..j* fit under their own level and are taken whole),
+    then the remainder R = budget - S_{j*} spreads over the m = n - j*
+    larger sources as ``theta = R // m`` with the first ``R % m`` of
+    them (in sort order) getting one extra unit — every remaining
+    source has ``avail >= theta + 1`` by the maximality of j*, so the
+    +1 never overshoots a cap. All integer arithmetic -> exactly
+    SQL-replayable.
+
+    Returns DataFrame(group, avail long, alloc long) with
+    ``sum(alloc) = min(budget, sum(avail))`` and ``alloc <= avail``
+    everywhere. The unpartitioned windows run over the SOURCES
+    relation — domain-bounded (languages, crawls, registries), never
+    the corpus — the bounded-by-construction WindowExec class.
+    """
+    if budget < 0:
+        raise ValueError(f"budget_waterfill: budget must be >= 0, got {budget}")
+    # windows sort the RENAMED projection (the input avail_col is cast
+    # and re-aliased to _a first)
+    w = Window.orderBy(F.col("_a").asc(), F.col(group_col).asc())
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = F.lit(int(budget)).cast("long")
+    ranked = sources.select(
+        F.col(group_col),
+        F.col(avail_col).cast("long").alias("_a"),
+    ).select(
+        group_col,
+        "_a",
+        F.row_number().over(w).cast("long").alias("_j"),
+        F.sum("_a").over(w_run).cast("long").alias("_s"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_n"),
+    )
+    fits = F.col("_s") + F.col("_a") * (F.col("_n") - F.col("_j")) <= b
+    lev = ranked.select(
+        "*",
+        F.coalesce(
+            F.max(F.when(fits, F.col("_j"))).over(w_all), F.lit(0).cast("long")
+        ).alias("_jstar"),
+        F.coalesce(
+            F.max(F.when(fits, F.col("_s"))).over(w_all), F.lit(0).cast("long")
+        ).alias("_sstar"),
+    )
+    lev = lev.select(
+        "*",
+        (F.col("_n") - F.col("_jstar")).alias("_m"),
+        (b - F.col("_sstar")).alias("_r"),
+    )
+    # `div`, not `/`: long / long is DOUBLE division in Spark and goes
+    # inexact past 2^53 — integer division keeps the whole allocation
+    # exact at any budget (and lets the DuckDB oracle's // mirror it)
+    theta = F.when(
+        F.col("_m") > 0, F.expr("_r div _m").cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    extra = F.when(
+        (F.col("_m") > 0)
+        & (F.col("_j") - F.col("_jstar") <= F.pmod("_r", F.col("_m"))),
+        F.lit(1),
+    ).otherwise(F.lit(0)).cast("long")
+    alloc = F.when(F.col("_j") <= F.col("_jstar"), F.col("_a")).otherwise(
+        theta + extra
+    )
+    return lev.select(
+        group_col,
+        F.col("_a").alias("avail"),
+        alloc.alias("alloc"),
+    )

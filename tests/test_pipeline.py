@@ -1029,3 +1029,52 @@ def test_histogram_excludes_nulls(spark):
     df = spark.createDataFrame([(0.5,), (None,), (9.5,)], "v double")
     out = {r["bin"]: r["cnt"] for r in histogram(df, "v", n_bins=10, lo=0.0, hi=10.0).collect()}
     assert out == {0: 1, 9: 1}, out  # null neither binned nor top-edged
+
+
+def test_budget_waterfill_matches_bruteforce(spark):
+    """Closed-form waterfill == the obvious iterative water-raising
+    algorithm: conservation, caps, max-min fairness, deterministic
+    remainder placement."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import budget_waterfill
+
+    avail = {"a": 100, "b": 7, "c": 55, "d": 7, "e": 0, "f": 1000}
+
+    def brute(budget):
+        # raise the water level one unit at a time (slow but obvious)
+        alloc = {g: 0 for g in avail}
+        left = budget
+        while left > 0:
+            open_ = sorted(
+                g for g in avail if alloc[g] < avail[g]
+            )
+            if not open_:
+                break
+            # one unit to each open source, lowest current level first,
+            # ties by group name — matches the closed form's sort-order
+            # remainder rule
+            open_.sort(key=lambda g: (alloc[g], avail[g], g))
+            for g in open_:
+                if left == 0:
+                    break
+                alloc[g] += 1
+                left -= 1
+        return alloc
+
+    df = spark.createDataFrame(
+        list(avail.items()), "source string, avail long"
+    )
+    for budget in (0, 5, 14, 69, 169, 300, 1169, 5000):
+        got = {
+            r["source"]: r["alloc"]
+            for r in budget_waterfill(df, budget).collect()
+        }
+        assert sum(got.values()) == min(budget, sum(avail.values())), budget
+        assert all(got[g] <= avail[g] for g in avail), budget
+        exp = brute(budget)
+        # max-min fairness: same multiset of allocations per level
+        assert sorted(got.values()) == sorted(exp.values()), (budget, got, exp)
+
+    with _pytest.raises(ValueError, match="budget"):
+        budget_waterfill(df, -1)
