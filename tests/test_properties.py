@@ -622,3 +622,88 @@ def test_hits_matches_integer_replay(spark, edges, n_iter):
         a = {n: (ar.get(n, 0) * S) // m for n in nodes}
     want = {n: (round(h[n] / S, 6), round(a[n] / S, 6)) for n in nodes}
     assert got == want
+
+
+docs_strategy = st.lists(
+    # small vocab ('a'..'e') makes duplicated windows COMMON, which is
+    # exactly the regime the anchor merge has to get right
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SET
+@given(docs=docs_strategy, k=st.integers(2, 4))
+def test_duplicated_spans_matches_bruteforce(spark, docs, k):
+    from dbscan_pyspark_spark.operators.dedup import duplicated_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in duplicated_spans(df, k=k).collect()
+    )
+
+    # brute force: count every k-window across the corpus, anchor
+    # positions whose window occurs >= 2 times, merge consecutive runs
+    from collections import Counter
+
+    wins = Counter()
+    per_doc: dict[int, list[int]] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            wins[tuple(toks[p : p + k])] += 1
+    want = []
+    for i, toks in enumerate(docs):
+        anchors = [
+            p
+            for p in range(len(toks) - k + 1)
+            if wins[tuple(toks[p : p + k])] >= 2
+        ]
+        run_start = None
+        prev = None
+        for p in anchors + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if run_start is not None:
+                want.append((i, run_start, prev - run_start + k))
+            run_start, prev = p, p
+    assert got == sorted(want)
+
+
+@SET
+@given(
+    avails=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    budget=st.integers(0, 300),
+)
+def test_budget_waterfill_invariants(spark, avails, budget):
+    """Conservation, caps, and max-min fairness (no source could give
+    one unit to a strictly lower-allocated non-full source) on random
+    shapes — zero-avail sources, all-fit, none-fit, remainder edges."""
+    from dbscan_pyspark_spark.operators.pipeline import budget_waterfill
+
+    df = spark.createDataFrame(
+        [(f"s{i}", a) for i, a in enumerate(avails)],
+        "source string, avail long",
+    )
+    got = {
+        r["source"]: (r["avail"], r["alloc"])
+        for r in budget_waterfill(df, budget).collect()
+    }
+    assert len(got) == len(avails)
+    assert all(0 <= alloc <= avail for avail, alloc in got.values())
+    assert sum(a for _, a in got.values()) == min(budget, sum(avails))
+    # max-min: a transfer from a higher-allocated source to a lower-
+    # allocated NON-FULL source must never raise the minimum — i.e. no
+    # pair (alloc_hi, alloc_lo) with alloc_hi > alloc_lo + 1 where lo
+    # is below its cap
+    vals = sorted(
+        (alloc, avail) for avail, alloc in got.values()
+    )
+    for alloc_lo, avail_lo in vals:
+        if alloc_lo < avail_lo:  # lo could absorb more
+            assert all(
+                alloc_hi <= alloc_lo + 1 for alloc_hi, _ in vals
+            ), (budget, got)
