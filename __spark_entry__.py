@@ -3072,7 +3072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-mixing budget split: fair-share (max-min) waterfill of a
         # 12007-token training budget across sources from each
         # source's available token mass; all integer -> hash-exact
-        from dbscan_pyspark_spark.functions.text import token_count
         from dbscan_pyspark_spark.operators.pipeline import (
             budget_waterfill,
         )

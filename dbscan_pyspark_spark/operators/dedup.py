@@ -706,10 +706,10 @@ def strip_duplicated_spans(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
     )
     toks = F.split(normalized(F.col(text_col)), " ")
-    # NULL text would flow through as size(NULL) = -1 (a nonsense
-    # negative token count) — drop those docs, matching the oracle's
-    # unnest-of-NULL behavior (emits no row) and duplicated_spans'
-    # own size >= k filter
+    # NULL text would flow through as a NULL token array (size/counts
+    # all NULL under this session's ANSI semantics) — drop those docs,
+    # matching the oracle's unnest-of-NULL behavior (emits no row) and
+    # duplicated_spans' own size >= k filter
     base = (
         df.where(F.col(text_col).isNotNull())
         .select(F.col(id_col), toks.alias("_toks"))

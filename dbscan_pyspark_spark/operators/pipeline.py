@@ -2026,6 +2026,12 @@ def budget_waterfill(
     """
     if budget < 0:
         raise ValueError(f"budget_waterfill: budget must be >= 0, got {budget}")
+    internal = {"_a", "_j", "_s", "_n", "_jstar", "_sstar", "_m", "_r"}
+    if group_col in internal:
+        raise ValueError(
+            f"budget_waterfill: group_col {group_col!r} collides with "
+            "internal columns"
+        )
     # windows sort the RENAMED projection (the input avail_col is cast
     # and re-aliased to _a first)
     w = Window.orderBy(F.col("_a").asc(), F.col(group_col).asc())
@@ -2034,9 +2040,26 @@ def budget_waterfill(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     b = F.lit(int(budget)).cast("long")
+    # NULL avail cannot waterfill (the two engines even SORT nulls to
+    # opposite ends, so it is an oracle-parity break on top of a
+    # nonsense allocation) and a negative avail would flow through as
+    # a negative 'allocation' — raise plan-side, the global_cumsums
+    # null-contract pattern
+    a_checked = (
+        F.when(
+            F.col(avail_col).isNull() | (F.col(avail_col) < 0),
+            F.raise_error(
+                F.lit(
+                    "budget_waterfill: avail must be non-null and >= 0"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(avail_col).cast("long"))
+        .alias("_a")
+    )
     ranked = sources.select(
         F.col(group_col),
-        F.col(avail_col).cast("long").alias("_a"),
+        a_checked,
     ).select(
         group_col,
         "_a",

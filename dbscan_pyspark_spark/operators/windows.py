@@ -274,7 +274,9 @@ def global_cumsums(
         raise ValueError("global_cumsums: out_cols/value_cols mismatch")
     if len(set(out_cols)) != len(out_cols):
         raise ValueError(f"global_cumsums: duplicate out_cols {out_cols}")
-    reserved = {"_gpid"} | {f"_gval{i}" for i in range(len(value_cols))}
+    reserved = {"_gpid", "_gnoff"} | {
+        f"_gval{i}" for i in range(len(value_cols))
+    } | {f"_gsoff{i}" for i in range(len(value_cols))}
     bad = reserved.intersection(out_cols) | (
         {rn_col} & reserved if rn_col else set()
     )

@@ -435,8 +435,9 @@ def test_strip_duplicated_spans_overlapping_coverage(spark):
 
 
 def test_strip_duplicated_spans_null_text_dropped(spark):
-    """NULL text must not leak size(NULL) = -1 as a token count — the
-    doc is dropped, matching the oracle's unnest-of-NULL (no row)."""
+    """NULL text must not leak a NULL token count into the output —
+    the doc is dropped, matching the oracle's unnest-of-NULL (no
+    row)."""
     from dbscan_pyspark_spark.operators.dedup import strip_duplicated_spans
 
     df = spark.createDataFrame(

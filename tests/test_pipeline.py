@@ -1078,3 +1078,29 @@ def test_budget_waterfill_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="budget"):
         budget_waterfill(df, -1)
+
+
+def test_budget_waterfill_contracts(spark):
+    """NULL or negative avail raises plan-side (the two engines sort
+    NULLs to opposite ends — silent passthrough would be an
+    oracle-parity break on top of a nonsense allocation); internal
+    column-name collisions raise at the contract."""
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from dbscan_pyspark_spark.operators.pipeline import budget_waterfill
+
+    bad_null = spark.createDataFrame(
+        [("a", 10), ("b", None)], "source string, avail long"
+    )
+    with _pytest.raises(Exception) as e:
+        budget_waterfill(bad_null, 5).collect()
+    assert "non-null" in str(e.value)
+    bad_neg = spark.createDataFrame(
+        [("a", 10), ("b", -3)], "source string, avail long"
+    )
+    with _pytest.raises(Exception) as e:
+        budget_waterfill(bad_neg, 5).collect()
+    assert "non-null" in str(e.value)
+    with _pytest.raises(ValueError, match="internal"):
+        budget_waterfill(bad_null, 5, group_col="_a")

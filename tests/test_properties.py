@@ -650,7 +650,6 @@ def test_duplicated_spans_matches_bruteforce(spark, docs, k):
     from collections import Counter
 
     wins = Counter()
-    per_doc: dict[int, list[int]] = {}
     for i, toks in enumerate(docs):
         for p in range(len(toks) - k + 1):
             wins[tuple(toks[p : p + k])] += 1
