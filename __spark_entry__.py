@@ -3085,6 +3085,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_token_waterfill"] = source_token_waterfill
 
+    def source_budget_sample(spark, sf):
+        # the waterfill APPLY step: deterministic hash-ordered greedy
+        # prefix per source until the allocated token budget is full
+        from dbscan_pyspark_spark.functions.text import token_count
+        from dbscan_pyspark_spark.operators.pipeline import (
+            apply_allocation,
+            budget_waterfill,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        avail = docs.groupBy("source").agg(
+            F.sum(token_count("text")).cast("long").alias("avail")
+        )
+        return apply_allocation(docs, budget_waterfill(avail, 12007))
+
+    q["source_budget_sample"] = source_budget_sample
+
     def source_temperature_sample(spark, sf):
         # alpha=0.5 temperature mixing: rates DERIVED from per-source
         # counts (sqrt law, bit-exact across engines), broadcast back,
@@ -3631,6 +3648,44 @@ _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
     " ' +', ' ', 'g'))"
 )
+
+# Shared by the waterfill allocation oracle and its apply-step oracle:
+# CTE-for-CTE replica of pipeline.budget_waterfill at budget 12007 over
+# the documents table's per-source token mass (sort by (avail, source),
+# prefix sums, largest fully-affordable prefix j*, integer-div/mod
+# remainder placement).
+_WATERFILL_CTES = r"""avail AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT source, avail,
+         CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS j,
+         CAST(sum(avail) OVER (
+           ORDER BY avail, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS s,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM avail
+),
+lev AS (
+  SELECT *,
+         coalesce(max(CASE WHEN s + avail * (n - j) <= 12007 THEN j END)
+                  OVER (), 0) AS jstar,
+         coalesce(max(CASE WHEN s + avail * (n - j) <= 12007 THEN s END)
+                  OVER (), 0) AS sstar
+  FROM ranked
+),
+walloc AS (
+  SELECT source, avail,
+         CAST(CASE WHEN j <= jstar THEN avail
+              ELSE (12007 - sstar) // (n - jstar)
+                   + CASE WHEN j - jstar <= (12007 - sstar) % (n - jstar)
+                          THEN 1 ELSE 0 END
+         END AS BIGINT) AS alloc
+  FROM lev
+)"""
 
 _SHINGLES_CTE = f"""
 norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
@@ -6627,37 +6682,32 @@ SELECT tp.doc_id,
 FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i = c.i
 GROUP BY tp.doc_id
 """,
-        "source_token_waterfill": r"""
-WITH avail AS (
-  SELECT source,
-         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS avail
-  FROM documents GROUP BY source
+        "source_token_waterfill": f"""
+WITH {_WATERFILL_CTES}
+SELECT source, avail, alloc FROM walloc
+""",
+        "source_budget_sample": f"""
+WITH {_WATERFILL_CTES},
+toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x',
+              substring(md5('waterfill:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) AS h
+  FROM documents
 ),
-ranked AS (
-  SELECT source, avail,
-         CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS j,
-         CAST(sum(avail) OVER (
-           ORDER BY avail, source
+run AS (
+  SELECT t.doc_id, t.source, t.n_tokens,
+         CAST(sum(t.n_tokens) OVER (
+           PARTITION BY t.source ORDER BY t.h, t.doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS BIGINT) AS s,
-         CAST(count(*) OVER () AS BIGINT) AS n
-  FROM avail
-),
-lev AS (
-  SELECT *,
-         coalesce(max(CASE WHEN s + avail * (n - j) <= 12007 THEN j END)
-                  OVER (), 0) AS jstar,
-         coalesce(max(CASE WHEN s + avail * (n - j) <= 12007 THEN s END)
-                  OVER (), 0) AS sstar
-  FROM ranked
+         ) AS BIGINT) AS cum_tokens,
+         a.alloc
+  FROM toks t JOIN walloc a USING (source)
 )
-SELECT source, avail,
-       CAST(CASE WHEN j <= jstar THEN avail
-            ELSE (12007 - sstar) // (n - jstar)
-                 + CASE WHEN j - jstar <= (12007 - sstar) % (n - jstar)
-                        THEN 1 ELSE 0 END
-       END AS BIGINT) AS alloc
-FROM lev
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM run WHERE cum_tokens <= alloc
 """,
         "doc_token_entropy": r"""
 WITH tok AS (

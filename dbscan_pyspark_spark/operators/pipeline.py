@@ -2101,3 +2101,65 @@ def budget_waterfill(
         F.col("_a").alias("avail"),
         alloc.alias("alloc"),
     )
+
+
+def apply_allocation(
+    df: DataFrame,
+    alloc: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col: Column | str | None = None,
+    salt: str = "waterfill",
+) -> DataFrame:
+    """The APPLY step of :func:`budget_waterfill`: deterministically
+    select documents per source until each source's allocated token
+    budget is filled. Within a source, docs rank by
+    ``(portable_hash(id), id)`` — a reproducible unbiased shuffle
+    order, the same device as every hash sampler here — and a doc is
+    kept while the source's RUNNING token sum stays within its
+    allocation (greedy prefix; the kept total undershoots ``alloc`` by
+    less than one document, never overshoots). No RNG, no collect —
+    replayable row-by-row and exactly SQL-expressible.
+
+    ``token_count_col``: a Column (or column name) with each doc's
+    integer token count; defaults to the whitespace
+    :func:`~dbscan_pyspark_spark.functions.text.token_count` of
+    ``text``. ``alloc`` is DataFrame(source, ..., alloc) as returned
+    by :func:`budget_waterfill` (broadcast — it is domain-bounded).
+
+    Returns the kept rows as DataFrame(id, source, n_tokens,
+    cum_tokens) with ``cum_tokens`` the source's running total
+    INCLUDING the row (so ``max(cum_tokens) <= alloc`` per source).
+
+    Scale shape: one broadcast join on the bounded alloc relation,
+    then ONE window partitioned by source — distributed across
+    sources by construction (contrast the global-rank helpers, which
+    exist for the partition-free case).
+    """
+    if token_count_col is None:
+        from dbscan_pyspark_spark.functions.text import token_count
+
+        tok = token_count("text")
+    elif isinstance(token_count_col, str):
+        tok = F.col(token_count_col)
+    else:
+        tok = token_count_col
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(portable_hash(id_col, salt=salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        tok.cast("long").alias("n_tokens"),
+    ).join(
+        F.broadcast(alloc.select(source_col, "alloc")), source_col
+    ).select(
+        id_col,
+        source_col,
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        "alloc",
+    )
+    return ranked.where(F.col("cum_tokens") <= F.col("alloc")).drop("alloc")

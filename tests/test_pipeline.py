@@ -1104,3 +1104,45 @@ def test_budget_waterfill_contracts(spark):
     assert "non-null" in str(e.value)
     with _pytest.raises(ValueError, match="internal"):
         budget_waterfill(bad_null, 5, group_col="_a")
+
+
+def test_apply_allocation_greedy_prefix(spark):
+    """Per source: never overshoots its allocation, undershoots by
+    less than the first unselected doc, deterministic across runs."""
+    from dbscan_pyspark_spark.operators.pipeline import (
+        apply_allocation,
+        budget_waterfill,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 3}", " ".join(f"w{i}x{j}" for j in range(3 + i % 5)))
+            for i in range(60)
+        ],
+        "doc_id long, source string, text string",
+    )
+    from dbscan_pyspark_spark.functions.text import token_count
+    from pyspark.sql import functions as F
+
+    avail = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("avail")
+    )
+    alloc = budget_waterfill(avail, 50)
+    alloc_map = {r["source"]: r["alloc"] for r in alloc.collect()}
+
+    out1 = sorted(map(tuple, apply_allocation(docs, alloc).collect()))
+    out2 = sorted(map(tuple, apply_allocation(docs, alloc).collect()))
+    assert out1 == out2 and out1  # deterministic, non-empty
+
+    from collections import defaultdict
+
+    kept_tokens = defaultdict(int)
+    for _, src, n_tokens, cum in out1:
+        kept_tokens[src] += n_tokens
+    for src, total in kept_tokens.items():
+        assert total <= alloc_map[src], (src, total, alloc_map[src])
+    # max cum_tokens per source == the kept total (running sum sanity)
+    max_cum = defaultdict(int)
+    for _, src, _, cum in out1:
+        max_cum[src] = max(max_cum[src], cum)
+    assert dict(max_cum) == dict(kept_tokens)
