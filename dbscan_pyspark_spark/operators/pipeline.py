@@ -2134,7 +2134,14 @@ def apply_allocation(
     Scale shape: one broadcast join on the bounded alloc relation,
     then ONE window partitioned by source — distributed across
     sources by construction (contrast the global-rank helpers, which
-    exist for the partition-free case).
+    exist for the partition-free case). Honest ceiling: each source
+    sorts in one task, so a few-source corpus with a mega source puts
+    that source's rows through a single partition — the same regime
+    as ``source_cap``'s single-window default (measured there: the
+    plain window beat the two-phase split at 20M rows with a 10M-row
+    hot source; stress stage ``waterfill_apply_20m`` re-confirms at
+    42 s). If a source outgrows one task's memory, pre-aggregate docs
+    into coarser units (shards/chunks) before allocating.
     """
     if token_count_col is None:
         from dbscan_pyspark_spark.functions.text import token_count

@@ -596,6 +596,53 @@ def main() -> None:
         flush=True,
     )
 
+    # --- waterfill budget split + apply over the same skewed corpus ---
+    # The data-mixing pair at scale: the allocation runs on the
+    # ~21-row source relation (driver-free closed form), the apply is
+    # one source-partitioned window over 20M docs — the skewed mega
+    # source (~10M docs) exercises the single-partition-per-source
+    # regime the greedy prefix has to survive.
+    from dbscan_pyspark_spark.operators.pipeline import (
+        apply_allocation,
+        budget_waterfill,
+    )
+
+    wf_budget = 2_000_000_000  # ~ half the corpus token mass
+    t0 = time.time()
+    wf_avail = cur.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail")
+    )
+    wf_alloc = budget_waterfill(wf_avail, wf_budget)
+    picked = apply_allocation(
+        cur, wf_alloc, token_count_col="n_chars"
+    )
+    wf_stats = (
+        picked.join(F.broadcast(wf_alloc), "source")
+        .groupBy("source", "alloc")
+        .agg(F.sum("n_tokens").alias("kept"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("kept").alias("total_kept"),
+            F.max(F.col("kept") > F.col("alloc")).alias("overshoot"),
+        )
+        .first()
+    )
+    assert not wf_stats["overshoot"], wf_stats
+    assert wf_stats["total_kept"] <= wf_budget, wf_stats
+    print(
+        json.dumps(
+            {
+                "stage": "waterfill_apply_20m",
+                "n_docs": n_cur,
+                "budget": wf_budget,
+                "total_kept": wf_stats["total_kept"],
+                "n_sources": wf_stats["n_sources"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     t0 = time.time()
     n_cells = embedding_covariance(emb, scale=10).count()
     print(
