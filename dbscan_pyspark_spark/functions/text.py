@@ -43,9 +43,26 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 def normalized(text: Column | str) -> Column:
     """Lowercase, strip non-alphanumerics to single spaces, trim —
-    the canonical form used for fingerprints and exact near-dup."""
+    the canonical form used for fingerprints and exact near-dup.
+
+    Implemented as split-on-junk-runs + array_join, NOT the textbook
+    double ``regexp_replace``: the output is character-identical
+    (runs of non-alphanumerics become one separator, edge runs
+    vanish, NULL stays NULL — ``array_join``, not ``concat_ws``,
+    precisely so NULL propagates), but Spark 4's ``RegExpReplace`` /
+    ``RLike`` pay a per-row collation-dispatch cost that
+    ``StringSplit`` / ``RegExpExtractAll`` do not: measured 119 s vs
+    2.6 s for one pass over 2M 420-char docs on local[32], and the
+    gap scales with thread count. The DuckDB oracles keep the
+    regexp_replace spelling — equivalence is pinned by every
+    normalized-text contract query's value hash."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    return F.array_join(
+        F.filter(
+            F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != F.lit("")
+        ),
+        " ",
+    )
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -102,7 +119,14 @@ def quality_score(text: Column | str) -> Column:
     n_chars = F.length(c)
     n_toks = token_count(c)
     mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
-    punct = F.length(F.regexp_replace(c, "[a-zA-Z0-9 ]", ""))
+    # length minus total kept-run length == count of chars outside the
+    # class; RegExpExtractAll sidesteps RegExpReplace's measured 50x
+    # collation-dispatch cost (see normalized())
+    punct = F.length(c) - F.length(
+        F.array_join(
+            F.regexp_extract_all(c, F.lit("[a-zA-Z0-9 ]+"), 0), ""
+        )
+    )
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
     len_band = F.when((n_chars >= 100) & (n_chars <= 2000), 1.0).when(
         n_chars >= 30, 0.5
@@ -156,8 +180,16 @@ def redactions(text: Column | str, pattern: str) -> Column:
     primitive (PII patterns, secrets) a training pipeline runs before
     anything else sees the text. Built-in regexp expressions only."""
     c = F.col(text) if isinstance(text, str) else text
+    # split-on-pattern + rejoin == regexp_replace with a constant
+    # replacement (Java split keeps leading/trailing empties at
+    # edge matches, so boundaries reassemble exactly), minus
+    # RegExpReplace's measured 50x collation-dispatch cost (see
+    # normalized()). Constraint: `pattern` must not match the empty
+    # string (PII patterns are non-empty-match by construction).
     return F.struct(
-        F.regexp_replace(c, pattern, "[REDACTED]").alias("redacted"),
+        F.array_join(F.split(c, pattern, -1), "[REDACTED]").alias(
+            "redacted"
+        ),
         F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias(
             "n_redactions"
         ),

@@ -594,14 +594,18 @@ def duplicated_spans(
     maximal duplicated span, ``span_len >= k``.
 
     Scale shape: the ONLY wide exchanges are (1) one shuffle of the
-    k-gram stream keyed on the 32-hex md5 of the window text (never
-    the window text itself — the gaps-and-islands merge needs every
-    position's verdict, so the count is a window over the fingerprint,
-    one shuffle, not a groupBy + join-back's two), and (2) one shuffle
-    on the doc id for the island merge — both fine-grained keys that
-    hash-partition evenly. The token array is bound to a column before
-    the window transform (no CSE inside higher-order-function lambdas
-    — the measured 10x shingle lesson).
+    k-gram stream keyed on the fingerprint for the anchor-count
+    window, and (2) one shuffle on the doc id for the island merge —
+    both fine-grained keys that hash-partition evenly. The
+    groupBy-count + semi-join-back alternative was A/B'd at the
+    2M-doc / 42M-gram stress stage and LOSES ~4x (51 s vs 13 s):
+    gram fingerprints are mostly unique, so the map-side partial
+    aggregation degenerates into a per-partition hash map the size of
+    the partition's whole gram stream (build + spill), and the probe
+    side still constructs the grams a second time — whereas the
+    window plan shuffles each gram row exactly once and sorts. The
+    same trade holds on a cluster: a partial agg that doesn't reduce
+    is pure overhead on top of the identical-volume exchange.
 
     ``fingerprint``: ``"md5"`` (default) hashes the window TEXT — a
     32-hex key, effectively collision-free, and what the exact DuckDB
@@ -626,13 +630,12 @@ def duplicated_spans(
         raise ValueError(
             f"duplicated_spans: min_count must be >= 2, got {min_count}"
         )
+    pos1 = F.col("pos") + 1  # element_at/slice are 1-based
     if fingerprint == "md5":
-        fp = lambda i: F.md5(  # noqa: E731
-            F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
-        )
+        fp_expr = F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), pos1, k)))
     elif fingerprint == "xxhash64":
-        fp = lambda i: F.xxhash64(  # noqa: E731
-            *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)]
+        fp_expr = F.xxhash64(
+            *[F.element_at(F.col("_toks"), pos1 + j) for j in range(k)]
         )
     else:
         raise ValueError(
@@ -645,12 +648,20 @@ def duplicated_spans(
     base = df.select(F.col(id_col), toks.alias("_toks")).where(
         F.size("_toks") >= k
     )
+    # Explode the POSITIONS, then fingerprint as a plain per-row
+    # projection ABOVE the Generate — never `posexplode(transform(
+    # sequence, fp))`. The lambda shape (a) builds an interpreted
+    # per-doc array of fingerprint strings outside whole-stage codegen
+    # and (b) lets CollapseProject inline `split(normalized(text))`
+    # into every lambda evaluation, re-tokenizing the document once
+    # PER GRAM. Measured at 10.5M grams: 66.4 s lambda-shape vs 0.4 s
+    # this shape — 165x. The projection can't sink below the Generate
+    # (it references `pos`), so `_toks` is computed once per document.
     grams = base.select(
         id_col,
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.size("_toks") - k), fp)
-        ).alias("pos", "_fp"),
-    )
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.size("_toks") - k)).alias("pos"),
+    ).select(id_col, "pos", fp_expr.alias("_fp"))
     w_fp = Window.partitionBy("_fp")
     anchors = grams.withColumn(
         "_cnt", F.count(F.lit(1)).over(w_fp)

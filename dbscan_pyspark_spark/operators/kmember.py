@@ -420,51 +420,57 @@ def kmember_quantized(
         q = points.select(
             F.col(id_col), F.col(features).cast("array<bigint>").alias("_v")
         )
+    # try/finally so a job failure mid-iteration (or an exception in
+    # _repair_quantized) cannot leak the persisted relation for the
+    # session — the unpersist runs on EVERY exit path
     q = q.where(F.col("_v").isNotNull() & (F.size("_v") > 0)).persist()
-    n = q.count()
-    if n < k * n_clusters:
-        q.unpersist()
-        raise ValueError(
-            f"infeasible: n={n} < k*n_clusters={k * n_clusters}"
-        )
-
-    init_rows = q.orderBy(id_col).limit(n_clusters).collect()
-    centroids = [(i, list(r["_v"])) for i, r in enumerate(init_rows)]
-    dim = len(centroids[0][1])
-
-    assign = None
-    for it in range(n_iter + 1):
-        assign = q.select(
-            id_col, "_v", _assign_struct_l1(centroids, "_v").alias("_a")
-        ).select(
-            id_col,
-            "_v",
-            F.col("_a.cid").alias("cluster"),
-            F.col("_a.d").alias("dist"),
-        )
-        assign = _repair_quantized(
-            assign, centroids, k, repair_rounds, id_col
-        )
-        if it == n_iter:
-            break
-        sums = [F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)]
-        upd = (
-            assign.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"), *sums)
-            .collect()
-        )
-        centroids = sorted(
-            (
-                int(r["cluster"]),
-                [int(r[f"s{i}"] // r["n"]) for i in range(dim)],
+    try:
+        n = q.count()
+        if n < k * n_clusters:
+            raise ValueError(
+                f"infeasible: n={n} < k*n_clusters={k * n_clusters}"
             )
-            for r in upd
-        )
 
-    out = assign.select(
-        id_col,
-        F.col("cluster").cast("int").alias("cluster"),
-        F.col("dist").cast("long").alias("distance"),
-    ).localCheckpoint(eager=True)
-    q.unpersist()
+        init_rows = q.orderBy(id_col).limit(n_clusters).collect()
+        centroids = [(i, list(r["_v"])) for i, r in enumerate(init_rows)]
+        dim = len(centroids[0][1])
+
+        assign = None
+        for it in range(n_iter + 1):
+            assign = q.select(
+                id_col, "_v", _assign_struct_l1(centroids, "_v").alias("_a")
+            ).select(
+                id_col,
+                "_v",
+                F.col("_a.cid").alias("cluster"),
+                F.col("_a.d").alias("dist"),
+            )
+            assign = _repair_quantized(
+                assign, centroids, k, repair_rounds, id_col
+            )
+            if it == n_iter:
+                break
+            sums = [
+                F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)
+            ]
+            upd = (
+                assign.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"), *sums)
+                .collect()
+            )
+            centroids = sorted(
+                (
+                    int(r["cluster"]),
+                    [int(r[f"s{i}"] // r["n"]) for i in range(dim)],
+                )
+                for r in upd
+            )
+
+        out = assign.select(
+            id_col,
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("dist").cast("long").alias("distance"),
+        ).localCheckpoint(eager=True)
+    finally:
+        q.unpersist()
     return out

@@ -1044,9 +1044,22 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
         elif kind == "matches":
             _, c, pattern = r
             preds.append(
+                # regexp_extract_all-based containment instead of rlike:
+                # Spark 4's RLike pays a ~50x per-row collation-dispatch
+                # cost that RegExpExtractAll does not (measured in
+                # functions/text.py::normalized) — same truth table,
+                # NULL input handled by the explicit isNull branch
                 (
                     f"matches:{c}",
-                    F.col(c).isNull() | ~F.col(c).rlike(pattern),
+                    F.col(c).isNull()
+                    | (
+                        F.size(
+                            F.regexp_extract_all(
+                                F.col(c), F.lit(pattern), 0
+                            )
+                        )
+                        == 0
+                    ),
                 )
             )
         elif kind == "unique":
@@ -2057,8 +2070,29 @@ def budget_waterfill(
         .otherwise(F.col(avail_col).cast("long"))
         .alias("_a")
     )
+    # duplicate group values would make the row_number tie-break
+    # arbitrary across (avail, group) ties, so the +1 remainder
+    # placement — and hence the whole allocation — would be run-
+    # dependent, silently voiding the determinism/oracle-parity
+    # contract. Raise plan-side, same device as the avail check.
+    w_grp = Window.partitionBy(group_col)
+    g_checked = F.when(
+        F.count(F.lit(1)).over(w_grp) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "budget_waterfill: duplicate group value "
+                ),
+                F.col(group_col).cast("string"),
+                F.lit(
+                    " — sources must be keyed by group_col (one row "
+                    "per source, e.g. a groupBy output)"
+                ),
+            )
+        ).cast(sources.schema[group_col].dataType),
+    ).otherwise(F.col(group_col))
     ranked = sources.select(
-        F.col(group_col),
+        g_checked.alias(group_col),
         a_checked,
     ).select(
         group_col,
@@ -2151,6 +2185,23 @@ def apply_allocation(
         tok = F.col(token_count_col)
     else:
         tok = token_count_col
+    # a NULL token count (e.g. NULL text) is skipped by the window sum,
+    # so the doc would be kept 'for free' with NULL n_tokens; a negative
+    # count breaks the monotone running sum and voids the never-
+    # overshoot guarantee. Raise plan-side — the budget_waterfill avail
+    # contract, applied to the per-doc side.
+    tok = (
+        F.when(
+            tok.isNull() | (tok < 0),
+            F.raise_error(
+                F.lit(
+                    "apply_allocation: token count must be non-null "
+                    "and >= 0 for every document"
+                )
+            ).cast("long"),
+        )
+        .otherwise(tok.cast("long"))
+    )
     w = (
         Window.partitionBy(source_col)
         .orderBy(portable_hash(id_col, salt=salt), F.col(id_col))

@@ -282,8 +282,41 @@ def process_semantic_dedup_batch(
     if batch.isEmpty():
         return
     spark = batch.sparkSession
-    batch = batch.persist()
+    # a NULL/empty embedding can never match anything downstream
+    # (_cosine_from_norms yields NULL, so it is neither deduped nor
+    # dedup-able) — accepting one would write it to the vector store
+    # PERMANENTLY; and inferring dim from an unfiltered first row
+    # crashes on int(None). Drop them before anything persists.
+    batch = batch.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).persist()
+    try:
+        _process_semantic_dedup_batch_inner(
+            batch, batch_id, store_dir, output_dir, threshold,
+            n_planes, rows_per_band, seed, plane_scale, id_col, vec_col,
+        )
+    finally:
+        batch.unpersist()
+
+
+def _process_semantic_dedup_batch_inner(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    output_dir: str,
+    threshold: float,
+    n_planes: int,
+    rows_per_band: int,
+    seed: int,
+    plane_scale: int | None,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    spark = batch.sparkSession
     dim_row = batch.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        # every row carried a NULL/empty embedding — nothing acceptable
+        return
     dim = int(dim_row["d"])
 
     store = _read_store(spark, store_dir, batch_id)
@@ -308,7 +341,6 @@ def process_semantic_dedup_batch(
             # batch is all-dup again (and an empty parquet write
             # would leave a schema-less partition the read-back
             # cannot infer)
-            batch.unpersist()
             return
     else:
         survivors0 = batch
@@ -335,7 +367,6 @@ def process_semantic_dedup_batch(
     kept_back.write.mode("overwrite").parquet(
         f"{store_dir}/ingest_batch={batch_id}"
     )
-    batch.unpersist()
 
 
 def streaming_semantic_dedup_filter(

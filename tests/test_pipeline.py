@@ -1146,3 +1146,59 @@ def test_apply_allocation_greedy_prefix(spark):
     for _, src, _, cum in out1:
         max_cum[src] = max(max_cum[src], cum)
     assert dict(max_cum) == dict(kept_tokens)
+
+
+def test_budget_waterfill_rejects_duplicate_groups(spark):
+    """Duplicate group values make the (avail, group) row_number
+    tie-break — and hence the +1 remainder placement — arbitrary,
+    silently breaking the determinism contract. Raises plan-side."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import budget_waterfill
+
+    dup = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 4)], "source string, avail long"
+    )
+    with _pytest.raises(Exception) as e:
+        budget_waterfill(dup, 12).collect()
+    assert "duplicate group" in str(e.value)
+    # unique groups (including ties on avail) still pass
+    ok = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 4)], "source string, avail long"
+    )
+    rows = {r["source"]: r["alloc"] for r in budget_waterfill(ok, 12).collect()}
+    assert sum(rows.values()) == 12 and rows["c"] == 4
+
+
+def test_apply_allocation_rejects_null_or_negative_tokens(spark):
+    """A NULL token count would be skipped by the window sum (doc kept
+    'for free'); a negative one breaks the monotone running sum and the
+    never-overshoot guarantee. Both raise plan-side."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import apply_allocation
+
+    alloc = spark.createDataFrame(
+        [("s0", 100)], "source string, alloc long"
+    )
+    null_text = spark.createDataFrame(
+        [(1, "s0", "w1 w2"), (2, "s0", None)],
+        "doc_id long, source string, text string",
+    )
+    with _pytest.raises(Exception) as e:
+        apply_allocation(null_text, alloc).collect()
+    assert "non-null" in str(e.value)
+    neg = spark.createDataFrame(
+        [(1, "s0", 5), (2, "s0", -2)],
+        "doc_id long, source string, n_tok long",
+    )
+    with _pytest.raises(Exception) as e:
+        apply_allocation(neg, alloc, token_count_col="n_tok").collect()
+    assert "non-null" in str(e.value)
+    # a Column-typed token_count_col is checked too
+    with _pytest.raises(Exception) as e:
+        apply_allocation(
+            neg, alloc, token_count_col=F.col("n_tok") * 1
+        ).collect()
+    assert "non-null" in str(e.value)

@@ -252,3 +252,57 @@ def test_semantic_streaming_filter_end_to_end(spark, tmp_path):
     # vec 3 drops whether it shares a micro-batch with vec 1 (batch
     # dedup) or arrives later (store match)
     assert kept == [1, 2, 4]
+
+
+def test_semantic_batch_null_and_empty_embeddings_rejected(spark, tmp_path):
+    """NULL/empty embeddings can never match anything downstream
+    (cosine is NULL for them), so accepting one would poison the
+    vector store permanently — they are filtered up front, an
+    all-NULL batch is a clean no-op, and dim inference never sees a
+    NULL row (the old int(None) crash)."""
+    from dbscan_pyspark_spark.streaming.dedup import (
+        process_semantic_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "vstore"), str(tmp_path / "vout")
+    schema = "vec_id long, embedding array<double>"
+    # batch 0: a NULL-embedding FIRST row (the old dim-inference crash),
+    # an empty embedding, and one real vector
+    b1 = spark.createDataFrame(
+        [(10, None), (11, []), (1, list(_VA))], schema
+    )
+    process_semantic_dedup_batch(b1, 0, store, out, threshold=0.99)
+    assert [r["vec_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert [r["vec_id"] for r in spark.read.parquet(store).collect()] == [1]
+    # batch 1: ONLY null/empty rows -> no-op, nothing written
+    b2 = spark.createDataFrame([(12, None), (13, [])], schema)
+    process_semantic_dedup_batch(b2, 1, store, out, threshold=0.99)
+    assert spark.read.parquet(store).count() == 1
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_kmember_quantized_unpersists_on_failure(spark):
+    """kmember_quantized's persisted projection is released on EVERY
+    exit path — including the infeasible raise and a mid-iteration job
+    failure — so a failed call cannot leak cached blocks for the
+    session."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.kmember import kmember_quantized
+
+    before = len(
+        [
+            r
+            for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        ]
+    )
+    pts = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(4)],
+        "id long, features array<double>",
+    )
+    with _pytest.raises(ValueError, match="infeasible"):
+        kmember_quantized(pts, k=3, n_clusters=2)
+    after = len(
+        [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
+    )
+    assert after <= before
