@@ -5,6 +5,13 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query is executed to completion (count() over the result — no
 collect of wide payloads, matching how a cluster job terminates in a
 sink). Times include Catalyst planning but not session startup.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and records
+the MEDIAN — single-run numbers on a shared host drift +-15% round to
+round (round 7's "+12% regression" was pure host variance and cost an
+A/B investigation); the medians are what BASELINE.md comparisons should
+read. "value" is the sum of medians; "total_wall_all_runs" keeps the
+full wall for the record.
 """
 
 from __future__ import annotations
@@ -89,15 +96,26 @@ def main() -> None:
         "winnow_fingerprints": run_entry_query("doc_winnow_fingerprints"),
     }
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    t_wall0 = time.time()
     for name, fn in benches.items():
-        t0 = time.time()
-        try:
-            fn()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # record failures as negative sentinel
-            print(f"bench {name} failed: {e}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                fn()
+                runs.append(round(time.time() - t0, 3))
+            except Exception as e:  # record failures as negative sentinel
+                print(f"bench {name} failed: {e}", file=sys.stderr)
+                runs.append(-1.0)
+                break
+        all_runs[name] = runs
+        if any(t < 0 for t in runs):
             times[name] = -1.0
+        else:
+            times[name] = sorted(runs)[len(runs) // 2]
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
@@ -107,6 +125,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs_per_query": n_runs,
+                "all_runs": all_runs,
+                "total_wall_all_runs": round(time.time() - t_wall0, 3),
                 "sf": sf,
             }
         )
