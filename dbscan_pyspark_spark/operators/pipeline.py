@@ -2144,6 +2144,9 @@ def apply_allocation(
     id_col: str = "doc_id",
     token_count_col: Column | str | None = None,
     salt: str = "waterfill",
+    chunked: bool | None = None,
+    hot_source_avail: int = 100_000_000,
+    n_chunks: int = 64,
 ) -> DataFrame:
     """The APPLY step of :func:`budget_waterfill`: deterministically
     select documents per source until each source's allocated token
@@ -2166,16 +2169,28 @@ def apply_allocation(
     INCLUDING the row (so ``max(cum_tokens) <= alloc`` per source).
 
     Scale shape: one broadcast join on the bounded alloc relation,
-    then ONE window partitioned by source — distributed across
-    sources by construction (contrast the global-rank helpers, which
-    exist for the partition-free case). Honest ceiling: each source
-    sorts in one task, so a few-source corpus with a mega source puts
-    that source's rows through a single partition — the same regime
-    as ``source_cap``'s single-window default (measured there: the
-    plain window beat the two-phase split at 20M rows with a 10M-row
-    hot source; stress stage ``waterfill_apply_20m`` re-confirms at
-    42 s). If a source outgrows one task's memory, pre-aggregate docs
-    into coarser units (shards/chunks) before allocating.
+    then per-source running sums. A single ``partitionBy(source)``
+    window sorts each source in ONE task — unlike ``source_cap``'s
+    top-k window there is no ``WindowGroupLimit`` map-side prune for
+    a running sum, so a mega source (one crawl = 80% of corpus, the
+    common regime) would funnel through a single task at 100 TB.
+    Sources whose mass crosses ``hot_source_avail`` therefore switch
+    AUTOMATICALLY to a chunked two-phase plan: the 60-bit portable
+    hash is range-bucketed into ``n_chunks`` contiguous chunks
+    (order-preserving — ``hash div chunk_width`` is monotone in the
+    sort key), phase 1 runs the running sum within (source, chunk)
+    in parallel, and phase 2 adds each chunk's offset — the summed
+    totals of its predecessor chunks, a sources x n_chunks relation
+    computed with one tiny window and broadcast back. The result is
+    bit-identical to the single window (the DuckDB oracle stays the
+    one-window SQL), with per-task memory bounded by source/n_chunks.
+
+    The switch reads the ``avail`` column of ``alloc`` — present on
+    every :func:`budget_waterfill` output, already the per-source
+    token mass, so detection costs nothing. If ``alloc`` carries no
+    ``avail``, auto mode keeps the plain window (pass
+    ``chunked=True`` to force the two-phase for every source;
+    ``chunked=False`` forces the single window).
     """
     if token_count_col is None:
         from dbscan_pyspark_spark.functions.text import token_count
@@ -2202,22 +2217,77 @@ def apply_allocation(
         )
         .otherwise(tok.cast("long"))
     )
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(portable_hash(id_col, salt=salt), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = df.select(
+    if n_chunks < 2:
+        raise ValueError(f"apply_allocation: n_chunks must be >= 2, got {n_chunks}")
+    if chunked is None:
+        hot = (
+            F.col("avail").cast("long") >= F.lit(int(hot_source_avail))
+            if "avail" in alloc.columns
+            else F.lit(False)
+        )
+    else:
+        hot = F.lit(bool(chunked))
+    base = df.select(
         F.col(id_col),
         F.col(source_col),
-        tok.cast("long").alias("n_tokens"),
+        tok.alias("n_tokens"),
+        portable_hash(id_col, salt=salt).alias("_h"),
     ).join(
-        F.broadcast(alloc.select(source_col, "alloc")), source_col
+        F.broadcast(alloc.select(source_col, "alloc", hot.alias("_hot"))),
+        source_col,
+    )
+
+    w_cold = (
+        Window.partitionBy(source_col)
+        .orderBy("_h", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cold = base.where(~F.col("_hot")).select(
+        id_col,
+        source_col,
+        "n_tokens",
+        F.sum("n_tokens").over(w_cold).cast("long").alias("cum_tokens"),
+        "alloc",
+    )
+
+    # hot path: contiguous hash-range chunks, running sum per
+    # (source, chunk), then the broadcast chunk-offset join
+    chunk_width = ((1 << 60) + n_chunks - 1) // n_chunks
+    hot_rows = base.where(F.col("_hot")).withColumn(
+        "_c", F.expr(f"_h div {chunk_width}")
+    )
+    w_local = (
+        Window.partitionBy(source_col, "_c")
+        .orderBy("_h", F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = hot_rows.withColumn(
+        "_ls", F.sum("n_tokens").over(w_local).cast("long")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        hot_rows.groupBy(source_col, "_c")
+        .agg(F.sum("n_tokens").cast("long").alias("_ct"))
+        .select(
+            source_col,
+            "_c",
+            F.coalesce(F.sum("_ct").over(w_off), F.lit(0).cast("long")).alias(
+                "_off"
+            ),
+        )
+    )
+    out_hot = local.join(
+        F.broadcast(offsets), [source_col, "_c"]
     ).select(
         id_col,
         source_col,
         "n_tokens",
-        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        (F.col("_ls") + F.col("_off")).cast("long").alias("cum_tokens"),
         "alloc",
     )
+    ranked = out_cold.unionByName(out_hot)
     return ranked.where(F.col("cum_tokens") <= F.col("alloc")).drop("alloc")

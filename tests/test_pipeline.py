@@ -1202,3 +1202,41 @@ def test_apply_allocation_rejects_null_or_negative_tokens(spark):
             neg, alloc, token_count_col=F.col("n_tok") * 1
         ).collect()
     assert "non-null" in str(e.value)
+
+
+def test_apply_allocation_chunked_matches_single_window(spark):
+    """The chunked two-phase running sum is bit-identical to the
+    single-window plan (contiguous hash-range chunks preserve the
+    (hash, id) order), and the hot path's plan windows on
+    (source, chunk) — never the bare source."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import apply_allocation
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"s{i % 2}", " ".join(f"w{i}x{j}" for j in range(2 + i % 7)))
+            for i in range(300)
+        ],
+        "doc_id long, source string, text string",
+    )
+    alloc = spark.createDataFrame(
+        [("s0", 10_000, 300), ("s1", 9_000, 250)],
+        "source string, avail long, alloc long",
+    )
+    plain = sorted(
+        map(tuple, apply_allocation(docs, alloc, chunked=False).collect())
+    )
+    forced = apply_allocation(docs, alloc, chunked=True, n_chunks=7)
+    assert sorted(map(tuple, forced.collect())) == plain
+    # auto mode: avail >= threshold switches those sources to chunked
+    auto = apply_allocation(docs, alloc, hot_source_avail=9_500)
+    assert sorted(map(tuple, auto.collect())) == plain
+    # plan: the forced-chunked hot side windows on (source, _c)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "_c" in plan
+    # single-chunk degenerate guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_chunks"):
+        apply_allocation(docs, alloc, chunked=True, n_chunks=1)

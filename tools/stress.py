@@ -643,6 +643,58 @@ def main() -> None:
         flush=True,
     )
 
+    # --- mega-source apply_allocation at 50M docs (90% one source) ---
+    # The 100 TB regime the chunked two-phase exists for: one crawl
+    # holding ~90% of the corpus. Auto mode must route it through the
+    # (source, chunk) windows — plan-asserted: no single-task sort of
+    # the hot source — while conserving the never-overshoot contract.
+    n_mega = 50_000_000
+    mega_docs = spark.range(n_mega).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("mega"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 16).cast("string")))
+        .alias("source"),
+        (F.col("id") % 4096).alias("n_chars"),
+    )
+    t0 = time.time()
+    mg_avail = mega_docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("avail")
+    )
+    mg_budget = 40_000_000_000
+    mg_alloc = budget_waterfill(mg_avail, mg_budget)
+    mg_picked = apply_allocation(
+        mega_docs, mg_alloc, token_count_col="n_chars"
+    )
+    mg_plan = mg_picked._jdf.queryExecution().executedPlan().toString()
+    # the hot side's windows carry the chunk key
+    assert "_c" in mg_plan, "mega source did not take the chunked path"
+    mg_stats = (
+        mg_picked.join(F.broadcast(mg_alloc), "source")
+        .groupBy("source", "alloc")
+        .agg(F.sum("n_tokens").alias("kept"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("kept").alias("total_kept"),
+            F.max(F.col("kept") > F.col("alloc")).alias("overshoot"),
+        )
+        .first()
+    )
+    assert not mg_stats["overshoot"], mg_stats
+    assert mg_stats["total_kept"] <= mg_budget, mg_stats
+    print(
+        json.dumps(
+            {
+                "stage": "waterfill_apply_mega_50m",
+                "n_docs": n_mega,
+                "budget": mg_budget,
+                "total_kept": mg_stats["total_kept"],
+                "n_sources": mg_stats["n_sources"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     t0 = time.time()
     n_cells = embedding_covariance(emb, scale=10).count()
     print(
