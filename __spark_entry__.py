@@ -1814,6 +1814,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmember_quantized_embeddings"] = kmember_quantized_embeddings
 
+    def kmember_search_quantized_embeddings(spark, sf):
+        # the reference's cluster-count sweep + seeded restarts
+        # (k-means.ipynb cell0:L12-15,75-77,129-133) over the quantized
+        # twin: every run shares one persisted scan; the metrics
+        # relation (cost per config/restart + accepted argmin) replays
+        # exactly in SQL — restart init is portable-hash ranked
+        from dbscan_pyspark_spark.operators.kmember import (
+            kmember_search_quantized,
+        )
+
+        metrics, _best = kmember_search_quantized(
+            load_table(spark, sf, "embeddings"),
+            k=50,
+            candidates=[5, 8],
+            restarts=2,
+            n_iter=1,
+            repair_rounds=2,
+            id_col="vec_id",
+            features="embedding",
+            scale=1000,
+        )
+        return metrics
+
+    q["kmember_search_quantized_embeddings"] = (
+        kmember_search_quantized_embeddings
+    )
+
     def doc_chunk_dedup(spark, sf):
         from dbscan_pyspark_spark.operators.dedup import chunk_dedup_stats
 
@@ -3968,24 +3995,22 @@ def _kmeans_oracle(
     return f"WITH {ctes}\nSELECT vec_id, cid AS cluster FROM a{n_iter}"
 
 
-def _kmember_oracle(
-    k_anon: int = 50,
-    n_clusters: int = 8,
-    n_iter: int = 2,
-    repair_rounds: int = 2,
-    dim: int = 64,
-    scale: int = 1000,
-) -> str:
-    """Unrolled-CTE replica of operators.kmember.kmember_quantized —
-    the NINTH exactly-oracled iterative family: same integer grid,
-    lowest-id init, integer-L1 (distance, cid) argmin, the SAME fixed
-    repair rounds (release beyond-k of surplus clusters -> claim to
-    nearest deficient centroid -> cap at need; a fixpoint round is the
-    identity, the k-core-peel unroll argument), same floor(sum/count)
-    centroid snap. Deficiency is derived from the assignment counts in
-    both engines, so zero-member clusters are (identically) never
-    repaired. MATERIALIZED per step — DuckDB would otherwise inline
-    the chain exponentially."""
+def _kmember_chain(
+    prefix: str,
+    k_anon: int,
+    n_clusters: int,
+    n_iter: int,
+    repair_rounds: int,
+    dim: int,
+    init_order_sql: str,
+) -> tuple[list[str], str]:
+    """The CTE chain of ONE kmember_quantized run (init -> assign ->
+    fixed repair rounds -> centroid snap, iterated), name-prefixed so
+    several runs can share one WITH clause (the search-sweep oracle).
+    Returns (parts, final_assignment_cte). Expects a ``v`` CTE
+    (vec_id, v) in scope; ``init_order_sql`` is the ORDER BY of the
+    init ranking (lowest-id for the single-run contract, the
+    portable-hash restart ranking for the sweep)."""
 
     def dist(t: str, c: str) -> str:
         return (
@@ -4004,68 +4029,64 @@ def _kmember_oracle(
   ) WHERE rn = 1
 )"""
 
+    p = prefix
     parts = [
-        f"""v AS MATERIALIZED (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS v
-  FROM embeddings
-)""",
-        f"""c0 AS (
+        f"""{p}c0 AS (
   SELECT cid, c FROM (
-    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+    SELECT CAST(row_number() OVER (ORDER BY {init_order_sql}) - 1 AS INT) AS cid,
            v AS c FROM v
   ) WHERE cid < {n_clusters}
 )""",
     ]
     for t in range(n_iter + 1):
-        parts.append(argmin(f"a{t}r0", "v", f"c{t}"))
+        parts.append(argmin(f"{p}a{t}r0", "v", f"{p}c{t}"))
         for j in range(1, repair_rounds + 1):
-            prev = f"a{t}r{j - 1}"
+            prev = f"{p}a{t}r{j - 1}"
             parts.append(
-                f"""cnt{t}r{j} AS MATERIALIZED (
+                f"""{p}cnt{t}r{j} AS MATERIALIZED (
   SELECT cid, count(*) AS cnt FROM {prev} GROUP BY cid
 )"""
             )
             parts.append(
-                f"""rel{t}r{j} AS MATERIALIZED (
+                f"""{p}rel{t}r{j} AS MATERIALIZED (
   SELECT vec_id FROM (
     SELECT a.vec_id,
            row_number() OVER (
              PARTITION BY a.cid ORDER BY a.d, a.vec_id
            ) AS rn
-    FROM {prev} a JOIN cnt{t}r{j} x ON a.cid = x.cid AND x.cnt > {k_anon}
+    FROM {prev} a JOIN {p}cnt{t}r{j} x ON a.cid = x.cid AND x.cnt > {k_anon}
   ) WHERE rn > {k_anon}
 )"""
             )
             parts.append(
                 argmin(
-                    f"clm{t}r{j}",
-                    f"(SELECT t.* FROM v t JOIN rel{t}r{j} USING (vec_id))",
-                    f"""(SELECT c.cid, c.c FROM c{t} c
-       JOIN cnt{t}r{j} x ON c.cid = x.cid AND x.cnt < {k_anon})""",
+                    f"{p}clm{t}r{j}",
+                    f"(SELECT t.* FROM v t JOIN {p}rel{t}r{j} USING (vec_id))",
+                    f"""(SELECT c.cid, c.c FROM {p}c{t} c
+       JOIN {p}cnt{t}r{j} x ON c.cid = x.cid AND x.cnt < {k_anon})""",
                 )
             )
             parts.append(
-                f"""acc{t}r{j} AS MATERIALIZED (
+                f"""{p}acc{t}r{j} AS MATERIALIZED (
   SELECT vec_id, cid, d FROM (
     SELECT m.vec_id, m.cid, m.d, x.cnt,
            row_number() OVER (
              PARTITION BY m.cid ORDER BY m.d, m.vec_id
            ) AS rn
-    FROM clm{t}r{j} m JOIN cnt{t}r{j} x USING (cid)
+    FROM {p}clm{t}r{j} m JOIN {p}cnt{t}r{j} x USING (cid)
   ) WHERE rn <= {k_anon} - cnt
 )"""
             )
             parts.append(
-                f"""a{t}r{j} AS MATERIALIZED (
+                f"""{p}a{t}r{j} AS MATERIALIZED (
   SELECT a.vec_id, a.cid, a.d FROM {prev} a
-  WHERE a.vec_id NOT IN (SELECT vec_id FROM acc{t}r{j})
-  UNION ALL SELECT vec_id, cid, d FROM acc{t}r{j}
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM {p}acc{t}r{j})
+  UNION ALL SELECT vec_id, cid, d FROM {p}acc{t}r{j}
 )"""
             )
         if t < n_iter:
             parts.append(
-                f"""c{t + 1} AS MATERIALIZED (
+                f"""{p}c{t + 1} AS MATERIALIZED (
   SELECT cid, list(cv ORDER BY pos) AS c FROM (
     SELECT a.cid, u.pos,
            CAST((sum(u.val)
@@ -4073,17 +4094,100 @@ def _kmember_oracle(
                 // count(*) AS BIGINT) AS cv
     FROM (SELECT t.vec_id, unnest(t.v) AS val,
                  generate_subscripts(t.v, 1) AS pos FROM v t) u
-    JOIN a{t}r{repair_rounds} a USING (vec_id)
+    JOIN {p}a{t}r{repair_rounds} a USING (vec_id)
     GROUP BY a.cid, u.pos
   ) GROUP BY cid
 )"""
             )
+    return parts, f"{p}a{n_iter}r{repair_rounds}"
+
+
+def _kmember_oracle(
+    k_anon: int = 50,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    repair_rounds: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+) -> str:
+    """Unrolled-CTE replica of operators.kmember.kmember_quantized —
+    the NINTH exactly-oracled iterative family: same integer grid,
+    lowest-id init, integer-L1 (distance, cid) argmin, the SAME fixed
+    repair rounds (release beyond-k of surplus clusters -> claim to
+    nearest deficient centroid -> cap at need; a fixpoint round is the
+    identity, the k-core-peel unroll argument), same floor(sum/count)
+    centroid snap. Deficiency is derived from the assignment counts in
+    both engines, so zero-member clusters are (identically) never
+    repaired. MATERIALIZED per step — DuckDB would otherwise inline
+    the chain exponentially."""
+    v_cte = f"""v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+)"""
+    chain, final = _kmember_chain(
+        "", k_anon, n_clusters, n_iter, repair_rounds, dim, "vec_id"
+    )
+    return (
+        "WITH "
+        + ",\n".join([v_cte] + chain)
+        + f"""
+SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS distance
+FROM {final}"""
+    )
+
+
+def _kmember_search_oracle(
+    k_anon: int = 50,
+    candidates: tuple[int, ...] = (5, 8),
+    restarts: int = 2,
+    n_iter: int = 1,
+    repair_rounds: int = 2,
+    dim: int = 64,
+    scale: int = 1000,
+    seed_salt: str = "kmsearch",
+) -> str:
+    """The cluster-count sweep + seeded restarts of
+    operators.kmember.kmember_search_quantized, replayed exactly: one
+    name-prefixed :func:`_kmember_chain` per (n_clusters, restart) over
+    a SHARED quantized ``v`` CTE, restart init ranked by the
+    engine-portable md5 hash (pipeline.portable_hash), per-run integer
+    cost summed from the final assignment, and the accepted flag as
+    the (cost, n_clusters, restart)-argmin window."""
+    v_cte = f"""v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+)"""
+    parts = [v_cte]
+    cost_selects = []
+    for c in sorted(set(candidates)):
+        for r in range(restarts):
+            init = (
+                "CAST(concat('0x', substring(md5("
+                f"'{seed_salt}:{r}:' || CAST(vec_id AS VARCHAR)"
+                "), 1, 15)) AS BIGINT), vec_id"
+            )
+            chain, final = _kmember_chain(
+                f"k{c}x{r}_", k_anon, c, n_iter, repair_rounds, dim, init
+            )
+            parts.extend(chain)
+            cost_selects.append(
+                f"SELECT {c} AS n_clusters, {r} AS restart, "
+                f"CAST(sum(d) AS BIGINT) AS cost FROM {final}"
+            )
+    parts.append(
+        "costs AS (" + "\nUNION ALL\n".join(cost_selects) + ")"
+    )
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"""
-SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS distance
-FROM a{n_iter}r{repair_rounds}"""
+        + """
+SELECT n_clusters, restart, cost,
+       CASE WHEN row_number() OVER (
+         ORDER BY cost, n_clusters, restart
+       ) = 1 THEN 1 ELSE 0 END AS accepted
+FROM costs"""
     )
 
 
@@ -6592,6 +6696,10 @@ FROM q GROUP BY c_nationkey, quartile
         "kmember_quantized_embeddings": _kmember_oracle(
             k_anon=50, n_clusters=8, n_iter=2, repair_rounds=2, dim=64,
             scale=1000,
+        ),
+        "kmember_search_quantized_embeddings": _kmember_search_oracle(
+            k_anon=50, candidates=(5, 8), restarts=2, n_iter=1,
+            repair_rounds=2, dim=64, scale=1000,
         ),
         "doc_chunk_dedup": r"""
 WITH toks AS (

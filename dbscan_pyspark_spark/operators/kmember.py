@@ -245,25 +245,42 @@ def kmember_search(
     metric: str = "l1",
     features: str = "features",
     id_col: str = "id",
-) -> KMemberResult:
+) -> tuple[DataFrame, KMemberResult]:
     """Cluster-count / restart search (the reference's outer loops,
-    ``cell0:L12-15,75-77``: want_cluster in [3n/4k .. n/k], 30 restarts)
-    reduced to an explicit candidate sweep returning the min-cost run."""
+    ``cell0:L12-15,75-77``: want_cluster in [3n/4k .. n/k], 30
+    restarts) reduced to an explicit candidate sweep. Returns
+    ``(metrics, best)``: one metrics row per (n_clusters, restart) —
+    cost, n_iter, accepted flag — plus the min-cost
+    :class:`KMemberResult` (strict ``<`` best-so-far update, so ties
+    keep the earlier run, like the reference's ``cell0:L129-133``).
+    The float-cost randomized production path; its exactly-oracle-able
+    twin is :func:`kmember_search_quantized`."""
     n = points.count()
     if candidates is None:
         lo, hi = (3 * n) // (4 * k), n // k
         candidates = sorted({max(c, 1) for c in (lo, (lo + hi) // 2, hi)})
     best: KMemberResult | None = None
-    for c in candidates:
+    rows: list[tuple[int, int, float, int]] = []
+    best_idx = -1
+    for c in sorted(set(candidates)):
         for r in range(restarts):
             res = kmember_kmeans(
                 points, k, n_clusters=c, max_iter=max_iter, seed=42 + r,
                 metric=metric, features=features, id_col=id_col,
             )
+            rows.append((c, r, res.cost, res.n_iter))
             if best is None or res.cost < best.cost:
                 best = res
+                best_idx = len(rows) - 1
     assert best is not None
-    return best
+    metrics = points.sparkSession.createDataFrame(
+        [
+            (c, r, cost, n_it, 1 if i == best_idx else 0)
+            for i, (c, r, cost, n_it) in enumerate(rows)
+        ],
+        "n_clusters int, restart int, cost double, n_iter int, accepted int",
+    )
+    return metrics, best
 
 
 def _l1_int(v, c) -> F.Column:
@@ -430,47 +447,163 @@ def kmember_quantized(
             raise ValueError(
                 f"infeasible: n={n} < k*n_clusters={k * n_clusters}"
             )
-
-        init_rows = q.orderBy(id_col).limit(n_clusters).collect()
-        centroids = [(i, list(r["_v"])) for i, r in enumerate(init_rows)]
-        dim = len(centroids[0][1])
-
-        assign = None
-        for it in range(n_iter + 1):
-            assign = q.select(
-                id_col, "_v", _assign_struct_l1(centroids, "_v").alias("_a")
-            ).select(
-                id_col,
-                "_v",
-                F.col("_a.cid").alias("cluster"),
-                F.col("_a.d").alias("dist"),
-            )
-            assign = _repair_quantized(
-                assign, centroids, k, repair_rounds, id_col
-            )
-            if it == n_iter:
-                break
-            sums = [
-                F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)
-            ]
-            upd = (
-                assign.groupBy("cluster")
-                .agg(F.count(F.lit(1)).alias("n"), *sums)
-                .collect()
-            )
-            centroids = sorted(
-                (
-                    int(r["cluster"]),
-                    [int(r[f"s{i}"] // r["n"]) for i in range(dim)],
-                )
-                for r in upd
-            )
-
-        out = assign.select(
-            id_col,
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("dist").cast("long").alias("distance"),
-        ).localCheckpoint(eager=True)
+        out = _kmember_quantized_core(
+            q, k, n_clusters, n_iter, repair_rounds, id_col, init_salt=None
+        )
     finally:
         q.unpersist()
     return out
+
+
+def _kmember_quantized_core(
+    q: DataFrame,
+    k: int,
+    n_clusters: int,
+    n_iter: int,
+    repair_rounds: int,
+    id_col: str,
+    init_salt: str | None,
+) -> DataFrame:
+    """One deterministic quantized run over a PREPARED (id, _v)
+    relation (caller persists/unpersists it — the scan-sharing seam
+    :func:`kmember_search_quantized` sweeps through). ``init_salt``
+    picks the init: None = lowest-id rows (the
+    :func:`kmember_quantized` contract); a string = rows ranked by the
+    engine-portable ``portable_hash(id, salt)`` — a seeded 'random'
+    restart that any SQL engine replays bit-for-bit."""
+    if init_salt is None:
+        init_q = q.orderBy(id_col)
+    else:
+        from dbscan_pyspark_spark.operators.pipeline import portable_hash
+
+        init_q = q.orderBy(
+            portable_hash(id_col, salt=init_salt), F.col(id_col)
+        )
+    init_rows = init_q.limit(n_clusters).collect()
+    centroids = [(i, list(r["_v"])) for i, r in enumerate(init_rows)]
+    dim = len(centroids[0][1])
+
+    assign = None
+    for it in range(n_iter + 1):
+        assign = q.select(
+            id_col, "_v", _assign_struct_l1(centroids, "_v").alias("_a")
+        ).select(
+            id_col,
+            "_v",
+            F.col("_a.cid").alias("cluster"),
+            F.col("_a.d").alias("dist"),
+        )
+        assign = _repair_quantized(
+            assign, centroids, k, repair_rounds, id_col
+        )
+        if it == n_iter:
+            break
+        sums = [
+            F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)
+        ]
+        upd = (
+            assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .collect()
+        )
+        centroids = sorted(
+            (
+                int(r["cluster"]),
+                [int(r[f"s{i}"] // r["n"]) for i in range(dim)],
+            )
+            for r in upd
+        )
+
+    return assign.select(
+        id_col,
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dist").cast("long").alias("distance"),
+    ).localCheckpoint(eager=True)
+
+
+def kmember_search_quantized(
+    points: DataFrame,
+    k: int,
+    candidates: list[int] | None = None,
+    restarts: int = 1,
+    n_iter: int = 2,
+    repair_rounds: int = 2,
+    id_col: str = "id",
+    features: str = "features",
+    scale: int | None = 1000,
+    seed_salt: str = "kmsearch",
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's cluster-count sweep + random restarts
+    (``k-means.ipynb cell0:L12-15,75-77,129-133``: want_cluster over
+    ``[3n/4k .. n/k]``, 30 restarts, keep the global min cost) over the
+    deterministic quantized twin — the :func:`~dbscan_pyspark_spark.
+    operators.anonymize.eps_sweep` pattern applied to pipeline 2.
+
+    Returns ``(metrics, best_assignments)``: ``metrics`` has one row
+    per (n_clusters, restart) — ``cost`` (exact integer L1 total
+    against the final centroids), ``accepted`` (1 on the winning run;
+    ties break to smaller (cost, n_clusters, restart), the reference's
+    strict best-so-far update) — and ``best_assignments`` is that
+    run's (id, cluster, distance).
+
+    Scale shape: the quantized projection is built and persisted ONCE
+    and every (candidate x restart) run sweeps over it — candidates
+    share the scan the way eps_sweep shares its max-eps pair set.
+    Restart 'randomness' is ``portable_hash(id, '{seed_salt}:{r}')``
+    init ranking, so the whole sweep — init order, every iteration,
+    the metrics relation itself — replays exactly in the DuckDB oracle
+    (`kmember_search_quantized_embeddings`). Driver state per run is
+    one cost scalar + the n_clusters-row centroid table."""
+    if k < 1:
+        raise ValueError("kmember_search_quantized: k must be >= 1")
+    if restarts < 1:
+        raise ValueError("kmember_search_quantized: restarts must be >= 1")
+    from dbscan_pyspark_spark.operators.kmeans import _quantized
+
+    if scale is not None:
+        q = points.select(
+            F.col(id_col), _quantized(features, scale).alias("_v")
+        )
+    else:
+        q = points.select(
+            F.col(id_col), F.col(features).cast("array<bigint>").alias("_v")
+        )
+    q = q.where(F.col("_v").isNotNull() & (F.size("_v") > 0)).persist()
+    try:
+        n = q.count()
+        if candidates is None:
+            lo, hi = (3 * n) // (4 * k), n // k
+            candidates = sorted({max(lo, 1), max((lo + hi) // 2, 1), max(hi, 1)})
+        candidates = sorted(set(candidates))
+        bad = [c for c in candidates if n < k * c]
+        if bad:
+            raise ValueError(
+                f"infeasible candidates {bad}: n={n} < k*n_clusters"
+            )
+        rows: list[tuple[int, int, int]] = []
+        runs: dict[tuple[int, int], DataFrame] = {}
+        for c in candidates:
+            for r in range(restarts):
+                out = _kmember_quantized_core(
+                    q, k, c, n_iter, repair_rounds, id_col,
+                    init_salt=f"{seed_salt}:{r}",
+                )
+                cost = out.agg(F.sum("distance").alias("c")).first()["c"]
+                rows.append((c, r, int(cost)))
+                runs[(c, r)] = out
+        best_c, best_r, _ = min(rows, key=lambda t: (t[2], t[0], t[1]))
+        metrics = points.sparkSession.createDataFrame(
+            [
+                (
+                    c,
+                    r,
+                    cost,
+                    1 if (c, r) == (best_c, best_r) else 0,
+                )
+                for (c, r, cost) in rows
+            ],
+            "n_clusters int, restart int, cost long, accepted int",
+        )
+        return metrics, runs[(best_c, best_r)]
+    finally:
+        q.unpersist()

@@ -64,9 +64,60 @@ def test_kmember_anonymize_shape(spark, blob_points):
 
 
 def test_kmember_search_picks_feasible_best(spark, blob_points):
-    res = kmember_search(blob_points, k=15, candidates=[3, 6], restarts=1, max_iter=4)
+    metrics, res = kmember_search(
+        blob_points, k=15, candidates=[3, 6], restarts=2, max_iter=4
+    )
     sizes = [r["count"] for r in res.assignments.groupBy("cluster_id").count().collect()]
     assert all(s >= 15 for s in sizes)
+    # metrics: one row per (candidate, restart); exactly one accepted,
+    # and it carries the (strictly-first) minimum cost
+    rows = sorted(
+        map(tuple, metrics.collect())
+    )  # (n_clusters, restart, cost, n_iter, accepted)
+    assert [(r[0], r[1]) for r in rows] == [(3, 0), (3, 1), (6, 0), (6, 1)]
+    accepted = [r for r in rows if r[4] == 1]
+    assert len(accepted) == 1
+    assert accepted[0][2] == min(r[2] for r in rows)
+    assert abs(accepted[0][2] - res.cost) < 1e-9
+
+
+def test_kmember_search_quantized_sweep_is_exact(spark):
+    """The quantized sweep: metrics are exact integers, the accepted
+    run is the (cost, n_clusters, restart)-min, every run respects the
+    >= k constraint, and the whole sweep is bit-deterministic."""
+    from dbscan_pyspark_spark.operators.kmember import (
+        kmember_search_quantized,
+    )
+
+    pts = [(i, [float(i % 9), float(i // 9)]) for i in range(60)]
+    df = spark.createDataFrame(pts, ["id", "features"])
+    m1, best1 = kmember_search_quantized(
+        df, k=10, candidates=[3, 5], restarts=2, n_iter=1
+    )
+    m2, best2 = kmember_search_quantized(
+        df, k=10, candidates=[3, 5], restarts=2, n_iter=1
+    )
+    r1 = sorted(map(tuple, m1.collect()))
+    assert r1 == sorted(map(tuple, m2.collect()))
+    assert sorted(map(tuple, best1.collect())) == sorted(
+        map(tuple, best2.collect())
+    )
+    assert [(r[0], r[1]) for r in r1] == [(3, 0), (3, 1), (5, 0), (5, 1)]
+    acc = [r for r in r1 if r[3] == 1]
+    assert len(acc) == 1
+    assert (acc[0][2], acc[0][0], acc[0][1]) == min(
+        (r[2], r[0], r[1]) for r in r1
+    )
+    # constraint holds on the winning assignment
+    from collections import Counter
+
+    sizes = Counter(c for _, c, _ in map(tuple, best1.collect()))
+    assert min(sizes.values()) >= 10
+    # infeasible candidate raises with the explicit contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="infeasible"):
+        kmember_search_quantized(df, k=10, candidates=[7], restarts=1)
 
 
 def test_kmember_quantized_constraint_and_determinism(spark):
