@@ -1884,6 +1884,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dup_span_strip"] = doc_dup_span_strip
 
+    def doc_dup_span_strip_keep_first(spark, sf):
+        # keep-one-copy reading of Lee et al.: each duplicated gram's
+        # corpus-first occurrence (min (doc, pos)) is exempt from
+        # anchoring, so rare-but-duplicated content survives once;
+        # the occurrence rank rides the count window's exchange
+        from dbscan_pyspark_spark.operators.dedup import (
+            strip_duplicated_spans,
+        )
+
+        out = strip_duplicated_spans(
+            load_table(spark, sf, "documents"), k=10, keep_first=True
+        )
+        return out.select(
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_tokens",
+            "n_dropped",
+        )
+
+    q["doc_dup_span_strip_keep_first"] = doc_dup_span_strip_keep_first
+
     def doc_boilerplate_strip(spark, sf):
         # CCNet-style boilerplate removal: drop 3-token segments
         # occurring in > 3 distinct docs, reassemble survivors in
@@ -6761,6 +6782,50 @@ anch AS (
   SELECT doc_id, pos FROM (
     SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS c FROM grams
   ) WHERE c >= 2
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM anch
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start,
+         max(pos) - min(pos) + 10 AS span_len
+  FROM isl GROUP BY doc_id, grp
+),
+cov AS (
+  SELECT DISTINCT spans.doc_id, CAST(u.p AS BIGINT) AS i
+  FROM spans, unnest(range(span_start, span_start + span_len)) AS u(p)
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok,
+         CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS i
+  FROM toks
+)
+SELECT tp.doc_id,
+       md5(coalesce(
+         string_agg(CASE WHEN c.i IS NULL THEN tp.tok END, ' ' ORDER BY tp.i),
+         '')) AS clean_md5,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(c.i) AS BIGINT) AS n_dropped
+FROM tokpos tp LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i = c.i
+GROUP BY tp.doc_id
+""",
+        "doc_dup_span_strip_keep_first": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+toks AS (SELECT doc_id, string_split(nt, ' ') AS t FROM norm),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(t[i:i+9], ' ')) AS fp
+  FROM toks, unnest(range(1, len(t) - 10 + 2)) AS u(i)
+  WHERE len(t) >= 10
+),
+anch AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY fp) AS c,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS occ
+    FROM grams
+  ) WHERE c >= 2 AND occ > 1
 ),
 isl AS (
   SELECT doc_id, pos,

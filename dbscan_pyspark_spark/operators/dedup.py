@@ -563,6 +563,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprint: str = "md5",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Variable-length exact substring dedup — the suffix-array-lite
     span merge (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -592,6 +593,19 @@ def duplicated_spans(
 
     Returns DataFrame(id, span_start long, span_len long), one row per
     maximal duplicated span, ``span_len >= k``.
+
+    ``keep_first=True`` exempts each fingerprint's corpus-FIRST
+    occurrence (min (doc_id, pos) over all occurrences — total, so
+    deterministic) from anchoring: the keep-one-copy reading of Lee
+    et al.'s dedup, where rare-but-duplicated content survives once
+    instead of vanishing everywhere. The exemption is one
+    ``row_number`` on the SAME (fingerprint) partition ordered by
+    (doc, pos) — Spark computes it inside the count window's existing
+    exchange+sort, so the plan gains no shuffle. Note the exemption
+    is per-GRAM: a first occurrence can still fall inside a span when
+    ADJACENT non-first duplicated grams cover its positions (overlap
+    of distinct duplicated phrases), which is the k-gram upper-bound
+    semantics, not a bug.
 
     Scale shape: the ONLY wide exchanges are (1) one shuffle of the
     k-gram stream keyed on the fingerprint for the anchor-count
@@ -663,9 +677,16 @@ def duplicated_spans(
         F.explode(F.sequence(F.lit(0), F.size("_toks") - k)).alias("pos"),
     ).select(id_col, "pos", fp_expr.alias("_fp"))
     w_fp = Window.partitionBy("_fp")
-    anchors = grams.withColumn(
-        "_cnt", F.count(F.lit(1)).over(w_fp)
-    ).where(F.col("_cnt") >= min_count)
+    anchors = grams.withColumn("_cnt", F.count(F.lit(1)).over(w_fp))
+    if keep_first:
+        w_fp_ord = Window.partitionBy("_fp").orderBy(
+            F.col(id_col).asc(), F.col("pos").asc()
+        )
+        anchors = anchors.withColumn(
+            "_occ", F.row_number().over(w_fp_ord)
+        ).where((F.col("_cnt") >= min_count) & (F.col("_occ") > 1))
+    else:
+        anchors = anchors.where(F.col("_cnt") >= min_count)
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     islands = anchors.withColumn(
         "_grp", F.col("pos") - F.row_number().over(w_doc)
@@ -688,16 +709,19 @@ def strip_duplicated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_first: bool = False,
 ) -> DataFrame:
     """The removal step of substring-level dedup (Lee et al. 2022 strip
     every duplicated substring from the corpus): drop every token that
     lies inside ANY :func:`duplicated_spans` span of its document and
-    reassemble the survivors in original order. Conservative variant —
-    all occurrences go, not all-but-one (the deterministic
-    keep-first-occurrence rule needs a global occurrence order that
-    costs one more corpus shuffle; curation pipelines that strip
-    boilerplate-grade repetition want all-gone anyway, cf.
-    :func:`strip_frequent_segments`).
+    reassemble the survivors in original order. Default is the
+    conservative all-occurrences-go reading (curation pipelines that
+    strip boilerplate-grade repetition want all-gone, cf.
+    :func:`strip_frequent_segments`); ``keep_first=True`` exempts each
+    duplicated gram's corpus-first occurrence (min (doc, pos) — see
+    :func:`duplicated_spans`), the keep-one-copy reading, at zero
+    extra shuffle (the occurrence rank rides the count window's
+    exchange+sort).
 
     Returns DataFrame(id, clean_text, n_tokens, n_dropped). Tokens are
     the corpus-canonical normalized form (same as
@@ -711,7 +735,8 @@ def strip_duplicated_spans(
     explode, no per-token shuffle.
     """
     spans = duplicated_spans(
-        df, k=k, min_count=min_count, id_col=id_col, text_col=text_col
+        df, k=k, min_count=min_count, id_col=id_col, text_col=text_col,
+        keep_first=keep_first,
     )
     doc_spans = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("_spans")

@@ -476,3 +476,58 @@ def test_duplicated_spans_fingerprint_modes_agree(spark):
 
     with _pytest.raises(ValueError, match="fingerprint"):
         duplicated_spans(df, k=5, fingerprint="sha1")
+
+
+def test_strip_keep_first_preserves_one_copy(spark):
+    """keep_first=True: the corpus-first occurrence of a duplicated
+    phrase survives, later occurrences are stripped; compared to the
+    all-occurrences variant every document drops a subset of tokens."""
+    from dbscan_pyspark_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    phrase = "p1 p2 p3 p4 p5"
+    rows = [
+        (1, f"{phrase} a b c d e"),   # first occurrence (min doc, pos 0)
+        (2, f"x y z {phrase} w v"),   # repeat -> stripped
+        (3, f"{phrase} q r s t u"),   # repeat -> stripped
+        (4, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),  # no dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]: (r["clean_text"], r["n_dropped"])
+        for r in strip_duplicated_spans(df, k=5, keep_first=True).collect()
+    }
+    # doc 1 keeps the phrase; docs 2/3 lose exactly the 5 phrase tokens
+    assert kept[1] == (f"{phrase} a b c d e", 0)
+    assert kept[2] == ("x y z w v", 5)
+    assert kept[3] == ("q r s t u", 5)
+    assert kept[4][1] == 0
+
+    # subset property vs the all-occurrences variant, same corpus
+    all_gone = {
+        r["doc_id"]: r["n_dropped"]
+        for r in strip_duplicated_spans(df, k=5).collect()
+    }
+    assert all_gone[1] == 5  # all-occurrences strips the first copy too
+    for d, (_, nd) in kept.items():
+        assert nd <= all_gone[d]
+
+
+def test_strip_keep_first_same_doc_repeats(spark):
+    """Within one document, the first occurrence wins (min pos) and
+    the later repeat is stripped."""
+    from dbscan_pyspark_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    phrase = "p1 p2 p3 p4 p5"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} m1 m2 m3 {phrase}")], "doc_id long, text string"
+    )
+    spans = duplicated_spans(df, k=5, keep_first=True).collect()
+    assert [(r["span_start"], r["span_len"]) for r in spans] == [(8, 5)]
+    out = strip_duplicated_spans(df, k=5, keep_first=True).collect()[0]
+    assert out["clean_text"] == f"{phrase} m1 m2 m3"
+    assert out["n_dropped"] == 5
