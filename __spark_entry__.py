@@ -1109,6 +1109,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["approx_event_stats"] = approx_event_stats
 
+    def approx_event_error_buckets(spark, sf):
+        # estimator calibration for the sketch family, oracle-able
+        # where the sketches aren't (the minhash_jaccard_error
+        # pattern): exact distinct counts replay in SQL; the HLL /
+        # approx_count_distinct relative errors and the KLL percentile
+        # RANK errors are bucketed on integer grids far coarser than
+        # the estimators' documented bounds (5% for rsd=2% HLL, 2% for
+        # accuracy=10000 rank error ~1e-4), so both engines emit
+        # bucket 0 — and any estimator regression past its bound
+        # flips a bucket and hash-mismatches. Rank error for a
+        # tie-heavy value column is distance from q to the
+        # [P(value<v), P(value<=v)] interval, the correct definition
+        # when the returned sample value carries probability mass.
+        ev = load_table(spark, sf, "events")
+        est = (
+            ev.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.02).alias("_acd"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                    "_hll"
+                ),
+                F.percentile_approx(
+                    F.col("value").cast("double"), [0.5, 0.95], 10_000
+                ).alias("_vq"),
+                F.countDistinct("user_id").alias("exact_users"),
+            )
+            .select(
+                "event_type",
+                "exact_users",
+                "_acd",
+                "_hll",
+                F.col("_vq")[0].alias("_p50"),
+                F.col("_vq")[1].alias("_p95"),
+            )
+        )
+        joined = ev.select(
+            "event_type", F.col("value").cast("double").alias("_v")
+        ).join(F.broadcast(est), "event_type")
+        nv = F.count("_v")
+
+        def rank_err(vcol: str, q: float):
+            lower = F.sum(
+                F.when(F.col("_v") < F.col(vcol), 1).otherwise(0)
+            ) / nv
+            upper = F.sum(
+                F.when(F.col("_v") <= F.col(vcol), 1).otherwise(0)
+            ) / nv
+            return F.greatest(
+                F.lit(0.0), lower - F.lit(q), F.lit(q) - upper
+            )
+
+        rel = lambda est_col: F.abs(  # noqa: E731
+            F.col(est_col) - F.col("exact_users")
+        ) / F.col("exact_users")
+        return (
+            joined.groupBy("event_type")
+            .agg(
+                F.max("exact_users").alias("exact_users"),
+                F.max("_acd").alias("_acd"),
+                F.max("_hll").alias("_hll"),
+                F.floor(rank_err("_p50", 0.5) * 50)
+                .cast("int")
+                .alias("p50_rank_err_bucket"),
+                F.floor(rank_err("_p95", 0.95) * 50)
+                .cast("int")
+                .alias("p95_rank_err_bucket"),
+            )
+            .select(
+                "event_type",
+                "exact_users",
+                F.floor(rel("_acd") * 20).cast("int").alias("acd_err_bucket"),
+                F.floor(rel("_hll") * 20).cast("int").alias("hll_err_bucket"),
+                "p50_rank_err_bucket",
+                "p95_rank_err_bucket",
+            )
+        )
+
+    q["approx_event_error_buckets"] = approx_event_error_buckets
+
     def kmember_clusters(spark, sf):
         from dbscan_pyspark_spark.operators.kmember import (
             kmember_anonymize,
@@ -2024,6 +2103,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_pca"] = embedding_pca
+
+    def embedding_pca_trace(spark, sf):
+        # the eigensolve's conservation laws, exactly oracled where
+        # the eigensolve itself can't be: sum(eigenvalues) == trace of
+        # the integer-grid covariance (DuckDB computes the trace from
+        # the same exact moments), PSD spectrum, top-k explained
+        # variance <= trace — the minhash_jaccard_error pattern for
+        # the PCA family
+        from dbscan_pyspark_spark.operators.similarity import (
+            pca_trace_check,
+        )
+
+        return pca_trace_check(load_table(spark, sf, "embeddings"))
+
+    q["embedding_pca_trace"] = embedding_pca_trace
 
     def events_scd2(spark, sf):
         from dbscan_pyspark_spark.operators.events import scd2_intervals
@@ -7167,6 +7261,37 @@ SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER w2 IS NULL AS is_current
 FROM runs
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "embedding_pca_trace": """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM v
+),
+diag AS (
+  SELECT pos,
+         (CAST(sum(val * val) AS DOUBLE) / count(*)
+          - (CAST(sum(val) AS DOUBLE) / count(*))
+            * (CAST(sum(val) AS DOUBLE) / count(*))) / 1000000.0 AS var
+  FROM flat GROUP BY pos
+)
+SELECT CAST(count(*) AS INT) AS dim,
+       round(sum(var), 4) + 0.0 AS trace_q,
+       0 AS psd_violations,
+       1 AS explained_top_le_trace
+FROM diag
+""",
+        "approx_event_error_buckets": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       0 AS acd_err_bucket,
+       0 AS hll_err_bucket,
+       0 AS p50_rank_err_bucket,
+       0 AS p95_rank_err_bucket
+FROM events GROUP BY event_type
 """,
         "embedding_covariance": """
 WITH v AS (

@@ -866,6 +866,57 @@ def pca_project(
     )
 
 
+def pca_trace_check(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    round_dp: int = 4,
+    top_components: int = 8,
+) -> DataFrame:
+    """The oracle-able invariants of :func:`pca_project`'s eigensolve,
+    as one relation: the eigensolve itself can't replay in SQL, but
+    its CONSERVATION LAWS can — Σ eigenvalues equals the covariance
+    trace (which any engine computes exactly from the integer-grid
+    moments), the spectrum of a covariance matrix is PSD, and the
+    top-``top_components`` explained variance cannot exceed the trace.
+    Returns ONE row: (dim, trace_q, psd_violations,
+    explained_top_le_trace) where ``trace_q`` is Σλ rounded to
+    ``round_dp`` — a broken eigensolve, a mis-assembled covariance, or
+    a drifted quantization all land here as a hash mismatch.
+
+    Driver state is the dim x dim moment triangle (bounded, A7);
+    everything heavy is the one shared Arrow moments pass of
+    :func:`embedding_covariance`."""
+    import numpy as np
+
+    mom = _second_moments(vectors, vec_col, scale).collect()
+    d = max(r["j"] for r in mom) + 1
+    sc2 = float(scale) * float(scale)
+    C = np.zeros((d, d))
+    for r in mom:
+        cov = (
+            r["s"] / r["n"] - (r["si"] / r["n"]) * (r["sj"] / r["n"])
+        ) / sc2
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = cov
+    vals = np.linalg.eigvalsh(C)  # ascending
+    trace_q = round(float(vals.sum()), round_dp) + 0.0
+    psd_violations = int((vals < -1e-6).sum())
+    explained_top = float(vals[::-1][:top_components].sum())
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(d),
+                trace_q,
+                psd_violations,
+                int(explained_top <= float(vals.sum()) + 1e-9),
+            )
+        ],
+        "dim int, trace_q double, psd_violations int, "
+        "explained_top_le_trace int",
+    )
+
+
 def ivf_quantized_topk(
     vectors: DataFrame,
     queries: DataFrame,

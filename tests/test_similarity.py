@@ -476,3 +476,24 @@ def test_auto_band_size_and_auto_lsh_path(spark):
             rp_lsh_near_dup_pairs(
                 df, threshold=0.9, rows_per_band=bad, vec_col="emb"
             )
+
+
+def test_pca_trace_check_invariants(spark):
+    """Sum of eigenvalues equals the covariance trace on the integer
+    grid, spectrum is PSD, top-k explained variance bounded by trace —
+    the oracle-able conservation laws of the eigensolve."""
+    import numpy as np
+
+    from dbscan_pyspark_spark.operators.similarity import pca_trace_check
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(6).tolist()) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    row = pca_trace_check(df, round_dp=4).collect()[0]
+    assert row["dim"] == 6
+    assert row["psd_violations"] == 0
+    assert row["explained_top_le_trace"] == 1
+    # numpy-recomputed trace on the same quantized grid agrees
+    q = np.round(np.array([v for _, v in vecs]) * 1000)
+    trace = (q.var(axis=0) / 1e6).sum()
+    assert abs(row["trace_q"] - round(float(trace), 4)) < 2e-4
