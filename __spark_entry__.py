@@ -1230,6 +1230,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_stats"] = multimodal_stats
 
+    def multimodal_real_dimensions(spark, sf):
+        # REAL zero-dependency codecs end-to-end: synthesize genuine
+        # binary-PPM images / PCM-WAV audio from the documents ids,
+        # parse them back with the pure-Python decoders, and emit the
+        # recovered dims + exact integer value sums — every output
+        # field is id arithmetic the oracle replays, so a hash match
+        # proves the header AND payload parse
+        from dbscan_pyspark_spark.operators.multimodal import (
+            media_dimensions,
+            synth_real_media,
+        )
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        return media_dimensions(synth_real_media(docs))
+
+    q["multimodal_real_dimensions"] = multimodal_real_dimensions
+
     # ---- TPC-H Q7 shape: nation-pair trade volume. Two broadcast dims
     # joined twice under different aliases; the fact-side join keys
     # (l_suppkey, o_custkey) reach the scan as pushed filters ----
@@ -6681,6 +6698,34 @@ FROM events GROUP BY event_type
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS revenue
 FROM orders GROUP BY 1
+""",
+        "multimodal_real_dimensions": """
+WITH m AS (SELECT doc_id AS media_id FROM documents),
+img AS (
+  SELECT m.media_id, 'ppm' AS fmt,
+         CAST(4 + m.media_id % 5 AS INT) AS width,
+         CAST(3 + m.media_id % 4 AS INT) AS height,
+         CAST(NULL AS INT) AS sample_rate,
+         CAST((4 + m.media_id % 5) * (3 + m.media_id % 4) * 3 AS BIGINT)
+           AS n_vals,
+         CAST(sum((m.media_id * 7 + r.range) % 256) AS BIGINT) AS sum_vals
+  FROM m, range(0, 200) r
+  WHERE m.media_id % 2 = 0
+    AND r.range < (4 + m.media_id % 5) * (3 + m.media_id % 4) * 3
+  GROUP BY m.media_id
+),
+aud AS (
+  SELECT m.media_id, 'wav' AS fmt,
+         CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+         CAST(8000 + (m.media_id % 3) * 4000 AS INT) AS sample_rate,
+         CAST(50 + m.media_id % 30 AS BIGINT) AS n_vals,
+         CAST(sum((m.media_id * 31 + r.range * 17) % 4096 - 2048) AS BIGINT)
+           AS sum_vals
+  FROM m, range(0, 80) r
+  WHERE m.media_id % 2 = 1 AND r.range < 50 + m.media_id % 30
+  GROUP BY m.media_id
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
 """,
         "multimodal_stats": """
 WITH media AS (

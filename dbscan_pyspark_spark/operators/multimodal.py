@@ -3,12 +3,15 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched ``mapInPandas`` stages (north-star extension).
 
 The Spark-side plumbing — schemas, batch iteration, partitioning-safe
-signatures — is real and tested. The codec calls themselves are STUBS
-(this container ships no image/audio libraries): ``decode_mode='fake'``
-produces a deterministic synthetic decode from the bytes so the
-pipeline shape is exercisable end-to-end; ``decode_mode='real'`` raises
-``NotImplementedError`` at the exact call site where PIL/ffmpeg would
-plug in.
+signatures — is real and tested. ``decode_mode='fake'`` produces a
+deterministic synthetic decode from the bytes so the pipeline shape is
+exercisable end-to-end. ``decode_mode='real'`` now carries two REAL
+zero-dependency codecs — binary PPM/PGM images and PCM WAV audio,
+parsed with stdlib bytes/``wave`` handling — so decode / dimension
+extraction / resize run one genuine format end-to-end per modality;
+compressed formats (JPEG/PNG/MP4) still raise ``NotImplementedError``
+at the exact call site where PIL/ffmpeg would plug in (this container
+ships neither).
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of partition size; binary payloads never pass through a
@@ -77,6 +80,202 @@ def _fake_decode(content: bytes) -> tuple[int, str]:
     return len(content or b""), hashlib.md5(content or b"").hexdigest()
 
 
+# ---- real zero-dependency codecs: binary PPM/PGM + PCM WAV ----------
+
+
+def _decode_ppm(content: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary PPM (P6, RGB) or PGM (P5, gray) image: returns
+    (width, height, channels, pixel_bytes). Pure bytes parsing of the
+    Netpbm format — magic, whitespace/comment-separated width height
+    maxval, one whitespace byte, then raw samples."""
+    if not content or content[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if content[:2] == b"P6" else 1
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end of line
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        fields.append(int(content[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit Netpbm samples not supported")
+    n = width * height * channels
+    pix = content[i : i + n]
+    if len(pix) != n:
+        raise ValueError(
+            f"truncated PPM payload: expected {n} bytes, got {len(pix)}"
+        )
+    return width, height, channels, pix
+
+
+def _decode_wav(content: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a PCM WAV payload via the stdlib ``wave`` module: returns
+    (sample_rate, n_channels, n_frames, samples) with 16-bit samples
+    unpacked to ints."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        rate, nch, nfr = w.getframerate(), w.getnchannels(), w.getnframes()
+        raw = w.readframes(nfr)
+    samples = list(struct.unpack(f"<{nfr * nch}h", raw))
+    return rate, nch, nfr, samples
+
+
+def _encode_ppm(width: int, height: int, pix: bytes, channels: int = 3) -> bytes:
+    magic = b"P6" if channels == 3 else b"P5"
+    return magic + f"\n{width} {height}\n255\n".encode() + pix
+
+
+def _encode_wav(rate: int, samples: list[int]) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _real_decode(content: bytes) -> tuple[int, str]:
+    """decode_media's 'real' path: parse the payload with the matching
+    zero-dependency codec and return (n_decoded_values, md5 of the
+    decoded sample bytes) — a real parse, not the byte-level fake."""
+    import hashlib
+    import struct
+
+    if content and content[:2] in (b"P6", b"P5"):
+        _, _, _, pix = _decode_ppm(content)
+        return len(pix), hashlib.md5(pix).hexdigest()
+    if content and content[:4] == b"RIFF":
+        _, _, _, samples = _decode_wav(content)
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+        return len(samples), hashlib.md5(raw).hexdigest()
+    raise NotImplementedError(
+        "real decode supports binary PPM/PGM and PCM WAV; other formats "
+        "need PIL/soundfile/ffmpeg, absent in this environment"
+    )
+
+
+def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a media table of REAL encoded payloads from any id
+    column: even ids become binary PPM images (width 4+id%5, height
+    3+id%4, pixel byte j = (id*7+j) % 256), odd ids become PCM WAV
+    audio (rate 8000+(id%3)*4000, 50+id%30 samples, sample j =
+    ((id*31+j*17) % 4096) - 2048). Every field is integer arithmetic
+    on the id, so a SQL oracle can replay what the DECODERS must
+    recover from the bytes — the contract that proves the parse."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = {
+                "media_id": [],
+                "modality": [],
+                "content": [],
+                "mime": [],
+                "meta": [],
+            }
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w, h = 4 + mid % 5, 3 + mid % 4
+                    pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
+                    rows["content"].append(_encode_ppm(w, h, pix))
+                    rows["modality"].append("image")
+                    rows["mime"].append("image/x-portable-pixmap")
+                    rows["meta"].append(
+                        {"width": w, "height": h, "duration_ms": None,
+                         "sample_rate": None}
+                    )
+                else:
+                    rate = 8000 + (mid % 3) * 4000
+                    n = 50 + mid % 30
+                    samples = [
+                        ((mid * 31 + j * 17) % 4096) - 2048 for j in range(n)
+                    ]
+                    rows["content"].append(_encode_wav(rate, samples))
+                    rows["modality"].append("audio")
+                    rows["mime"].append("audio/wav")
+                    rows["meta"].append(
+                        {"width": None, "height": None,
+                         "duration_ms": n * 1000 // rate,
+                         "sample_rate": rate}
+                    )
+                rows["media_id"].append(mid)
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+_DIMENSION_FIELDS = (
+    "media_id long, fmt string, width int, height int, "
+    "sample_rate int, n_vals long, sum_vals long"
+)
+
+
+def media_dimensions(df: DataFrame) -> DataFrame:
+    """REAL typed extraction: parse each payload with the matching
+    zero-dependency codec and emit its recovered dimensions plus the
+    exact integer sum of decoded values — header fields prove the
+    header parse, ``sum_vals`` proves the payload decode (any
+    mis-slice shifts the sum). Arrow-batched, one row per media row,
+    no shuffle."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in (
+                "media_id", "fmt", "width", "height", "sample_rate",
+                "n_vals", "sum_vals",
+            )}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is not None and content[:2] in (b"P6", b"P5"):
+                    w, h, ch, pix = _decode_ppm(bytes(content))
+                    out["fmt"].append("ppm")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(None)
+                    out["n_vals"].append(len(pix))
+                    out["sum_vals"].append(sum(pix))
+                elif content is not None and content[:4] == b"RIFF":
+                    rate, nch, nfr, samples = _decode_wav(bytes(content))
+                    out["fmt"].append("wav")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["sample_rate"].append(rate)
+                    out["n_vals"].append(len(samples))
+                    out["sum_vals"].append(sum(samples))
+                else:
+                    raise NotImplementedError(
+                        "media_dimensions supports PPM/PGM and PCM WAV"
+                    )
+                out["media_id"].append(mid)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=_DIMENSION_FIELDS)
+
+
 def decode_media(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
     """Decode stage: binary -> (n_bytes, checksum) per media row.
 
@@ -88,11 +287,14 @@ def decode_media(df: DataFrame, decode_mode: str = "fake") -> DataFrame:
 
         for pdf in it:
             if decode_mode == "real":
-                raise NotImplementedError(
-                    "real media decoding requires PIL/soundfile/ffmpeg; "
-                    "not available in this environment"
-                )
-            decoded = [_fake_decode(c) for c in pdf["content"]]
+                # genuine parses for PPM/PGM + PCM WAV; raises the
+                # PIL/ffmpeg plug-point error for compressed formats
+                decoded = [
+                    _real_decode(bytes(c) if c is not None else b"")
+                    for c in pdf["content"]
+                ]
+            else:
+                decoded = [_fake_decode(c) for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -173,20 +375,43 @@ def resize_media(
 
     Fake mode derives a deterministic ``width*height``-byte payload by
     striding the source bytes (shape-true: downstream stages see the
-    new byte count and meta); real mode is the PIL plug point."""
+    new byte count and meta). Real mode genuinely resizes binary
+    PPM/PGM payloads — nearest-neighbor resample of the decoded
+    pixels, re-encoded as a valid Netpbm image whose header carries
+    the new dimensions — and raises the PIL plug-point error for
+    compressed formats."""
 
     def batches(it):
         import pandas as pd
 
         target = width * height
         for pdf in it:
-            if decode_mode == "real":
-                raise NotImplementedError("real image resizing requires PIL")
             contents, metas = [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
-                payload = content or b"\x00"
-                step = max(len(payload) // target, 1)
-                contents.append((payload * (target // len(payload) + 1))[::step][:target])
+                if decode_mode == "real":
+                    src = bytes(content) if content is not None else b""
+                    if src[:2] not in (b"P6", b"P5"):
+                        raise NotImplementedError(
+                            "real resize supports binary PPM/PGM only; "
+                            "compressed images need PIL"
+                        )
+                    sw, sh, ch, pix = _decode_ppm(src)
+                    resized = bytearray()
+                    for y in range(height):
+                        sy = y * sh // height
+                        for x in range(width):
+                            sx = x * sw // width
+                            o = (sy * sw + sx) * ch
+                            resized += pix[o : o + ch]
+                    contents.append(
+                        _encode_ppm(width, height, bytes(resized), ch)
+                    )
+                else:
+                    payload = content or b"\x00"
+                    step = max(len(payload) // target, 1)
+                    contents.append(
+                        (payload * (target // len(payload) + 1))[::step][:target]
+                    )
                 meta = dict(meta) if meta is not None else {}
                 meta["width"], meta["height"] = width, height
                 metas.append(meta)
