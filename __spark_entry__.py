@@ -3693,10 +3693,22 @@ _ROWS_ONLY_GREEN: set = set()
 # embedding_semantic_dedup) and global_cumsums' out_col/order_by
 # shadow guard (revenue_lorenz_top100 and the ks/quantile drift
 # family). New round-7 additions auto-front behind these.
+# Tier 0 of the driver window: queries whose BEHAVIOR-RELEVANT code
+# changed this round (the freshness history can't see code changes, so
+# these are hand-listed per round; everything else rotates
+# data-driven via tools/window_order.txt). Round 8: the regexp-path
+# rewrite (normalized / punct / redactions / matches-rule), the span
+# operator's plan rebuild, the chunked waterfill apply, and the
+# kmember core refactor.
 _FLAGSHIP_FIRST = [
-    "embedding_near_dups_lsh_exact", "embedding_semantic_dedup",
-    "revenue_lorenz_top100", "totalprice_ks_drift",
-    "totalprice_quantile_drift", "lang_nchars_ks_drift",
+    "token_stats", "doc_quality", "lang_id_heuristic",
+    "doc_tfidf_top_terms", "doc_winnow_fingerprints",
+    "dedup_exact_docs", "minhash_near_dups", "minhash_band_signatures",
+    "dedup_near_docs", "dedup_vs_reference", "doc_contamination",
+    "doc_boilerplate_strip", "doc_dup_spans", "doc_dup_span_strip",
+    "doc_redactions", "orders_expectations", "source_budget_sample",
+    "source_token_waterfill", "source_caps",
+    "kmember_quantized_embeddings",
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly
@@ -3784,20 +3796,42 @@ _REGRESSION_RECHECK = [
 
 
 def _reorder_for_driver_window(q):
+    """Front the queries the driver's 50-query window should check
+    next: flagships first (benched every round), then the DATA-DRIVEN
+    rotation from ``tools/window_order.txt`` — generated by
+    ``tools/check_oracle.py --freshness`` from the full
+    CORRECTNESS_r*.json history (never-checked first, then stalest
+    last-green) — falling back to the hand-maintained round lists if
+    the file is absent."""
+    import os
+
     front = [n for n in _FLAGSHIP_FIRST if n in q]
-    front += [
-        n for n in q
-        if n not in _DRIVER_CHECKED_GREEN
-        and n not in _ROWS_ONLY
-        and n not in front
-    ]
-    front += [
-        n for n in _ROWS_ONLY_ORDER
-        if n in q and n not in _ROWS_ONLY_GREEN
-    ]
-    recheck = [n for n in _REGRESSION_RECHECK if n in q and n not in front]
-    back = [n for n in q if n not in front and n not in recheck]
-    return {n: q[n] for n in front + recheck + back}
+    order_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "window_order.txt",
+    )
+    try:
+        with open(order_file) as f:
+            rec = [ln.strip() for ln in f if ln.strip()]
+        front += [n for n in rec if n in q and n not in front]
+    except OSError:
+        front += [
+            n for n in q
+            if n not in _DRIVER_CHECKED_GREEN
+            and n not in _ROWS_ONLY
+            and n not in front
+        ]
+        front += [
+            n for n in _ROWS_ONLY_ORDER
+            if n in q and n not in _ROWS_ONLY_GREEN
+        ]
+        front += [
+            n for n in _REGRESSION_RECHECK if n in q and n not in front
+        ]
+    seen = set(front)
+    back = [n for n in q if n not in seen]
+    return {n: q[n] for n in front + back}
 
 
 # ---------------------------------------------------------------------------

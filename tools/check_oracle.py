@@ -5,6 +5,14 @@ DuckDB at the given sf dir, compares row count, column names, and an
 order-insensitive value hash (rows sorted, values stringified).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py --freshness [window_size]
+
+``--freshness`` reads every CORRECTNESS_r*.json and prints, in
+``queries()`` registry order, each query's last hash-green round, last
+rows-only-checked round, and never-checked status — then emits the
+recommended next driver window (never-checked and stalest-green first)
+to ``tools/window_order.txt``. Keeps the rotation data-driven as the
+registry outgrows the 50-query/round driver check (SURVEY §12).
 """
 
 from __future__ import annotations
@@ -13,6 +21,72 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+def freshness(window_size: int = 50) -> None:
+    import glob
+    import json
+    import re
+
+    import __spark_entry__ as entrymod
+
+    history: dict[str, dict[int, dict]] = {}
+    rounds = []
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        rounds.append(rnd)
+        for name, rec in json.load(open(path)).items():
+            history.setdefault(name, {})[rnd] = rec
+
+    qnames = list(entrymod.queries().keys())
+    oracles = set(entrymod.oracle_sql().keys())
+    rows = []
+    for name in qnames:
+        recs = history.get(name, {})
+        green = [r for r, v in recs.items() if v.get("hash_match")]
+        checked = sorted(recs)
+        rows.append(
+            {
+                "query": name,
+                "oracled": name in oracles,
+                "last_green": max(green) if green else None,
+                "last_checked": max(checked) if checked else None,
+                "ever_failed": any(
+                    v.get("hash_match") is False for v in recs.values()
+                ),
+            }
+        )
+    w = max(len(r["query"]) for r in rows) + 1
+    print(f"{'query':<{w}} oracled last_green last_checked flags")
+    for r in rows:
+        flags = []
+        if r["last_checked"] is None:
+            flags.append("NEVER-CHECKED")
+        if r["ever_failed"]:
+            flags.append("had-red")
+        print(
+            f"{r['query']:<{w}} {str(r['oracled']):<7} "
+            f"{str(r['last_green']):<10} {str(r['last_checked']):<12} "
+            f"{','.join(flags)}"
+        )
+    # recommended window: never-checked first (registry order), then
+    # stalest last_checked; ties keep registry order (stable sort)
+    order = sorted(
+        rows,
+        key=lambda r: (
+            r["last_checked"] is not None,
+            r["last_checked"] if r["last_checked"] is not None else 0,
+        ),
+    )
+    window = [r["query"] for r in order[:window_size]]
+    with open("/root/repo/tools/window_order.txt", "w") as f:
+        f.write("\n".join(window) + "\n")
+    n_never = sum(1 for r in rows if r["last_checked"] is None)
+    print(
+        f"\n{len(rows)} queries ({len(rows) - n_never} checked at least "
+        f"once, {n_never} never); recommended {window_size}-query window "
+        "written to tools/window_order.txt"
+    )
 
 
 def to_pandas_frame(cols, rows):
@@ -70,6 +144,9 @@ def frame_sig(pdf):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--freshness":
+        freshness(int(sys.argv[2]) if len(sys.argv) > 2 else 50)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
