@@ -49,12 +49,17 @@ def normalized(text: Column | str) -> Column:
     double ``regexp_replace``: the output is character-identical
     (runs of non-alphanumerics become one separator, edge runs
     vanish, NULL stays NULL — ``array_join``, not ``concat_ws``,
-    precisely so NULL propagates), but Spark 4's ``RegExpReplace`` /
-    ``RLike`` pay a per-row collation-dispatch cost that
-    ``StringSplit`` / ``RegExpExtractAll`` do not: measured 119 s vs
-    2.6 s for one pass over 2M 420-char docs on local[32], and the
-    gap scales with thread count. The DuckDB oracles keep the
-    regexp_replace spelling — equivalence is pinned by every
+    precisely so NULL propagates), but in this Spark 4.1 build
+    ``RegExpReplace`` / ``RLike`` execute CHARACTER-CLASS patterns
+    ~50x slower than ``StringSplit`` / ``RegExpExtractAll`` run the
+    equivalent class: measured 119 s vs 2.6 s for one normalization
+    pass over 2M 420-char docs on local[32]. Isolated A/B: a literal
+    pattern through regexp_replace is fast (0.9 s at 2M), the same
+    data through the class pattern is 113 s, and the identical class
+    through split/extract_all is 2-6 s — so it is the
+    replace/rlike-side class-pattern execution, not regex per se,
+    pattern recompilation, or data volume. The DuckDB oracles keep
+    the regexp_replace spelling — equivalence is pinned by every
     normalized-text contract query's value hash."""
     c = F.col(text) if isinstance(text, str) else text
     return F.array_join(
@@ -121,7 +126,7 @@ def quality_score(text: Column | str) -> Column:
     mean_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
     # length minus total kept-run length == count of chars outside the
     # class; RegExpExtractAll sidesteps RegExpReplace's measured 50x
-    # collation-dispatch cost (see normalized())
+    # class-pattern execution cost (see normalized())
     punct = F.length(c) - F.length(
         F.array_join(
             F.regexp_extract_all(c, F.lit("[a-zA-Z0-9 ]+"), 0), ""
@@ -183,7 +188,7 @@ def redactions(text: Column | str, pattern: str) -> Column:
     # split-on-pattern + rejoin == regexp_replace with a constant
     # replacement (Java split keeps leading/trailing empties at
     # edge matches, so boundaries reassemble exactly), minus
-    # RegExpReplace's measured 50x collation-dispatch cost (see
+    # RegExpReplace's measured 50x class-pattern execution cost (see
     # normalized()). Constraint: `pattern` must not match the empty
     # string (PII patterns are non-empty-match by construction).
     return F.struct(

@@ -1045,8 +1045,8 @@ def validate(df: DataFrame, rules: list[tuple]) -> DataFrame:
             _, c, pattern = r
             preds.append(
                 # regexp_extract_all-based containment instead of rlike:
-                # Spark 4's RLike pays a ~50x per-row collation-dispatch
-                # cost that RegExpExtractAll does not (measured in
+                # RLike executes class patterns ~50x slower than
+                # RegExpExtractAll in this Spark build (measured in
                 # functions/text.py::normalized) — same truth table,
                 # NULL input handled by the explicit isNull branch
                 (
