@@ -665,6 +665,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_docs"] = simhash_docs
 
+    def simhash_near_dup_pairs(spark, sf):
+        # Manku et al. WWW'07 pigeonhole dedup: pairs within Hamming
+        # distance 3 of the 64-bit simhash; candidates from a
+        # (block, bits) equi-join over 4 contiguous 16-bit blocks
+        # (any pair at d<=3 agrees exactly on >=1 block), exact
+        # Hamming verify on the survivors — never all pairs
+        from dbscan_pyspark_spark.operators.dedup import simhash_near_dups
+
+        return simhash_near_dups(
+            load_table(spark, sf, "documents"), max_hamming=3
+        )
+
+    q["simhash_near_dup_pairs"] = simhash_near_dup_pairs
+
     # ---- similarity search ----
     def embedding_cosine_topk(spark, sf):
         e = load_table(spark, sf, "embeddings")
@@ -5850,6 +5864,47 @@ agg AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY doc_id, b)
 SELECT doc_id,
        string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
 FROM agg GROUP BY doc_id
+""",
+        "simhash_near_dup_pairs": f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm),
+hashed AS (SELECT doc_id, md5(tok) AS hhex FROM tok),
+bits AS (
+  SELECT doc_id, u.b,
+         CASE WHEN (
+           (strpos('0123456789abcdef', substr(hhex, CAST(u.b // 4 AS INTEGER) + 1, 1)) - 1)
+           & (1 << CAST(3 - u.b % 4 AS INTEGER))
+         ) > 0 THEN 1 ELSE -1 END AS w
+  FROM hashed, unnest(range(0, 64)) AS u(b)
+),
+agg AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY doc_id, b),
+sh AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b)
+           AS simhash
+  FROM agg GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, u.i AS blk,
+         substring(simhash, CAST(u.i * 16 + 1 AS INTEGER), 16) AS bits
+  FROM sh, unnest(range(0, 4)) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bits = b.bits AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.a_id, c.b_id,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN substring(sa.simhash, CAST(i AS INTEGER), 1)
+                       != substring(sb.simhash, CAST(i AS INTEGER), 1)
+                THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, hamming FROM scored WHERE hamming <= 3
 """,
         "embedding_cosine_topk": """
 WITH qe AS (

@@ -481,6 +481,91 @@ def simhash64(
     )
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS within Hamming distance
+    ``max_hamming`` (Manku, Jain & Das Sarma, WWW'07 — Google's
+    web-scale simhash dedup): split the 64-bit fingerprint into
+    ``max_hamming + 1`` contiguous blocks; by pigeonhole, any pair
+    within distance d <= max_hamming agrees EXACTLY on at least one
+    block, so candidates come from a (block_index, block_bits)
+    equi-join — never all pairs — and an exact Hamming verify filters
+    the survivors. The Hamming-space sibling of the MinHash LSH band
+    join (set similarity) and RP-LSH banding (cosine).
+
+    Returns DataFrame(a_id, b_id, hamming int), ``a_id < b_id``,
+    ``hamming <= max_hamming``. Fully portable (md5-bit simhash), so
+    the whole pipeline carries an exact DuckDB oracle
+    (`simhash_near_dup_pairs`).
+
+    Scale shape: fingerprints are one narrow row per doc
+    (localCheckpoint'd — three consumers, one token pass); the block
+    join's bucket key has ``2^block_bits`` values per block index, so
+    raising ``max_hamming`` coarsens blocks and grows candidates
+    ~ n^2 / 2^(64/(d+1)) per block — the same recall/candidate trade
+    every banded LSH here documents. Exact-duplicate cliques share
+    every block at any d (quadratic in the clique, the signal
+    itself). Verify touches only candidates."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(
+            f"simhash_near_dups: max_hamming must be in [0, 64), "
+            f"got {max_hamming}"
+        )
+    sig = simhash64(df, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=True
+    )
+    n_blocks = max_hamming + 1
+    base_len, rem = divmod(64, n_blocks)
+    bounds = []
+    start = 1
+    for i in range(n_blocks):
+        ln = base_len + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    blocks = F.array(
+        *[F.substring("simhash", s, ln) for s, ln in bounds]
+    )
+    banded = sig.select(
+        F.col(id_col), F.posexplode(blocks).alias("blk", "bits")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("_sb"))
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("_sa").substr(i, F.lit(1))
+            != F.col("_sb").substr(i, F.lit(1)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def cross_contamination(
     train: DataFrame,
     evals: DataFrame,

@@ -531,3 +531,48 @@ def test_strip_keep_first_same_doc_repeats(spark):
     out = strip_duplicated_spans(df, k=5, keep_first=True).collect()[0]
     assert out["clean_text"] == f"{phrase} m1 m2 m3"
     assert out["n_dropped"] == 5
+
+
+def test_simhash_near_dups_pigeonhole_exact(spark):
+    """The block join loses NO pair within max_hamming (pigeonhole
+    guarantee): compare against brute-force all-pairs Hamming on a
+    small corpus with planted near-identical docs."""
+    from dbscan_pyspark_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dups,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup -> h=0
+        (3, base + " extra1 extra2"),                # near dup
+        (4, " ".join(f"other{i}" for i in range(60))),  # unrelated
+        (5, base.replace("tok3", "swap3")),          # near dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(sig[a], sig[b]))
+
+    for d in (0, 3, 7):
+        got = sorted(
+            (r["a_id"], r["b_id"], r["hamming"])
+            for r in simhash_near_dups(df, max_hamming=d).collect()
+        )
+        want = sorted(
+            (a, b, ham(a, b))
+            for a in sig
+            for b in sig
+            if a < b and ham(a, b) <= d
+        )
+        assert got == want, (d, got, want)
+    assert (1, 2, 0) in [
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in simhash_near_dups(df, max_hamming=0).collect()
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dups(df, max_hamming=64)
