@@ -201,13 +201,17 @@ def rp_lsh_banded(
     plane_scale: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane band signatures: one row per (vector, band) —
-    DataFrame(id, vec, _n L2 norm, band int, bits string). The
-    hyperplanes come from a fixed-seed RNG and are embedded in the
-    plan as literals, so two calls with the same (n_planes,
-    rows_per_band, dim, seed, plane_scale) produce IDENTICAL
-    signatures — the property the streaming signature store relies on
-    (a stored vector's bands can be recomputed map-side in any later
-    batch and still collide with its near-dups). Shared by
+    DataFrame(id, band int, bits string), deliberately SLIM: the band
+    join's exchange carries ids and bucket keys only (~20 B/row), not
+    the vector — which would multiply the shuffled bytes by n_bands
+    and make the candidate `distinct` hash dim-sized arrays. Consumers
+    join the vectors back by id onto the (much smaller) deduped
+    candidate set instead. The hyperplanes come from a fixed-seed RNG
+    and are embedded in the plan as literals, so two calls with the
+    same (n_planes, rows_per_band, dim, seed, plane_scale) produce
+    IDENTICAL signatures — the property the streaming signature store
+    relies on (a stored vector's bands can be recomputed map-side in
+    any later batch and still collide with its near-dups). Shared by
     :func:`rp_lsh_near_dup_pairs` (self-join) and
     ``streaming/dedup.py``'s semantic filter (batch-vs-store join).
     Expects resolved int parameters; the 'auto'/None contract sugar
@@ -254,8 +258,6 @@ def rp_lsh_banded(
     )
     return vectors.select(
         F.col(id_col),
-        F.col(vec_col),
-        norm2(vec_col).alias("_n"),
         F.posexplode(bands).alias("band", "bits"),
     )
 
@@ -345,6 +347,9 @@ def rp_lsh_near_dup_pairs(
         plane_scale=plane_scale,
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # id-only candidates: the band exchange and the distinct both run
+    # on ~20 B rows; vectors join back onto the DEDUPED candidate set
+    # (near-dup candidates << corpus), two id-keyed joins
     cand = (
         a.join(
             b,
@@ -354,19 +359,32 @@ def rp_lsh_near_dup_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"a.{vec_col}").alias("_av"),
-            F.col("a._n").alias("_an"),
             F.col(f"b.{id_col}").alias("b_id"),
-            F.col(f"b.{vec_col}").alias("_bv"),
-            F.col("b._n").alias("_bn"),
         )
         .distinct()
     )
-    return cand.select(
-        "a_id",
-        "b_id",
-        F.round(_cosine_from_norms("_av", "_bv", "_an", "_bn"), 6).alias("score"),
-    ).where(F.col("score") >= threshold)
+    va = vectors.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_av"),
+        norm2(vec_col).alias("_an"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_bv"),
+        norm2(vec_col).alias("_bn"),
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _cosine_from_norms("_av", "_bv", "_an", "_bn"), 6
+            ).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
 
 
 def semantic_dedup(

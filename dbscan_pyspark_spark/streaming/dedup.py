@@ -206,10 +206,11 @@ def vector_match_vs_store(
     verifies exactly)."""
     from dbscan_pyspark_spark.operators.similarity import (
         _cosine_from_norms,
+        norm2,
         rp_lsh_banded,
     )
 
-    def banded(df, prefix):
+    def banded(df, rid):
         b = rp_lsh_banded(
             df,
             n_planes=n_planes,
@@ -220,24 +221,28 @@ def vector_match_vs_store(
             seed=seed,
             plane_scale=plane_scale,
         )
-        if prefix:
-            b = b.select(
-                F.col(id_col).alias("_rid"),
-                F.col(vec_col).alias("_rv"),
-                F.col("_n").alias("_rn"),
-                "band",
-                "bits",
-            )
-        return b
+        return b.select(F.col(id_col).alias("_rid"), "band", "bits") if rid else b
 
+    # id-only band collision (slim exchange), vectors joined back onto
+    # the deduped candidate set only — see rp_lsh_banded's scale note
     cand = (
-        banded(batch_vecs, None)
-        .join(banded(store_vecs, "_r"), ["band", "bits"])
-        .select(id_col, vec_col, "_n", "_rid", "_rv", "_rn")
+        banded(batch_vecs, False)
+        .join(banded(store_vecs, True), ["band", "bits"])
+        .select(id_col, "_rid")
         .distinct()
     )
+    bv = batch_vecs.select(
+        F.col(id_col), F.col(vec_col), norm2(vec_col).alias("_n")
+    )
+    rv = store_vecs.select(
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rv"),
+        norm2(vec_col).alias("_rn"),
+    )
     return (
-        cand.where(
+        cand.join(bv, id_col)
+        .join(rv, "_rid")
+        .where(
             F.round(
                 _cosine_from_norms(vec_col, "_rv", "_n", "_rn"), 6
             )
