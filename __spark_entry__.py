@@ -3723,6 +3723,9 @@ _FLAGSHIP_FIRST = [
     "doc_redactions", "orders_expectations", "source_budget_sample",
     "source_token_waterfill", "source_caps",
     "kmember_quantized_embeddings",
+    # slim RP-LSH band exchange (round 8, second batch)
+    "embedding_near_dups_lsh_exact", "embedding_semantic_dedup",
+    "embedding_near_dups",
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly
