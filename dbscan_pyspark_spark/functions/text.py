@@ -60,7 +60,13 @@ def normalized(text: Column | str) -> Column:
     replace/rlike-side class-pattern execution, not regex per se,
     pattern recompilation, or data volume. The DuckDB oracles keep
     the regexp_replace spelling — equivalence is pinned by every
-    normalized-text contract query's value hash."""
+    normalized-text contract query's value hash. Known cross-ENGINE
+    edge (pre-existing, unrelated to this rewrite — the old Spark
+    spelling produced the identical output): Spark's lower() maps
+    U+0130 'İ' to 'i' + combining dot (junk -> split point) where
+    DuckDB's maps it to plain 'i'; exotic Unicode case mappings
+    differ between JVMs and other engines, so the canonical form is
+    only cross-engine-stable for ASCII-cased text."""
     c = F.col(text) if isinstance(text, str) else text
     return F.array_join(
         F.filter(
