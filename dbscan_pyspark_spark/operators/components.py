@@ -774,10 +774,18 @@ def hits(
     are localCheckpointed per round (flat lineage)."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    # materialize the deduped edge list ONCE: four joins per iteration
+    # read it, and an un-checkpointed `e` would re-run the 10M-row
+    # distinct shuffle for every one of them (measured: the dominant
+    # cost of the hits_10m_edges stress stage before this)
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -787,7 +795,11 @@ def hits(
     max_safe = (1 << 63) // int(scale) - 1
 
     def _normalized(raw: DataFrame, col: str) -> DataFrame:
-        # raw: (node, col) for SOME nodes; normalize to node-complete
+        # raw: (node, col) for SOME nodes; normalize to node-complete.
+        # Materialize raw first — the max pull and the normalization
+        # join both consume it, and recomputing means re-running the
+        # edge join + aggregate that produced it
+        raw = raw.localCheckpoint(eager=True)
         m = raw.agg(F.max(F.col(col))).first()[0]
         if m is None:
             return nodes.select("node", F.lit(0).cast("long").alias(col))
