@@ -413,3 +413,90 @@ def streaming_semantic_dedup_filter(
         .trigger(availableNow=True)
         .start()
     )
+
+def process_exact_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    output_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming EXACT dedup filter — the
+    ingestion-time counterpart of ``operators/dedup.py::exact_dedup``
+    and the first stage every ingest pipeline runs before the fuzzy
+    filters: drop any document whose normalized-text fingerprint was
+    already accepted (store anti-join), keep the MINIMUM id per
+    fingerprint within the batch (exact_dedup's deterministic winner
+    rule), append the survivors' fingerprints to the store.
+    First-accepted wins across batches, so id-ordered arrival makes
+    the stream output exactly ``exact_dedup``'s batch answer (pinned
+    by test). State is ONE 32-hex md5 per accepted doc — the cheapest
+    possible dedup state (16 bytes of entropy per document at any
+    corpus size); matching is a fingerprint equi-anti-join, never
+    content. NULL-text rows are dropped up front (a NULL fingerprint
+    joins with nothing, so it would be re-accepted every batch and
+    poison the store — the semantic filter's NULL-embedding rule).
+    Output/store land in ``ingest_batch=<id>`` partition dirs with
+    per-partition overwrite (idempotent-``foreachBatch`` replay); the
+    store read excludes the current batch id, so a replayed batch
+    cannot match against its own failed attempt."""
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    from dbscan_pyspark_spark.functions.text import fingerprint
+
+    batch = batch.where(F.col(text_col).isNotNull()).persist()
+    try:
+        fps = batch.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+        store = _read_store(spark, store_dir, batch_id)
+        if store is not None and not store.isEmpty():
+            fresh = fps.join(store.select("_fp"), "_fp", "left_anti")
+        else:
+            fresh = fps
+        winners = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        kept = batch.join(winners.select(id_col), id_col, "left_semi")
+        if kept.isEmpty():
+            # every row matched the store (or was NULL-text): skipping
+            # the writes is replay-safe — a replayed all-dup batch
+            # recomputes as all-dup — and avoids a schema-less empty
+            # parquet partition the read-back cannot infer
+            return
+        kept.write.mode("overwrite").parquet(
+            f"{output_dir}/ingest_batch={batch_id}"
+        )
+        kept_ids = spark.read.parquet(
+            f"{output_dir}/ingest_batch={batch_id}"
+        ).select(id_col)
+        fps.join(kept_ids, id_col, "left_semi").select("_fp").write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/ingest_batch={batch_id}")
+    finally:
+        batch.unpersist()
+
+
+def streaming_exact_dedup_filter(
+    docs: DataFrame,
+    store_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Start the streaming exact dedup filter over a streaming ``docs``
+    DataFrame; returns the ``StreamingQuery``. Survivors land under
+    ``output_dir``, accepted fingerprints under ``store_dir``, both
+    partitioned by ``ingest_batch`` for idempotent replay."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        process_exact_dedup_batch(
+            batch, batch_id, store_dir, output_dir,
+            text_col=text_col, id_col=id_col,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

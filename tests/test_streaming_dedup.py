@@ -306,3 +306,102 @@ def test_kmember_quantized_unpersists_on_failure(spark):
         [r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()]
     )
     assert after <= before
+
+
+def test_exact_dedup_batch_filter_across_batches(spark, tmp_path):
+    """First-accepted wins across batches; batch-internal winner is the
+    min id per fingerprint (the exact_dedup rule, incl. whitespace/case
+    normalization); NULL text never enters the store."""
+    from dbscan_pyspark_spark.streaming.dedup import (
+        process_exact_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "xstore"), str(tmp_path / "xout")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(2, "Alpha  beta"), (1, "alpha beta"), (3, "other text"), (9, None)],
+        schema,
+    )
+    process_exact_dedup_batch(b1, 0, store, out)
+    kept0 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept0 == [1, 3]  # min id wins the normalized-equal pair
+    # batch 1: 4 duplicates batch-0's accepted text -> store match;
+    # 5 is novel
+    b2 = spark.createDataFrame([(4, "ALPHA beta"), (5, "novel words")], schema)
+    process_exact_dedup_batch(b2, 1, store, out)
+    kept = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept == [1, 3, 5]
+    assert spark.read.parquet(store).count() == 3
+
+
+def test_exact_dedup_batch_replay_and_all_dup(spark, tmp_path):
+    from dbscan_pyspark_spark.streaming.dedup import (
+        process_exact_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "xstore"), str(tmp_path / "xout")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, "some words")], schema)
+    process_exact_dedup_batch(b1, 0, store, out)
+    # replay must not self-match or duplicate output/store rows
+    process_exact_dedup_batch(b1, 0, store, out)
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert spark.read.parquet(store).count() == 1
+    # an all-duplicate batch writes nothing (no empty partitions)
+    b2 = spark.createDataFrame([(7, "Some  WORDS")], schema)
+    process_exact_dedup_batch(b2, 1, store, out)
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert spark.read.parquet(store).count() == 1
+
+
+def test_exact_dedup_stream_matches_batch_op(spark, tmp_path):
+    """With id-ordered arrival, the streaming filter keeps exactly the
+    batch exact_dedup winners (min id per normalized fingerprint)."""
+    import json as _json
+
+    from dbscan_pyspark_spark.operators.dedup import exact_dedup
+    from dbscan_pyspark_spark.streaming.dedup import (
+        streaming_exact_dedup_filter,
+    )
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "The  QUICK brown fox"),
+        (3, "a different document"),
+        (4, "the quick brown fox"),
+        (5, "yet more novel content"),
+        (6, "A DIFFERENT document"),
+    ]
+    src = tmp_path / "xsrc"
+    src.mkdir()
+    for i in range(3):  # 3 micro-batches of 2 docs, id-ordered
+        with open(src / f"f{i}.json", "w") as f:
+            for d, t in rows[2 * i : 2 * i + 2]:
+                f.write(_json.dumps({"doc_id": d, "text": t}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = streaming_exact_dedup_filter(
+        stream,
+        str(tmp_path / "xstore"),
+        str(tmp_path / "xout"),
+        str(tmp_path / "xckpt"),
+    )
+    q.awaitTermination(180)
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "xout"))
+        .select("doc_id")
+        .collect()
+    )
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_kept = sorted(
+        r["doc_id"] for r in exact_dedup(batch_df).collect()
+    )
+    assert kept == batch_kept == [1, 3, 5]
