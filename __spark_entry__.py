@@ -3590,7 +3590,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["approx_event_type_topk"] = approx_event_type_topk
 
+    # ---- BM25 ranked retrieval (operators/search.py): fixed keyword
+    # probes against the documents corpus; probe 3 is all
+    # out-of-vocabulary so the no-match path is pinned too. Scores are
+    # decimal-grid-exact by construction (see bm25_topk docstring), so
+    # the ranking replays bit-for-bit on DuckDB ----
+    def doc_bm25_topk(spark, sf):
+        from dbscan_pyspark_spark.operators.search import bm25_topk
+
+        probes = spark.createDataFrame(
+            _BM25_PROBES, "query_id int, query_text string"
+        )
+        return bm25_topk(
+            load_table(spark, sf, "documents"), probes, k=5
+        )
+
+    q["doc_bm25_topk"] = doc_bm25_topk
+
+    # ---- inverted-index postings with positions (operators/search.py);
+    # the positions array is comma-joined to a string because the
+    # driver canonicalizer rejects array cells ----
+    def doc_inverted_postings(spark, sf):
+        from dbscan_pyspark_spark.operators.search import inverted_postings
+
+        p = inverted_postings(
+            load_table(spark, sf, "documents"), with_positions=True
+        )
+        return p.select(
+            "term",
+            "doc_id",
+            "tf",
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("positions"),
+        )
+
+    q["doc_inverted_postings"] = doc_inverted_postings
+
+    # ---- sorted-neighborhood candidate pairs (operators/dedup.py):
+    # window-3 neighbors in normalized-text order with exact edit
+    # distance ----
+    def doc_sorted_neighbors(spark, sf):
+        from dbscan_pyspark_spark.operators.dedup import (
+            sorted_neighborhood_pairs,
+        )
+
+        return sorted_neighborhood_pairs(
+            load_table(spark, sf, "documents"), window=3
+        )
+
+    q["doc_sorted_neighbors"] = doc_sorted_neighbors
+
+    # ---- label-propagation communities (operators/components.py) over
+    # the supplier->customer nation trade graph (the pagerank edge
+    # relation), 3 synchronous rounds — eleventh iterative family with
+    # an exact unrolled-CTE oracle ----
+    def nation_communities(spark, sf):
+        from dbscan_pyspark_spark.operators.components import (
+            label_propagation,
+        )
+
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        s = load_table(spark, sf, "supplier")
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .select(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+        )
+        return label_propagation(edges, n_iter=3)
+
+    q["nation_communities"] = nation_communities
+
     return _reorder_for_driver_window(q)
+
+
+# BM25 probe relation — shared verbatim by doc_bm25_topk and its
+# oracle's VALUES list
+_BM25_PROBES = [
+    (0, "spark join filter"),
+    (1, "window merge sort table"),
+    (2, "customer order"),
+    (3, "qqq zzz unseenword"),
+]
 
 
 # Names the driver already verified green (cumulative CORRECTNESS_r01
@@ -4692,6 +4779,130 @@ def _pagerank_oracle(
         f"WITH {ctes}\n"
         f"SELECT node, round(p / {float(scale)}, 8) AS pagerank FROM p{n_iter}"
     )
+
+
+def _label_prop_oracle(edges_sql: str, n_iter: int = 3) -> str:
+    """Unrolled-CTE replica of operators.components.label_propagation:
+    same canonical undirected neighbor relation (both orientations,
+    self-loops dropped), same synchronous mode update with the
+    (count desc, label asc) tie-break, same keep-old-label fallback
+    for neighborless nodes — deterministic, so a fixed-round run
+    replays exactly (eleventh iterative family with an exact oracle)."""
+    parts = [
+        f"raw AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM ({edges_sql}))",
+        """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw
+  ) u WHERE u.src <> u.dst
+)""",
+        """nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw
+  ) v
+)""",
+        "l0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.src AS node, l.lbl, count(*) AS cnt
+  FROM e JOIN l{i} l ON e.dst = l.node GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"""p{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+    FROM c{i}
+  ) rr WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""l{i + 1} AS (
+  SELECT l.node, coalesce(p.lbl, l.lbl) AS lbl
+  FROM l{i} l LEFT JOIN p{i} p ON l.node = p.node
+)"""
+        )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT node, lbl AS community FROM l{n_iter}"
+
+
+def _bm25_oracle(probes: list[tuple[int, str]], k: int = 5) -> str:
+    """CTE-for-CTE replica of operators.search.bm25_topk at k1=1.2,
+    b=0.75: same single tokenization, same smoothed idf, same 1e-9
+    decimal-grid weight sum (order-independent — the reason the
+    ranking is cross-engine exact), same (score desc, doc_id) rank."""
+    values = ", ".join(f"({i}, '{t}')" for i, t in probes)
+    qnorm = _NORM.replace("text", "query_text")
+    return f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM base
+),
+tokf AS (SELECT * FROM tok WHERE term <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tokf GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tokf GROUP BY 1),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+),
+probes(query_id, query_text) AS (VALUES {values}),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest(string_split({qnorm}, ' ')) AS term FROM probes
+  ) qq WHERE term <> ''
+),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(round(
+           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * (1.2 + 1.0))
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)),
+         9) AS DECIMAL(28,9)) AS w
+  FROM qterms q
+  JOIN tf t ON q.term = t.term
+  JOIN dl d ON t.doc_id = d.doc_id
+  JOIN dfreq f ON t.term = f.term
+  CROSS JOIN stats s
+),
+per AS (SELECT query_id, doc_id, sum(w) AS s FROM scored GROUP BY 1, 2),
+r AS (
+  SELECT query_id, doc_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn
+  FROM per
+)
+SELECT query_id, doc_id, round(CAST(s AS DOUBLE), 4) AS score, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= {k}
+"""
+
+
+_INVERTED_POSTINGS_ORACLE = f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         unnest(range(len(toks))) AS pos
+  FROM base
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM tok WHERE term <> ''
+GROUP BY term, doc_id
+"""
+
+_SORTED_NEIGHBORS_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, {_NORM} AS k FROM documents WHERE {_NORM} IS NOT NULL
+),
+r AS (
+  SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+"""
 
 
 # Dialect-shared SQL (runs verbatim on Spark AND DuckDB): monthly
@@ -7164,6 +7375,10 @@ SELECT decile, n_customers,
 FROM agg
 """,
         "nation_pagerank": _pagerank_oracle(_NATION_EDGES_SQL, n_iter=3),
+        "nation_communities": _label_prop_oracle(_NATION_EDGES_SQL, n_iter=3),
+        "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
+        "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,
+        "doc_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,
         "clean_corpus_splits": f"""
 WITH {_CORPUS_FILTER_CTES},
 kept AS (SELECT doc_id, n_tokens FROM labeled WHERE reason = 'kept'),

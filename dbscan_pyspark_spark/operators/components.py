@@ -839,3 +839,88 @@ def hits(
         F.round(F.col("h") / F.lit(float(scale)), 6).alias("hub"),
         F.round(F.col("a") / F.lit(float(scale)), 6).alias("authority"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.,
+    Phys. Rev. E 2007) over an undirected graph: community detection
+    without an objective function — each round every node adopts the
+    most frequent label among its neighbors, ties broken by the
+    SMALLEST label, labels initialized to the node id. Fixed ``n_iter``
+    synchronous rounds (the asynchronous variant is order-dependent
+    and unreplayable; synchronous + deterministic tie-break replays
+    bit-for-bit, the pagerank/HITS discipline — oscillation on
+    bipartite structures is the documented price and the reason the
+    round count is fixed rather than run-to-convergence).
+
+    Returns DataFrame(node, community long) — community is the label
+    held after the final round; nodes with no neighbors (self-loop-only
+    endpoints) keep their own id.
+
+    Scale shape: the neighbor relation (both orientations, self-loops
+    dropped) is materialized once; per round one equi-join of the
+    label vector onto it (keyed by neighbor id), one (node, label)
+    count aggregate with map-side partials, one min-struct argmax per
+    node, and one left join back onto the full label vector — all
+    hash-partitioned by node id, the exact pagerank profile. Label
+    vectors are localCheckpointed per round (flat lineage); AQE
+    partition coalescing is pinned off for the loop (same single-owner
+    session-conf contract as connected_components above).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    raw = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    spark = edges.sparkSession
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(_coalesce_key, None)
+    spark.conf.set(_coalesce_key, "false")
+    try:
+        # undirected neighbor relation: both orientations, no self-loops
+        nbr = (
+            raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            raw.select(F.col("src").alias("node"))
+            .union(raw.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = nodes.select("node", F.col("node").alias("lbl"))
+        for _ in range(n_iter):
+            counts = (
+                nbr.join(
+                    labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+                )
+                .groupBy(F.col("src").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # argmax by (cnt desc, lbl asc) == min of struct(-cnt, lbl)
+            pick = counts.groupBy("node").agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))
+                ).alias("_m")
+            ).select("node", F.col("_m.lbl").alias("_new"))
+            labels = (
+                labels.join(pick, "node", "left")
+                .select(
+                    "node", F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl")
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        if prev_coalesce is None:
+            spark.conf.unset(_coalesce_key)
+        else:
+            spark.conf.set(_coalesce_key, prev_coalesce)
+    return labels.select("node", F.col("lbl").alias("community"))

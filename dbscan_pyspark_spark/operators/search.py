@@ -1,0 +1,178 @@
+"""Full-text ranked retrieval over a document corpus: inverted-index
+postings and BM25 top-k keyword search.
+
+Not in the reference (its corpus is numeric points), but a training-data
+pipeline's standard text-retrieval primitive — finding the corpus
+documents most relevant to a probe set (eval-leakage hunting, targeted
+curation, dataset search). Built entirely from JVM-side expressions:
+one tokenization pass, two map-side-combined aggregates, a broadcast of
+the (tiny) query relation, and a partial top-k — no Python on the data
+path.
+
+Cross-engine exactness follows the ``doc_tfidf_top_terms`` precedent
+(__spark_entry__.py): rank by the RAW double score with a unique
+tie-break so rounding can't reorder, round only the emitted score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.functions.text import normalized
+from dbscan_pyspark_spark.operators.windows import partial_top_k_per_group
+
+
+def _terms(df: DataFrame, text_col: str, *keep: str) -> DataFrame:
+    """One row per (keep..., term) token occurrence of the normalized
+    text — the single tokenization pass every downstream relation
+    derives from."""
+    return df.select(
+        *keep, F.explode(F.split(normalized(text_col), " ")).alias("term")
+    ).where(F.col("term") != "")
+
+
+def inverted_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_positions: bool = False,
+) -> DataFrame:
+    """The inverted-index postings relation: one row per (term, doc)
+    with the term frequency, optionally the sorted 0-based token
+    positions (phrase/proximity queries need them; plain BM25 does
+    not — default off, the positions array inflates the relation by
+    the corpus token count).
+
+    Returns DataFrame(term, <id_col>, tf [, positions array<int>]).
+
+    Scale shape: one tokenization pass, one (term, doc) groupBy with
+    map-side partial aggregation — the relation is hash-partitioned by
+    term, exactly the layout a term-keyed retrieval join wants.
+    Positions are collected inside the same aggregate (sorted for
+    determinism), never a second shuffle.
+    """
+    if with_positions:
+        tok = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(normalized(text_col), " ")).alias(
+                "pos", "term"
+            ),
+        ).where(F.col("term") != "")
+        # pos indexes the split of the NORMALIZED text, which contains
+        # no interior empty tokens (the only possible empty is the
+        # all-junk document's single "", filtered above) — so pos IS
+        # the 0-based token position, no re-rank needed
+        return (
+            tok.groupBy("term", id_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+    return (
+        _terms(df, text_col, id_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza, FnTIR 2009): for
+    each query, the top-``k`` corpus documents by
+
+        score(q, d) = Σ_{t ∈ q∩d}  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with the non-negative smoothed ``idf(t) = ln(1 + (N − df + 0.5) /
+    (df + 0.5))``. Query terms are deduplicated (standard bag-of-words
+    probe; repeating a term in the query does not double its weight).
+
+    Returns DataFrame(query_id, <id_col>, score double, rank int) —
+    rank by (score desc, doc id asc), score rounded to ``round_to``
+    AFTER ranking so rounding cannot reorder (the doc_tfidf_top_terms
+    discipline). Per-term weights are quantized to a 1e-9 grid and
+    summed as DECIMAL — a float sum of 3+ addends is association-
+    order-dependent (engines aggregate in different row orders), a
+    decimal sum is exact, so the score and therefore the ranking
+    replay bit-for-bit on any engine (the header contract's
+    decimal-cast-before-summing rule; the 1e-9 quantization is far
+    below any meaningful BM25 score difference).
+
+    Scale shape: ONE corpus tokenization feeds tf (shuffle keyed
+    (doc, term), map-side partials), dl (doc-keyed, partials) and df
+    (term-keyed over the already-reduced tf relation — never the raw
+    token stream). N and avgdl ride a 1-row aggregate broadcast onto
+    the scored relation (no driver pull, stays lazy). The query
+    relation is explicitly broadcast — retrieval probes are human-sized
+    while the postings side is corpus-sized — so the only corpus-wide
+    exchanges are the two index-build shuffles and the (query, doc)
+    score aggregate, whose input is already pruned to postings of query
+    terms. Top-k uses the partial-reduction ranker: each partition
+    yields at most k·|queries| rows to the final per-query exchange, so
+    a hot query cannot single-task the ranking.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = _terms(docs, text_col, id_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qterms = (
+        queries.select(
+            query_id_col,
+            F.explode(
+                F.array_distinct(F.split(normalized(query_text_col), " "))
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    scored = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_w",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(query_id_col, id_col).agg(
+        F.sum(F.round(F.col("_w"), 9).cast("decimal(28,9)")).alias("_score")
+    )
+    ranked = partial_top_k_per_group(
+        per_doc,
+        [query_id_col],
+        [("_score", False), (id_col, True)],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("_score").cast("double"), round_to).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )

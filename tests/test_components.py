@@ -214,3 +214,90 @@ def test_hits_overflow_guard_fires_and_validates_n_iter(spark):
         hits(edges, n_iter=1, scale=1 << 33).collect()
     with _pytest.raises(ValueError, match="n_iter"):
         hits(edges, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def _py_lpa(edges, n_iter):
+    """Synchronous LPA replay: mode of neighbor labels, ties to the
+    smallest label, neighborless nodes keep their own."""
+    nbrs: dict = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.update((s, d))
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    lbl = {v: v for v in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for v in nodes:
+            ns = nbrs.get(v)
+            if not ns:
+                new[v] = lbl[v]
+                continue
+            cnt: dict = {}
+            for u in ns:
+                cnt[lbl[u]] = cnt.get(lbl[u], 0) + 1
+            new[v] = min(cnt, key=lambda lab: (-cnt[lab], lab))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_two_cliques(spark):
+    from dbscan_pyspark_spark.operators.components import label_propagation
+
+    clique_a = [(0, 1), (0, 2), (1, 2)]
+    clique_b = [(10, 11), (10, 12), (11, 12)]
+    bridge = [(2, 10)]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + bridge, "src long, dst long"
+    )
+    got = {
+        r.node: r.community for r in label_propagation(edges, n_iter=4).collect()
+    }
+    assert got == _py_lpa(clique_a + clique_b + bridge, 4)
+    # the two triangles resolve to separate communities
+    assert len({got[0], got[1], got[2]} | {got[10], got[11], got[12]}) >= 2
+    assert got[0] == got[1] == got[2]
+
+
+def test_label_propagation_matches_python_replay_random(spark):
+    import random
+
+    from dbscan_pyspark_spark.operators.components import label_propagation
+
+    rng = random.Random(7)
+    edges = list(
+        {
+            (rng.randrange(30), rng.randrange(30))
+            for _ in range(80)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(df, n_iter=3).collect()}
+    assert got == _py_lpa(edges, 3)
+
+
+def test_label_propagation_self_loop_only_node_keeps_label(spark):
+    from dbscan_pyspark_spark.operators.components import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5)], "src long, dst long"
+    )
+    got = {r.node: r.community for r in label_propagation(edges, n_iter=2).collect()}
+    assert got[5] == 5
+    # 1 and 2 swap labels each sync round: after 2 rounds both are home
+    assert got[1] == 1 and got[2] == 2
+
+
+def test_label_propagation_validates_n_iter(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.components import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="n_iter"):
+        label_propagation(edges, n_iter=0)

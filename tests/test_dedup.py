@@ -576,3 +576,59 @@ def test_simhash_near_dups_pigeonhole_exact(spark):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dups(df, max_hamming=64)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood candidate pairs
+
+
+def test_sorted_neighborhood_pair_count_and_orientation(spark):
+    from dbscan_pyspark_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i:03d}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = sorted_neighborhood_pairs(docs, window=2).collect()
+    # ranks 1..6: each row pairs with its next <=2 successors: 5 + 4 = 9
+    assert len(rows) == 9
+    # keys sort by doc id here, so a precedes b in id order too
+    assert all(r.a_id < r.b_id for r in rows)
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(spark):
+    from dbscan_pyspark_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumped"),
+            (3, "zzz totally unrelated text"),
+            (4, "aaa another different one"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = sorted_neighborhood_pairs(docs, window=1, max_dist=2).collect()
+    # orientation follows SORT order: "...jumped" < "...jumps"
+    assert {(r.a_id, r.b_id) for r in hits} == {(2, 1)}
+    assert hits[0].dist == 2  # jumped -> jumps: 1 sub + 1 delete
+
+
+def test_sorted_neighborhood_custom_key_and_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "abc x"), (2, "abd y"), (3, None)], "doc_id long, text string"
+    )
+    out = sorted_neighborhood_pairs(
+        docs,
+        window=5,
+        key_expr=F.substring(F.col("text"), 1, 3),
+    ).collect()
+    # NULL-key row dropped; one remaining pair
+    assert {(r.a_id, r.b_id, r.dist) for r in out} == {(1, 2, 1)}
+    with _pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(docs, window=0)

@@ -1,0 +1,115 @@
+"""Ranked retrieval (operators/search.py): inverted postings + BM25."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbscan_pyspark_spark.operators.search import bm25_topk, inverted_postings
+
+
+DOCS = [
+    (1, "spark join filter join"),
+    (2, "window merge sort"),
+    (3, "spark spark spark window"),
+    (4, "filter filter join window merge"),
+    (5, "the quick brown fox"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_bm25(query_terms, k1=1.2, b=0.75):
+    """Row-at-a-time reference scorer over DOCS."""
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {}
+    for t in toks.values():
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in set(query_terms):
+            tf = t.count(term)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            s += round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl)),
+                9,
+            )
+        if s:
+            scores[d] = round(s, 4)
+    return scores
+
+
+def test_bm25_matches_reference_scorer(spark, docs):
+    probes = spark.createDataFrame(
+        [(0, "spark join"), (1, "merge")], "query_id int, query_text string"
+    )
+    rows = bm25_topk(docs, probes, k=10).collect()
+    got0 = {r.doc_id: r.score for r in rows if r.query_id == 0}
+    got1 = {r.doc_id: r.score for r in rows if r.query_id == 1}
+    assert got0 == pytest.approx(_py_bm25(["spark", "join"]))
+    assert got1 == pytest.approx(_py_bm25(["merge"]))
+
+
+def test_bm25_rank_order_and_k(spark, docs):
+    probes = spark.createDataFrame(
+        [(0, "spark join")], "query_id int, query_text string"
+    )
+    rows = bm25_topk(docs, probes, k=2).orderBy("rank").collect()
+    assert len(rows) == 2
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].score >= rows[1].score
+
+
+def test_bm25_unseen_terms_and_dup_query_terms(spark, docs):
+    probes = spark.createDataFrame(
+        [(0, "zzzz qqqq"), (1, "merge merge merge")],
+        "query_id int, query_text string",
+    )
+    rows = bm25_topk(docs, probes, k=5).collect()
+    # all-OOV query: no rows at all; repeated query term: weighted once
+    assert not [r for r in rows if r.query_id == 0]
+    got1 = {r.doc_id: r.score for r in rows if r.query_id == 1}
+    assert got1 == pytest.approx(_py_bm25(["merge"]))
+
+
+def test_bm25_validates_k(spark, docs):
+    probes = spark.createDataFrame(
+        [(0, "spark")], "query_id int, query_text string"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, probes, k=0)
+
+
+def test_inverted_postings_tf_and_positions(spark, docs):
+    rows = inverted_postings(docs, with_positions=True).collect()
+    by = {(r.term, r.doc_id): r for r in rows}
+    assert by[("join", 1)].tf == 2
+    assert by[("join", 1)].positions == [1, 3]
+    assert by[("spark", 3)].positions == [0, 1, 2]
+    # df(term) = number of postings rows for it
+    assert sum(1 for (t, _), _r in by.items() if t == "window") == 3
+
+
+def test_inverted_postings_without_positions(spark, docs):
+    p = inverted_postings(docs)
+    assert p.columns == ["term", "doc_id", "tf"]
+    assert p.where((F.col("term") == "filter") & (F.col("doc_id") == 4)).first().tf == 2
+
+
+def test_inverted_postings_junk_doc_contributes_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "!!! ... ???"), (2, "real words")], "doc_id long, text string"
+    )
+    rows = inverted_postings(docs).collect()
+    assert {r.doc_id for r in rows} == {2}
