@@ -1072,6 +1072,162 @@ def main() -> None:
         flush=True,
     )
 
+    # --- BM25 retrieval over a 2M-doc corpus ---
+    # Words come from a closed arithmetic vocab ("w" + (base*31+j) mod
+    # 100k) so probe terms are computable here; doc 0 is planted with
+    # ten copies of an out-of-vocab needle term and doc 1 with one —
+    # the needle probe must return exactly [doc 0, doc 1] in that
+    # order (tf 10 at dl 40 outscores tf 1 at dl 31 for every sane
+    # k1/b; no other doc contains the term). The
+    # load is the index build: 60M token rows -> (doc, term) tf agg ->
+    # term-keyed df agg.
+    from dbscan_pyspark_spark.operators.search import bm25_topk
+
+    n_bm = 2_000_000
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(F.col("id") * 31 + j, F.lit(100_000)).cast("string"),
+            ),
+        ),
+    )
+    needles = F.when(
+        F.col("id") == 0,
+        F.concat_ws(" ", *([F.lit("xneedlex")] * 10)),
+    ).when(F.col("id") == 1, F.lit("xneedlex"))
+    bm_docs = spark.range(n_bm).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", needles, filler).alias("text"),
+    )
+    probes = spark.createDataFrame(
+        [(0, "xneedlex"), (1, "w7 w777 w77777"), (2, "w31 w62")],
+        "query_id int, query_text string",
+    )
+    t0 = time.time()
+    bm = bm25_topk(bm_docs, probes, k=5)
+    rows = bm.collect()
+    needle_hits = sorted(
+        ((r.rank, r.doc_id) for r in rows if r.query_id == 0)
+    )
+    assert needle_hits == [(1, 0), (2, 1)], needle_hits
+    per_q = {qid: sorted(r.rank for r in rows if r.query_id == qid) for qid in (1, 2)}
+    assert per_q == {1: [1, 2, 3, 4, 5], 2: [1, 2, 3, 4, 5]}, per_q
+    print(
+        json.dumps(
+            {
+                "stage": "bm25_2m",
+                "n_docs": n_bm,
+                "n_token_rows": n_bm * 30,
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- sorted-neighborhood pairs at 2M docs ---
+    # 5000 planted pairs (ids 2k/2k+1 share every word except the
+    # 26th, far past the 64-char sort-key prefix) are adjacent in the
+    # sorted order with identical truncated keys -> dist 0; unrelated
+    # neighbors differ in their first word w.h.p. The load is the
+    # two-phase global rank (range repartition + offsets) and the
+    # 4M-candidate levenshtein verify.
+    from dbscan_pyspark_spark.operators.dedup import sorted_neighborhood_pairs
+    from dbscan_pyspark_spark.functions.text import normalized
+
+    n_sn = 2_000_000
+    sn_pair = F.col("id") < 10_000
+    sn_base = F.when(sn_pair, (F.col("id") / 2).cast("long") * 2).otherwise(
+        F.col("id")
+    )
+    sn_docs = spark.range(n_sn).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.when(
+                            (j == F.lit(25)) & sn_pair & (F.col("id") % 2 == 1),
+                            F.xxhash64(F.col("id"), F.lit("alt")),
+                        ).otherwise(F.xxhash64(sn_base * 37 + j, F.lit("sn"))),
+                        F.lit(10**12),
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    sn = sorted_neighborhood_pairs(
+        sn_docs,
+        window=2,
+        key_expr=F.substring(normalized("text"), 1, 64),
+    )
+    sn_agg = sn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dist") == 0).cast("long")).alias("n_d0"),
+    ).first()
+    assert sn_agg["n"] == 2 * n_sn - 3, sn_agg
+    assert sn_agg["n_d0"] == 5000, sn_agg
+    print(
+        json.dumps(
+            {
+                "stage": "snm_pairs_2m",
+                "n_docs": n_sn,
+                "n_candidates": sn_agg["n"],
+                "n_planted_found": sn_agg["n_d0"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- label propagation on a 2M-node planted-community graph ---
+    # 200k blocks of 10 nodes, each a hub-star + ring (18 intra-block
+    # edges, no inter-block edges): 3 synchronous rounds must label
+    # every block homogeneously with its minimum id. Load: 3 rounds x
+    # (3.6M-edge neighbor join + mode aggregate) over 2M labels.
+    from dbscan_pyspark_spark.operators.components import label_propagation
+
+    n_lp = 2_000_000
+    block = (F.col("id") / 10).cast("long") * 10
+    lp_star = spark.range(n_lp).where(F.col("id") % 10 != 0).select(
+        block.alias("src"), F.col("id").alias("dst")
+    )
+    lp_ring = spark.range(n_lp).select(
+        F.col("id").alias("src"),
+        F.when(F.col("id") % 10 == 9, block).otherwise(F.col("id") + 1).alias("dst"),
+    )
+    t0 = time.time()
+    lp = label_propagation(lp_star.union(lp_ring), n_iter=3)
+    lp_agg = lp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("community").alias("n_comm"),
+        F.sum(
+            (F.col("community") == (F.col("node") / 10).cast("long") * 10)
+            .cast("long")
+        ).alias("n_home"),
+    ).first()
+    assert lp_agg["n"] == n_lp, lp_agg
+    assert lp_agg["n_comm"] == n_lp // 10, lp_agg
+    assert lp_agg["n_home"] == n_lp, lp_agg
+    print(
+        json.dumps(
+            {
+                "stage": "label_prop_2m",
+                "n_nodes": n_lp,
+                "n_edges_directed": int(n_lp * 0.9 + n_lp),
+                "n_iter": 3,
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
