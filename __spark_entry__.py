@@ -3667,6 +3667,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nation_communities"] = nation_communities
 
+    # ---- exact token-phrase search (operators/search.py): anchor-
+    # vote matching over the positional token stream; probes cover a
+    # repeated-token phrase, normalization-crossing phrases, a
+    # single-token phrase (occurrences == tf) and an absent phrase ----
+    def doc_phrase_search(spark, sf):
+        from dbscan_pyspark_spark.operators.search import phrase_search
+
+        probes = spark.createDataFrame(
+            _PHRASE_PROBES, "phrase_id int, phrase_text string"
+        )
+        return phrase_search(load_table(spark, sf, "documents"), probes)
+
+    q["doc_phrase_search"] = doc_phrase_search
+
     return _reorder_for_driver_window(q)
 
 
@@ -3677,6 +3691,15 @@ _BM25_PROBES = [
     (1, "window merge sort table"),
     (2, "customer order"),
     (3, "qqq zzz unseenword"),
+]
+
+# Phrase probes — shared verbatim by doc_phrase_search and its oracle
+_PHRASE_PROBES = [
+    (0, "batch batch"),
+    (1, "the fast"),
+    (2, "join order"),
+    (3, "spark"),
+    (4, "qqq zzz"),
 ]
 
 
@@ -4891,6 +4914,45 @@ SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
 FROM tok WHERE term <> ''
 GROUP BY term, doc_id
 """
+
+def _phrase_oracle(probes: list[tuple[int, str]]) -> str:
+    """Replica of operators.search.phrase_search: same anchor-vote
+    matching (slot row (doc, pos, slot) votes for anchor pos - slot;
+    an anchor with all m slot votes is one contiguous occurrence)."""
+    values = ", ".join(f"({i}, '{t}')" for i, t in probes)
+    pnorm = _NORM.replace("text", "phrase_text")
+    return f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS term,
+         CAST(unnest(range(len(toks))) AS BIGINT) AS pos
+  FROM base
+),
+tokf AS (SELECT * FROM tok WHERE term <> ''),
+phr(phrase_id, phrase_text) AS (VALUES {values}),
+pbase AS (SELECT phrase_id, string_split({pnorm}, ' ') AS toks FROM phr),
+slots AS (
+  SELECT phrase_id, term, slot FROM (
+    SELECT phrase_id, unnest(toks) AS term,
+           CAST(unnest(range(len(toks))) AS BIGINT) AS slot
+    FROM pbase
+  ) s WHERE term <> ''
+),
+nslots AS (SELECT phrase_id, count(*) AS m FROM slots GROUP BY 1),
+votes AS (
+  SELECT s.phrase_id, t.doc_id, t.pos - s.slot AS anchor
+  FROM slots s JOIN tokf t ON s.term = t.term
+),
+anchors AS (
+  SELECT phrase_id, doc_id, anchor, count(*) AS v
+  FROM votes GROUP BY 1, 2, 3
+)
+SELECT a.phrase_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM anchors a JOIN nslots n ON a.phrase_id = n.phrase_id
+WHERE a.v = n.m AND a.anchor >= 0
+GROUP BY 1, 2
+"""
+
 
 _SORTED_NEIGHBORS_ORACLE = f"""
 WITH keyed AS (
@@ -7379,6 +7441,7 @@ FROM agg
         "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,
         "doc_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,
+        "doc_phrase_search": _phrase_oracle(_PHRASE_PROBES),
         "clean_corpus_splits": f"""
 WITH {_CORPUS_FILTER_CTES},
 kept AS (SELECT doc_id, n_tokens FROM labeled WHERE reason = 'kept'),

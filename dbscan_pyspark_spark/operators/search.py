@@ -1,5 +1,5 @@
-"""Full-text ranked retrieval over a document corpus: inverted-index
-postings and BM25 top-k keyword search.
+"""Full-text retrieval over a document corpus: inverted-index postings,
+BM25 top-k keyword search, and exact token-phrase search.
 
 Not in the reference (its corpus is numeric points), but a training-data
 pipeline's standard text-retrieval primitive — finding the corpus
@@ -175,4 +175,75 @@ def bm25_topk(
         id_col,
         F.round(F.col("_score").cast("double"), round_to).alias("score"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    phrase_text_col: str = "phrase_text",
+) -> DataFrame:
+    """Exact token-phrase search over the positional postings: for each
+    probe phrase, every document containing its normalized token
+    sequence contiguously, with the occurrence count.
+
+    Returns DataFrame(phrase_id, <id_col>, n_occurrences long) — one
+    row per (phrase, matching doc); docs without a match are absent.
+    Phrases that normalize to nothing are absent too (no vacuous
+    all-docs match).
+
+    The match uses the anchor trick: a phrase slot row (doc, token
+    position ``pos``, phrase index ``i``) votes for anchor ``pos - i``;
+    an anchor collecting votes from ALL m distinct phrase slots is one
+    contiguous occurrence starting there. Repeated tokens in the phrase
+    are handled by slot identity (each slot votes separately, even when
+    two slots share the same term), and a position matching two
+    different slots votes once per slot — exactly the semantics of
+    sliding the phrase window.
+
+    Scale shape: ONE corpus tokenization; the (slot, term) relation —
+    phrase length × phrase count rows, human-sized — is broadcast onto
+    the token stream, so only positions of phrase terms survive into
+    the anchor aggregate (two shuffles: anchor-vote count keyed
+    (phrase, doc, anchor) with map-side partials, then the per-doc
+    occurrence count). No positions arrays are materialized; the token
+    stream stays flat and codegen-friendly.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized(text_col), " ")).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    slots = (
+        phrases.select(
+            phrase_id_col,
+            F.posexplode(
+                F.split(normalized(phrase_text_col), " ")
+            ).alias("slot", "term"),
+        )
+        .where(F.col("term") != "")
+    )
+    n_slots = slots.groupBy(phrase_id_col).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    votes = (
+        F.broadcast(slots)
+        .join(tok, "term")
+        .select(
+            phrase_id_col,
+            id_col,
+            (F.col("pos") - F.col("slot")).alias("_anchor"),
+            "slot",
+        )
+    )
+    anchors = (
+        votes.groupBy(phrase_id_col, id_col, "_anchor")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+        .join(F.broadcast(n_slots), phrase_id_col)
+        .where((F.col("_votes") == F.col("_m")) & (F.col("_anchor") >= 0))
+    )
+    return anchors.groupBy(phrase_id_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )

@@ -113,3 +113,57 @@ def test_inverted_postings_junk_doc_contributes_nothing(spark):
     )
     rows = inverted_postings(docs).collect()
     assert {r.doc_id for r in rows} == {2}
+
+
+# ---------------------------------------------------------------------------
+# phrase search
+
+
+def test_phrase_search_semantics(spark):
+    from dbscan_pyspark_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa aaa aaa bbb"),
+            (2, "the Quick, brown-fox! the quick"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [
+            (0, "aaa aaa"),       # overlapping occurrences
+            (1, "the quick"),     # normalization strips punctuation
+            (2, "quick brown fox"),
+            (3, "zzz qqq"),       # absent
+            (4, "aaa"),           # single token: occurrences == tf
+        ],
+        "phrase_id int, phrase_text string",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in phrase_search(docs, phrases).collect()
+    }
+    assert got == {(0, 1): 2, (1, 2): 2, (2, 2): 1, (4, 1): 3}
+
+
+def test_phrase_search_no_vacuous_match_and_boundaries(spark):
+    from dbscan_pyspark_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "start middle end")], "doc_id long, text string"
+    )
+    phrases = spark.createDataFrame(
+        [
+            (0, "!!! ..."),        # normalizes to nothing: no match rows
+            (1, "end start"),      # not contiguous in this order
+            (2, "middle end"),     # suffix match
+            (3, "start middle end extra"),  # longer than the doc
+        ],
+        "phrase_id int, phrase_text string",
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in phrase_search(docs, phrases).collect()
+    }
+    assert got == {(2, 1): 1}
