@@ -3681,6 +3681,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_phrase_search"] = doc_phrase_search
 
+    # ---- BPE tokenizer induction (operators/tokenize.py): 8 merge
+    # rounds over the corpus word-frequency relation — twelfth
+    # iterative family with an exact unrolled-CTE oracle (integer pair
+    # counts, total tie order, deterministic greedy fold) ----
+    def doc_bpe_merges(spark, sf):
+        from dbscan_pyspark_spark.operators.tokenize import bpe_learn
+
+        return bpe_learn(
+            load_table(spark, sf, "documents"),
+            n_merges=8,
+            min_pair_count=2,
+        )
+
+    q["doc_bpe_merges"] = doc_bpe_merges
+
+    # ---- BPE application with a FIXED merge table (so the oracle can
+    # replay the folds without re-learning); token arrays emitted as
+    # count + space-joined string (canonicalizer rejects arrays) ----
+    def doc_bpe_tokens(spark, sf):
+        from dbscan_pyspark_spark.operators.tokenize import bpe_apply
+
+        toks = bpe_apply(
+            load_table(spark, sf, "documents"),
+            _BPE_FIXED_MERGES,
+            chunk=4,
+        )
+        return toks.select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_tokens"),
+            F.array_join("bpe_tokens", " ").alias("tokens_str"),
+        )
+
+    q["doc_bpe_tokens"] = doc_bpe_tokens
+
     return _reorder_for_driver_window(q)
 
 
@@ -3700,6 +3734,17 @@ _PHRASE_PROBES = [
     (2, "join order"),
     (3, "spark"),
     (4, "qqq zzz"),
+]
+
+# Fixed merge table for doc_bpe_tokens (rank order) — fixed so the
+# oracle replays the folds without re-deriving the learned table
+_BPE_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "r"),
+    ("s", "t"),
+    ("o", "r"),
+    ("or", "d"),
 ]
 
 
@@ -4951,6 +4996,105 @@ SELECT a.phrase_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
 FROM anchors a JOIN nslots n ON a.phrase_id = n.phrase_id
 WHERE a.v = n.m AND a.anchor >= 0
 GROUP BY 1, 2
+"""
+
+
+def _bpe_fold_sql(symbols_expr: str, left: str, right: str) -> str:
+    """One greedy left-to-right merge pass as a DuckDB list fold —
+    the exact twin of tokenize._merge_fold (leftmost-first overlap
+    resolution falls out of the same fold shape in both engines)."""
+    return (
+        f"list_reduce(list_transform({symbols_expr}, s -> [s]), "
+        f"(acc, x) -> CASE WHEN acc[-1] = '{left}' AND x[1] = '{right}' "
+        f"THEN list_concat(acc[1:len(acc)-1], ['{left}{right}']) "
+        f"ELSE list_concat(acc, x) END)"
+    )
+
+
+def _bpe_learn_oracle(n_merges: int, min_pair_count: int) -> str:
+    """Unrolled-CTE replica of operators.tokenize.bpe_learn: the same
+    word-frequency relation, adjacent-pair integer counts, argmax with
+    the (count desc, left, right) total tie order, and greedy
+    re-segmentation fold per round (twelfth iterative family with an
+    exact oracle). Early stop replays too: an empty b{{i}} empties
+    every later round via its cross join, so the merge union matches
+    the driver loop's break."""
+    parts = [
+        f"""wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS count FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+  ) t WHERE w <> '' GROUP BY w
+)""",
+        "w0 AS (SELECT count, string_split(w, '') AS syms FROM wc)",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+  SELECT p.l, p.r, sum(count) AS cnt FROM (
+    SELECT count,
+           unnest(list_transform(range(1, len(syms)),
+                  j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p
+    FROM w{i}
+  ) t GROUP BY p.l, p.r
+)"""
+        )
+        parts.append(
+            f"""b{i} AS (
+  SELECT l, r, cnt, {i} AS rank FROM p{i}
+  WHERE cnt >= {min_pair_count}
+  ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+        )
+        if i + 1 < n_merges:
+            fold = (
+                "list_reduce(list_transform(syms, s -> [s]), "
+                "(acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r "
+                "THEN list_concat(acc[1:len(acc)-1], [b.l || b.r]) "
+                "ELSE list_concat(acc, x) END)"
+            )
+            parts.append(
+                f"""w{i + 1} AS (
+  SELECT count,
+         CASE WHEN len(syms) < 2 THEN syms ELSE {fold} END AS syms
+  FROM w{i}, b{i} b
+)"""
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(n_merges))
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f'SELECT rank, l AS "left", r AS "right", '
+        f"CAST(cnt AS BIGINT) AS pair_count FROM ({union}) u"
+    )
+
+
+def _bpe_apply_oracle(merges: list[tuple[str, str]]) -> str:
+    """Replica of operators.tokenize.bpe_apply with a fixed merge
+    table: the same fold chain per word, word order preserved, docs
+    whose normalized text is empty kept with zero tokens."""
+    fold = "string_split(w, '')"
+    for left, right in merges:
+        fold = _bpe_fold_sql(fold, left, right)
+    return f"""
+WITH words AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id,
+           unnest(string_split({_NORM}, ' ')) AS w,
+           unnest(range(len(string_split({_NORM}, ' ')))) AS pos
+    FROM documents
+  ) t WHERE w <> ''
+),
+segd AS (SELECT doc_id, pos, {fold} AS toks FROM words),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos) AS tokens_str
+  FROM segd GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       coalesce(t.tokens_str, '') AS tokens_str
+FROM documents d LEFT JOIN per_doc t ON d.doc_id = t.doc_id
 """
 
 
@@ -7442,6 +7586,8 @@ FROM agg
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,
         "doc_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,
         "doc_phrase_search": _phrase_oracle(_PHRASE_PROBES),
+        "doc_bpe_merges": _bpe_learn_oracle(n_merges=8, min_pair_count=2),
+        "doc_bpe_tokens": _bpe_apply_oracle(_BPE_FIXED_MERGES),
         "clean_corpus_splits": f"""
 WITH {_CORPUS_FILTER_CTES},
 kept AS (SELECT doc_id, n_tokens FROM labeled WHERE reason = 'kept'),
