@@ -1228,6 +1228,55 @@ def main() -> None:
         flush=True,
     )
 
+    # --- BPE induction over a 2M-doc corpus ---
+    # 100k-word closed vocab ("w" + digits): the corpus collapses to
+    # the word-frequency relation in one pass, and every one of the 30
+    # merge rounds is a small job over <=100k vocabulary rows — the
+    # scale claim of bpe_learn (corpus size only affects the first
+    # aggregate). Digit-pair merges must dominate: every word is 'w' +
+    # ~uniform digits, so the top merges are digit-digit or w-digit
+    # pairs; assert the table is full-length and counts are
+    # monotonically usable (each round's count <= nothing — counts can
+    # rise as merges create new pairs, so assert only shape + ranks).
+    from dbscan_pyspark_spark.operators.tokenize import bpe_learn
+
+    n_bpe = 2_000_000
+    bpe_docs = spark.range(n_bpe).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("id") * 31 + j, F.lit(100_000)).cast(
+                        "string"
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    bpe = bpe_learn(bpe_docs, n_merges=30, min_pair_count=2).collect()
+    assert len(bpe) == 30, len(bpe)
+    assert [r["rank"] for r in sorted(bpe, key=lambda r: r["rank"])] == list(
+        range(30)
+    )
+    assert all(r["pair_count"] >= 2 for r in bpe)
+    print(
+        json.dumps(
+            {
+                "stage": "bpe_learn_2m",
+                "n_docs": n_bpe,
+                "n_merges": 30,
+                "top_merge": bpe[0]["left"] + "+" + bpe[0]["right"],
+                "top_count": bpe[0]["pair_count"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
