@@ -109,11 +109,18 @@ def bm25_topk(
     decimal-cast-before-summing rule; the 1e-9 quantization is far
     below any meaningful BM25 score difference).
 
-    Scale shape: ONE corpus tokenization feeds tf (shuffle keyed
-    (doc, term), map-side partials), dl (doc-keyed, partials) and df
-    (term-keyed over the already-reduced tf relation — never the raw
-    token stream). N and avgdl ride a 1-row aggregate broadcast onto
-    the scored relation (no driver pull, stays lazy). The query
+    Scale shape: tf rides one (doc, term)-keyed shuffle and dl one
+    doc-keyed shuffle, both map-side combined directly off the token
+    stream — the corpus tokenizes twice, but each pass reduces before
+    its exchange (dl ships doc-count partials, not tokens). The
+    alternative (dl = per-doc sum of tf, serving every consumer from
+    the single postings exchange via AQE ReusedExchange) was paired-
+    A/B'd at 2M docs / 60M tokens: equal within host variance (26-39 s
+    both shapes, 3 interleaved reps) — re-reading the 60M-row postings
+    exchange costs about what the second codegen explode does, so the
+    simpler direct shape stays. df derives from tf (never the raw
+    stream). N and avgdl ride a 1-row aggregate broadcast onto the
+    scored relation (no driver pull, stays lazy). The query
     relation is explicitly broadcast — retrieval probes are human-sized
     while the postings side is corpus-sized — so the only corpus-wide
     exchanges are the two index-build shuffles and the (query, doc)
