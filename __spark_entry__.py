@@ -3715,6 +3715,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bpe_tokens"] = doc_bpe_tokens
 
+    # ---- personalized PageRank (operators/components.py): random
+    # walk with restart to the region-0 nations over the trade graph —
+    # the related-items primitive, same integer grid as nation_pagerank
+    # with teleport restricted to the seed set ----
+    def nation_ppr(spark, sf):
+        from dbscan_pyspark_spark.operators.components import pagerank
+
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        s = load_table(spark, sf, "supplier")
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .select(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+            )
+        )
+        seeds = (
+            load_table(spark, sf, "nation")
+            .where(F.col("n_regionkey") == 0)
+            .select(F.col("n_nationkey").alias("node"))
+        )
+        return pagerank(edges, n_iter=3, seeds=seeds)
+
+    q["nation_ppr"] = nation_ppr
+
     return _reorder_for_driver_window(q)
 
 
@@ -4814,19 +4843,45 @@ def _pagerank_oracle(
     n_iter: int = 3,
     damping_pct: int = 85,
     scale: int = 10**12,
+    seeds_sql: str | None = None,
 ) -> str:
     """Unrolled-CTE replica of operators.components.pagerank: the same
     integer micro-unit grid, the same truncating integer divisions —
     bit-exact across engines (third iterative op with an exact oracle,
-    after DBSCAN and k-means)."""
+    after DBSCAN and k-means). With ``seeds_sql`` (one column ``node``)
+    it replays the PERSONALIZED variant: initial mass and per-round
+    teleport restricted to seed nodes present in the graph, n = |S|."""
     d = damping_pct
     parts = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
-        f"p0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS p FROM nodes, nn)",
     ]
+    if seeds_sql is None:
+        parts += [
+            "nn AS (SELECT count(*) AS n FROM nodes)",
+            f"p0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS p FROM nodes, nn)",
+        ]
+        teleport = f"(({scale} - {scale} * {d} // 100) // nn.n)"
+        seed_join = ""
+    else:
+        parts += [
+            f"""sd AS (
+  SELECT DISTINCT n.node FROM nodes n
+  JOIN ({seeds_sql}) s ON n.node = CAST(s.node AS BIGINT)
+)""",
+            "nn AS (SELECT count(*) AS n FROM sd)",
+            f"""p0 AS (
+  SELECT n2.node,
+         CAST(CASE WHEN sd.node IS NOT NULL THEN {scale} // nn.n ELSE 0 END AS BIGINT) AS p
+  FROM nodes n2 LEFT JOIN sd ON n2.node = sd.node, nn
+)""",
+        ]
+        teleport = (
+            f"(CASE WHEN sd.node IS NOT NULL THEN "
+            f"({scale} - {scale} * {d} // 100) // nn.n ELSE 0 END)"
+        )
+        seed_join = " LEFT JOIN sd ON n2.node = sd.node"
     for i in range(n_iter):
         parts.append(
             f"""c{i} AS (
@@ -4838,8 +4893,8 @@ def _pagerank_oracle(
         parts.append(
             f"""p{i + 1} AS (
   SELECT n2.node,
-         CAST((({scale} - {scale} * {d} // 100) // nn.n) + coalesce(c.s, 0) AS BIGINT) AS p
-  FROM nodes n2 LEFT JOIN c{i} c ON n2.node = c.dst, nn
+         CAST({teleport} + coalesce(c.s, 0) AS BIGINT) AS p
+  FROM nodes n2 LEFT JOIN c{i} c ON n2.node = c.dst{seed_join}, nn
 )"""
         )
     ctes = ",\n".join(parts)
@@ -7582,6 +7637,13 @@ FROM agg
 """,
         "nation_pagerank": _pagerank_oracle(_NATION_EDGES_SQL, n_iter=3),
         "nation_communities": _label_prop_oracle(_NATION_EDGES_SQL, n_iter=3),
+        "nation_ppr": _pagerank_oracle(
+            _NATION_EDGES_SQL,
+            n_iter=3,
+            seeds_sql=(
+                "SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0"
+            ),
+        ),
         "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,
         "doc_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,

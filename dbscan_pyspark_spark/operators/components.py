@@ -335,8 +335,16 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     scale: int = 10**12,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
-    """Deterministic integer-arithmetic PageRank (fixed iterations).
+    """Deterministic integer-arithmetic PageRank (fixed iterations),
+    optionally PERSONALIZED: with ``seeds`` (a one-column DataFrame of
+    node ids), the initial mass and the per-round teleport both go to
+    the seed set only — the related-items/recommendation primitive
+    (random walk with restart to the seeds). Seeds not present in the
+    graph are ignored; the seed relation is a bounded probe set and is
+    broadcast onto the rank vector, never shuffled.
 
     All mass lives on an integer micro-unit grid (``scale`` units = 1.0
     of probability): contributions are ``(p * damping_pct) div
@@ -367,13 +375,40 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = nodes.count()
+    seed_set = None
+    if seeds is not None:
+        # seeds ∩ graph nodes — the teleport target set S
+        seed_set = (
+            nodes.join(
+                F.broadcast(
+                    seeds.select(F.col(seed_col).cast("long").alias("node"))
+                ).distinct(),
+                "node",
+                "left_semi",
+            )
+            .withColumn("_is_seed", F.lit(True))
+        )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return (
+            edges.sparkSession.range(0)
+            .select(
+                F.col("id").alias("node"),
+                F.lit(None).cast("double").alias("pagerank"),
+            )
+        )
+    n = n_nodes if seed_set is None else seed_set.count()
     if n == 0:
-        return nodes.select("node", F.lit(None).cast("double").alias("pagerank"))
+        raise ValueError(
+            "pagerank: no seed node present in the graph — the "
+            "personalized teleport distribution would be undefined"
+        )
     p0 = int(scale) // n
     base = (int(scale) - int(scale) * damping_pct // 100) // n
     # NOTE the oracle must mirror this exact base formula:
-    # base = (scale - scale*d//100) // n, all integer ops.
+    # base = (scale - scale*d//100) // n, all integer ops (n = |S|
+    # when personalized); p0 / base apply to seed nodes only in the
+    # personalized variant, 0 elsewhere.
     # Same loop discipline as the star-contraction above: materialize
     # each round (flat lineage, no end-of-loop mega-plan) and pin AQE
     # partition coalescing off — each round's exchanges are small, and
@@ -386,8 +421,31 @@ def pagerank(
     prev_coalesce = spark.conf.get(_coalesce_key, None)
     spark.conf.set(_coalesce_key, "false")
     try:
-        nodes = nodes.localCheckpoint(eager=True)
-        p = nodes.select("node", F.lit(p0).cast("long").alias("p"))
+        if seed_set is None:
+            nodes = nodes.localCheckpoint(eager=True)
+            init = F.lit(p0).cast("long")
+            teleport = F.lit(base).cast("long")
+        else:
+            # node-complete frame with the seed flag materialized once
+            nodes = (
+                nodes.join(
+                    seed_set.select("node", "_is_seed"), "node", "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("_is_seed"), F.lit(False)).alias(
+                        "_is_seed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            init = F.when(F.col("_is_seed"), F.lit(p0)).otherwise(
+                F.lit(0)
+            ).cast("long")
+            teleport = F.when(F.col("_is_seed"), F.lit(base)).otherwise(
+                F.lit(0)
+            ).cast("long")
+        p = nodes.select("node", init.alias("p"))
         # (src, dst, deg) — static across rounds, materialized once
         ed = e.join(outdeg, "src").localCheckpoint(eager=True)
         for _ in range(n_iter):
@@ -404,7 +462,7 @@ def pagerank(
                 nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
                 .select(
                     "node",
-                    (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0))).alias("p"),
+                    (teleport + F.coalesce(F.col("_s"), F.lit(0))).alias("p"),
                 )
                 .localCheckpoint(eager=True)
             )

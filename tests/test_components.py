@@ -301,3 +301,66 @@ def test_label_propagation_validates_n_iter(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError, match="n_iter"):
         label_propagation(edges, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# personalized pagerank
+
+
+def _py_ppr(edges, seeds, n_iter, d=85, scale=10**12):
+    """Integer-grid replay of the personalized variant."""
+    e = sorted(set(edges))
+    nodes = sorted({v for p in e for v in p})
+    sd = sorted(set(seeds) & set(nodes))
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    p = {v: (scale // len(sd) if v in sd else 0) for v in nodes}
+    base = (scale - scale * d // 100) // len(sd)
+    for _ in range(n_iter):
+        c = {v: 0 for v in nodes}
+        for s, t in e:
+            c[t] += (p[s] * d) // (100 * outdeg[s])
+        p = {v: (base if v in sd else 0) + c[v] for v in nodes}
+    return {v: round(p[v] / scale, 8) for v in nodes}
+
+
+def test_personalized_pagerank_matches_python_replay(spark):
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 absent
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(df, n_iter=3, seeds=seeds).collect()
+    }
+    assert got == _py_ppr(edges, [1], 3)
+    # mass concentrates near the seed: the seed outranks the sink 5
+    assert got[1] > got[5]
+
+
+def test_personalized_pagerank_seedless_matches_classic(spark):
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src long, dst long"
+    )
+    classic = {r.node: r.pagerank for r in pagerank(edges, n_iter=2).collect()}
+    all_seeds = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    seeded = {
+        r.node: r.pagerank
+        for r in pagerank(edges, n_iter=2, seeds=all_seeds).collect()
+    }
+    assert classic == seeded  # seeding with ALL nodes is the classic walk
+
+
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(42,)], "node long")
+    with _pytest.raises(ValueError, match="no seed node"):
+        pagerank(edges, n_iter=1, seeds=seeds)
