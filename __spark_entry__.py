@@ -3744,6 +3744,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nation_ppr"] = nation_ppr
 
+    # ---- subword vocabulary after the fixed merges: the corpus token
+    # distribution a tokenizer report needs (composition: bpe_apply ->
+    # explode -> count) ----
+    def doc_bpe_vocab(spark, sf):
+        from dbscan_pyspark_spark.operators.tokenize import bpe_apply
+
+        toks = bpe_apply(
+            load_table(spark, sf, "documents"), _BPE_FIXED_MERGES, chunk=4
+        )
+        return (
+            toks.select(F.explode("bpe_tokens").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    q["doc_bpe_vocab"] = doc_bpe_vocab
+
     return _reorder_for_driver_window(q)
 
 
@@ -5150,6 +5167,25 @@ SELECT d.doc_id,
        coalesce(t.n_tokens, 0) AS n_tokens,
        coalesce(t.tokens_str, '') AS tokens_str
 FROM documents d LEFT JOIN per_doc t ON d.doc_id = t.doc_id
+"""
+
+
+def _bpe_vocab_oracle(merges: list[tuple[str, str]]) -> str:
+    """Subword vocabulary counts after the fixed merge folds — the
+    doc_bpe_tokens segmentation exploded and counted."""
+    fold = "string_split(w, '')"
+    for left, right in merges:
+        fold = _bpe_fold_sql(fold, left, right)
+    return f"""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+  ) t WHERE w <> ''
+),
+segd AS (SELECT {fold} AS toks FROM words)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(toks) AS token FROM segd) u
+GROUP BY token
 """
 
 
@@ -7650,6 +7686,7 @@ FROM agg
         "doc_phrase_search": _phrase_oracle(_PHRASE_PROBES),
         "doc_bpe_merges": _bpe_learn_oracle(n_merges=8, min_pair_count=2),
         "doc_bpe_tokens": _bpe_apply_oracle(_BPE_FIXED_MERGES),
+        "doc_bpe_vocab": _bpe_vocab_oracle(_BPE_FIXED_MERGES),
         "clean_corpus_splits": f"""
 WITH {_CORPUS_FILTER_CTES},
 kept AS (SELECT doc_id, n_tokens FROM labeled WHERE reason = 'kept'),
