@@ -3761,6 +3761,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bpe_vocab"] = doc_bpe_vocab
 
+    # ---- kNN graph over the embedding corpus (operators/similarity.py)
+    # — queries == vectors, probes through the cell-keyed shuffle join
+    # (never broadcast); the fully deterministic IVF pipeline keeps the
+    # approximate graph exactly oracle-able ----
+    def embedding_knn_graph(spark, sf):
+        from dbscan_pyspark_spark.operators.similarity import ivf_knn_graph
+
+        return ivf_knn_graph(
+            load_table(spark, sf, "embeddings"),
+            k=3,
+            n_cells=8,
+            nprobe=2,
+            n_iter=2,
+        )
+
+    q["embedding_knn_graph"] = embedding_knn_graph
+
     return _reorder_for_driver_window(q)
 
 
@@ -4800,6 +4817,7 @@ def _ivf_oracle(
     topk: int = 5,
     query_mod: int = 100,
     recall_eval: bool = False,
+    graph_names: bool = False,
 ) -> str:
     """Unrolled replica of operators.similarity.ivf_quantized_topk: the
     deterministic coarse quantizer (kmeans CTEs), sort-and-slice cell
@@ -4852,7 +4870,9 @@ ranked AS (
 ){_ivf_recall_tail(dim, topk) if recall_eval else ''}
 {f'''SELECT n_matched, count(*) AS n_queries FROM perq GROUP BY n_matched'''
  if recall_eval else
- f'SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {topk}'}"""
+ (f'SELECT query_id AS src, vec_id AS dst, score, rank FROM ranked WHERE rank <= {topk}'
+  if graph_names else
+  f'SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {topk}')}"""
 
 
 def _pagerank_oracle(
@@ -7713,6 +7733,10 @@ FROM sp GROUP BY 1
         "ivf_ann_topk_exact": _ivf_oracle(
             n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,
             query_mod=100,
+        ),
+        "embedding_knn_graph": _ivf_oracle(
+            n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=2, topk=3,
+            query_mod=1, graph_names=True,
         ),
         "ivf_recall_eval": _ivf_oracle(
             n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,

@@ -946,9 +946,17 @@ def ivf_quantized_topk(
     vec_col: str = "embedding",
     scale: int = 1000,
     model: tuple | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF ANN with a fully DETERMINISTIC pipeline — the exactly
     verifiable twin of :func:`ivf_cosine_topk`.
+
+    ``broadcast_probes``: True (default) broadcasts the probe relation
+    — right when queries are a human-sized probe set. Pass False when
+    the query side is corpus-sized (the kNN-graph case, see
+    :func:`ivf_knn_graph`): candidates then come from a cell-keyed
+    shuffle equi-join, the only shape that survives queries == vectors
+    at scale.
 
     The coarse quantizer is grid-quantized Lloyd's
     (:func:`~dbscan_pyspark_spark.operators.kmeans.kmeans_fit` — integer
@@ -1002,8 +1010,11 @@ def ivf_quantized_topk(
     probe = qv.select(
         "query_id", "_qv", F.explode(probe_cells).alias("cell")
     )
+    probe_side = probe.select("query_id", "cell")
+    if broadcast_probes:
+        probe_side = F.broadcast(probe_side)
     cand = (
-        F.broadcast(probe.select("query_id", "cell"))
+        probe_side
         .join(assign, F.col("cell") == assign["cluster"])
         .select("query_id", F.col(id_col))
         .where(F.col("query_id") != F.col(id_col))
@@ -1036,6 +1047,53 @@ def ivf_quantized_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
+    )
+
+
+def ivf_knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    model: tuple | None = None,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the vector corpus: every vector's
+    top-k neighbors by quantized cosine, self excluded — the building
+    block of graph-based dedup/clustering (kNN + connected components,
+    SNN clustering, hub detection).
+
+    Exactly :func:`ivf_quantized_topk` with queries == vectors — the
+    whole deterministic pipeline (grid-quantized Lloyd's quantizer,
+    sort-and-slice probing, integer-dot round-6 cosine) replays
+    bit-for-bit in SQL, so even this approximate graph carries an exact
+    oracle (`embedding_knn_graph`) — but with the probe relation going
+    through the cell-keyed shuffle equi-join instead of a broadcast:
+    the query side IS the corpus, and broadcasting it is exactly the
+    plan that dies first at scale. Returns DataFrame(src, dst, score
+    double, rank int).
+    """
+    out = ivf_quantized_topk(
+        vectors,
+        vectors,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        model=model,
+        broadcast_probes=False,
+    )
+    return out.select(
+        F.col("query_id").alias("src"),
+        F.col(id_col).alias("dst"),
+        "score",
+        "rank",
     )
 
 

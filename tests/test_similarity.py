@@ -497,3 +497,36 @@ def test_pca_trace_check_invariants(spark):
     q = np.round(np.array([v for _, v in vecs]) * 1000)
     trace = (q.var(axis=0) / 1e6).sum()
     assert abs(row["trace_q"] - round(float(trace), 4)) < 2e-4
+
+
+# ---------------------------------------------------------------------------
+# kNN graph
+
+
+def test_ivf_knn_graph_shape_and_broadcast_equivalence(spark, sf_dir):
+    from dbscan_pyspark_spark.operators.similarity import (
+        ivf_knn_graph,
+        ivf_quantized_topk,
+    )
+    from dbscan_pyspark_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = ivf_knn_graph(e, k=3, n_cells=4, nprobe=2, n_iter=1)
+    rows = g.collect()
+    assert g.columns == ["src", "dst", "score", "rank"]
+    # self excluded, <=k per source, ranks contiguous from 1
+    assert all(r.src != r.dst for r in rows)
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.src, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+    assert all(len(v) <= 3 for v in per_src.values())
+    # the shuffle-join path is RESULT-identical to the broadcast path
+    bro = ivf_quantized_topk(
+        e, e, k=3, n_cells=4, nprobe=2, n_iter=1, broadcast_probes=True
+    )
+    got = {(r.src, r.dst, r.score, r.rank) for r in rows}
+    exp = {
+        (r.query_id, r.vec_id, r.score, r.rank) for r in bro.collect()
+    }
+    assert got == exp
