@@ -206,3 +206,46 @@ def bpe_apply(
         if start + chunk < len(pulled):
             out = out.localCheckpoint(eager=True)
     return out.withColumn(out_col, F.flatten(F.col(out_col)))
+
+
+def save_merges(
+    merges: DataFrame | list[tuple], path: str
+) -> None:
+    """Persist a learned merge table as a single JSON file — the
+    tokenizer artifact (n_merges rows, driver-small by construction;
+    JSON round-trips the strings exactly). Accepts the
+    :func:`bpe_learn` DataFrame or an already-pulled
+    [(rank, left, right, pair_count), ...] / [(left, right), ...]
+    list."""
+    import json
+
+    if isinstance(merges, DataFrame):
+        rows = [
+            (int(r["rank"]), r["left"], r["right"], int(r["pair_count"]))
+            for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        rows = [
+            (
+                (i, m[0], m[1], None)
+                if len(m) == 2
+                else (int(m[0]), m[1], m[2], int(m[3]))
+            )
+            for i, m in enumerate(merges)
+        ]
+    with open(path, "w") as f:
+        json.dump({"format": "bpe_merges.v1", "merges": rows}, f)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by :func:`save_merges`; returns the
+    rank-ordered [(left, right), ...] list :func:`bpe_apply` takes."""
+    import json
+
+    with open(path) as f:
+        m = json.load(f)
+    if m.get("format") != "bpe_merges.v1":
+        raise ValueError(f"not a bpe_merges table: {path}")
+    return [
+        (r[1], r[2]) for r in sorted(m["merges"], key=lambda r: int(r[0]))
+    ]

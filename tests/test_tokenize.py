@@ -132,3 +132,30 @@ def test_bpe_apply_plain_list_and_junk_doc(spark):
 def test_word_frequencies(spark, docs):
     wf = {r.w: r["count"] for r in word_frequencies(docs).collect()}
     assert wf["low"] == 4 and wf["newer"] == 2 and wf["lowest"] == 1
+
+
+def test_merge_table_save_load_roundtrip(spark, docs, tmp_path):
+    from dbscan_pyspark_spark.operators.tokenize import (
+        load_merges,
+        save_merges,
+    )
+
+    merges = bpe_learn(docs, n_merges=5)
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    loaded = load_merges(p)
+    assert loaded == [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    # applying the loaded table reproduces the DataFrame-driven apply
+    a = {r.doc_id: r.bpe_tokens for r in bpe_apply(docs, merges).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in bpe_apply(docs, loaded).collect()}
+    assert a == b
+    # plain pair-list save path + format guard
+    save_merges(loaded, p)
+    assert load_merges(p) == loaded
+    import json
+    import pytest as _pytest
+
+    with open(p, "w") as f:
+        json.dump({"format": "other"}, f)
+    with _pytest.raises(ValueError, match="bpe_merges"):
+        load_merges(p)
