@@ -1075,6 +1075,13 @@ def ivf_knn_graph(
     the query side IS the corpus, and broadcasting it is exactly the
     plan that dies first at scale. Returns DataFrame(src, dst, score
     double, rank int).
+
+    SIZE THE CELLS TO THE CORPUS: candidate volume is sum over queries
+    of nprobe x |cell| — quadratic within cells — so n_cells must grow
+    ~ n / target_cell_size (measured: 8 cells at 200k vectors plans
+    1e10 scored pairs and does not finish; 64 cells at 50k vectors is
+    ~8e7 pairs and runs in seconds — the knn_graph_50k stress stage
+    records the lesson).
     """
     out = ivf_quantized_topk(
         vectors,

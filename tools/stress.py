@@ -1277,6 +1277,105 @@ def main() -> None:
         flush=True,
     )
 
+    # --- phrase search over a 2M-doc corpus ---
+    # Phrase "alpha bravo charlie" is planted ONCE in every doc with
+    # id % 200 == 0 (10k docs), spliced between filler words; a decoy
+    # "alpha bravo" prefix (without charlie) is planted in id % 200 ==
+    # 1 docs to prove anchor-votes don't fire on partial matches. The
+    # load is the broadcast slot join over 60M token rows and the
+    # anchor-vote aggregate.
+    from dbscan_pyspark_spark.operators.search import phrase_search
+
+    n_ph = 2_000_000
+    ph_fill = F.transform(
+        F.sequence(F.lit(0), F.lit(27)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.col("id") * 31 + j, F.lit(100_000)).cast("string"),
+        ),
+    )
+    ph_docs = spark.range(n_ph).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(ph_fill, 1, 14),
+            F.when(F.col("id") % 200 == 0, F.lit("alpha bravo charlie"))
+            .when(F.col("id") % 200 == 1, F.lit("alpha bravo delta"))
+            .otherwise(F.lit("")),
+            F.slice(ph_fill, 15, 14),
+        ).alias("text"),
+    )
+    ph_probes = spark.createDataFrame(
+        [(0, "alpha bravo charlie"), (1, "alpha bravo")],
+        "phrase_id int, phrase_text string",
+    )
+    t0 = time.time()
+    ph = phrase_search(ph_docs, ph_probes)
+    ph_agg = ph.groupBy("phrase_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_occurrences").alias("n_occ"),
+    )
+    ph_stats = {r["phrase_id"]: (r["n_docs"], r["n_occ"]) for r in ph_agg.collect()}
+    assert ph_stats[0] == (n_ph // 200, n_ph // 200), ph_stats
+    assert ph_stats[1] == (n_ph // 100, n_ph // 100), ph_stats
+    print(
+        json.dumps(
+            {
+                "stage": "phrase_search_2m",
+                "n_docs": n_ph,
+                "n_matches_full": ph_stats[0][0],
+                "n_matches_prefix": ph_stats[1][0],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- kNN graph over 50k vectors, cells sized to the corpus ---
+    # The knn-graph candidate volume is sum over queries of
+    # nprobe x |cell| — QUADRATIC within cells — so n_cells must grow
+    # with n (here 64 cells -> ~800-vector cells -> ~8e7 scored pairs;
+    # the first attempt with 8 cells at 200k vectors planned 1e10
+    # pairs and was killed, which is the sizing lesson this stage
+    # records). Corpus-sized query side goes through the cell-keyed
+    # shuffle join (broadcast_probes=False); every vector must emit
+    # <= k self-free edges.
+    from dbscan_pyspark_spark.operators.similarity import ivf_knn_graph
+
+    n_kg = 50_000
+    blob = F.col("id") % 8
+    kg_vecs = spark.range(n_kg).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: (
+                (blob * 100).cast("double")
+                + (F.abs(F.xxhash64("id", j.cast("string"))) % 21 - 10)
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    kg = ivf_knn_graph(kg_vecs, k=5, n_cells=64, nprobe=2, n_iter=2)
+    kg_agg = kg.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self"),
+        F.max("rank").alias("max_rank"),
+        F.countDistinct("src").alias("n_src"),
+    ).first()
+    assert kg_agg["n_self"] == 0 and kg_agg["max_rank"] <= 5, kg_agg
+    assert kg_agg["n_src"] == n_kg, kg_agg
+    print(
+        json.dumps(
+            {
+                "stage": "knn_graph_50k",
+                "n_vectors": n_kg,
+                "n_edges": kg_agg["n_edges"],
+                "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
