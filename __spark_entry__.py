@@ -3778,6 +3778,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_knn_graph"] = embedding_knn_graph
 
+    # ---- mutual-kNN clustering (operators/similarity.py): reciprocal
+    # top-k edges -> connected components, singletons self-labeled —
+    # a clustering of an approximate graph that still replays exactly
+    # (recursive-CTE oracle over the same deterministic IVF graph) ----
+    def embedding_mutual_knn_clusters(spark, sf):
+        from dbscan_pyspark_spark.operators.similarity import (
+            mutual_knn_clusters,
+        )
+
+        return mutual_knn_clusters(
+            load_table(spark, sf, "embeddings"),
+            k=3,
+            n_cells=8,
+            nprobe=2,
+            n_iter=2,
+        )
+
+    q["embedding_mutual_knn_clusters"] = embedding_mutual_knn_clusters
+
     return _reorder_for_driver_window(q)
 
 
@@ -4873,6 +4892,33 @@ ranked AS (
  (f'SELECT query_id AS src, vec_id AS dst, score, rank FROM ranked WHERE rank <= {topk}'
   if graph_names else
   f'SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {topk}')}"""
+
+
+def _mutual_knn_oracle(**ivf_kwargs) -> str:
+    """Replica of operators.similarity.mutual_knn_clusters: the
+    graph-named IVF oracle as a subquery, a reciprocity self-join, and
+    a recursive-CTE connected components with singletons self-labeled
+    (component = min member id = least(u, min reachable))."""
+    graph_sql = _ivf_oracle(graph_names=True, **ivf_kwargs)
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT src, dst FROM ({graph_sql}) q
+),
+mutual AS (
+  SELECT a.src, a.dst FROM g a JOIN g b ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst
+),
+und AS (SELECT src, dst FROM mutual UNION SELECT dst AS src, src AS dst FROM mutual),
+reach(u, v) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN und e ON r.v = e.src
+),
+comp AS (SELECT u, min(v) AS mn FROM reach GROUP BY u)
+SELECT e.vec_id,
+       CAST(coalesce(least(c.u, c.mn), e.vec_id) AS BIGINT) AS cluster_id
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.u
+"""
 
 
 def _pagerank_oracle(
@@ -7737,6 +7783,10 @@ FROM sp GROUP BY 1
         "embedding_knn_graph": _ivf_oracle(
             n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=2, topk=3,
             query_mod=1, graph_names=True,
+        ),
+        "embedding_mutual_knn_clusters": _mutual_knn_oracle(
+            n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=2, topk=3,
+            query_mod=1,
         ),
         "ivf_recall_eval": _ivf_oracle(
             n_cells=8, n_iter=2, dim=64, scale=1000, nprobe=3, topk=5,

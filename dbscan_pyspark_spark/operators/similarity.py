@@ -1104,6 +1104,61 @@ def ivf_knn_graph(
     )
 
 
+def mutual_knn_clusters(
+    vectors: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    model: tuple | None = None,
+) -> DataFrame:
+    """Mutual-kNN clustering (the Jarvis-Patrick/SNN family's simplest
+    member): an edge joins a and b only when each is in the OTHER's
+    top-k (mutuality kills the hub/chaining artifacts a raw kNN graph
+    has — a hub in many top-k lists reciprocates only k of them),
+    clusters are the connected components of the mutual graph, and
+    vectors with no reciprocal neighbor are singletons labeled by their
+    own id. Returns DataFrame(<id_col>, cluster_id long).
+
+    Deterministic end to end — kNN graph from the quantized IVF
+    pipeline (:func:`ivf_knn_graph`), mutuality is a self-join, the
+    component label is the minimum member id — so even this clustering
+    of an APPROXIMATE graph replays exactly against a recursive-CTE
+    oracle (`embedding_mutual_knn_clusters`).
+
+    Scale shape: the knn graph's cell-keyed shuffle join (cells sized
+    ~n/target — see :func:`ivf_knn_graph`), one (src, dst)-keyed
+    self-join for mutuality (<= n·k rows each side), then the adaptive
+    CC (driver union-find under the threshold, star contraction above).
+    """
+    g = ivf_knn_graph(
+        vectors,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        model=model,
+    ).select("src", "dst")
+    rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = g.join(rev, ["src", "dst"]).where(F.col("src") < F.col("dst"))
+    from dbscan_pyspark_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(
+        mutual, vertices=vectors.select(F.col(id_col).alias("id"))
+    )
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
 def label_cohesion(
     vectors: DataFrame,
     label_col: str = "label",

@@ -530,3 +530,36 @@ def test_ivf_knn_graph_shape_and_broadcast_equivalence(spark, sf_dir):
         (r.query_id, r.vec_id, r.score, r.rank) for r in bro.collect()
     }
     assert got == exp
+
+
+def test_mutual_knn_clusters_properties(spark):
+    from dbscan_pyspark_spark.operators.similarity import mutual_knn_clusters
+
+    # cosine clusters by DIRECTION: two arcs of gently rotating unit
+    # directions (adjacent members are mutual nearest neighbors, so
+    # each arc chains into one component) + an opposite-direction
+    # outlier whose picks never reciprocate
+    import math
+
+    rows = []
+    for i in range(4):
+        ta = 0.02 * i
+        rows.append((i, [1000 * math.cos(ta), 1000 * math.sin(ta)]))
+        tb = 1.2 + 0.02 * i
+        rows.append((10 + i, [1000 * math.cos(tb), 1000 * math.sin(tb)]))
+    rows.append((99, [-1000.0, -1000.0]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.cluster_id
+        for r in mutual_knn_clusters(
+            vecs, k=2, n_cells=2, nprobe=2, n_iter=2
+        ).collect()
+    }
+    # every vector labeled; labels are member minima
+    assert set(got) == {0, 1, 2, 3, 10, 11, 12, 13, 99}
+    for v, c in got.items():
+        assert c <= v
+    # each arc chains into one cluster; the outlier is a singleton
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    assert got[10] == got[11] == got[12] == got[13] == 10
+    assert got[99] == 99
