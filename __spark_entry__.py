@@ -5123,11 +5123,11 @@ slots AS (
 ),
 nslots AS (SELECT phrase_id, count(*) AS m FROM slots GROUP BY 1),
 votes AS (
-  SELECT s.phrase_id, t.doc_id, t.pos - s.slot AS anchor
+  SELECT s.phrase_id, t.doc_id, t.pos - s.slot AS anchor, s.slot
   FROM slots s JOIN tokf t ON s.term = t.term
 ),
 anchors AS (
-  SELECT phrase_id, doc_id, anchor, count(*) AS v
+  SELECT phrase_id, doc_id, anchor, count(DISTINCT slot) AS v
   FROM votes GROUP BY 1, 2, 3
 )
 SELECT a.phrase_id, a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences

@@ -375,19 +375,12 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    seed_set = None
-    if seeds is not None:
-        # seeds ∩ graph nodes — the teleport target set S
-        seed_set = (
-            nodes.join(
-                F.broadcast(
-                    seeds.select(F.col(seed_col).cast("long").alias("node"))
-                ).distinct(),
-                "node",
-                "left_semi",
-            )
-            .withColumn("_is_seed", F.lit(True))
-        )
+    # checkpoint the node set BEFORE anything counts or joins it: the
+    # unseeded path reads it twice (count + rank init) and the seeded
+    # path three times (count + seed flag + rank init) — without the
+    # checkpoint each read re-runs the edges->distinct-union->distinct
+    # derivation (review finding)
+    nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return (
@@ -397,12 +390,36 @@ def pagerank(
                 F.lit(None).cast("double").alias("pagerank"),
             )
         )
-    n = n_nodes if seed_set is None else seed_set.count()
-    if n == 0:
-        raise ValueError(
-            "pagerank: no seed node present in the graph — the "
-            "personalized teleport distribution would be undefined"
+    if seeds is not None:
+        # node-complete frame with the teleport-set flag — S = seeds
+        # present in the graph; the seed relation is a bounded probe,
+        # broadcast onto the checkpointed node set
+        nodes = (
+            nodes.join(
+                F.broadcast(
+                    seeds.select(
+                        F.col(seed_col).cast("long").alias("node")
+                    )
+                    .distinct()
+                    .withColumn("_is_seed", F.lit(True))
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("_is_seed"), F.lit(False)).alias("_is_seed"),
+            )
+            .localCheckpoint(eager=True)
         )
+        n = nodes.where(F.col("_is_seed")).count()
+        if n == 0:
+            raise ValueError(
+                "pagerank: no seed node present in the graph — the "
+                "personalized teleport distribution would be undefined"
+            )
+    else:
+        n = n_nodes
     p0 = int(scale) // n
     base = (int(scale) - int(scale) * damping_pct // 100) // n
     # NOTE the oracle must mirror this exact base formula:
@@ -421,24 +438,10 @@ def pagerank(
     prev_coalesce = spark.conf.get(_coalesce_key, None)
     spark.conf.set(_coalesce_key, "false")
     try:
-        if seed_set is None:
-            nodes = nodes.localCheckpoint(eager=True)
+        if seeds is None:
             init = F.lit(p0).cast("long")
             teleport = F.lit(base).cast("long")
         else:
-            # node-complete frame with the seed flag materialized once
-            nodes = (
-                nodes.join(
-                    seed_set.select("node", "_is_seed"), "node", "left"
-                )
-                .select(
-                    "node",
-                    F.coalesce(F.col("_is_seed"), F.lit(False)).alias(
-                        "_is_seed"
-                    ),
-                )
-                .localCheckpoint(eager=True)
-            )
             init = F.when(F.col("_is_seed"), F.lit(p0)).otherwise(
                 F.lit(0)
             ).cast("long")

@@ -247,7 +247,12 @@ def phrase_search(
     )
     anchors = (
         votes.groupBy(phrase_id_col, id_col, "_anchor")
-        .agg(F.count(F.lit(1)).alias("_votes"))
+        # DISTINCT slots, not rows: a doc_id arriving on duplicate rows
+        # doubles every slot's row count, and a raw count would then
+        # never equal m — a silent false NEGATIVE in the banned-phrase
+        # filter built on this (review finding, pinned by
+        # test_phrase_search_duplicate_doc_rows)
+        .agg(F.countDistinct("slot").alias("_votes"))
         .join(F.broadcast(n_slots), phrase_id_col)
         .where((F.col("_votes") == F.col("_m")) & (F.col("_anchor") >= 0))
     )

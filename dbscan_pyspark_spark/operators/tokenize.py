@@ -188,11 +188,20 @@ def bpe_apply(
         pulled = list(merges)
     out = docs.withColumn(
         out_col,
-        F.transform(
-            F.filter(
-                F.split(normalized(text_col), " "), lambda w: w != F.lit("")
+        # coalesce: NULL text must segment to ZERO tokens like junk
+        # text does (split/transform propagate NULL, and a NULL
+        # n_tokens/tokens_str would diverge from the oracle's
+        # LEFT-JOIN zero — review finding, pinned by
+        # test_bpe_apply_null_text)
+        F.coalesce(
+            F.transform(
+                F.filter(
+                    F.split(normalized(text_col), " "),
+                    lambda w: w != F.lit(""),
+                ),
+                lambda w: F.split(w, ""),
             ),
-            lambda w: F.split(w, ""),
+            F.array().cast("array<array<string>>"),
         ),
     )
     for start in range(0, len(pulled), chunk):

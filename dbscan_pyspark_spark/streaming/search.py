@@ -51,20 +51,26 @@ def process_phrase_filter_batch(
         hits = phrase_search(
             batch, probes_df, text_col=text_col, id_col=id_col
         )
+        # per_doc is consumed four times (two isEmpty probes + two
+        # sink joins); without the persist each consumer re-runs the
+        # whole broadcast slot join + both anchor-vote shuffles
         per_doc = hits.groupBy(id_col).agg(
             F.min("phrase_id").alias("first_phrase_id"),
             F.sum("n_occurrences").cast("long").alias("n_phrase_hits"),
-        )
-        flagged = batch.join(per_doc, id_col)
-        kept = batch.join(per_doc.select(id_col), id_col, "left_anti")
-        if not flagged.isEmpty():
-            flagged.write.mode("overwrite").parquet(
-                f"{flagged_dir}/ingest_batch={batch_id}"
-            )
-        if not kept.isEmpty():
-            kept.write.mode("overwrite").parquet(
-                f"{output_dir}/ingest_batch={batch_id}"
-            )
+        ).persist()
+        try:
+            flagged = batch.join(per_doc, id_col)
+            kept = batch.join(per_doc.select(id_col), id_col, "left_anti")
+            if not flagged.isEmpty():
+                flagged.write.mode("overwrite").parquet(
+                    f"{flagged_dir}/ingest_batch={batch_id}"
+                )
+            if not kept.isEmpty():
+                kept.write.mode("overwrite").parquet(
+                    f"{output_dir}/ingest_batch={batch_id}"
+                )
+        finally:
+            per_doc.unpersist()
     finally:
         batch.unpersist()
 

@@ -167,3 +167,24 @@ def test_phrase_search_no_vacuous_match_and_boundaries(spark):
         for r in phrase_search(docs, phrases).collect()
     }
     assert got == {(2, 1): 1}
+
+
+def test_phrase_search_duplicate_doc_rows(spark):
+    # a doc_id arriving on duplicate rows must still match (votes are
+    # counted per distinct slot, not per row) — the streaming filter's
+    # false-negative regression
+    from dbscan_pyspark_spark.operators.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "contains the forbidden phrase here")] * 2
+        + [(2, "clean text")],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "forbidden phrase")], "phrase_id int, phrase_text string"
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in phrase_search(docs, phrases).collect()
+    }
+    assert got == {(0, 1): 1}

@@ -159,3 +159,16 @@ def test_merge_table_save_load_roundtrip(spark, docs, tmp_path):
         json.dump({"format": "other"}, f)
     with _pytest.raises(ValueError, match="bpe_merges"):
         load_merges(p)
+
+
+def test_bpe_apply_null_text(spark):
+    # NULL text segments to ZERO tokens (like all-junk text), never to
+    # NULL — the oracle's LEFT-JOIN zero depends on it
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply(docs, [("t", "h")]).collect()
+    }
+    assert got[1] == [] and got[2] == ["th", "e"]
