@@ -82,10 +82,11 @@ def word_frequencies(
 
 
 def bpe_learn(
-    docs: DataFrame,
+    docs: DataFrame | None,
     n_merges: int = 16,
     text_col: str = "text",
     min_pair_count: int = 2,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``n_merges`` rounds of
     (most frequent adjacent symbol pair -> new symbol), stopping early
@@ -95,6 +96,13 @@ def bpe_learn(
     long) — rank is the merge order (0-based), exactly the artifact a
     tokenizer loads. Deterministic: integer counts, argmax tie-broken
     by (count desc, left, right).
+
+    ``word_counts``: pass a pre-aggregated (w, count) relation (the
+    :func:`word_frequencies` shape) instead of ``docs`` — large-corpus
+    pipelines usually already maintain word counts, and starting from
+    them skips the one corpus-wide pass entirely. Exactly equivalent
+    to learning from the documents that produced the counts (pinned by
+    test); exactly one of ``docs`` / ``word_counts`` must be given.
 
     Scale shape: ONE corpus pass builds the word-frequency relation
     (vocabulary-bounded — the 100 TB corpus collapses to |V| rows
@@ -115,10 +123,20 @@ def bpe_learn(
         raise ValueError(
             f"min_pair_count must be >= 1, got {min_pair_count}"
         )
-    spark = docs.sparkSession
-    words = word_frequencies(docs, text_col).select(
-        "count", F.split("w", "").alias("syms")
-    )
+    if (docs is None) == (word_counts is None):
+        raise ValueError(
+            "bpe_learn: pass exactly one of docs / word_counts"
+        )
+    if word_counts is not None:
+        spark = word_counts.sparkSession
+        wf = word_counts.select(
+            F.col("w").cast("string").alias("w"),
+            F.col("count").cast("long").alias("count"),
+        ).where(F.col("w").isNotNull() & (F.col("w") != ""))
+    else:
+        spark = docs.sparkSession
+        wf = word_frequencies(docs, text_col)
+    words = wf.select("count", F.split("w", "").alias("syms"))
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     try:

@@ -188,3 +188,49 @@ def test_phrase_search_duplicate_doc_rows(spark):
         for r in phrase_search(docs, phrases).collect()
     }
     assert got == {(0, 1): 1}
+
+
+def test_phrase_search_randomized_python_crosscheck(spark):
+    # 60 random docs x 12 random phrases over a 4-letter vocab in ONE
+    # Spark job, verified against a row-at-a-time overlap counter —
+    # dense enough that single/repeated-token phrases, overlaps, and
+    # absences all occur
+    import random
+
+    from dbscan_pyspark_spark.operators.search import phrase_search
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    phrases = [
+        (j, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3))))
+        for j in range(12)
+    ]
+
+    def py_count(doc_toks, ph_toks):
+        m = len(ph_toks)
+        return sum(
+            1
+            for a in range(len(doc_toks) - m + 1)
+            if doc_toks[a : a + m] == ph_toks
+        )
+
+    expected = {}
+    for i, d in docs:
+        dt = d.split()
+        for j, p in phrases:
+            n = py_count(dt, p.split())
+            if n:
+                expected[(j, i)] = n
+
+    got = {
+        (r.phrase_id, r.doc_id): r.n_occurrences
+        for r in phrase_search(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(phrases, "phrase_id int, phrase_text string"),
+        ).collect()
+    }
+    assert got == expected

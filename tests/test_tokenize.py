@@ -172,3 +172,22 @@ def test_bpe_apply_null_text(spark):
         for r in bpe_apply(docs, [("t", "h")]).collect()
     }
     assert got[1] == [] and got[2] == ["th", "e"]
+
+
+def test_bpe_learn_from_word_counts_equivalent(spark, docs):
+    from_docs = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(docs, n_merges=6).orderBy("rank").collect()
+    ]
+    wc = word_frequencies(docs)
+    from_counts = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(None, n_merges=6, word_counts=wc)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert from_docs == from_counts
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe_learn(docs, n_merges=1, word_counts=wc)
+    with pytest.raises(ValueError, match="exactly one"):
+        bpe_learn(None, n_merges=1)
