@@ -3797,6 +3797,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_mutual_knn_clusters"] = embedding_mutual_knn_clusters
 
+    # ---- weighted PageRank over the trade graph: one weight unit per
+    # lineitem row, so parallel supplier->customer edges carry their
+    # multiplicity instead of being DISTINCTed away ----
+    def nation_weighted_pagerank(spark, sf):
+        from dbscan_pyspark_spark.operators.components import pagerank
+
+        li = load_table(spark, sf, "lineitem")
+        o = load_table(spark, sf, "orders")
+        c = load_table(spark, sf, "customer")
+        s = load_table(spark, sf, "supplier")
+        edges = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .select(
+                F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"),
+                F.lit(1).alias("w"),
+            )
+        )
+        return pagerank(edges, n_iter=3, weight_col="w")
+
+    q["nation_weighted_pagerank"] = nation_weighted_pagerank
+
     return _reorder_for_driver_window(q)
 
 
@@ -4927,19 +4951,32 @@ def _pagerank_oracle(
     damping_pct: int = 85,
     scale: int = 10**12,
     seeds_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """Unrolled-CTE replica of operators.components.pagerank: the same
     integer micro-unit grid, the same truncating integer divisions —
     bit-exact across engines (third iterative op with an exact oracle,
     after DBSCAN and k-means). With ``seeds_sql`` (one column ``node``)
     it replays the PERSONALIZED variant: initial mass and per-round
-    teleport restricted to seed nodes present in the graph, n = |S|."""
+    teleport restricted to seed nodes present in the graph, n = |S|.
+    With ``weighted`` (edges_sql yields src, dst, w) it replays the
+    WEIGHTED variant's two-step division ``((p*d)//100) * w // W``."""
     d = damping_pct
-    parts = [
-        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
-    ]
+    if weighted:
+        parts = [
+            f"""e AS (
+  SELECT src, dst, sum(w) AS w FROM ({edges_sql}) ge
+  GROUP BY 1, 2 HAVING sum(w) > 0
+)""",
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+            "outdeg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src)",
+        ]
+    else:
+        parts = [
+            f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+            "outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        ]
     if seeds_sql is None:
         parts += [
             "nn AS (SELECT count(*) AS n FROM nodes)",
@@ -4965,10 +5002,15 @@ def _pagerank_oracle(
             f"({scale} - {scale} * {d} // 100) // nn.n ELSE 0 END)"
         )
         seed_join = " LEFT JOIN sd ON n2.node = sd.node"
+    contrib = (
+        f"((p.p * {d}) // 100) * e.w // o.deg"
+        if weighted
+        else f"(p.p * {d}) // (100 * o.deg)"
+    )
     for i in range(n_iter):
         parts.append(
             f"""c{i} AS (
-  SELECT e.dst, sum((p.p * {d}) // (100 * o.deg)) AS s
+  SELECT e.dst, sum({contrib}) AS s
   FROM e JOIN p{i} p ON e.src = p.node JOIN outdeg o ON o.src = e.src
   GROUP BY e.dst
 )"""
@@ -7739,6 +7781,11 @@ FROM agg
 """,
         "nation_pagerank": _pagerank_oracle(_NATION_EDGES_SQL, n_iter=3),
         "nation_communities": _label_prop_oracle(_NATION_EDGES_SQL, n_iter=3),
+        "nation_weighted_pagerank": _pagerank_oracle(
+            f"SELECT src, dst, 1 AS w FROM ({_NATION_EDGES_SQL}) we",
+            n_iter=3,
+            weighted=True,
+        ),
         "nation_ppr": _pagerank_oracle(
             _NATION_EDGES_SQL,
             n_iter=3,

@@ -337,6 +337,7 @@ def pagerank(
     scale: int = 10**12,
     seeds: DataFrame | None = None,
     seed_col: str = "node",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Deterministic integer-arithmetic PageRank (fixed iterations),
     optionally PERSONALIZED: with ``seeds`` (a one-column DataFrame of
@@ -345,6 +346,18 @@ def pagerank(
     (random walk with restart to the seeds). Seeds not present in the
     graph are ignored; the seed relation is a bounded probe set and is
     broadcast onto the rank vector, never shuffled.
+
+    Optionally WEIGHTED: with ``weight_col`` (an integer edge-weight
+    column — e.g. ``F.lit(1)`` per fact row to rank by multiplicity
+    instead of the unweighted variant's DISTINCT edges), parallel
+    edges aggregate by weight sum and each round distributes
+    ``((p * d) div 100) * w div W(src)`` along every edge — still
+    all-integer, so the weighted run replays exactly too. The
+    two-step division bounds intermediates by ``(scale * d div 100) *
+    w``, so edge weights are capped at ``(2^63-1) // (scale * d div
+    100)`` (~1e7 at the defaults) — one driver max-weight pull
+    enforces it (the HITS overflow-guard discipline); rescale heavy
+    weights down before calling. Composes freely with ``seeds``.
 
     All mass lives on an integer micro-unit grid (``scale`` units = 1.0
     of probability): contributions are ``(p * damping_pct) div
@@ -365,16 +378,31 @@ def pagerank(
     each round to keep lineage flat. Edge relation is scanned
     ``n_iter`` times but never mutated.
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    if weight_col is None:
+        e = edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        ).distinct()
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    else:
+        # parallel edges collapse by weight sum (dedupe preserving
+        # mass); W(src) = total out-weight
+        e = (
+            edges.select(
+                F.col(src_col).cast("long").alias("src"),
+                F.col(dst_col).cast("long").alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .where(F.col("w") > 0)
+        )
+        outdeg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # checkpoint the node set BEFORE anything counts or joins it: the
     # unseeded path reads it twice (count + rank init) and the seeded
     # path three times (count + seed flag + rank init) — without the
@@ -449,15 +477,28 @@ def pagerank(
                 F.lit(0)
             ).cast("long")
         p = nodes.select("node", init.alias("p"))
-        # (src, dst, deg) — static across rounds, materialized once
+        # (src, dst[, w], deg) — static across rounds, materialized once
         ed = e.join(outdeg, "src").localCheckpoint(eager=True)
+        if weight_col is None:
+            contrib_expr = f"(p * {damping_pct}) div (100 * deg)"
+        else:
+            # two-step division keeps intermediates inside a long for
+            # w up to ~(2^63-1)/(scale*d/100); enforced below
+            contrib_expr = f"((p * {damping_pct}) div 100) * w div deg"
+            w_bound = (2**63 - 1) // (
+                int(scale) * damping_pct // 100 + 1
+            )
+            w_max = ed.agg(F.max("w")).first()[0]
+            if w_max is not None and w_max > w_bound:
+                raise ValueError(
+                    f"pagerank: max edge weight {w_max} * (scale * "
+                    f"damping) would overflow a long (bound {w_bound}); "
+                    "rescale weights down"
+                )
         for _ in range(n_iter):
             contrib = (
                 ed.join(p, ed["src"] == p["node"])
-                .select(
-                    "dst",
-                    F.expr(f"(p * {damping_pct}) div (100 * deg)").alias("_c"),
-                )
+                .select("dst", F.expr(contrib_expr).alias("_c"))
                 .groupBy("dst")
                 .agg(F.sum("_c").alias("_s"))
             )

@@ -364,3 +364,59 @@ def test_personalized_pagerank_rejects_disjoint_seeds(spark):
     seeds = spark.createDataFrame([(42,)], "node long")
     with _pytest.raises(ValueError, match="no seed node"):
         pagerank(edges, n_iter=1, seeds=seeds)
+
+
+# ---------------------------------------------------------------------------
+# weighted pagerank
+
+
+def _py_wpr(wedges, n_iter, d=85, scale=10**12):
+    """Integer-grid replay of the weighted variant."""
+    agg = {}
+    for s, t, w in wedges:
+        agg[(s, t)] = agg.get((s, t), 0) + w
+    e = [(s, t, w) for (s, t), w in agg.items() if w > 0]
+    nodes = sorted({v for s, t, _ in e for v in (s, t)})
+    W = {}
+    for s, _, w in e:
+        W[s] = W.get(s, 0) + w
+    n = len(nodes)
+    p = {v: scale // n for v in nodes}
+    base = (scale - scale * d // 100) // n
+    for _ in range(n_iter):
+        c = {v: 0 for v in nodes}
+        for s, t, w in e:
+            c[t] += ((p[s] * d) // 100) * w // W[s]
+        p = {v: base + c[v] for v in nodes}
+    return {v: round(p[v] / scale, 8) for v in nodes}
+
+
+def test_weighted_pagerank_matches_python_replay(spark):
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    # parallel edges: 1->2 x3, 1->3 x1 — weighted must favor node 2;
+    # the unweighted variant sees the same DISTINCT graph either way
+    wedges = [(1, 2, 1), (1, 2, 1), (1, 2, 1), (1, 3, 1), (2, 1, 2), (3, 1, 1)]
+    df = spark.createDataFrame(wedges, "src long, dst long, w long")
+    got = {
+        r.node: r.pagerank
+        for r in pagerank(df, n_iter=3, weight_col="w").collect()
+    }
+    assert got == _py_wpr(wedges, 3)
+    assert got[2] > got[3]
+    unw = {
+        r.node: r.pagerank for r in pagerank(df, n_iter=3).collect()
+    }
+    assert unw[2] == unw[3]  # multiplicity invisible to the DISTINCT walk
+
+
+def test_weighted_pagerank_overflow_guard(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.components import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 10**12)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank(df, n_iter=1, weight_col="w")
