@@ -3696,6 +3696,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bpe_merges"] = doc_bpe_merges
 
+    # ---- Deep BPE induction (256 merge rounds) over the customer-name
+    # corpus — the documents vocabulary saturates after 89 merges, but
+    # c_name's ~|customers| distinct digit-words keep pair counts alive
+    # for thousands of rounds, so all 256 rounds fire for real.  Runs
+    # the driver-local merge loop (auto mode picks it at this |V|): one
+    # Spark pass for word counts, then incremental pair-count rounds
+    # locally — the only shape that survives a production 32k-merge
+    # vocabulary.  Oracle: the same unrolled MATERIALIZED-CTE replica,
+    # 256 rounds deep. ----
+    def doc_bpe_merges_deep(spark, sf):
+        from dbscan_pyspark_spark.operators.tokenize import bpe_learn
+
+        return bpe_learn(
+            load_table(spark, sf, "customer"),
+            n_merges=256,
+            min_pair_count=1,
+            text_col="c_name",
+        )
+
+    q["doc_bpe_merges_deep"] = doc_bpe_merges_deep
+
     # ---- BPE application with a FIXED merge table (so the oracle can
     # replay the folds without re-learning); token arrays emitted as
     # count + space-joined string (canonicalizer rejects arrays) ----
@@ -5191,37 +5212,49 @@ def _bpe_fold_sql(symbols_expr: str, left: str, right: str) -> str:
     )
 
 
-def _bpe_learn_oracle(n_merges: int, min_pair_count: int) -> str:
+def _bpe_learn_oracle(
+    n_merges: int,
+    min_pair_count: int,
+    table: str = "documents",
+    col: str = "text",
+) -> str:
     """Unrolled-CTE replica of operators.tokenize.bpe_learn: the same
     word-frequency relation, adjacent-pair integer counts, argmax with
     the (count desc, left, right) total tie order, and greedy
     re-segmentation fold per round (twelfth iterative family with an
     exact oracle). Early stop replays too: an empty b{{i}} empties
     every later round via its cross join, so the merge union matches
-    the driver loop's break."""
+    the driver loop's break.
+
+    Every CTE is MATERIALIZED: each w{{i}} is referenced twice (the
+    round's argmax and the next round's fold), so letting DuckDB
+    inline would double the scan tree per round — exponential at the
+    realistic merge counts this oracle now runs at.  The pair-count
+    aggregate is inlined into b{{i}} (rather than a separate p{{i}}
+    CTE) to halve the binder's reference-chain depth per round, which
+    is what bounds how many rounds fit under DuckDB's expression-depth
+    limit (measured: 256 rounds fail with the 4-hop chain, pass with
+    this 2-hop one)."""
+    norm = _NORM.replace("lower(text)", f"lower({col})")
     parts = [
-        f"""wc AS (
+        f"""wc AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS count FROM (
-    SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    SELECT unnest(string_split({norm}, ' ')) AS w FROM {table}
   ) t WHERE w <> '' GROUP BY w
 )""",
-        "w0 AS (SELECT count, string_split(w, '') AS syms FROM wc)",
+        "w0 AS MATERIALIZED (SELECT count, string_split(w, '') AS syms FROM wc)",
     ]
     for i in range(n_merges):
         parts.append(
-            f"""p{i} AS (
-  SELECT p.l, p.r, sum(count) AS cnt FROM (
-    SELECT count,
-           unnest(list_transform(range(1, len(syms)),
-                  j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p
-    FROM w{i}
-  ) t GROUP BY p.l, p.r
-)"""
-        )
-        parts.append(
-            f"""b{i} AS (
-  SELECT l, r, cnt, {i} AS rank FROM p{i}
-  WHERE cnt >= {min_pair_count}
+            f"""b{i} AS MATERIALIZED (
+  SELECT l, r, cnt, {i} AS rank FROM (
+    SELECT p.l, p.r, sum(count) AS cnt FROM (
+      SELECT count,
+             unnest(list_transform(range(1, len(syms)),
+                    j -> struct_pack(l := syms[j], r := syms[j + 1]))) AS p
+      FROM w{i}
+    ) t GROUP BY p.l, p.r
+  ) g WHERE cnt >= {min_pair_count}
   ORDER BY cnt DESC, l, r LIMIT 1
 )"""
         )
@@ -5233,7 +5266,7 @@ def _bpe_learn_oracle(n_merges: int, min_pair_count: int) -> str:
                 "ELSE list_concat(acc, x) END)"
             )
             parts.append(
-                f"""w{i + 1} AS (
+                f"""w{i + 1} AS MATERIALIZED (
   SELECT count,
          CASE WHEN len(syms) < 2 THEN syms ELSE {fold} END AS syms
   FROM w{i}, b{i} b
@@ -7798,6 +7831,9 @@ FROM agg
         "doc_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,
         "doc_phrase_search": _phrase_oracle(_PHRASE_PROBES),
         "doc_bpe_merges": _bpe_learn_oracle(n_merges=8, min_pair_count=2),
+        "doc_bpe_merges_deep": _bpe_learn_oracle(
+            n_merges=256, min_pair_count=1, table="customer", col="c_name"
+        ),
         "doc_bpe_tokens": _bpe_apply_oracle(_BPE_FIXED_MERGES),
         "doc_bpe_vocab": _bpe_vocab_oracle(_BPE_FIXED_MERGES),
         "clean_corpus_splits": f"""

@@ -81,12 +81,112 @@ def word_frequencies(
     )
 
 
+def _fold_py(syms: list[str], left: str, right: str) -> list[str]:
+    """Driver twin of :func:`_merge_fold`: one greedy left-to-right
+    merge pass over a symbol list, leftmost-first overlap resolution.
+    Kept byte-identical in semantics to the Spark fold (and the
+    oracle's DuckDB ``list_reduce``) so driver-mode and
+    distributed-mode learning replay the same merges."""
+    if len(syms) < 2:
+        return syms
+    merged = left + right
+    out = [syms[0]]
+    for x in syms[1:]:
+        if out[-1] == left and x == right:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_learn_driver(
+    items: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE induction over a pulled (word, count) relation.
+
+    The classic fast-BPE structure: exact pair counts maintained
+    incrementally (only words containing the merged pair are
+    re-segmented per round) plus a lazy-deletion max-heap for the
+    argmax, so a 32k-merge vocabulary costs O(total updates · log P)
+    instead of 32k full recounts — and instead of 32k sequential Spark
+    jobs.  Tie order is the same total order as the distributed loop:
+    (count desc, left asc, right asc); symbols are ASCII (the engine's
+    ``normalized`` alphabet), where Python and Spark/DuckDB string
+    comparison coincide code-unit-for-code-unit.
+    """
+    import heapq
+    from collections import Counter
+
+    words: list[tuple[list[str], int]] = [
+        (list(w), c) for w, c in items
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            occ.setdefault(p, set()).add(idx)
+    # Lazy heap: an entry is valid iff its count matches the live dict;
+    # every count change pushes a fresh entry, so the top valid entry
+    # is always the true argmax under (-count, left, right) order.
+    heap = [(-cnt, l, r) for (l, r), cnt in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, l, r = heap[0]
+            cur = pair_counts.get((l, r), 0)
+            if cur == -negc and cur > 0:
+                best = (l, r, cur)
+                break
+            heapq.heappop(heap)
+        if best is None or best[2] < min_pair_count:
+            break
+        l, r, cnt = best
+        merges.append((rank, l, r, cnt))
+        affected = occ.pop((l, r), set())
+        changed: set[tuple[str, str]] = set()
+        for idx in affected:
+            syms, c = words[idx]
+            new_syms = _fold_py(syms, l, r)
+            words[idx] = (new_syms, c)
+            old_p = Counter(zip(syms, syms[1:]))
+            new_p = Counter(zip(new_syms, new_syms[1:]))
+            for p, k in old_p.items():
+                nk = pair_counts.get(p, 0) - k * c
+                if nk > 0:
+                    pair_counts[p] = nk
+                else:
+                    pair_counts.pop(p, None)
+                changed.add(p)
+                if p not in new_p and p != (l, r):
+                    s = occ.get(p)
+                    if s is not None:
+                        s.discard(idx)
+            for p, k in new_p.items():
+                pair_counts[p] = pair_counts.get(p, 0) + k * c
+                changed.add(p)
+                occ.setdefault(p, set()).add(idx)
+        # The greedy fold removes every (l, r) adjacency, so its count
+        # lands at exactly zero; drop it rather than re-heap it.
+        changed.discard((l, r))
+        pair_counts.pop((l, r), None)
+        for p in changed:
+            c2 = pair_counts.get(p, 0)
+            if c2 > 0:
+                heapq.heappush(heap, (-c2, p[0], p[1]))
+    return merges
+
+
 def bpe_learn(
     docs: DataFrame | None,
     n_merges: int = 16,
     text_col: str = "text",
     min_pair_count: int = 2,
     word_counts: DataFrame | None = None,
+    mode: str = "auto",
+    driver_max_words: int = 2_000_000,
 ) -> DataFrame:
     """Learn a BPE merge table from the corpus: ``n_merges`` rounds of
     (most frequent adjacent symbol pair -> new symbol), stopping early
@@ -104,18 +204,29 @@ def bpe_learn(
     to learning from the documents that produced the counts (pinned by
     test); exactly one of ``docs`` / ``word_counts`` must be given.
 
+    ``mode``: ``"driver"`` pulls the vocabulary-bounded (word, count)
+    relation to the driver and runs the merge loop locally with
+    incremental pair counts + a lazy argmax heap — one Spark pass
+    total, then pure-local rounds, the only shape that survives a
+    production 32k-merge vocabulary (32k *distributed* rounds = 32k
+    sequential Spark jobs).  ``"distributed"`` keeps every round on
+    the cluster (one pair-agg + 1-row argmax + fold per merge) for
+    vocabularies too large to pull.  ``"auto"`` (default) counts the
+    word relation once and picks driver iff |V| <= driver_max_words.
+    Both paths replay the identical (count desc, left, right) tie
+    order and greedy fold, pinned equivalent by test.
+
     Scale shape: ONE corpus pass builds the word-frequency relation
     (vocabulary-bounded — the 100 TB corpus collapses to |V| rows
-    before any iteration starts); each round is one adjacent-pair
-    explode + sum aggregate over that relation, one 1-row argmax pull
-    to the driver (A7-bounded, the HITS per-round-max discipline —
-    the pair must become a literal in the next round's fold
-    expression), and one re-segmentation fold (no shuffle). The word
-    relation is localCheckpointed per round: flat lineage, and the
-    fold chain never deepens past one merge per plan. The driver loop
-    bounds n_merges to the thousands in practice — each round is one
-    small job over |V| rows, the same regime as every iterative
-    operator here.
+    before any iteration starts).  Driver mode then iterates locally
+    over that A7-bounded artifact (a web-scale corpus's word relation
+    at sensible min counts is single-digit-millions of rows — the
+    centroid-set class, not the corpus class).  Distributed mode runs
+    each round as one adjacent-pair explode + sum aggregate, one 1-row
+    argmax pull (the HITS per-round-max discipline — the pair must
+    become a literal in the next round's fold expression), and one
+    re-segmentation fold (no shuffle), localCheckpointed per round so
+    lineage stays flat.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -123,6 +234,8 @@ def bpe_learn(
         raise ValueError(
             f"min_pair_count must be >= 1, got {min_pair_count}"
         )
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"bpe_learn: unknown mode {mode!r}")
     if (docs is None) == (word_counts is None):
         raise ValueError(
             "bpe_learn: pass exactly one of docs / word_counts"
@@ -133,9 +246,42 @@ def bpe_learn(
             F.col("w").cast("string").alias("w"),
             F.col("count").cast("long").alias("count"),
         ).where(F.col("w").isNotNull() & (F.col("w") != ""))
+        # Fail fast on a corrupt pre-aggregated relation: zero/negative
+        # counts would silently skew the pair-count argmax (review
+        # finding).  One cheap aggregate over the |V|-bounded relation;
+        # its n_words also feeds the auto-mode decision.
+        stats = wf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("count") <= 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("bad"),
+        ).first()
+        if (stats["bad"] or 0) > 0:
+            raise ValueError(
+                f"bpe_learn: word_counts has {stats['bad']} rows with "
+                "count <= 0 — pre-aggregated counts must be positive"
+            )
+        n_words = int(stats["n"])
     else:
         spark = docs.sparkSession
         wf = word_frequencies(docs, text_col)
+        n_words = None  # counted below only if auto mode needs it
+    if mode == "auto":
+        if n_words is None:
+            wf = wf.localCheckpoint(eager=True)
+            n_words = wf.count()
+        use_driver = n_words <= driver_max_words
+    else:
+        use_driver = mode == "driver"
+    if use_driver:
+        items = [
+            (r["w"], int(r["count"]))
+            for r in wf.select("w", "count").collect()
+        ]
+        merges = _bpe_learn_driver(items, n_merges, min_pair_count)
+        return spark.createDataFrame(
+            merges, "rank int, left string, right string, pair_count long"
+        )
     words = wf.select("count", F.split("w", "").alias("syms"))
     words = words.localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []

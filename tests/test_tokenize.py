@@ -191,3 +191,78 @@ def test_bpe_learn_from_word_counts_equivalent(spark, docs):
         bpe_learn(docs, n_merges=1, word_counts=wc)
     with pytest.raises(ValueError, match="exactly one"):
         bpe_learn(None, n_merges=1)
+
+
+def test_bpe_learn_driver_equals_distributed(spark, docs):
+    """The driver-local merge loop (incremental pair counts + lazy
+    argmax heap) replays the distributed per-round loop exactly —
+    same merges, same tie order, same counts."""
+    drv = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(docs, n_merges=12, mode="driver")
+        .orderBy("rank")
+        .collect()
+    ]
+    dist = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(docs, n_merges=12, mode="distributed")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert drv == dist
+    assert drv == _py_bpe(TEXTS, 12)
+
+
+def test_bpe_learn_driver_equals_distributed_deep_and_early_stop(spark):
+    """min_pair_count=1 drives merging until no pair is left; both
+    paths must stop at the same rank with identical tables."""
+    texts = ["abcabd xyzxy abab", "abab xyzzy mnopq", "abcabd abab"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    drv = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(docs, n_merges=64, min_pair_count=1, mode="driver")
+        .orderBy("rank")
+        .collect()
+    ]
+    dist = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(
+            docs, n_merges=64, min_pair_count=1, mode="distributed"
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert drv == dist
+    assert drv == _py_bpe(texts, 64, min_count=1)
+    assert 0 < len(drv) < 64  # real early stop exercised on both paths
+
+
+def test_bpe_learn_auto_mode_threshold(spark, docs):
+    """auto with driver_max_words=0 must fall back to the distributed
+    loop and still produce the identical table."""
+    forced_dist = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_learn(docs, n_merges=6, driver_max_words=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert forced_dist == _py_bpe(TEXTS, 6)
+    with pytest.raises(ValueError, match="mode"):
+        bpe_learn(docs, n_merges=1, mode="turbo")
+
+
+def test_bpe_learn_rejects_nonpositive_word_counts(spark):
+    """A corrupt pre-aggregated relation (zero/negative counts) must
+    fail fast, not silently skew the pair-count argmax."""
+    bad = spark.createDataFrame(
+        [("low", 3), ("lower", 0)], "w string, count long"
+    )
+    with pytest.raises(ValueError, match="count <= 0"):
+        bpe_learn(None, n_merges=2, word_counts=bad)
+    neg = spark.createDataFrame(
+        [("low", 3), ("lower", -1)], "w string, count long"
+    )
+    with pytest.raises(ValueError, match="count <= 0"):
+        bpe_learn(None, n_merges=2, word_counts=neg)

@@ -1228,19 +1228,22 @@ def main() -> None:
         flush=True,
     )
 
-    # --- BPE induction over a 2M-doc corpus ---
+    # --- BPE induction over a 2M-doc corpus, 8192 merge rounds ---
     # 100k-word closed vocab ("w" + digits): the corpus collapses to
-    # the word-frequency relation in one pass, and every one of the 30
-    # merge rounds is a small job over <=100k vocabulary rows — the
-    # scale claim of bpe_learn (corpus size only affects the first
-    # aggregate). Digit-pair merges must dominate: every word is 'w' +
-    # ~uniform digits, so the top merges are digit-digit or w-digit
-    # pairs; assert the table is full-length and counts are
-    # monotonically usable (each round's count <= nothing — counts can
-    # rise as merges create new pairs, so assert only shape + ranks).
+    # the word-frequency relation in one pass, then auto mode picks
+    # the DRIVER merge loop (|V| = 100k <= driver_max_words) —
+    # incremental pair counts + lazy argmax heap, so a production-
+    # scale vocabulary (8192 merges here; 32k is the same regime)
+    # costs one Spark pass + seconds of local iteration, not 8192
+    # sequential Spark jobs. Digit-pair merges must dominate: every
+    # word is 'w' + ~uniform digits, so the top merges are digit-digit
+    # or w-digit pairs; assert the table is full-length and ranks
+    # contiguous (counts can rise as merges create new pairs, so
+    # assert only shape + ranks).
     from dbscan_pyspark_spark.operators.tokenize import bpe_learn
 
     n_bpe = 2_000_000
+    n_bpe_merges = 8192
     bpe_docs = spark.range(n_bpe).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
@@ -1257,10 +1260,12 @@ def main() -> None:
         ).alias("text"),
     )
     t0 = time.time()
-    bpe = bpe_learn(bpe_docs, n_merges=30, min_pair_count=2).collect()
-    assert len(bpe) == 30, len(bpe)
+    bpe = bpe_learn(
+        bpe_docs, n_merges=n_bpe_merges, min_pair_count=2
+    ).collect()
+    assert len(bpe) == n_bpe_merges, len(bpe)
     assert [r["rank"] for r in sorted(bpe, key=lambda r: r["rank"])] == list(
-        range(30)
+        range(n_bpe_merges)
     )
     assert all(r["pair_count"] >= 2 for r in bpe)
     print(
@@ -1268,7 +1273,7 @@ def main() -> None:
             {
                 "stage": "bpe_learn_2m",
                 "n_docs": n_bpe,
-                "n_merges": 30,
+                "n_merges": n_bpe_merges,
                 "top_merge": bpe[0]["left"] + "+" + bpe[0]["right"],
                 "top_count": bpe[0]["pair_count"],
                 "wall_s": round(time.time() - t0, 1),
