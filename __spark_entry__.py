@@ -3963,6 +3963,17 @@ _DRIVER_CHECKED_GREEN = {
     "totalprice_drift", "totalprice_equidepth", "totalprice_ks_drift",
     "totalprice_quantile_drift", "union_segments",
     "users_click_then_error", "wealthy_inactive_customers",
+    # round-8 window greens (CORRECTNESS_r08.json, 50/50 hash-green)
+    "approx_event_error_buckets", "doc_bm25_topk", "doc_bpe_merges",
+    "doc_bpe_tokens", "doc_bpe_vocab", "doc_dup_span_strip",
+    "doc_dup_span_strip_keep_first", "doc_dup_spans",
+    "doc_inverted_postings", "doc_phrase_search", "doc_sorted_neighbors",
+    "embedding_knn_graph", "embedding_mutual_knn_clusters",
+    "embedding_pca_trace", "kmember_quantized_embeddings",
+    "kmember_search_quantized_embeddings", "multimodal_real_dimensions",
+    "nation_communities", "nation_ppr", "nation_weighted_pagerank",
+    "simhash_near_dup_pairs", "source_budget_sample",
+    "source_token_waterfill",
 }
 
 # Queries with no exact oracle possible (randomized k-member, float
