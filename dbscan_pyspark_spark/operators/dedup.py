@@ -324,21 +324,51 @@ def minhash_near_dup_pairs(
     The band equi-join is the only wide exchange over candidates —
     at scale this is the standard shingle->minhash->band->bucket-join
     pipeline; the verification join touches only candidate pairs.
+
+    Degenerate-bucket guard: identical normalized texts are contracted
+    to ONE representative (md5 content key) BEFORE shingling, so a
+    planted 50k-copy cluster contributes one signature to the band
+    join instead of a 50k-wide bucket whose self-join alone is
+    C(50k,2) x n_bands candidate rows (the dbscan.py duplicate-
+    contraction pattern). Intra-group pairs need no MinHash at all —
+    identical shingle sets have Jaccard exactly 1 — and cross-group
+    pairs inherit their representatives' verified Jaccard (Jaccard is
+    a function of the shingle SETS, which the content key determines),
+    so the expansion after verification is exact, not approximate.
+    The expanded pair list is still quadratic in clique size — that is
+    the output's own semantics — but it is produced by one equi-join,
+    never shuffled through banding or verification.
     """
+    # Contract identical content first: members = (content key, id),
+    # reps = min-id per key. Docs with NULL text can never pair (no
+    # shingles) and are dropped here; short texts (< n chars) keep a
+    # rep but get no signature, and the intra expansion below requires
+    # the rep to HAVE a signature — matching the uncontracted
+    # pipeline, where such docs never reach the band join.
+    keyed = df.select(
+        F.col(id_col), F.md5(normalized(text_col)).alias("_k")
+    ).where(F.col("_k").isNotNull())
+    members = keyed.persist()
+    reps = members.groupBy("_k").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_gsize")
+    ).persist()
+    rep_docs = df.join(
+        reps.select(id_col), id_col, "left_semi"
+    )
     # The candidate set is referenced three times below (pairs + two
     # semi-join prunes); without materialization Catalyst would run the
     # whole signature->band->self-join subtree three times (measured 3x
     # wall at sf0.1). It is tiny (pairs of near-dups), so an eager
     # localCheckpoint both materializes it once and truncates lineage.
-    # The signature relation (1 row/doc) is persisted for the same
-    # reason; n_sh rides its groupBy so the Jaccard denominators need
-    # no extra shingle pass.
+    # The signature relation (1 row/distinct doc) is persisted for the
+    # same reason; n_sh rides its groupBy so the Jaccard denominators
+    # need no extra shingle pass.
     # One shingle relation serves both the signature groupBy and the
     # exact-Jaccard verification joins — normalize/split/explode over
-    # the corpus runs once, not twice.
-    sh = _doc_shingles(df, text_col, id_col, n).persist()
+    # the distinct corpus runs once, not twice.
+    sh = _doc_shingles(rep_docs, text_col, id_col, n).persist()
     sig = minhash_signatures(
-        df, num_hashes, n, text_col, id_col, shingles=sh, with_size=True
+        rep_docs, num_hashes, n, text_col, id_col, shingles=sh, with_size=True
     ).persist()
     bands = minhash_bands(sig, rows_per_band, id_col)
     a, b = bands.alias("a"), bands.alias("b")
@@ -357,17 +387,79 @@ def minhash_near_dup_pairs(
     )
 
     sizes = sig.select(id_col, "n_sh")
-    # verification touches only candidate docs: semi-join prune first
-    out = _verify_exact_jaccard(sh, sizes, cand, id_col, threshold)
-    # The result is tiny (verified near-dup pairs); eagerly materialize
-    # it so the sh/sig caches can be RELEASED here instead of leaking —
-    # a long-running caller (the streaming filter calls this every
-    # micro-batch) would otherwise accumulate two cached relations per
-    # call in the CacheManager forever.
-    out = out.localCheckpoint(eager=True)
+    # verification touches only candidate rep docs: semi-join prune
+    rep_pairs = _verify_exact_jaccard(
+        sh, sizes, cand, id_col, threshold
+    ).localCheckpoint(eager=True)
+
+    # Expand rep pairs back to member pairs. Cross-group: every
+    # (member of a's group, member of b's group) pair carries the
+    # reps' exact Jaccard; least/greatest restores a_id < b_id (group
+    # id ranges interleave). Intra-group: all i < j pairs within a
+    # group whose rep has a signature, Jaccard exactly 1.
+    #
+    # The expanded output can be QUADRATIC in clique sizes (its own
+    # semantics), so it is returned LAZY — never checkpointed. What IS
+    # eagerly materialized, so every cache can be released before
+    # returning (a streaming caller invokes this per micro-batch), is
+    # the bounded input to the expansion: the groups that participate
+    # in any output pair, and their member rows.
+    rep_map = reps.select("_k", F.col(id_col).alias("_rep"))
+    pair_rep_ids = (
+        rep_pairs.select(F.col("a_id").alias("_rep"))
+        .unionByName(rep_pairs.select(F.col("b_id").alias("_rep")))
+        .distinct()
+    )
+    intra_keys = (
+        reps.where(F.col("_gsize") >= 2)
+        .join(sig.select(id_col), id_col, "left_semi")
+        .select("_k")
+    )
+    keys_needed = (
+        rep_map.join(pair_rep_ids, "_rep", "left_semi")
+        .unionByName(rep_map.join(intra_keys, "_k", "left_semi"))
+        .distinct()
+    )
+    members_needed = members.join(keys_needed, "_k").localCheckpoint(
+        eager=True
+    )
     sig.unpersist()
     sh.unpersist()
-    return out
+    reps.unpersist()
+    members.unpersist()
+    m_a = members_needed.select(
+        F.col("_rep").alias("a_id"), F.col(id_col).alias("_ma")
+    )
+    m_b = members_needed.select(
+        F.col("_rep").alias("b_id"), F.col(id_col).alias("_mb")
+    )
+    inter = (
+        rep_pairs.join(m_a, "a_id")
+        .join(m_b, "b_id")
+        .select(
+            F.least("_ma", "_mb").alias("a_id"),
+            F.greatest("_ma", "_mb").alias("b_id"),
+            "jaccard",
+        )
+    )
+    # members_needed also carries singleton groups from pair_reps —
+    # the i < j self-join emits nothing for those, and every >= 2
+    # group present is by construction signature-bearing
+    x, y = members_needed.alias("x"), members_needed.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x._k") == F.col("y._k"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a_id"),
+            F.col(f"y.{id_col}").alias("b_id"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .where(F.lit(1.0) >= F.lit(threshold))
+    )
+    return inter.unionByName(intra)
 
 
 def winnow_fingerprints(
@@ -507,21 +599,34 @@ def simhash_near_dups(
     join's bucket key has ``2^block_bits`` values per block index, so
     raising ``max_hamming`` coarsens blocks and grows candidates
     ~ n^2 / 2^(64/(d+1)) per block — the same recall/candidate trade
-    every banded LSH here documents. Exact-duplicate cliques share
-    every block at any d (quadratic in the clique, the signal
-    itself). Verify touches only candidates, as XOR + ``bit_count``
+    every banded LSH here documents (n = DISTINCT fingerprints after
+    the contraction below). Verify touches only candidates, as XOR +
+    ``bit_count``
     over four 16-bit chunk ints — whole-stage codegen, ~4 integer ops
     per pair (the per-position string-compare lambda it replaces ran
     interpreted and cost 7x at the 1M-doc stress stage: 284 -> 40 s
-    including the ~28M-candidate verify)."""
+    including the ~28M-candidate verify).
+
+    Degenerate-bucket guard: the Hamming distance is a function of the
+    SIGNATURES alone, so identical fingerprints are contracted to one
+    representative before the block join — an exact-duplicate clique
+    (which shares every block at any d) contributes ONE row per block
+    instead of a clique-wide bucket whose self-join is C(clique, 2) x
+    n_blocks candidate rows. Intra-group pairs are emitted directly at
+    Hamming 0; cross-group pairs inherit their representatives'
+    verified distance. Exact, not approximate — the contraction key IS
+    the quantity the verify computes over."""
     if not 0 <= max_hamming < 64:
         raise ValueError(
             f"simhash_near_dups: max_hamming must be in [0, 64), "
             f"got {max_hamming}"
         )
-    sig = simhash64(df, text_col=text_col, id_col=id_col).localCheckpoint(
-        eager=True
-    )
+    full_sig = simhash64(df, text_col=text_col, id_col=id_col).persist()
+    # one row per distinct fingerprint, keyed by its min-id rep
+    groups = full_sig.groupBy("simhash").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_gsize")
+    ).persist()
+    sig = groups.select(id_col, "simhash")
     n_blocks = max_hamming + 1
     base_len, rem = divmod(64, n_blocks)
     bounds = []
@@ -573,12 +678,65 @@ def simhash_near_dups(
         F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}")))
         for i in range(4)
     )
-    return (
+    rep_pairs = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
         .select("a_id", "b_id", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)
     )
+    # Expand: cross-group members inherit the reps' distance (least/
+    # greatest restores a_id < b_id); intra-group pairs are Hamming 0.
+    # The expansion is quadratic in clique sizes (the output's own
+    # semantics) so it stays LAZY; only its bounded input — the
+    # participating fingerprints and their member rows — is eagerly
+    # materialized, letting the caches release before returning.
+    sig_map = groups.select("simhash", F.col(id_col).alias("_rep"))
+    pair_rep_ids = (
+        rep_pairs.select(F.col("a_id").alias("_rep"))
+        .unionByName(rep_pairs.select(F.col("b_id").alias("_rep")))
+        .distinct()
+    )
+    dup_sigs = groups.where(F.col("_gsize") >= 2).select("simhash")
+    keys_needed = (
+        sig_map.join(pair_rep_ids, "_rep", "left_semi")
+        .unionByName(sig_map.join(dup_sigs, "simhash", "left_semi"))
+        .distinct()
+    )
+    members_needed = full_sig.join(keys_needed, "simhash").localCheckpoint(
+        eager=True
+    )
+    groups.unpersist()
+    full_sig.unpersist()
+    m_a = members_needed.select(
+        F.col("_rep").alias("a_id"), F.col(id_col).alias("_ma")
+    )
+    m_b = members_needed.select(
+        F.col("_rep").alias("b_id"), F.col(id_col).alias("_mb")
+    )
+    inter = (
+        rep_pairs.join(m_a, "a_id")
+        .join(m_b, "b_id")
+        .select(
+            F.least("_ma", "_mb").alias("a_id"),
+            F.greatest("_ma", "_mb").alias("b_id"),
+            "hamming",
+        )
+    )
+    x, y = members_needed.alias("x"), members_needed.alias("y")
+    intra = (
+        x.join(
+            y,
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a_id"),
+            F.col(f"y.{id_col}").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def cross_contamination(

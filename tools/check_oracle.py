@@ -43,7 +43,21 @@ def freshness(window_size: int = 50) -> None:
     rows = []
     for name in qnames:
         recs = history.get(name, {})
-        green = [r for r, v in recs.items() if v.get("hash_match")]
+        # A rows-only query's best possible record is spark_rows > 0
+        # with err == "no_oracle" (the driver's weaker check); count
+        # that as its green so staleness ranking treats the four
+        # rows-only entries like everything else instead of parking
+        # them forever in the "never green" tier.
+        green = [
+            r
+            for r, v in recs.items()
+            if v.get("hash_match")
+            or (
+                name not in oracles
+                and (v.get("spark_rows") or 0) > 0
+                and v.get("err") == "no_oracle"
+            )
+        ]
         checked = sorted(recs)
         rows.append(
             {

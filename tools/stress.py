@@ -1282,6 +1282,72 @@ def main() -> None:
         flush=True,
     )
 
+    # --- degenerate-bucket guard: a planted 50k-copy clique ---
+    # 50k identical docs + 200k unique background docs. Without the
+    # identical-content contraction the clique fills one LSH bucket
+    # per band (and one pigeonhole block bucket per block): the band
+    # self-join alone is C(50k,2) x n_bands ~ 5e9 candidate rows
+    # through distinct + verification joins. With the guard the clique
+    # is ONE signature in the band join; the quadratic part is only
+    # the final pair expansion (the output's own semantics), produced
+    # by one equi-join and streamed through count(). Both operators
+    # must return EXACTLY the clique's C(50k,2) pairs (minhash: the
+    # unique background texts share no shingles at threshold 0.5;
+    # simhash may add accidental <=3-Hamming background pairs, so >=).
+    from dbscan_pyspark_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        simhash_near_dups,
+    )
+
+    n_clique, n_bg = 50_000, 200_000
+    clique = spark.range(n_clique).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong coffee at dawn near the old harbor wall"
+        ).alias("text"),
+    )
+    bg = spark.range(n_bg).select(
+        (F.col("id") + n_clique).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19)),
+                lambda j: F.concat(
+                    F.lit("tok"),
+                    F.pmod(
+                        F.xxhash64((F.col("id") + n_clique) * 37 + j),
+                        F.lit(1_000_000_000),
+                    ).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    dup_docs = clique.unionByName(bg)
+    expected_pairs = n_clique * (n_clique - 1) // 2
+    t0 = time.time()
+    n_mh = minhash_near_dup_pairs(dup_docs, threshold=0.5).count()
+    t_mh = time.time() - t0
+    assert n_mh == expected_pairs, (n_mh, expected_pairs)
+    t0 = time.time()
+    n_sh2 = simhash_near_dups(dup_docs, max_hamming=3).count()
+    t_sh2 = time.time() - t0
+    assert n_sh2 >= expected_pairs, (n_sh2, expected_pairs)
+    print(
+        json.dumps(
+            {
+                "stage": "planted_clique_dedup_250k",
+                "n_docs": n_clique + n_bg,
+                "clique": n_clique,
+                "minhash_pairs": n_mh,
+                "simhash_pairs": n_sh2,
+                "minhash_wall_s": round(t_mh, 1),
+                "simhash_wall_s": round(t_sh2, 1),
+            }
+        ),
+        flush=True,
+    )
+
     # --- phrase search over a 2M-doc corpus ---
     # Phrase "alpha bravo charlie" is planted ONCE in every doc with
     # id % 200 == 0 (10k docs), spliced between filler words; a decoy
