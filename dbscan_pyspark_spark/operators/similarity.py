@@ -190,6 +190,46 @@ def auto_band_size(
     return n_bands * rpb, rpb
 
 
+def auto_n_cells(
+    n_vectors: int,
+    target_cell_size: int = 512,
+    min_cells: int = 8,
+    max_cells: int = 4096,
+) -> int:
+    """Size an IVF coarse quantizer to the corpus: enough cells that
+    the expected cell holds ~``target_cell_size`` vectors. Candidate
+    volume in the cell-probed joins is Σ_queries nprobe x |cell| —
+    QUADRATIC within cells — so cells must grow ~n/target or the plan
+    dies at scale (measured: 8 cells at 200k vectors plans 1e10 scored
+    pairs and does not finish; n/512 cells is ~3e8 and runs in
+    minutes — the knn_graph stress stage). Deterministic in
+    ``n_vectors`` (the :func:`auto_band_size` discipline), so an
+    auto-sized pipeline replays given the same corpus. Floors at
+    ``min_cells`` (tiny corpora still get a real quantizer) and caps
+    at ``max_cells`` (the centroid set stays a driver-bounded literal,
+    A7)."""
+    import math
+
+    if n_vectors < 1:
+        raise ValueError("auto_n_cells: need n_vectors >= 1")
+    return int(
+        max(min_cells, min(max_cells, math.ceil(n_vectors / target_cell_size)))
+    )
+
+
+def _resolve_n_cells(vectors: DataFrame, n_cells) -> int:
+    """Resolve the ``n_cells='auto'`` contract sugar with ONE count
+    job over the vector relation; explicit ints pass through
+    validated."""
+    if n_cells == "auto":
+        return auto_n_cells(vectors.count())
+    if not isinstance(n_cells, int) or n_cells < 1:
+        raise ValueError(
+            f"n_cells must be a positive int or 'auto', got {n_cells!r}"
+        )
+    return n_cells
+
+
 def rp_lsh_banded(
     vectors: DataFrame,
     n_planes: int,
@@ -534,7 +574,7 @@ def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | str = "auto",
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -545,7 +585,9 @@ def ivf_cosine_topk(
     design. The scan side is partitioned by cell, so each query touches
     ~nprobe/n_cells of the data — the 100 TB path."""
     if centroids is None:
-        centroids = train_ivf_centroids(vectors, n_cells, id_col, vec_col)
+        centroids = train_ivf_centroids(
+            vectors, _resolve_n_cells(vectors, n_cells), id_col, vec_col
+        )
     cells = _assign_cells(vectors, centroids, id_col, vec_col)
     indexed = vectors.join(cells, id_col).withColumn("_vn", norm2(vec_col))
 
@@ -939,7 +981,7 @@ def ivf_quantized_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = "auto",
     nprobe: int = 3,
     n_iter: int = 2,
     id_col: str = "vec_id",
@@ -981,8 +1023,8 @@ def ivf_quantized_topk(
     # ivf_recall_eval approx-vs-exhaustive comparison) train once
     # instead of re-running the deterministic Lloyd's loop per call.
     assign, cents = model if model is not None else kmeans_fit(
-        vectors, k=n_cells, n_iter=n_iter, id_col=id_col,
-        vec_col=vec_col, scale=scale,
+        vectors, k=_resolve_n_cells(vectors, n_cells), n_iter=n_iter,
+        id_col=id_col, vec_col=vec_col, scale=scale,
     )
     if not cents:
         raise ValueError("empty vectors")
@@ -1053,7 +1095,7 @@ def ivf_quantized_topk(
 def ivf_knn_graph(
     vectors: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = "auto",
     nprobe: int = 3,
     n_iter: int = 2,
     id_col: str = "vec_id",
@@ -1107,7 +1149,7 @@ def ivf_knn_graph(
 def mutual_knn_clusters(
     vectors: DataFrame,
     k: int = 5,
-    n_cells: int = 8,
+    n_cells: int | str = "auto",
     nprobe: int = 3,
     n_iter: int = 2,
     id_col: str = "vec_id",

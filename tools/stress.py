@@ -1402,18 +1402,19 @@ def main() -> None:
         flush=True,
     )
 
-    # --- kNN graph over 50k vectors, cells sized to the corpus ---
+    # --- kNN graph over 200k vectors with DEFAULT parameters ---
     # The knn-graph candidate volume is sum over queries of
-    # nprobe x |cell| — QUADRATIC within cells — so n_cells must grow
-    # with n (here 64 cells -> ~800-vector cells -> ~8e7 scored pairs;
-    # the first attempt with 8 cells at 200k vectors planned 1e10
-    # pairs and was killed, which is the sizing lesson this stage
-    # records). Corpus-sized query side goes through the cell-keyed
-    # shuffle join (broadcast_probes=False); every vector must emit
-    # <= k self-free edges.
+    # nprobe x |cell| — QUADRATIC within cells — so cells must grow
+    # with n. n_cells now defaults to "auto" (one count job ->
+    # ceil(n/512) cells, here 391), which is exactly the configuration
+    # that died in round 8 when cells were manual: 8 cells at 200k
+    # vectors planned 1e10 scored pairs and was killed. Corpus-sized
+    # query side goes through the cell-keyed shuffle join
+    # (broadcast_probes=False); every vector must emit <= k self-free
+    # edges.
     from dbscan_pyspark_spark.operators.similarity import ivf_knn_graph
 
-    n_kg = 50_000
+    n_kg = N_VECS
     blob = F.col("id") % 8
     kg_vecs = spark.range(n_kg).select(
         F.col("id").alias("vec_id"),
@@ -1426,7 +1427,7 @@ def main() -> None:
         ).alias("embedding"),
     )
     t0 = time.time()
-    kg = ivf_knn_graph(kg_vecs, k=5, n_cells=64, nprobe=2, n_iter=2)
+    kg = ivf_knn_graph(kg_vecs, k=5, nprobe=2, n_iter=2)
     kg_agg = kg.agg(
         F.count(F.lit(1)).alias("n_edges"),
         F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self"),
