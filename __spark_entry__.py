@@ -7454,7 +7454,8 @@ FROM orders GROUP BY 1
         "multimodal_real_dimensions": """
 WITH m AS (SELECT doc_id AS media_id FROM documents),
 img AS (
-  SELECT m.media_id, 'ppm' AS fmt,
+  SELECT m.media_id,
+         CASE WHEN m.media_id % 4 = 2 THEN 'png' ELSE 'ppm' END AS fmt,
          CAST(4 + m.media_id % 5 AS INT) AS width,
          CAST(3 + m.media_id % 4 AS INT) AS height,
          CAST(NULL AS INT) AS sample_rate,

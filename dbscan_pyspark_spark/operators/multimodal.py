@@ -5,13 +5,13 @@ Arrow-batched ``mapInPandas`` stages (north-star extension).
 The Spark-side plumbing — schemas, batch iteration, partitioning-safe
 signatures — is real and tested. ``decode_mode='fake'`` produces a
 deterministic synthetic decode from the bytes so the pipeline shape is
-exercisable end-to-end. ``decode_mode='real'`` now carries two REAL
-zero-dependency codecs — binary PPM/PGM images and PCM WAV audio,
-parsed with stdlib bytes/``wave`` handling — so decode / dimension
-extraction / resize run one genuine format end-to-end per modality;
-compressed formats (JPEG/PNG/MP4) still raise ``NotImplementedError``
-at the exact call site where PIL/ffmpeg would plug in (this container
-ships neither).
+exercisable end-to-end. ``decode_mode='real'`` now carries three REAL
+zero-dependency codecs — binary PPM/PGM images, 8-bit PNG (stdlib
+``zlib`` inflate + full five-filter scanline reconstruction, CRC
+verified), and PCM WAV audio — so decode / dimension extraction /
+resize run genuine formats end-to-end, including one compressed one;
+JPEG/MP4 still raise ``NotImplementedError`` at the exact call site
+where PIL/ffmpeg would plug in (this container ships neither).
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of partition size; binary payloads never pass through a
@@ -118,6 +118,165 @@ def _decode_ppm(content: bytes) -> tuple[int, int, int, bytes]:
     return width, height, channels, pix
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_filter_row(
+    f: int, line: bytes, prev: bytes, channels: int
+) -> bytes:
+    """Apply PNG scanline filter ``f`` (0=None 1=Sub 2=Up 3=Average
+    4=Paeth, RFC 2083 §6) to a raw row — the encoder side; the decoder
+    below inverts it."""
+    out = bytearray(len(line))
+    for x in range(len(line)):
+        a = line[x - channels] if x >= channels else 0
+        b = prev[x]
+        c = prev[x - channels] if x >= channels else 0
+        if f == 0:
+            v = line[x]
+        elif f == 1:
+            v = line[x] - a
+        elif f == 2:
+            v = line[x] - b
+        elif f == 3:
+            v = line[x] - ((a + b) >> 1)
+        elif f == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = line[x] - pr
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Zero-dependency PNG decode: stdlib ``zlib`` inflate of the IDAT
+    stream plus scanline unfiltering (all five RFC 2083 filters).
+    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
+    the overwhelmingly common subset; palette and 16-bit raise the
+    plug-point error. Returns (width, height, channels, pixel_bytes).
+    CRCs are verified (a corrupt chunk should fail loudly, not decode
+    garbage). Per-pixel Python unfiltering is the honest cost of zero
+    dependencies — fine for planted test media; production pipelines
+    plug PIL here."""
+    import struct
+    import zlib
+
+    if not content or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    chunks = []
+    i = 8
+    while i + 12 <= len(content):
+        (ln,) = struct.unpack(">I", content[i : i + 4])
+        typ = content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", content[i + 8 + ln : i + 12 + ln]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        chunks.append((typ, data))
+        i += 12 + ln
+        if typ == b"IEND":
+            break
+    if not chunks or chunks[0][0] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError("palette PNG not supported")
+    if interlace:
+        raise NotImplementedError("interlaced PNG not supported")
+    raw = zlib.decompress(
+        b"".join(d for t, d in chunks if t == b"IDAT")
+    )
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = (
+                    a
+                    if (pa <= pb and pa <= pc)
+                    else (b if pb <= pc else c)
+                )
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out += line
+        prev = bytes(line)
+    return w, h, channels, bytes(out)
+
+
+def _encode_png(
+    width: int,
+    height: int,
+    pix: bytes,
+    channels: int = 3,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Encode raw pixels as a valid PNG (stdlib zlib + CRC chunks).
+    ``row_filters`` optionally sets the filter per scanline (cycled) —
+    the test path uses it to plant payloads that exercise every
+    unfilter branch; default is filter 0 everywhere."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(pix[y * stride : (y + 1) * stride])
+        f = row_filters[y % len(row_filters)] if row_filters else 0
+        raw += bytes([f]) + _png_filter_row(f, line, prev, channels)
+        prev = line
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(content: bytes) -> tuple[int, int, int, list[int]]:
     """Parse a PCM WAV payload via the stdlib ``wave`` module: returns
     (sample_rate, n_channels, n_frames, samples) with 16-bit samples
@@ -164,13 +323,17 @@ def _real_decode(content: bytes) -> tuple[int, str]:
     if content and content[:2] in (b"P6", b"P5"):
         _, _, _, pix = _decode_ppm(content)
         return len(pix), hashlib.md5(pix).hexdigest()
+    if content and content[:8] == _PNG_SIG:
+        _, _, _, pix = _decode_png(content)
+        return len(pix), hashlib.md5(pix).hexdigest()
     if content and content[:4] == b"RIFF":
         _, _, _, samples = _decode_wav(content)
         raw = struct.pack(f"<{len(samples)}h", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
-        "real decode supports binary PPM/PGM and PCM WAV; other formats "
-        "need PIL/soundfile/ffmpeg, absent in this environment"
+        "real decode supports binary PPM/PGM, PNG (8-bit, non-palette), "
+        "and PCM WAV; JPEG/MP4 need PIL/ffmpeg, absent in this "
+        "environment"
     )
 
 
@@ -200,9 +363,22 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 if mid % 2 == 0:
                     w, h = 4 + mid % 5, 3 + mid % 4
                     pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
-                    rows["content"].append(_encode_ppm(w, h, pix))
+                    if mid % 4 == 2:
+                        # PNG twin of the PPM recipe: same pixels, so
+                        # the oracle's sum replays; row filters cycle
+                        # 0..4 so every unfilter branch is exercised
+                        rows["content"].append(
+                            _encode_png(
+                                w, h, pix, 3, row_filters=[0, 1, 2, 3, 4]
+                            )
+                        )
+                    else:
+                        rows["content"].append(_encode_ppm(w, h, pix))
                     rows["modality"].append("image")
-                    rows["mime"].append("image/x-portable-pixmap")
+                    rows["mime"].append(
+                        "image/png" if mid % 4 == 2
+                        else "image/x-portable-pixmap"
+                    )
                     rows["meta"].append(
                         {"width": w, "height": h, "duration_ms": None,
                          "sample_rate": None}
@@ -258,6 +434,14 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                     out["sample_rate"].append(None)
                     out["n_vals"].append(len(pix))
                     out["sum_vals"].append(sum(pix))
+                elif content is not None and bytes(content[:8]) == _PNG_SIG:
+                    w, h, ch, pix = _decode_png(bytes(content))
+                    out["fmt"].append("png")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(None)
+                    out["n_vals"].append(len(pix))
+                    out["sum_vals"].append(sum(pix))
                 elif content is not None and content[:4] == b"RIFF":
                     rate, nch, nfr, samples = _decode_wav(bytes(content))
                     out["fmt"].append("wav")
@@ -268,7 +452,7 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                     out["sum_vals"].append(sum(samples))
                 else:
                     raise NotImplementedError(
-                        "media_dimensions supports PPM/PGM and PCM WAV"
+                        "media_dimensions supports PPM/PGM, PNG, PCM WAV"
                     )
                 out["media_id"].append(mid)
             yield pd.DataFrame(out)
@@ -390,12 +574,17 @@ def resize_media(
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 if decode_mode == "real":
                     src = bytes(content) if content is not None else b""
-                    if src[:2] not in (b"P6", b"P5"):
+                    if src[:2] in (b"P6", b"P5"):
+                        sw, sh, ch, pix = _decode_ppm(src)
+                        is_png = False
+                    elif src[:8] == _PNG_SIG:
+                        sw, sh, ch, pix = _decode_png(src)
+                        is_png = True
+                    else:
                         raise NotImplementedError(
-                            "real resize supports binary PPM/PGM only; "
-                            "compressed images need PIL"
+                            "real resize supports binary PPM/PGM and "
+                            "PNG; JPEG needs PIL"
                         )
-                    sw, sh, ch, pix = _decode_ppm(src)
                     resized = bytearray()
                     for y in range(height):
                         sy = y * sh // height
@@ -404,7 +593,9 @@ def resize_media(
                             o = (sy * sw + sx) * ch
                             resized += pix[o : o + ch]
                     contents.append(
-                        _encode_ppm(width, height, bytes(resized), ch)
+                        _encode_png(width, height, bytes(resized), ch)
+                        if is_png
+                        else _encode_ppm(width, height, bytes(resized), ch)
                     )
                 else:
                     payload = content or b"\x00"

@@ -96,7 +96,8 @@ def test_real_codec_roundtrip_and_dimensions(spark):
     for mid, r in dims.items():
         if mid % 2 == 0:
             w, h = 4 + mid % 5, 3 + mid % 4
-            assert (r["fmt"], r["width"], r["height"]) == ("ppm", w, h)
+            fmt = "png" if mid % 4 == 2 else "ppm"
+            assert (r["fmt"], r["width"], r["height"]) == (fmt, w, h)
             assert r["n_vals"] == w * h * 3
             assert r["sum_vals"] == sum(
                 (mid * 7 + j) % 256 for j in range(w * h * 3)
@@ -129,8 +130,10 @@ def test_real_decode_and_resize_ppm(spark):
     ids = spark.range(6).selectExpr("id AS doc_id")
     media = synth_real_media(ids)
     dec = {r["media_id"]: r for r in decode_media(media, "real").collect()}
+
     # image rows: checksum is md5 of the PIXELS, not of the whole file
-    mid = 2
+    # (mid=4 is a PPM id under the mid%4 PPM/PNG split; mid%4==2 -> PNG)
+    mid = 4
     w, h = 4 + mid % 5, 3 + mid % 4
     pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
     assert dec[mid]["checksum"] == hashlib.md5(pix).hexdigest()
@@ -168,3 +171,99 @@ def test_real_decode_unknown_format_raises(spark):
     with _pytest.raises(Exception) as e:
         decode_media(media_from_documents(docs), "real").collect()
     assert "NotImplementedError" in str(e.value) or "PPM" in str(e.value)
+
+
+def test_png_roundtrip_all_filters():
+    """_encode_png with cycling row filters 0..4 decodes back to the
+    exact source pixels for every channel layout — each of the five
+    RFC 2083 unfilter branches is exercised on every image."""
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 6  # 6 rows -> filters 0,1,2,3,4,0
+        pix = bytes((11 * ch + j * 13) % 256 for j in range(w * h * ch))
+        payload = _encode_png(w, h, pix, ch, row_filters=[0, 1, 2, 3, 4])
+        rw, rh, rch, rpix = _decode_png(payload)
+        assert (rw, rh, rch) == (w, h, ch)
+        assert rpix == pix
+
+
+def test_png_crc_and_unsupported_variants():
+    """A corrupted chunk fails loudly (CRC verified); palette and
+    16-bit PNGs raise the plug-point error instead of mis-decoding."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _PNG_SIG,
+        _decode_png,
+        _encode_png,
+    )
+
+    good = _encode_png(4, 3, bytes(range(36)), 3)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT
+    with _pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(bad))
+
+    def ihdr_png(depth, ctype):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        return _PNG_SIG + chunk
+
+    with _pytest.raises(NotImplementedError, match="palette"):
+        _decode_png(ihdr_png(8, 3))
+    with _pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(ihdr_png(16, 2))
+
+
+def test_real_decode_and_resize_png(spark):
+    """The planted PNG ids (mid % 4 == 2) flow through decode_media,
+    resize_media, and media_dimensions exactly like the PPM ones —
+    and the resized output is itself a valid PNG."""
+    import hashlib
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        decode_media,
+        media_dimensions,
+        resize_media,
+        synth_real_media,
+    )
+
+    ids = spark.range(8).selectExpr("id AS doc_id")
+    media = synth_real_media(ids)
+    dec = {r["media_id"]: r for r in decode_media(media, "real").collect()}
+    mid = 6  # mid % 4 == 2 -> PNG
+    w, h = 4 + mid % 5, 3 + mid % 4
+    pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
+    assert dec[mid]["checksum"] == hashlib.md5(pix).hexdigest()
+    assert dec[mid]["n_bytes"] == len(pix)
+
+    pngs = media.where("mime = 'image/png'")
+    resized = resize_media(pngs, width=3, height=2, decode_mode="real")
+    out = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    rw, rh, ch, rpix = _decode_png(out[mid])
+    assert (rw, rh, ch) == (3, 2, 3)
+    exp = bytearray()
+    for y in range(2):
+        sy = y * h // 2
+        for x in range(3):
+            sx = x * w // 3
+            o = (sy * w + sx) * 3
+            exp += pix[o : o + 3]
+    assert rpix == bytes(exp)
+    dims = media_dimensions(resized).collect()
+    assert all(
+        (r["fmt"], r["width"], r["height"]) == ("png", 3, 2) for r in dims
+    )
