@@ -5113,7 +5113,9 @@ def _bm25_oracle(probes: list[tuple[int, str]], k: int = 5) -> str:
     b=0.75: same single tokenization, same smoothed idf, same 1e-9
     decimal-grid weight sum (order-independent — the reason the
     ranking is cross-engine exact), same (score desc, doc_id) rank."""
-    values = ", ".join(f"({i}, '{t}')" for i, t in probes)
+    values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in probes
+    )
     qnorm = _NORM.replace("text", "query_text")
     return f"""
 WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
@@ -5176,7 +5178,9 @@ def _phrase_oracle(probes: list[tuple[int, str]]) -> str:
     """Replica of operators.search.phrase_search: same anchor-vote
     matching (slot row (doc, pos, slot) votes for anchor pos - slot;
     an anchor with all m slot votes is one contiguous occurrence)."""
-    values = ", ".join(f"({i}, '{t}')" for i, t in probes)
+    values = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in probes
+    )
     pnorm = _NORM.replace("text", "phrase_text")
     return f"""
 WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),

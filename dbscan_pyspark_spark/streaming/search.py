@@ -34,10 +34,14 @@ def process_phrase_filter_batch(
     probe — and ``n_phrase_hits``, total occurrences over all probes),
     write the rest to ``output_dir``. Every input row lands in exactly
     one side (NULL/junk text can never match, so it flows through).
-    Both sinks are ``ingest_batch=<id>`` partition dirs with overwrite
-    — a replayed batch rewrites only its own partitions (the dedup
-    filters' idempotency discipline); empty sides skip their write so
-    no schema-less empty partition is left behind."""
+    Both sinks are ``ingest_batch=<id>`` partition dirs, and BOTH are
+    overwritten UNCONDITIONALLY — an empty side still writes, because
+    the overwrite is what clears a stale partition when a replayed
+    batch's split changed (e.g. the probe set was edited between
+    runs); skipping the empty write would leave the earlier run's rows
+    behind and a doc could surface in both sinks (review finding).
+    An empty overwrite leaves a data-less ``_SUCCESS`` partition,
+    which a parent-dir read skips harmlessly."""
     if batch.isEmpty():
         return
     spark = batch.sparkSession
@@ -51,9 +55,9 @@ def process_phrase_filter_batch(
         hits = phrase_search(
             batch, probes_df, text_col=text_col, id_col=id_col
         )
-        # per_doc is consumed four times (two isEmpty probes + two
-        # sink joins); without the persist each consumer re-runs the
-        # whole broadcast slot join + both anchor-vote shuffles
+        # per_doc is consumed twice (both sink joins); without the
+        # persist each consumer re-runs the whole broadcast slot join
+        # + both anchor-vote shuffles
         per_doc = hits.groupBy(id_col).agg(
             F.min("phrase_id").alias("first_phrase_id"),
             F.sum("n_occurrences").cast("long").alias("n_phrase_hits"),
@@ -61,14 +65,12 @@ def process_phrase_filter_batch(
         try:
             flagged = batch.join(per_doc, id_col)
             kept = batch.join(per_doc.select(id_col), id_col, "left_anti")
-            if not flagged.isEmpty():
-                flagged.write.mode("overwrite").parquet(
-                    f"{flagged_dir}/ingest_batch={batch_id}"
-                )
-            if not kept.isEmpty():
-                kept.write.mode("overwrite").parquet(
-                    f"{output_dir}/ingest_batch={batch_id}"
-                )
+            flagged.write.mode("overwrite").parquet(
+                f"{flagged_dir}/ingest_batch={batch_id}"
+            )
+            kept.write.mode("overwrite").parquet(
+                f"{output_dir}/ingest_batch={batch_id}"
+            )
         finally:
             per_doc.unpersist()
     finally:

@@ -103,10 +103,38 @@ def test_phrase_filter_batch_replay_is_idempotent(spark, tmp_path):
     assert first == again
     kept = spark.read.parquet(out)
     assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
-    # all-clean batch: flagged side skips its write entirely
+    # all-clean batch: flagged side still writes (empty partition with
+    # no data files) — the overwrite is what clears stale rows on
+    # replay, so it must run unconditionally
     clean = spark.createDataFrame(
         [(9, "totally fine")], "doc_id long, text string"
     )
     process_phrase_filter_batch(clean, 8, PROBES, out, flag)
-    assert not os.path.exists(f"{flag}/ingest_batch=8")
+    assert os.path.exists(f"{flag}/ingest_batch=8")
+    assert sorted(
+        (r.doc_id, r.first_phrase_id)
+        for r in spark.read.parquet(flag).collect()
+    ) == first  # no rows added by the empty overwrite
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 4, 5, 9}
+
+
+def test_phrase_filter_replay_with_changed_probes_clears_stale(
+    spark, tmp_path
+):
+    """A replayed batch whose split CHANGED (probe set edited between
+    runs) must not leave the earlier run's rows in either sink: both
+    partition dirs are overwritten unconditionally, so a doc can never
+    appear in both sinks after a replay (review finding)."""
+    out, flag = str(tmp_path / "o"), str(tmp_path / "f")
+    batch = spark.createDataFrame(DOCS, "doc_id long, text string")
+    process_phrase_filter_batch(batch, 3, PROBES, out, flag)
+    flagged_before = {r.doc_id for r in spark.read.parquet(flag).collect()}
+    assert flagged_before  # the probes flag something
+    # replay batch 3 with a probe set that matches NOTHING
+    process_phrase_filter_batch(
+        batch, 3, [(0, "zzz qqq xxx never present")], out, flag
+    )
+    flagged_after = spark.read.parquet(flag)
+    assert flagged_after.count() == 0  # stale flagged rows cleared
+    kept_after = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept_after == {d for d, _ in DOCS}  # everything kept now
