@@ -134,6 +134,47 @@ def bm25_topk(
     tok = _terms(docs, text_col, id_col)
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    return bm25_topk_from_postings(
+        tf,
+        dl,
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        round_to=round_to,
+    )
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 served from a MAINTAINED index instead of raw text: the
+    (term, doc, tf) postings relation plus the (doc, dl) length
+    relation — exactly what :func:`inverted_postings` emits and what
+    the streaming index maintainer (``streaming/index.py``) accretes
+    per ingest batch. The corpus-global quantities (df, N, avgdl) are
+    derived here at query time — they are one map-side-combined
+    aggregate over the (already term-partitioned) postings, NOT a
+    re-tokenization of the corpus. :func:`bm25_topk` delegates to this
+    after building tf/dl from text, so the two paths share the scoring
+    math by construction: stream-maintained index ≡ batch re-index is
+    pinned by test."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = postings.select(id_col, "term", F.col("tf").cast("long").alias("tf"))
+    dl = doclens.select(id_col, F.col("dl").cast("long").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -1,0 +1,143 @@
+"""Incremental inverted-index maintenance (streaming twin of
+``operators/search.py::inverted_postings``).
+
+A growing corpus's postings partition PERFECTLY by ingest batch: a
+document arrives in exactly one micro-batch, and its (term, doc, tf)
+rows depend on no other document — so "upsert" is just writing the
+batch's postings (and per-doc lengths) to ``ingest_batch=<id>``
+partition dirs with overwrite, the same replay-idempotency discipline
+as every streaming sink here. No read-modify-write, no merge job, no
+stale-row hazard: a replayed batch rewrites only its own partitions.
+
+The corpus-GLOBAL retrieval quantities (document frequency, N, avgdl)
+are deliberately NOT materialized per batch — they change with every
+batch, so maintaining them incrementally would mean rewriting a global
+artifact per micro-batch (a serialization point). Instead
+:func:`bm25_serve` derives them at query time with one map-side-
+combined aggregate over the term-partitioned postings union — the
+postings relation is vocabulary x avg-df sized, far smaller than the
+corpus text, and the aggregate prunes to nothing via the broadcast
+query-term semi-join shape inside ``bm25_topk_from_postings``.
+
+Scale shape: per batch, one tokenization pass over the BATCH only and
+two map-side-combined aggregates; the historical corpus is never
+re-read, let alone re-tokenized. Serving reads the postings parquet
+(term-keyed, column-pruned) — BM25 over a 100 TB corpus touches only
+the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def process_index_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Index one micro-batch: write its postings (term, doc, tf) to
+    ``<index_dir>/postings/ingest_batch=<id>`` and its doc lengths
+    (doc, dl) to ``<index_dir>/doclens/ingest_batch=<id>``, both with
+    unconditional overwrite (the phrase-filter replay lesson: the
+    overwrite is what clears a stale partition when a replayed batch's
+    content changed). Docs whose normalized text has no tokens carry
+    no postings and no length row — identical to how the batch
+    operators treat them (they don't count toward N/avgdl)."""
+    if batch.isEmpty():
+        return
+    from dbscan_pyspark_spark.operators.search import (
+        _terms,
+        inverted_postings,
+    )
+
+    batch = batch.persist()
+    try:
+        postings = inverted_postings(batch, text_col=text_col, id_col=id_col)
+        doclens = (
+            _terms(batch, text_col, id_col)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        )
+        postings.write.mode("overwrite").parquet(
+            f"{index_dir}/postings/ingest_batch={batch_id}"
+        )
+        doclens.write.mode("overwrite").parquet(
+            f"{index_dir}/doclens/ingest_batch={batch_id}"
+        )
+    finally:
+        batch.unpersist()
+
+
+def streaming_postings_index(
+    docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Maintain the inverted index over a streaming ``docs`` frame;
+    returns the ``StreamingQuery``. Each micro-batch accretes one
+    ``ingest_batch`` partition under ``<index_dir>/postings`` and
+    ``<index_dir>/doclens``."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        process_index_batch(
+            batch, batch_id, index_dir, text_col=text_col, id_col=id_col
+        )
+
+    return (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load the maintained index: (postings, doclens) DataFrames with
+    the ``ingest_batch`` partition column dropped — the union over all
+    ingested batches, ready for :func:`bm25_serve` or any postings
+    consumer (phrase/proximity layers read the same relation)."""
+    postings = spark.read.parquet(f"{index_dir}/postings").drop(
+        "ingest_batch"
+    )
+    doclens = spark.read.parquet(f"{index_dir}/doclens").drop("ingest_batch")
+    return postings, doclens
+
+
+def bm25_serve(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 top-k over the stream-maintained index: exactly
+    ``bm25_topk`` on the full ingested corpus (same delegated scoring
+    math, pinned by test), without ever re-reading the corpus text."""
+    from dbscan_pyspark_spark.operators.search import (
+        bm25_topk_from_postings,
+    )
+
+    postings, doclens = read_index(spark, index_dir)
+    return bm25_topk_from_postings(
+        postings,
+        doclens,
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        round_to=round_to,
+    )
