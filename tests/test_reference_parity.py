@@ -190,3 +190,106 @@ def test_data10k_6attr_scale_run(spark):
     n_clusters = sizes.count()
     assert n_clusters >= 1
     labels.unpersist()
+
+
+@needs_reference
+def test_golden_parquet_schema_and_payload_invariants(spark):
+    """The k-means pipeline's committed parquet output
+    (`output.txt/part-r-0000*.parquet`, written at
+    `k-means.ipynb:cell0:L69-71`) read DIRECTLY: the schema is the six
+    header-named nullable doubles, one row per input point carrying
+    its cluster centroid. Cluster ids are nondeterministic, but the
+    artifact's structure is exact and pinnable:
+
+    - 10000 rows, 527 distinct centroids, multiplicities in [9, 32]
+      (k=10 with the leftover-merge tail — a fixed artifact, so the
+      observed stats ARE the contract);
+    - centroid x multiplicity is integral per attribute (each centroid
+      is the mean of its members' integer attributes, so the product
+      recovers the integer member sum — any payload mis-read breaks
+      this at the 1e-9 level);
+    - per-attribute means equal the input fixture's means exactly
+      (centroid substitution preserves attribute sums).
+    """
+    g = spark.read.parquet(f"{REF}/output.txt")
+    headers = [
+        "age", "height", "weight", "blood_sugar_level", "child",
+        "exercise_hours",
+    ]
+    assert [
+        (f.name, f.dataType.simpleString(), f.nullable)
+        for f in g.schema.fields
+    ] == [(h, "double", True) for h in headers]
+    assert g.count() == 10000
+
+    cents = g.groupBy(*headers).agg(F.count(F.lit(1)).alias("m"))
+    stats = cents.agg(
+        F.count(F.lit(1)).alias("n_cents"),
+        F.min("m").alias("min_m"),
+        F.max("m").alias("max_m"),
+        *[
+            F.max(
+                F.abs(F.col(h) * F.col("m") - F.round(F.col(h) * F.col("m")))
+            ).alias(f"_i{i}")
+            for i, h in enumerate(headers)
+        ],
+    ).first()
+    assert (stats["n_cents"], stats["min_m"], stats["max_m"]) == (527, 9, 32)
+    assert all(stats[f"_i{i}"] < 1e-9 for i in range(len(headers)))
+
+    src = read_csv_points(spark, f"{REF}/data10k_6attr.csv", dimension=6)
+    src_means = src.select(
+        *[
+            F.avg(F.element_at("features", i + 1)).alias(f"a{i}")
+            for i in range(6)
+        ]
+    ).first()
+    out_means = g.agg(*[F.avg(h).alias(f"a{i}") for i, h in enumerate(headers)]).first()
+    for i in range(6):
+        assert abs(src_means[f"a{i}"] - out_means[f"a{i}"]) < 1e-9, headers[i]
+
+
+@needs_reference
+def test_kmember_anonymize_matches_golden_semantics(spark):
+    """Our kmember pipeline's parquet-output twin (kmember_anonymize)
+    exhibits the SAME centroid-substitution invariants as the golden
+    artifact, on a prefix of the same fixture: one row per point,
+    every cluster >= k members, centroid x size integral per
+    attribute, per-attribute sums preserved."""
+    from dbscan_pyspark_spark.operators.kmember import (
+        kmember_anonymize,
+        kmember_kmeans,
+    )
+
+    pts = (
+        read_csv_points(spark, f"{REF}/data10k_6attr.csv", dimension=6)
+        .where(F.col("id") < 1000)
+        .persist()
+    )
+    res = kmember_kmeans(pts, k=10, n_clusters=75, max_iter=5)
+    out = kmember_anonymize(pts, res).persist()
+    assert out.count() == 1000
+    cents = out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.first("an_features").alias("c"),
+    )
+    stats = cents.agg(
+        F.min("m").alias("min_m"),
+        *[
+            F.max(
+                F.abs(
+                    F.element_at("c", i + 1) * F.col("m")
+                    - F.round(F.element_at("c", i + 1) * F.col("m"))
+                )
+            ).alias(f"_i{i}")
+            for i in range(6)
+        ],
+    ).first()
+    assert stats["min_m"] >= 10
+    assert all(stats[f"_i{i}"] < 1e-6 for i in range(6))
+    for i in range(6):
+        src = pts.agg(F.sum(F.element_at("features", i + 1))).first()[0]
+        sub = out.agg(F.sum(F.element_at("an_features", i + 1))).first()[0]
+        assert abs(src - sub) < 1e-5, i
+    out.unpersist()
+    pts.unpersist()
