@@ -25,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 
 N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+N_SKEW_DOCS = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
 
 
 def main() -> None:
@@ -1443,6 +1444,110 @@ def main() -> None:
                 "n_vectors": n_kg,
                 "n_edges": kg_agg["n_edges"],
                 "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- skewed 10M-doc corpus: SNM + MinHash-LSH together ---
+    # The regime where the degenerate-bucket guard and linear blocking
+    # earn their keep: a Zipf-skewed background (6 hot z-tokens
+    # interleaved with 6 unique u-tokens per doc — every 3-gram shingle
+    # contains a unique token, so backgrounds share NO shingles while
+    # the hot tokens still skew the token/shingle relations), one
+    # 20k-copy exact-dup mega-clique, and 2000 planted near-dup
+    # clusters of 20 docs (19 shared tokens + 1 of 4 variant tokens:
+    # identical-variant pairs are exact dups, cross-variant Jaccard =
+    # 15/21 ~ 0.71 >= the 0.6 threshold, caught at LSH recall).
+    # Gates: SNM candidate count is EXACTLY 3n-6 (linear, skew can't
+    # inflate a fixed-width neighborhood) with the clique's dist-0 run
+    # found; MinHash output is clique pairs + [identical-variant
+    # minimum, all-within-cluster maximum]. Measured: SNM 50 s,
+    # minhash 167 s at 10M docs on local[32].
+    from dbscan_pyspark_spark.functions.text import normalized
+    from dbscan_pyspark_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    n_sk = N_SKEW_DOCS
+    sk_clique, sk_nclust, sk_csize = 20_000, 2000, 20
+    sid = F.col("id")
+    sk_clique_txt = F.lit(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lam "
+        "mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    sk_cl = F.floor((sid - sk_clique) / sk_csize).cast("long")
+    sk_member = (sid - sk_clique) % sk_csize
+    sk_clust_txt = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(18)),
+            lambda j: F.concat(
+                F.lit("c"),
+                F.pmod(
+                    F.xxhash64(sk_cl, j.cast("string")), F.lit(10_000_000)
+                ).cast("string"),
+            ),
+        ),
+        F.concat(F.lit("v"), (sk_member % 4).cast("string")),
+    )
+
+    def _zipf_tok(j):
+        h = F.pmod(F.xxhash64(sid, F.lit(j).cast("string")), F.lit(1024))
+        return F.concat(
+            F.lit("z"), ((h * h) / F.lit(1024)).cast("long").cast("string")
+        )
+
+    def _uniq_tok(j):
+        return F.concat(
+            F.lit("u"), sid.cast("string"), F.lit("x"), F.lit(str(j))
+        )
+
+    sk_bg_txt = F.concat_ws(
+        " ",
+        *[
+            t
+            for j in range(6)
+            for t in (_zipf_tok(2 * j), _uniq_tok(2 * j + 1))
+        ],
+    )
+    sk_docs = spark.range(n_sk).select(
+        sid.alias("doc_id"),
+        F.when(sid < sk_clique, sk_clique_txt)
+        .when(sid < sk_clique + sk_nclust * sk_csize, sk_clust_txt)
+        .otherwise(sk_bg_txt)
+        .alias("text"),
+    )
+
+    t0 = time.time()
+    snm = sorted_neighborhood_pairs(
+        sk_docs, window=3, key_expr=F.substring(normalized("text"), 1, 32)
+    )
+    snm_agg = snm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("dist") == 0).cast("long")).alias("n0"),
+    ).first()
+    t_snm = time.time() - t0
+    assert snm_agg["n"] == 3 * n_sk - 6, snm_agg
+    assert snm_agg["n0"] >= 3 * sk_clique - 6, snm_agg
+
+    t0 = time.time()
+    n_mh2 = minhash_near_dup_pairs(sk_docs, threshold=0.6).count()
+    t_mh2 = time.time() - t0
+    sk_clique_pairs = sk_clique * (sk_clique - 1) // 2
+    lo = sk_clique_pairs + sk_nclust * 4 * (5 * 4 // 2)
+    hi = sk_clique_pairs + sk_nclust * (sk_csize * (sk_csize - 1) // 2)
+    assert lo <= n_mh2 <= hi, (n_mh2, lo, hi)
+    print(
+        json.dumps(
+            {
+                "stage": "skewed_corpus_10m",
+                "n_docs": n_sk,
+                "snm_candidates": snm_agg["n"],
+                "snm_dist0": snm_agg["n0"],
+                "snm_wall_s": round(t_snm, 1),
+                "minhash_pairs": n_mh2,
+                "minhash_wall_s": round(t_mh2, 1),
             }
         ),
         flush=True,
