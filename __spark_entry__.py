@@ -3607,6 +3607,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bm25_topk"] = doc_bm25_topk
 
+    # ---- BM25 served from a MAINTAINED index (the incremental-index
+    # path, streaming/index.py): postings + doc lengths built once,
+    # scored by bm25_topk_from_postings — which bm25_topk itself
+    # delegates to, so this must hash-match the SAME oracle as
+    # doc_bm25_topk, proving index-served == batch re-index ----
+    def doc_bm25_from_index(spark, sf):
+        from dbscan_pyspark_spark.operators.search import (
+            _terms,
+            bm25_topk_from_postings,
+            inverted_postings,
+        )
+
+        docs = load_table(spark, sf, "documents")
+        postings = inverted_postings(docs)
+        doclens = (
+            _terms(docs, "text", "doc_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        )
+        probes = spark.createDataFrame(
+            _BM25_PROBES, "query_id int, query_text string"
+        )
+        return bm25_topk_from_postings(postings, doclens, probes, k=5)
+
+    q["doc_bm25_from_index"] = doc_bm25_from_index
+
     # ---- inverted-index postings with positions (operators/search.py);
     # the positions array is comma-joined to a string because the
     # driver canonicalizer rejects array cells ----
@@ -4008,17 +4034,18 @@ _ROWS_ONLY_GREEN: set = set()
 # operator's plan rebuild, the chunked waterfill apply, and the
 # kmember core refactor.
 _FLAGSHIP_FIRST = [
-    "token_stats", "doc_quality", "lang_id_heuristic",
-    "doc_tfidf_top_terms", "doc_winnow_fingerprints",
-    "dedup_exact_docs", "minhash_near_dups", "minhash_band_signatures",
-    "dedup_near_docs", "dedup_vs_reference", "doc_contamination",
-    "doc_boilerplate_strip", "doc_dup_spans", "doc_dup_span_strip",
-    "doc_redactions", "orders_expectations", "source_budget_sample",
-    "source_token_waterfill", "source_caps",
-    "kmember_quantized_embeddings",
-    # slim RP-LSH band exchange (round 8, second batch)
-    "embedding_near_dups_lsh_exact", "embedding_semantic_dedup",
-    "embedding_near_dups",
+    # round-9 changed/new tier: queries whose operator internals
+    # changed this round (every one locally re-verified green) plus
+    # the two brand-new entries, so the r9 driver window re-checks
+    # exactly what moved.
+    "doc_bpe_merges_deep", "doc_bm25_from_index",  # new this round
+    "doc_bpe_merges",  # bpe_learn driver-path dispatch
+    "doc_bm25_topk",  # scoring delegated to bm25_topk_from_postings
+    "minhash_near_dups", "dedup_near_docs",  # degenerate-bucket guard
+    "simhash_near_dup_pairs",  # signature contraction
+    "ivf_ann_topk_exact", "ivf_recall_eval",  # n_cells='auto' resolve
+    "embedding_knn_graph", "embedding_mutual_knn_clusters",
+    "multimodal_real_dimensions",  # planted PNGs (PNG codec)
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly
@@ -7843,6 +7870,7 @@ FROM agg
             ),
         ),
         "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
+        "doc_bm25_from_index": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,
         "doc_sorted_neighbors": _SORTED_NEIGHBORS_ORACLE,
         "doc_phrase_search": _phrase_oracle(_PHRASE_PROBES),
