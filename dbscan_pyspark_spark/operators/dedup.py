@@ -339,22 +339,26 @@ def minhash_near_dup_pairs(
     the output's own semantics — but it is produced by one equi-join,
     never shuffled through banding or verification.
     """
-    # Contract identical content first: members = (content key, id),
-    # reps = min-id per key. Docs with NULL text can never pair (no
-    # shingles) and are dropped here; short texts (< n chars) keep a
-    # rep but get no signature, and the intra expansion below requires
-    # the rep to HAVE a signature — matching the uncontracted
-    # pipeline, where such docs never reach the band join.
+    # Contract identical content first: a NARROW (key, id) groupBy
+    # picks min-id reps, then a semi-join restores the reps' text from
+    # the source. The semi-join is the adaptive piece: AQE broadcasts
+    # the rep-id side when it is small (the text column never moves),
+    # and falls back to a shuffle join when reps are corpus-sized —
+    # measured faster at sf0.1 than the one-exchange alternative
+    # (groupBy carrying first(text)), which forces every text through
+    # the aggregate exchange unconditionally. Docs with NULL text can
+    # never pair (no shingles) and are dropped here; short texts
+    # (< n chars) keep a rep but get no signature, and the intra
+    # expansion below requires the rep to HAVE a signature — matching
+    # the uncontracted pipeline, where such docs never reach the band
+    # join.
     keyed = df.select(
         F.col(id_col), F.md5(normalized(text_col)).alias("_k")
     ).where(F.col("_k").isNotNull())
-    members = keyed.persist()
-    reps = members.groupBy("_k").agg(
+    reps = keyed.groupBy("_k").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_gsize")
     ).persist()
-    rep_docs = df.join(
-        reps.select(id_col), id_col, "left_semi"
-    )
+    rep_docs = df.join(reps.select(id_col), id_col, "left_semi")
     # The candidate set is referenced three times below (pairs + two
     # semi-join prunes); without materialization Catalyst would run the
     # whole signature->band->self-join subtree three times (measured 3x
@@ -415,18 +419,24 @@ def minhash_near_dup_pairs(
         .join(sig.select(id_col), id_col, "left_semi")
         .select("_k")
     )
+    # keys_needed touches sig/reps, so it must materialize BEFORE the
+    # caches release; members_needed's remaining lineage is only the
+    # cheap md5 projection over docs broadcast-joined against this
+    # checkpointed key set (no shuffle), so IT can stay a lazy
+    # checkpoint — the caller's first action materializes it once,
+    # every later consumer reads the cached blocks.
     keys_needed = (
         rep_map.join(pair_rep_ids, "_rep", "left_semi")
         .unionByName(rep_map.join(intra_keys, "_k", "left_semi"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    members_needed = members.join(keys_needed, "_k").localCheckpoint(
-        eager=True
-    )
+    members_needed = keyed.select(id_col, "_k").join(
+        F.broadcast(keys_needed), "_k"
+    ).localCheckpoint(eager=False)
     sig.unpersist()
     sh.unpersist()
     reps.unpersist()
-    members.unpersist()
     m_a = members_needed.select(
         F.col("_rep").alias("a_id"), F.col(id_col).alias("_ma")
     )
