@@ -3028,6 +3028,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_bigram_fluency"] = doc_bigram_fluency
 
+    # ---- PMI collocations (operators/pipeline.py): top-k adjacent
+    # word pairs by pointwise mutual information — the phrase-mining /
+    # tokenizer-seeding primitive; one identically-structured log
+    # ratio in both engines, 1e-9-grid rank, round-4 emit (the bm25
+    # ln discipline) ----
+    def doc_pmi_collocations(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import (
+            pmi_collocations,
+        )
+
+        return pmi_collocations(
+            load_table(spark, sf, "documents"), k=20, min_count=5
+        )
+
+    q["doc_pmi_collocations"] = doc_pmi_collocations
+
     def part_triangle_histogram(spark, sf):
         # triangle participation histogram over the part co-occurrence
         # graph — degree-oriented wedge join (Suri & Vassilvitskii),
@@ -4039,6 +4055,7 @@ _FLAGSHIP_FIRST = [
     # the two brand-new entries, so the r9 driver window re-checks
     # exactly what moved.
     "doc_bpe_merges_deep", "doc_bm25_from_index",  # new this round
+    "doc_pmi_collocations",  # new this round
     "doc_bpe_merges",  # bpe_learn driver-path dispatch
     "doc_bm25_topk",  # scoring delegated to bm25_topk_from_postings
     "minhash_near_dups", "dedup_near_docs",  # degenerate-bucket guard
@@ -5252,6 +5269,45 @@ def _bpe_fold_sql(symbols_expr: str, left: str, right: str) -> str:
         f"THEN list_concat(acc[1:len(acc)-1], ['{left}{right}']) "
         f"ELSE list_concat(acc, x) END)"
     )
+
+
+_PMI_COLLOCATIONS_ORACLE = f"""
+WITH toks AS (
+  SELECT list_filter(string_split({_NORM}, ' '), t -> t <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_term
+  FROM (SELECT unnest(t) AS term FROM toks) u GROUP BY term
+),
+bg AS (
+  SELECT p.x, p.y, CAST(count(*) AS BIGINT) AS n_xy FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+           i -> struct_pack(x := t[i], y := t[i + 1]))) AS p
+    FROM toks WHERE len(t) >= 2
+  ) b GROUP BY p.x, p.y
+),
+tot AS (
+  SELECT (SELECT CAST(sum(n_term) AS DOUBLE) FROM uni) AS N,
+         (SELECT CAST(sum(n_xy) AS DOUBLE) FROM bg) AS M
+),
+scored AS (
+  SELECT bg.x, bg.y, bg.n_xy,
+         ln((bg.n_xy / tot.M) / ((ux.n_term / tot.N) * (uy.n_term / tot.N)))
+           AS pmi_raw
+  FROM bg, tot
+  JOIN uni ux ON ux.term = bg.x
+  JOIN uni uy ON uy.term = bg.y
+  WHERE bg.n_xy >= 5
+),
+top AS (
+  SELECT *, round(pmi_raw, 9) AS q FROM scored
+  ORDER BY q DESC, x, y LIMIT 20
+)
+SELECT x, y, n_xy, round(pmi_raw, 4) AS pmi,
+       CAST(row_number() OVER (ORDER BY q DESC, x, y) AS INT) AS rnk
+FROM top
+"""
 
 
 def _bpe_learn_oracle(
@@ -7869,6 +7925,7 @@ FROM agg
                 "SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0"
             ),
         ),
+        "doc_pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
         "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_bm25_from_index": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,

@@ -1957,6 +1957,104 @@ def bigram_fluency(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information
+    (Church & Hanks, CL 1990): adjacent word pairs whose joint
+    probability most exceeds independence,
+
+        pmi(x, y) = ln( (n_xy / M) / ((n_x / N) · (n_y / N)) )
+
+    over corpus unigram counts n (N total tokens) and adjacent-bigram
+    counts (M total bigrams), with ``min_count`` pruning the unstable
+    low-frequency tail — the standard phrase-mining / tokenizer-seeding
+    primitive. Returns DataFrame(x, y, n_xy, pmi double, rnk int).
+
+    Exactness discipline (the bm25 precedent): the only cross-engine
+    FP hazard is ``ln`` itself (1-ulp libm differences), so the ratio
+    is built as ONE log of an identically-structured expression in
+    both engines, ranking uses the value quantized to a 1e-9 grid with
+    (x, y) tie-break, and the emitted score is round-4. Scale shape:
+    two partial-aggregatable count shuffles (unigrams, bigrams), a
+    1-row totals aggregate broadcast on, two term-keyed joins of the
+    min_count-pruned bigram relation against the unigram counts (AQE
+    broadcasts the small side; a giant vocabulary falls back to a
+    shuffle join on the term key),
+    then TakeOrdered for the top-k slice — the rank window runs over
+    the k-row head, never the full pair relation (the build_vocab
+    pattern)."""
+    from dbscan_pyspark_spark.functions.text import normalized
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = df.select(
+        F.filter(
+            F.split(normalized(F.col(text_col)), " "), lambda t: t != ""
+        ).alias("_t")
+    ).localCheckpoint(eager=False)
+    uni = (
+        toks.select(F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_term"))
+    ).localCheckpoint(eager=False)
+    bg = (
+        toks.where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_t) - 1), "
+                    "i -> struct(_t[i-1] AS x, _t[i] AS y))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    ).localCheckpoint(eager=False)
+    totals = uni.agg(F.sum("n_term").cast("double").alias("_N")).crossJoin(
+        bg.agg(F.sum("n_xy").cast("double").alias("_M"))
+    )
+    scored = (
+        bg.where(F.col("n_xy") >= min_count)
+        .join(
+            uni.select(
+                F.col("term").alias("x"), F.col("n_term").alias("_nx")
+            ),
+            "x",
+        )
+        .join(
+            uni.select(
+                F.col("term").alias("y"), F.col("n_term").alias("_ny")
+            ),
+            "y",
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_pmi",
+            F.log(
+                (F.col("n_xy") / F.col("_M"))
+                / ((F.col("_nx") / F.col("_N")) * (F.col("_ny") / F.col("_N")))
+            ),
+        )
+        .withColumn("_q", F.round(F.col("_pmi"), 9))
+    )
+    order = [F.col("_q").desc(), F.col("x"), F.col("y")]
+    top = scored.orderBy(*order).limit(k)
+    from pyspark.sql import Window
+
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order))
+    ).select(
+        "x", "y", "n_xy", F.round("_pmi", 4).alias("pmi"), "rnk"
+    )
+
+
 def build_vocab(
     df: DataFrame,
     size: int = 1000,

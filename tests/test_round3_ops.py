@@ -856,3 +856,64 @@ def test_build_vocab_min_count_and_partition_invariance(spark, sf_dir):
     assert 0 < len(a) <= 100
     rare = build_vocab(docs, size=10_000, min_count=10)
     assert rare.agg(F.min("n_occurrences")).first()[0] >= 10
+
+
+def test_pmi_collocations_python_reference(spark):
+    """PMI over a hand-built corpus matches a row-at-a-time reference:
+    same one-log ratio, 1e-9-grid ranking with (x, y) tie-break,
+    min_count pruning, round-4 emit."""
+    import math
+    from collections import Counter
+
+    from dbscan_pyspark_spark.operators.pipeline import pmi_collocations
+
+    texts = [
+        "strong coffee every morning with strong coffee",
+        "strong coffee beats weak tea",
+        "weak tea weak tea weak tea",
+        "morning tea and strong coffee again",
+        "coffee strong is odd order",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r.x, r.y, r.n_xy, r.pmi, r.rnk)
+        for r in pmi_collocations(docs, k=5, min_count=2)
+        .orderBy("rnk")
+        .collect()
+    ]
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    N, M = sum(uni.values()), sum(bg.values())
+    scored = [
+        (x, y, c, math.log((c / M) / ((uni[x] / N) * (uni[y] / N))))
+        for (x, y), c in bg.items()
+        if c >= 2
+    ]
+    scored.sort(key=lambda r: (-round(r[3], 9), r[0], r[1]))
+    exp = [
+        (x, y, c, round(p, 4), i + 1)
+        for i, (x, y, c, p) in enumerate(scored[:5])
+    ]
+    assert got == exp
+    # the top pair is a real collocation, not a frequency artifact
+    assert got[0][:2] in {("strong", "coffee"), ("weak", "tea")}
+
+
+def test_pmi_collocations_contract(spark):
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        pmi_collocations(docs, k=0)
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, min_count=0)
