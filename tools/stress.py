@@ -1440,7 +1440,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "stage": "knn_graph_50k",
+                "stage": "knn_graph_200k_auto",
                 "n_vectors": n_kg,
                 "n_edges": kg_agg["n_edges"],
                 "wall_s": round(time.time() - t0, 1),
