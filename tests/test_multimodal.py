@@ -267,3 +267,136 @@ def test_real_decode_and_resize_png(spark):
     assert all(
         (r["fmt"], r["width"], r["height"]) == ("png", 3, 2) for r in dims
     )
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """The baseline JPEG codec is REAL: encode -> decode recovers exact
+    dimensions and pixels within tight error bounds (lossy by nature,
+    unlike the bit-exact PPM/PNG/WAV codecs); a flat block survives
+    within 1 level at quality 95."""
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 19, 13
+    pix = bytearray()
+    for r in range(h):
+        for c in range(w):
+            pix += bytes(
+                [
+                    min(255, 10 * c + 5 * r),
+                    min(255, 255 - 8 * c),
+                    min(255, 7 * r + 3 * c),
+                ]
+            )
+    rw, rh, rch, rpix = decode_jpeg(encode_jpeg(w, h, bytes(pix), 3, 90))
+    assert (rw, rh, rch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(pix, rpix)) <= 40
+    assert sum(abs(a - b) for a, b in zip(pix, rpix)) / len(pix) <= 8
+
+    gpix = bytes(min(255, 6 * (r + c)) for r in range(h) for c in range(w))
+    rw, rh, rch, rpix = decode_jpeg(encode_jpeg(w, h, gpix, 1, 90))
+    assert (rw, rh, rch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(gpix, rpix)) <= 25
+
+    fpix = bytes([77]) * 256
+    _, _, _, rpix = decode_jpeg(encode_jpeg(16, 16, fpix, 1, 95))
+    assert max(abs(a - b) for a, b in zip(fpix, rpix)) <= 1
+
+
+def test_jpeg_unsupported_variants_raise():
+    """Progressive (SOF2) and subsampled payloads raise the plug-point
+    error instead of mis-decoding; junk raises ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"definitely not a jpeg")
+
+    good = bytearray(encode_jpeg(8, 8, bytes(range(64)), 1, 90))
+    sof = good.find(b"\xFF\xC0")
+    assert sof > 0
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+    sub = bytearray(good)
+    # SOF payload: len(2) precision(1) h(2) w(2) ncomp(1) [id samp tq]
+    samp_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert sub[samp_off] == 0x11
+    sub[samp_off] = 0x22  # 2x2 subsampling
+    with _pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    assert struct  # quiet lint
+
+
+def test_real_decode_and_resize_jpeg(spark):
+    """Planted JPEGs flow through decode_media('real'), resize_media,
+    and media_dimensions; the resized output is itself a valid JPEG
+    with the new dimensions and pixels near the nearest-neighbor
+    resample of the decoded source."""
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from dbscan_pyspark_spark.operators.multimodal import (
+        decode_media,
+        media_dimensions,
+        resize_media,
+    )
+
+    def planted(mid):
+        w, h = 12 + mid % 3, 9 + mid % 2
+        pix = bytes(
+            min(255, (r * 11 + c * 7 + mid * 5) % 256)
+            for r in range(h)
+            for c in range(w)
+            for _ in range(3)
+        )
+        return w, h, encode_jpeg(w, h, pix, 3, 90)
+
+    rows = []
+    for mid in range(4):
+        w, h, payload = planted(mid)
+        rows.append(
+            (
+                mid,
+                "image",
+                bytearray(payload),
+                "image/jpeg",
+                {"width": w, "height": h, "duration_ms": None,
+                 "sample_rate": None},
+            )
+        )
+    from dbscan_pyspark_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dims = {r["media_id"]: r for r in media_dimensions(media).collect()}
+    for mid in range(4):
+        w, h, payload = planted(mid)
+        _, _, _, pix = decode_jpeg(payload)
+        assert (dims[mid]["fmt"], dims[mid]["width"], dims[mid]["height"]) \
+            == ("jpeg", w, h)
+        assert dims[mid]["n_vals"] == w * h * 3
+        assert dims[mid]["sum_vals"] == sum(pix)
+
+    dec = {r["media_id"]: r for r in decode_media(media, "real").collect()}
+    assert all(dec[m]["n_bytes"] == dims[m]["n_vals"] for m in range(4))
+
+    resized = resize_media(media, width=6, height=4, decode_mode="real")
+    out = {r["media_id"]: bytes(r["content"]) for r in resized.collect()}
+    for mid in range(4):
+        rw, rh, rch, rpix = decode_jpeg(out[mid])
+        assert (rw, rh, rch) == (6, 4, 3)
+    rdims = media_dimensions(resized).collect()
+    assert all(
+        (r["fmt"], r["width"], r["height"]) == ("jpeg", 6, 4) for r in rdims
+    )
