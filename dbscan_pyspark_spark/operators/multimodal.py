@@ -24,6 +24,7 @@ similarity operators (operators/similarity.py) directly.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -279,6 +280,115 @@ def _encode_png(
     )
 
 
+# ---- MP4 / ISO BMFF container metadata (real parse, no sample decode)
+
+
+def _mp4_boxes(data, start, end):
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", data[i : i + 4])
+        typ = data[i + 4 : i + 8]
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[i + 8 : i + 16])
+            payload_off = i + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - i
+            payload_off = i + 8
+        else:
+            payload_off = i + 8
+        if size < 8 or i + size > end:
+            raise ValueError("malformed MP4 box")
+        yield typ, payload_off, i + size
+        i += size
+
+
+def _parse_mp4_meta(content: bytes):
+    """Parse MP4/ISO-BMFF container metadata: returns
+    (duration_ms, n_tracks, width, height) from mvhd/tkhd boxes —
+    width/height from the first video-sized track (tkhd 16.16 fixed
+    point), None when absent."""
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload (no ftyp)")
+    duration_ms = None
+    n_tracks = 0
+    width = height = None
+    for typ, off, end in _mp4_boxes(content, 0, len(content)):
+        if typ != b"moov":
+            continue
+        for t2, o2, e2 in _mp4_boxes(content, off, end):
+            if t2 == b"mvhd":
+                ver = content[o2]
+                if ver == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", content[o2 + 20 : o2 + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", content[o2 + 12 : o2 + 20]
+                    )
+                if timescale:
+                    duration_ms = duration * 1000 // timescale
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, o3, e3 in _mp4_boxes(content, o2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = content[o3]
+                    # after version/flags + timestamps + track id +
+                    # reserved + duration: v0 ends at +24, v1 at +36
+                    base = o3 + (36 if ver == 1 else 24)
+                    # reserved(8) layer(2) alt_group(2) volume(2)
+                    # reserved(2) matrix(36) -> width(4) height(4)
+                    wh = content[base + 52 : base + 60]
+                    if len(wh) == 8:
+                        w_fp, h_fp = struct.unpack(">II", wh)
+                        if w_fp and h_fp and width is None:
+                            width, height = w_fp >> 16, h_fp >> 16
+    if duration_ms is None and n_tracks == 0:
+        raise ValueError("MP4 has no moov metadata")
+    return duration_ms, n_tracks, width, height
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _encode_mp4_stub(
+    duration_ms: int, width: int, height: int, timescale: int = 1000
+) -> bytes:
+    """Synthesize a minimal valid MP4 container (ftyp + moov with mvhd
+    and one video trak/tkhd) carrying REAL metadata — no media samples
+    (mdat absent), exactly what a metadata probe reads."""
+    dur = duration_ms * timescale // 1000
+    mvhd = (
+        bytes([0, 0, 0, 0])  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2)  # next track id
+    )
+    tkhd = (
+        bytes([0, 0, 0, 7])  # version 0, flags: enabled+in-movie+preview
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer/group/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    return (
+        _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+        + _mp4_box(b"moov", moov)
+    )
+
+
 def _decode_wav(content: bytes) -> tuple[int, int, int, list[int]]:
     """Parse a PCM WAV payload via the stdlib ``wave`` module: returns
     (sample_rate, n_channels, n_frames, samples) with 16-bit samples
@@ -461,6 +571,23 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                     out["sample_rate"].append(None)
                     out["n_vals"].append(len(pix))
                     out["sum_vals"].append(sum(pix))
+                elif (
+                    content is not None
+                    and len(content) >= 12
+                    and bytes(content[4:8]) == b"ftyp"
+                ):
+                    # REAL container-metadata parse (mvhd/tkhd box
+                    # walk); sample decode stays the ffmpeg plug point.
+                    # n_vals carries the track count, sum_vals the
+                    # container duration in ms — the typed quantities a
+                    # metadata probe recovers from the boxes.
+                    dur, n_tracks, w, h = _parse_mp4_meta(bytes(content))
+                    out["fmt"].append("mp4")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(None)
+                    out["n_vals"].append(n_tracks)
+                    out["sum_vals"].append(dur)
                 elif content is not None and content[:4] == b"RIFF":
                     rate, nch, nfr, samples = _decode_wav(bytes(content))
                     out["fmt"].append("wav")
@@ -472,7 +599,7 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "media_dimensions supports PPM/PGM, PNG, baseline "
-                        "JPEG, PCM WAV"
+                        "JPEG, PCM WAV, and MP4 container metadata"
                     )
                 out["media_id"].append(mid)
             yield pd.DataFrame(out)

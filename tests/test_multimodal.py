@@ -400,3 +400,46 @@ def test_real_decode_and_resize_jpeg(spark):
     assert all(
         (r["fmt"], r["width"], r["height"]) == ("jpeg", 6, 4) for r in rdims
     )
+
+
+def test_mp4_container_metadata(spark):
+    """MP4/ISO-BMFF container metadata is parsed for REAL: a minimal
+    synthesized container (ftyp + moov{mvhd, trak{tkhd}}) yields its
+    exact duration, track count, and 16.16 fixed-point video
+    dimensions through media_dimensions; junk without an ftyp box is
+    rejected; sample decode remains the ffmpeg plug point."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _encode_mp4_stub,
+        _parse_mp4_meta,
+        media_dimensions,
+    )
+
+    assert _parse_mp4_meta(_encode_mp4_stub(5250, 640, 360)) == (
+        5250, 1, 640, 360,
+    )
+    with _pytest.raises(ValueError, match="ftyp"):
+        _parse_mp4_meta(b"\x00\x00\x00\x08free")
+
+    rows = [
+        (
+            mid,
+            "video",
+            bytearray(_encode_mp4_stub(1000 * (mid + 1), 320 + 16 * mid, 240)),
+            "video/mp4",
+            {"width": 320 + 16 * mid, "height": 240,
+             "duration_ms": 1000 * (mid + 1), "sample_rate": None},
+        )
+        for mid in range(3)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dims = {r["media_id"]: r for r in media_dimensions(media).collect()}
+    for mid in range(3):
+        r = dims[mid]
+        assert (r["fmt"], r["width"], r["height"]) == (
+            "mp4", 320 + 16 * mid, 240,
+        )
+        assert r["n_vals"] == 1  # track count
+        assert r["sum_vals"] == 1000 * (mid + 1)  # duration_ms
