@@ -3044,6 +3044,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_pmi_collocations"] = doc_pmi_collocations
 
+    # ---- Count-Min Sketch over part demand (operators/pipeline.py):
+    # md5-derived hashes make the sketch and every point estimate
+    # exactly reproducible cross-engine — unlike the engine-native
+    # HLL/KLL sketches, the CMS carries a value-hash oracle; 20k
+    # distinct parts into 4x64 counters guarantees real collision
+    # mass, and overestimate >= 0 is the CMS bound the oracle pins ----
+    def part_demand_cms(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import cms_estimates
+
+        return cms_estimates(
+            load_table(spark, sf, "lineitem"), "l_partkey",
+            depth=4, width=64,
+        )
+
+    q["part_demand_cms"] = part_demand_cms
+
+    # ---- add-1 bigram-LM perplexity (operators/pipeline.py): the
+    # real KenLM-style quality score (ln-based, decimal-grid summed),
+    # next to the ln-free magnitude-bucket doc_bigram_fluency ----
+    def doc_lm_perplexity(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import lm_perplexity
+
+        return lm_perplexity(load_table(spark, sf, "documents"))
+
+    q["doc_lm_perplexity"] = doc_lm_perplexity
+
     def part_triangle_histogram(spark, sf):
         # triangle participation histogram over the part co-occurrence
         # graph — degree-oriented wedge join (Suri & Vassilvitskii),
@@ -4055,7 +4081,8 @@ _FLAGSHIP_FIRST = [
     # the two brand-new entries, so the r9 driver window re-checks
     # exactly what moved.
     "doc_bpe_merges_deep", "doc_bm25_from_index",  # new this round
-    "doc_pmi_collocations",  # new this round
+    "doc_pmi_collocations", "part_demand_cms",  # new this round
+    "doc_lm_perplexity",  # new this round
     "doc_bpe_merges",  # bpe_learn driver-path dispatch
     "doc_bm25_topk",  # scoring delegated to bm25_topk_from_postings
     "minhash_near_dups", "dedup_near_docs",  # degenerate-bucket guard
@@ -5269,6 +5296,73 @@ def _bpe_fold_sql(symbols_expr: str, left: str, right: str) -> str:
         f"THEN list_concat(acc[1:len(acc)-1], ['{left}{right}']) "
         f"ELSE list_concat(acc, x) END)"
     )
+
+
+_CMS_ORACLE = """
+WITH keyed AS (
+  SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL
+),
+cells AS (
+  SELECT r.range AS row,
+         CAST(concat('0x', substring(md5(concat(r.range, ':',
+              CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM keyed, range(0, 4) r
+),
+cms AS (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, bucket
+),
+truth AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS true_n FROM keyed GROUP BY k
+),
+probes AS (
+  SELECT t.k, t.true_n, r.range AS row,
+         CAST(concat('0x', substring(md5(concat(r.range, ':',
+              CAST(t.k AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM truth t, range(0, 4) r
+)
+SELECT p.k AS l_partkey, p.true_n,
+       min(c.cnt) AS cms_estimate,
+       min(c.cnt) - p.true_n AS overestimate
+FROM probes p JOIN cms c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY p.k, p.true_n
+"""
+
+_LM_PERPLEXITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split({_NORM}, ' '), t -> t <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, p.x, p.y FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                  i -> struct_pack(x := t[i], y := t[i + 1]))) AS p
+    FROM toks WHERE len(t) >= 2
+  ) o
+),
+bg AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM occ GROUP BY x, y
+),
+uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cx
+  FROM (SELECT unnest(t) AS term FROM toks) u GROUP BY term
+),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS V FROM uni),
+lnp AS (
+  SELECT occ.doc_id,
+         CAST(round(ln((bg.cxy + 1.0) / (uni.cx + vocab.V)), 9)
+              AS DECIMAL(28,9)) AS lnp
+  FROM occ
+  JOIN bg ON bg.x = occ.x AND bg.y = occ.y
+  JOIN uni ON uni.term = occ.x
+  CROSS JOIN vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(exp(-(CAST(sum(lnp) AS DOUBLE)) / count(*)), 4) AS ppl
+FROM lnp GROUP BY doc_id
+"""
 
 
 _PMI_COLLOCATIONS_ORACLE = f"""
@@ -7926,6 +8020,8 @@ FROM agg
             ),
         ),
         "doc_pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
+        "part_demand_cms": _CMS_ORACLE,
+        "doc_lm_perplexity": _LM_PERPLEXITY_ORACLE,
         "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_bm25_from_index": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,

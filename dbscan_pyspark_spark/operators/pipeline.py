@@ -1957,6 +1957,227 @@ def bigram_fluency(
     )
 
 
+def _cms_hash(col: Column, row: int, width: int) -> Column:
+    """Portable Count-Min hash for row ``row``: the first 15 md5 hex
+    digits of ``row || ':' || value`` as an integer, mod width —
+    engine-independent (DuckDB replays it bit-for-bit), the
+    shingle_base_hash discipline."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min Sketch (Cormode & Muthukrishnan, J.Alg 2005)
+    over a key column: ``depth`` hash rows x ``width`` buckets of
+    counter sums. Returns DataFrame(row int, bucket long, cnt long) —
+    at most depth x width rows, the mergeable fixed-size summary
+    (union two sketches by summing matching cells; estimates stay
+    upper bounds).
+
+    Deterministic md5-derived hashes make the sketch — and therefore
+    every estimate — EXACTLY reproducible across engines, so unlike
+    the engine-native HLL/KLL sketches (rows-only checks) the CMS
+    carries a value-hash oracle. Scale shape: one projection explodes
+    each input row into its ``depth`` (row, bucket) cells, then one
+    map-side-combined groupBy over a key space of depth x width — the
+    exchange carries at most depth x width x n_partitions partial
+    rows regardless of input size. NULL keys are dropped (they have
+    no identity to count).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(
+            f"count_min_sketch: need depth/width >= 1, got {depth}/{width}"
+        )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), w.alias("_w")
+    )
+    cells = keyed.select(
+        "_w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_hash(F.col("_k"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+    return (
+        cells.groupBy(
+            F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+        )
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """Point-query every distinct key of ``df`` against a Count-Min
+    Sketch (built here from the same relation unless a pre-built
+    ``sketch`` is passed): estimate = min over rows of the key's
+    bucket counter. Returns DataFrame(<key_col>, true_n, cms_estimate,
+    overestimate) — ``overestimate = cms_estimate - true_n`` is >= 0
+    by construction (the CMS guarantee; the test and the oracle pin
+    it), and equals the collision mass the key absorbed.
+
+    The probe side joins the (depth x width)-row sketch broadcast on
+    (row, bucket) — estimates cost one small join however large the
+    keyed corpus is."""
+    cms = (
+        sketch
+        if sketch is not None
+        else count_min_sketch(df, key_col, depth, width)
+    )
+    truth = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    )
+    probes = truth.select(
+        key_col,
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_hash(F.col(key_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "true_n", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy(key_col, "true_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        key_col,
+        "true_n",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("true_n")).alias("overestimate"),
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document perplexity under an add-1-smoothed corpus bigram
+    LM — the classic KenLM-style quality-filter signal, self-scored
+    (the LM is trained on the same corpus it scores, the standard
+    in-pipeline formulation):
+
+        P(y | x) = (c(x,y) + 1) / (c(x) + V)
+        ppl(doc) = exp( -(Σ ln P) / n_bigrams )
+
+    with V the corpus unigram vocabulary size. Returns
+    DataFrame(<id_col>, n_bigrams, ppl double) for documents with at
+    least one bigram; fluent/common text scores LOW.
+
+    Exactness discipline: each ln P is quantized to a 1e-9 decimal
+    grid and summed as DECIMAL (a float sum of many addends is
+    association-order-dependent across engines — the bm25 rule), the
+    final exp/divide is a fixed-shape scalar expression, and the
+    emitted ppl is round-``round_to``. The magnitude-bucket
+    :func:`bigram_fluency` stays the ln-free alternative; this is the
+    real smoothed-LM score for pipelines that accept the (rounded)
+    libm dependency. Scale shape: identical to bigram_fluency — one
+    bigram count shuffle, one unigram count shuffle, one occurrence
+    join back, one per-doc aggregate; the 1-row V total is broadcast.
+    """
+    from dbscan_pyspark_spark.functions.text import normalized
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("_t"),
+    ).where(F.size("_t") >= 2)
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> struct(_t[i-1] AS x, _t[i] AS y))"
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    occ = occ.localCheckpoint(eager=False)
+    bg = occ.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("_cxy")
+    )
+    uni_src = df.select(
+        F.explode(
+            F.filter(
+                F.split(normalized(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("term")
+    )
+    uni = uni_src.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_cx")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("_V"))
+    lnp = (
+        occ.join(bg, ["x", "y"])
+        .join(uni.select(F.col("term").alias("x"), "_cx"), "x")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lnp",
+            F.round(
+                F.log((F.col("_cxy") + 1.0) / (F.col("_cx") + F.col("_V"))),
+                9,
+            ).cast("decimal(28,9)"),
+        )
+    )
+    return (
+        lnp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_lnp").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.exp(-(F.col("_s").cast("double")) / F.col("n_bigrams")),
+                round_to,
+            ).alias("ppl"),
+        )
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     k: int = 20,

@@ -917,3 +917,123 @@ def test_pmi_collocations_contract(spark):
         pmi_collocations(docs, k=0)
     with _pytest.raises(ValueError, match="min_count"):
         pmi_collocations(docs, min_count=0)
+
+
+def test_count_min_sketch_python_reference(spark):
+    """The CMS build and point estimates replay a row-at-a-time
+    reference with the same md5 hashes; every estimate is >= the true
+    count (the CMS bound) and equals the min of the key's bucket sums."""
+    import hashlib
+    from collections import Counter
+
+    from dbscan_pyspark_spark.operators.pipeline import (
+        cms_estimates,
+        count_min_sketch,
+    )
+
+    keys = [7, 7, 7, 13, 13, 99, 99, 99, 99, 4242, 1, 1] * 3
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    depth, width = 3, 8  # tiny width -> guaranteed collisions
+
+    def h(row, k):
+        return (
+            int(hashlib.md5(f"{row}:{k}".encode()).hexdigest()[:15], 16)
+            % width
+        )
+
+    table = Counter()
+    for k in keys:
+        for r in range(depth):
+            table[(r, h(r, k))] += 1
+    got_sketch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(df, "k", depth, width).collect()
+    }
+    assert got_sketch == dict(table)
+
+    truth = Counter(keys)
+    est = {
+        r["k"]: (r["true_n"], r["cms_estimate"], r["overestimate"])
+        for r in cms_estimates(df, "k", depth, width).collect()
+    }
+    assert set(est) == set(truth)
+    for k, (tn, ce, over) in est.items():
+        assert tn == truth[k]
+        assert ce == min(table[(r, h(r, k))] for r in range(depth))
+        assert over == ce - tn >= 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth/width"):
+        count_min_sketch(df, "k", depth=0)
+
+
+def test_cms_merge_is_sum(spark):
+    """Two half-corpus sketches merged by cell-wise sum equal the
+    whole-corpus sketch — the mergeability that makes CMS the
+    distributed counting summary."""
+    from pyspark.sql import functions as F
+
+    from dbscan_pyspark_spark.operators.pipeline import count_min_sketch
+
+    df = spark.createDataFrame(
+        [(i % 37,) for i in range(500)], "k long"
+    )
+    a = df.where("k < 20")
+    b = df.where("k >= 20")
+    merged = (
+        count_min_sketch(a, "k", 4, 16)
+        .unionByName(count_min_sketch(b, "k", 4, 16))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(df, "k", 4, 16)
+    assert {
+        (r["row"], r["bucket"], r["cnt"]) for r in merged.collect()
+    } == {(r["row"], r["bucket"], r["cnt"]) for r in whole.collect()}
+
+
+def test_lm_perplexity_python_reference(spark):
+    """Per-doc perplexity matches a row-at-a-time add-1 bigram LM:
+    same smoothing, same decimal-grid ln sum, same rounding; repeated
+    common text scores lower than garbled text."""
+    import math
+    from collections import Counter
+
+    from dbscan_pyspark_spark.operators.pipeline import lm_perplexity
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the mat again",
+        "zq xv bn pq lm wk",
+        "the mat sat on the cat",
+        "one",  # single token -> no bigrams -> excluded
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in lm_perplexity(docs).collect()
+    }
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    V = len(uni)
+    exp = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        s = sum(
+            round(math.log((bg[(x, y)] + 1.0) / (uni[x] + V)), 9)
+            for x, y in zip(toks, toks[1:])
+        )
+        n = len(toks) - 1
+        exp[i] = (n, round(math.exp(-s / n), 4))
+    assert got == exp
+    assert 4 not in got  # the 1-token doc is excluded
+    assert got[0][1] < got[2][1]  # common text beats garbled text
