@@ -411,3 +411,69 @@ def heavy_hitters_snapshot(spark, store_dir: str) -> DataFrame:
             F.col("_n").alias("n_rows"),
         )
     )
+
+
+# ---- incremental Count-Min Sketch ------------------------------------
+
+
+def process_cms_batch(
+    batch: "DataFrame",
+    batch_id: int,
+    store_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> None:
+    """Accrete one micro-batch into a Count-Min Sketch store: the
+    batch's OWN depth x width sketch lands in an ``ingest_batch=<id>``
+    partition with unconditional overwrite (the replay-idempotency
+    discipline — a replayed batch whose content changed replaces its
+    cells, never double-counts). CMS merge is cell-wise SUM, so the
+    store needs no read-modify-write: the merged sketch is one
+    aggregate over the partition union at read time, and equals the
+    batch operator's sketch over the full ingested corpus EXACTLY
+    (pinned by test) — the same mergeability that makes CMS the
+    distributed counting summary makes it the *streaming* one."""
+    if batch.isEmpty():
+        return
+    from dbscan_pyspark_spark.operators.pipeline import count_min_sketch
+
+    count_min_sketch(batch, key_col, depth, width).write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/ingest_batch={batch_id}")
+
+
+def streaming_cms(
+    df: "DataFrame",
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+):
+    """Maintain a Count-Min Sketch over a streaming frame; returns the
+    ``StreamingQuery``. Each micro-batch adds one partition of cells;
+    :func:`cms_snapshot` folds them into the live sketch."""
+
+    def _sink(batch_df: "DataFrame", batch_id: int) -> None:
+        process_cms_batch(
+            batch_df, batch_id, store_dir, key_col, depth, width
+        )
+
+    return (
+        df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_snapshot(spark, store_dir: str) -> "DataFrame":
+    """The live sketch: cell-wise sum over every ingested batch's
+    partition — DataFrame(row, bucket, cnt), directly usable as the
+    ``sketch=`` input of ``operators/pipeline.py::cms_estimates``."""
+    return (
+        spark.read.parquet(store_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -1096,3 +1096,68 @@ def test_streaming_heavy_hitters_weighted(spark, tmp_path):
     assert mass == total_mass
     assert 0 < est <= true_hot
     assert true_hot - est <= total_mass / (k + 1)
+
+
+def test_streaming_cms_equals_batch_and_replays(spark, tmp_path):
+    """The stream-accreted Count-Min Sketch equals the batch sketch
+    over the full ingested corpus EXACTLY (merge is cell-wise sum),
+    estimates served from the snapshot equal batch estimates, and a
+    replayed batch with changed content replaces its cells instead of
+    double-counting."""
+    import json as _json
+
+    from dbscan_pyspark_spark.operators.pipeline import (
+        cms_estimates,
+        count_min_sketch,
+    )
+    from dbscan_pyspark_spark.streaming.quality import (
+        cms_snapshot,
+        process_cms_batch,
+        streaming_cms,
+    )
+
+    rows = [(i % 23,) for i in range(400)] + [(999,)] * 40
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for fname, chunk in (("p1.json", rows[:200]), ("p2.json", rows[200:])):
+        with open(in_dir / fname, "w") as f:
+            for (k,) in chunk:
+                f.write(_json.dumps({"k": k}) + "\n")
+    store, ck = str(tmp_path / "cms"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    q = streaming_cms(stream, store, ck, "k", depth=3, width=16)
+    q.awaitTermination(180)
+
+    docs = spark.createDataFrame(rows, "k long")
+    snap = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_snapshot(spark, store).collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(docs, "k", 3, 16).collect()
+    }
+    assert snap == whole
+
+    served = sorted(
+        tuple(r)
+        for r in cms_estimates(
+            docs, "k", 3, 16, sketch=cms_snapshot(spark, store)
+        ).collect()
+    )
+    direct = sorted(
+        tuple(r) for r in cms_estimates(docs, "k", 3, 16).collect()
+    )
+    assert served == direct
+
+    # replay batch 0 with DIFFERENT content: its cells are replaced
+    changed = spark.createDataFrame([(7,)] * 10, "k long")
+    process_cms_batch(changed, 0, store, "k", 3, 16)
+    total_after = sum(
+        r["cnt"] for r in cms_snapshot(spark, store).collect()
+    ) // 3  # each input row lands in exactly depth cells
+    assert total_after == 10 + (len(rows) - 200)
