@@ -80,3 +80,33 @@ from dbscan_pyspark_spark.sources.io import (  # noqa: F401
     upsert_parquet,
     write_orc,
 )
+from dbscan_pyspark_spark.operators.search import (  # noqa: F401
+    bm25_topk,
+    bm25_topk_from_postings,
+    inverted_postings,
+    phrase_search,
+)
+from dbscan_pyspark_spark.operators.tokenize import (  # noqa: F401
+    bpe_apply,
+    bpe_learn,
+)
+from dbscan_pyspark_spark.operators.dedup import (  # noqa: F401
+    minhash_near_dup_pairs,
+    simhash_near_dups,
+    sorted_neighborhood_pairs,
+)
+from dbscan_pyspark_spark.operators.similarity import (  # noqa: F401
+    auto_n_cells,
+    ivf_knn_graph,
+    mutual_knn_clusters,
+)
+from dbscan_pyspark_spark.operators.pipeline import (  # noqa: F401
+    cms_estimates,
+    count_min_sketch,
+    lm_perplexity,
+    pmi_collocations,
+)
+from dbscan_pyspark_spark.operators.jpeg import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
