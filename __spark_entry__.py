@@ -3070,6 +3070,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lm_perplexity"] = doc_lm_perplexity
 
+    # ---- linear probabilistic counting (operators/pipeline.py):
+    # distinct users per event type via an m-bit bitmap — portable md5
+    # bits, so the estimate itself is value-hash-oracled next to the
+    # exact count (the CMS discipline; engine-native HLL stays
+    # rows-only by nature) ----
+    def event_user_lpc(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import (
+            linear_count_distinct,
+        )
+
+        return linear_count_distinct(
+            load_table(spark, sf, "events"), "user_id",
+            group_cols=["event_type"], m=1024,
+        )
+
+    q["event_user_lpc"] = event_user_lpc
+
+    # ---- Bloom-filter join pruning (operators/pipeline.py): filter
+    # built over high-balance customers, probed by order custkeys —
+    # the no-false-negatives guarantee is what the oracle pins ----
+    def order_bloom_probe(spark, sf):
+        from dbscan_pyspark_spark.operators.pipeline import bloom_probe
+
+        c = load_table(spark, sf, "customer").where(
+            F.col("c_acctbal") > 5000
+        )
+        return bloom_probe(
+            load_table(spark, sf, "orders"), c,
+            "o_custkey", "c_custkey", m=4096, k=4,
+        )
+
+    q["order_bloom_probe"] = order_bloom_probe
+
     def part_triangle_histogram(spark, sf):
         # triangle participation histogram over the part co-occurrence
         # graph — degree-oriented wedge join (Suri & Vassilvitskii),
@@ -4082,7 +4115,8 @@ _FLAGSHIP_FIRST = [
     # exactly what moved.
     "doc_bpe_merges_deep", "doc_bm25_from_index",  # new this round
     "doc_pmi_collocations", "part_demand_cms",  # new this round
-    "doc_lm_perplexity",  # new this round
+    "doc_lm_perplexity", "event_user_lpc",  # new this round
+    "order_bloom_probe",  # new this round
     "doc_bpe_merges",  # bpe_learn driver-path dispatch
     "doc_bm25_topk",  # scoring delegated to bm25_topk_from_postings
     "minhash_near_dups", "dedup_near_docs",  # degenerate-bucket guard
@@ -5362,6 +5396,58 @@ lnp AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(exp(-(CAST(sum(lnp) AS DOUBLE)) / count(*)), 4) AS ppl
 FROM lnp GROUP BY doc_id
+"""
+
+
+_LPC_ORACLE = """
+WITH keyed AS (
+  SELECT event_type AS g, user_id AS k FROM events WHERE user_id IS NOT NULL
+),
+bits AS (
+  SELECT g, k,
+         CAST(concat('0x', substring(md5(concat('0:',
+              CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS bit
+  FROM keyed
+),
+agg AS (
+  SELECT g, count(DISTINCT bit) AS n_set,
+         CAST(count(DISTINCT k) AS BIGINT) AS true_distinct
+  FROM bits GROUP BY g
+)
+SELECT g AS event_type,
+       CAST(1024 - n_set AS BIGINT) AS n_zero_bits,
+       CASE WHEN 1024 - n_set > 0
+            THEN round(-1024.0 * ln((1024 - n_set) / 1024.0), 4)
+       END AS lpc_estimate,
+       true_distinct
+FROM agg
+"""
+
+_BLOOM_ORACLE = """
+WITH build AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+),
+fbits AS (
+  SELECT DISTINCT CAST(concat('0x', substring(md5(concat(r.range, ':',
+         CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
+  FROM build, range(0, 4) r
+),
+probes AS (
+  SELECT DISTINCT o_custkey AS p FROM orders WHERE o_custkey IS NOT NULL
+),
+exploded AS (
+  SELECT p, CAST(concat('0x', substring(md5(concat(r.range, ':',
+         CAST(p AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS bit
+  FROM probes, range(0, 4) r
+),
+hits AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS h
+  FROM exploded WHERE bit IN (SELECT bit FROM fbits) GROUP BY p
+)
+SELECT pr.p AS o_custkey,
+       coalesce(h.h, 0) = 4 AS bloom_maybe,
+       pr.p IN (SELECT k FROM build) AS actually_present
+FROM probes pr LEFT JOIN hits h ON h.p = pr.p
 """
 
 
@@ -8022,6 +8108,8 @@ FROM agg
         "doc_pmi_collocations": _PMI_COLLOCATIONS_ORACLE,
         "part_demand_cms": _CMS_ORACLE,
         "doc_lm_perplexity": _LM_PERPLEXITY_ORACLE,
+        "event_user_lpc": _LPC_ORACLE,
+        "order_bloom_probe": _BLOOM_ORACLE,
         "doc_bm25_topk": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_bm25_from_index": _bm25_oracle(_BM25_PROBES, k=5),
         "doc_inverted_postings": _INVERTED_POSTINGS_ORACLE,

@@ -110,3 +110,8 @@ from dbscan_pyspark_spark.operators.jpeg import (  # noqa: F401
     decode_jpeg,
     encode_jpeg,
 )
+from dbscan_pyspark_spark.operators.pipeline import (  # noqa: F401
+    bloom_filter_bits,
+    bloom_probe,
+    linear_count_distinct,
+)

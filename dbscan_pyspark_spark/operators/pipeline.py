@@ -2088,6 +2088,137 @@ def cms_estimates(
     )
 
 
+def linear_count_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 1024,
+    round_to: int = 4,
+) -> DataFrame:
+    """Distinct-count estimation by linear (probabilistic) counting
+    (Whang, Vander-Zanden & Taylor, TODS 1990): hash every value into
+    an ``m``-bit bitmap; with ``z`` bits still zero the estimate is
+    ``-m·ln(z/m)``. Returns DataFrame([group_cols,] n_zero_bits,
+    lpc_estimate double, true_distinct) — the estimate sits next to
+    the exact count so the relation doubles as its own calibration.
+
+    The portable md5 bit assignment makes the bitmap — and the
+    estimate — EXACTLY reproducible cross-engine (the CMS discipline),
+    so unlike the engine-native HLL this sketch carries a value-hash
+    oracle. Scale shape: the bitmap is a ``count_distinct`` over
+    (group, bit) — at most m values per group survive the map-side
+    partial, so the exchange is group-cardinality x m regardless of
+    input rows; the sketch state per group is m BITS (128 bytes at
+    m=1024), the cheapest distinct summary short of HLL. Saturated
+    bitmaps (z = 0: >> m distinct values) are emitted with a NULL
+    estimate rather than infinity — size m to the expected
+    cardinality. NULL keys are dropped."""
+    if m < 1:
+        raise ValueError(f"linear_count_distinct: need m >= 1, got {m}")
+    groups = list(group_cols or [])
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        *groups, F.col(key_col).alias("_k")
+    )
+    bits = keyed.select(
+        *groups, _cms_hash(F.col("_k"), 0, m).alias("_bit"), "_k"
+    )
+    agg = bits.groupBy(*groups).agg(
+        F.count_distinct("_bit").alias("_n_set"),
+        F.count_distinct("_k").alias("true_distinct"),
+    )
+    z = F.lit(m) - F.col("_n_set")
+    est = F.when(
+        z > 0, F.round(-F.lit(float(m)) * F.log(z / F.lit(float(m))), round_to)
+    )
+    return agg.select(
+        *groups,
+        z.cast("long").alias("n_zero_bits"),
+        est.alias("lpc_estimate"),
+        "true_distinct",
+    )
+
+
+def bloom_filter_bits(
+    df: DataFrame, key_col: str, m: int = 4096, k: int = 4
+) -> DataFrame:
+    """Build a Bloom filter over a key column as its SET-BIT relation:
+    DataFrame(bit long) with at most ``m`` rows — the portable,
+    engine-exact representation (md5 bit assignment, the CMS
+    discipline; a packed bitset would be an opaque blob no oracle
+    could replay). ``k`` hash functions per key; one projection + one
+    distinct over a key space capped at m."""
+    if m < 1 or k < 1:
+        raise ValueError(f"bloom_filter_bits: need m/k >= 1, got {m}/{k}")
+    keyed = df.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("_k")
+    )
+    return (
+        keyed.select(
+            F.explode(
+                F.array(*[_cms_hash(F.col("_k"), r, m) for r in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m: int = 4096,
+    k: int = 4,
+    bits: DataFrame | None = None,
+) -> DataFrame:
+    """Probe every distinct ``probe_key`` against a Bloom filter built
+    over ``build_key`` (or a pre-built :func:`bloom_filter_bits`
+    relation): DataFrame(<probe_key>, bloom_maybe, actually_present) —
+    ``bloom_maybe`` is true iff all k bits are set. The Bloom
+    guarantee — NO false negatives, i.e. ``actually_present`` implies
+    ``bloom_maybe`` — is pinned by the oracle and the test; the false-
+    positive surplus is the filter's documented price.
+
+    This is the join-pruning primitive at 100 TB: ship the <= m-row
+    bit relation (a few KB) to the fact side as a broadcast semi-join
+    pre-filter and the fact scan drops non-matching rows BEFORE the
+    real join's exchange — the DataFrame-level analogue of the
+    runtime bloom pushdown Spark applies inside AQE."""
+    fbits = (
+        bits if bits is not None else bloom_filter_bits(build, build_key, m, k)
+    )
+    probes = (
+        probe.where(F.col(probe_key).isNotNull())
+        .select(probe_key)
+        .distinct()
+    )
+    exploded = probes.select(
+        probe_key,
+        F.explode(
+            F.array(*[_cms_hash(F.col(probe_key), r, m) for r in range(k)])
+        ).alias("bit"),
+    )
+    hit_counts = (
+        exploded.join(F.broadcast(fbits), "bit", "left_semi")
+        .groupBy(probe_key)
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    truth = build.where(F.col(build_key).isNotNull()).select(
+        F.col(build_key).alias(probe_key)
+    ).distinct().withColumn("_present", F.lit(True))
+    return (
+        probes.join(hit_counts, probe_key, "left")
+        .join(truth, probe_key, "left")
+        .select(
+            probe_key,
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("bloom_maybe"),
+            F.coalesce(F.col("_present"), F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     text_col: str = "text",

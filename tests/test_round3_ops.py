@@ -1037,3 +1037,76 @@ def test_lm_perplexity_python_reference(spark):
     assert got == exp
     assert 4 not in got  # the 1-token doc is excluded
     assert got[0][1] < got[2][1]  # common text beats garbled text
+
+
+def test_linear_count_distinct_python_reference(spark):
+    """The LPC bitmap and estimate replay a row-at-a-time reference
+    with the same md5 bit assignment; a saturated bitmap yields a NULL
+    estimate instead of infinity."""
+    import hashlib
+    import math
+
+    from dbscan_pyspark_spark.operators.pipeline import (
+        linear_count_distinct,
+    )
+
+    m = 32
+    rows = [("a", i % 17) for i in range(200)] + [("b", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    got = {
+        r["g"]: (r["n_zero_bits"], r["lpc_estimate"], r["true_distinct"])
+        for r in linear_count_distinct(df, "k", ["g"], m=m).collect()
+    }
+
+    def bit(k):
+        return int(hashlib.md5(f"0:{k}".encode()).hexdigest()[:15], 16) % m
+
+    for g, keys in (("a", {i % 17 for i in range(200)}),
+                    ("b", set(range(400)))):
+        z = m - len({bit(k) for k in keys})
+        est = round(-m * math.log(z / m), 4) if z > 0 else None
+        assert got[g] == (z, est, len(keys)), g
+    assert got["b"][1] is None  # 400 distinct into 32 bits: saturated
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="m >= 1"):
+        linear_count_distinct(df, "k", m=0)
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Every key actually present passes the filter (the Bloom
+    guarantee); misses may false-positive but never the reverse; a
+    pre-built bits relation gives identical answers."""
+    from dbscan_pyspark_spark.operators.pipeline import (
+        bloom_filter_bits,
+        bloom_probe,
+    )
+
+    build = spark.createDataFrame(
+        [(k,) for k in range(0, 100, 3)], "bk long"
+    )
+    probe = spark.createDataFrame([(k,) for k in range(100)], "pk long")
+    out = {
+        r["pk"]: (r["bloom_maybe"], r["actually_present"])
+        for r in bloom_probe(probe, build, "pk", "bk", m=256, k=3).collect()
+    }
+    assert len(out) == 100
+    for pk, (maybe, present) in out.items():
+        assert present == (pk % 3 == 0)
+        if present:
+            assert maybe  # no false negatives, ever
+    # tiny m to force false positives and show they are one-sided
+    tight = bloom_probe(probe, build, "pk", "bk", m=16, k=2)
+    rows = tight.collect()
+    assert all(r["bloom_maybe"] for r in rows if r["actually_present"])
+    assert any(r["bloom_maybe"] and not r["actually_present"] for r in rows)
+
+    bits = bloom_filter_bits(build, "bk", m=256, k=3)
+    pre = {
+        r["pk"]: (r["bloom_maybe"], r["actually_present"])
+        for r in bloom_probe(
+            probe, build, "pk", "bk", m=256, k=3, bits=bits
+        ).collect()
+    }
+    assert pre == out
