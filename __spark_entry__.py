@@ -7720,9 +7720,10 @@ FROM orders GROUP BY 1
 """,
         "multimodal_real_dimensions": """
 WITH m AS (SELECT doc_id AS media_id FROM documents),
-img AS (
+rgb AS (
+  -- id%8=0: binary PPM; id%8=2: 8-bit RGB PNG — same pixel recipe
   SELECT m.media_id,
-         CASE WHEN m.media_id % 4 = 2 THEN 'png' ELSE 'ppm' END AS fmt,
+         CASE WHEN m.media_id % 8 = 2 THEN 'png' ELSE 'ppm' END AS fmt,
          CAST(4 + m.media_id % 5 AS INT) AS width,
          CAST(3 + m.media_id % 4 AS INT) AS height,
          CAST(NULL AS INT) AS sample_rate,
@@ -7730,8 +7731,42 @@ img AS (
            AS n_vals,
          CAST(sum((m.media_id * 7 + r.range) % 256) AS BIGINT) AS sum_vals
   FROM m, range(0, 200) r
-  WHERE m.media_id % 2 = 0
+  WHERE m.media_id % 8 IN (0, 2)
     AND r.range < (4 + m.media_id % 5) * (3 + m.media_id % 4) * 3
+  GROUP BY m.media_id
+),
+g16 AS (
+  -- id%8=4: 16-bit grayscale PNG; the decoder emits the HIGH byte of
+  -- each big-endian sample, which the recipe plants as (id*7+j)%256
+  SELECT m.media_id, 'png' AS fmt,
+         CAST(4 + m.media_id % 5 AS INT) AS width,
+         CAST(3 + m.media_id % 4 AS INT) AS height,
+         CAST(NULL AS INT) AS sample_rate,
+         CAST((4 + m.media_id % 5) * (3 + m.media_id % 4) AS BIGINT)
+           AS n_vals,
+         CAST(sum((m.media_id * 7 + r.range) % 256) AS BIGINT) AS sum_vals
+  FROM m, range(0, 200) r
+  WHERE m.media_id % 8 = 4
+    AND r.range < (4 + m.media_id % 5) * (3 + m.media_id % 4)
+  GROUP BY m.media_id
+),
+pal AS (
+  -- id%8=6: palette PNG; the decoder expands index (id*7+j)%16
+  -- through PLTE entry channels (id*11 + idx*3 + c) % 256
+  SELECT m.media_id, 'png' AS fmt,
+         CAST(4 + m.media_id % 5 AS INT) AS width,
+         CAST(3 + m.media_id % 4 AS INT) AS height,
+         CAST(NULL AS INT) AS sample_rate,
+         CAST((4 + m.media_id % 5) * (3 + m.media_id % 4) * 3 AS BIGINT)
+           AS n_vals,
+         CAST(sum(
+             (m.media_id * 11 + ((m.media_id * 7 + r.range) % 16) * 3) % 256
+           + (m.media_id * 11 + ((m.media_id * 7 + r.range) % 16) * 3 + 1) % 256
+           + (m.media_id * 11 + ((m.media_id * 7 + r.range) % 16) * 3 + 2) % 256
+         ) AS BIGINT) AS sum_vals
+  FROM m, range(0, 200) r
+  WHERE m.media_id % 8 = 6
+    AND r.range < (4 + m.media_id % 5) * (3 + m.media_id % 4)
   GROUP BY m.media_id
 ),
 aud AS (
@@ -7745,7 +7780,8 @@ aud AS (
   WHERE m.media_id % 2 = 1 AND r.range < 50 + m.media_id % 30
   GROUP BY m.media_id
 )
-SELECT * FROM img UNION ALL SELECT * FROM aud
+SELECT * FROM rgb UNION ALL SELECT * FROM g16
+UNION ALL SELECT * FROM pal UNION ALL SELECT * FROM aud
 """,
         "multimodal_stats": """
 WITH media AS (

@@ -96,8 +96,11 @@ from dbscan_pyspark_spark.operators.dedup import (  # noqa: F401
     sorted_neighborhood_pairs,
 )
 from dbscan_pyspark_spark.operators.similarity import (  # noqa: F401
+    IVFTwoLevelModel,
     auto_n_cells,
+    ivf_fit_two_level,
     ivf_knn_graph,
+    ivf_quantized_topk,
     mutual_knn_clusters,
 )
 from dbscan_pyspark_spark.operators.pipeline import (  # noqa: F401

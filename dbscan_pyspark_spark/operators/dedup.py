@@ -317,6 +317,7 @@ def minhash_near_dup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    contract_min_clique: int = 256,
 ) -> DataFrame:
     """MinHash-LSH near-dup: candidates share >= 1 band bucket, then the
     *exact* shingle Jaccard verifies. DataFrame(a_id, b_id, jaccard).
@@ -338,6 +339,14 @@ def minhash_near_dup_pairs(
     The expanded pair list is still quadratic in clique size — that is
     the output's own semantics — but it is produced by one equi-join,
     never shuffled through banding or verification.
+
+    The guard is ADAPTIVE: a bounded agg over the rep relation finds
+    the largest identical-content group, and the contraction engages
+    only at ``contract_min_clique`` or above (a size-g clique costs
+    ~C(g,2) x n_bands uncontracted candidate rows — trivial at g=256,
+    ruinous at g=50k). Below it the restore semi-join and expansion
+    joins are skipped entirely — the pre-guard pipeline shape,
+    identical output by construction.
     """
     # Contract identical content first: a NARROW (key, id) groupBy
     # picks min-id reps, then a semi-join restores the reps' text from
@@ -358,7 +367,25 @@ def minhash_near_dup_pairs(
     reps = keyed.groupBy("_k").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_gsize")
     ).persist()
-    rep_docs = df.join(reps.select(id_col), id_col, "left_semi")
+    # Adaptive gate (round-9 watch item): the contraction machinery —
+    # semi-join text restore plus two expansion joins — exists to bound
+    # the C(g,2) x n_bands band-join blowup of LARGE identical-content
+    # cliques (the planted 50k-copy stress). Small dup groups are
+    # handled correctly AND cheaply by the uncontracted pipeline:
+    # identical texts yield identical signatures, collide in every
+    # band, and verify at jaccard exactly 1 — a size-g group adds only
+    # ~C(g,2) x n_bands candidate rows. So contraction engages only
+    # when some group reaches ``contract_min_clique``; one bounded agg
+    # over the already-persisted rep relation decides. Output is
+    # identical either way; corpora without big cliques (most real
+    # ones) don't pay the contraction's ~3 s at sf0.1.
+    _max_g = reps.agg(F.max("_gsize").alias("_m")).first()["_m"] or 0
+    contract = _max_g >= contract_min_clique
+    if contract:
+        rep_docs = df.join(reps.select(id_col), id_col, "left_semi")
+    else:
+        reps.unpersist()
+        rep_docs = df.where(normalized(text_col).isNotNull())
     # The candidate set is referenced three times below (pairs + two
     # semi-join prunes); without materialization Catalyst would run the
     # whole signature->band->self-join subtree three times (measured 3x
@@ -396,6 +423,13 @@ def minhash_near_dup_pairs(
         sh, sizes, cand, id_col, threshold
     ).localCheckpoint(eager=True)
 
+    if not contract:
+        # uncontracted pipeline: every doc carried its own signature,
+        # so verified pairs ARE the member pairs
+        sig.unpersist()
+        sh.unpersist()
+        return rep_pairs
+
     # Expand rep pairs back to member pairs. Cross-group: every
     # (member of a's group, member of b's group) pair carries the
     # reps' exact Jaccard; least/greatest restores a_id < b_id (group
@@ -421,8 +455,8 @@ def minhash_near_dup_pairs(
     )
     # keys_needed touches sig/reps, so it must materialize BEFORE the
     # caches release; members_needed's remaining lineage is only the
-    # cheap md5 projection over docs broadcast-joined against this
-    # checkpointed key set (no shuffle), so IT can stay a lazy
+    # cheap md5 projection over docs joined against this checkpointed
+    # key set (AQE broadcasts it when small), so IT can stay a lazy
     # checkpoint — the caller's first action materializes it once,
     # every later consumer reads the cached blocks.
     keys_needed = (
@@ -431,8 +465,12 @@ def minhash_near_dup_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # keys_needed is one row per participating dup group — usually tiny
+    # but unbounded on duplicate-heavy corpora, so the join strategy is
+    # left to AQE (broadcast when small, shuffle when not) rather than
+    # a forced broadcast that could OOM (ADVICE r9)
     members_needed = keyed.select(id_col, "_k").join(
-        F.broadcast(keys_needed), "_k"
+        keys_needed, "_k"
     ).localCheckpoint(eager=False)
     sig.unpersist()
     sh.unpersist()

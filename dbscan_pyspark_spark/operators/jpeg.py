@@ -3,8 +3,9 @@
 Encoder + decoder for 8-bit baseline sequential JPEG (ITU-T T.81):
 grayscale or 4:4:4 YCbCr color, standard Annex-K quantization and
 Huffman tables, quality-scaled, byte stuffing, no subsampling, no
-restart markers. Progressive (SOF2), 12-bit, multi-scan, and
-subsampled payloads raise ``NotImplementedError`` — the honest
+restart markers. Progressive (SOF2), 12-bit, multi-scan, subsampled,
+and DRI/restart-marker payloads raise ``NotImplementedError`` (the
+DRI segment is detected up front, before entropy decode) — the honest
 boundary of the baseline subset; PIL plugs in beyond it.
 
 The encoder exists so tests and fixtures can PLANT real JPEGs without
@@ -436,6 +437,11 @@ def decode_jpeg(content):
                 comps.append((cid, tq))
         elif m in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("only baseline sequential JPEG")
+        elif m == 0xFFDD:
+            # a DRI segment announces RSTn markers inside the entropy
+            # stream; fail at the documented plug point up front
+            # instead of a generic mid-decode marker error (ADVICE r9)
+            raise NotImplementedError("restart markers not supported")
         elif m == 0xFFC4:
             j = 0
             while j < len(payload):

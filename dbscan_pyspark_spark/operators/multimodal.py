@@ -125,16 +125,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_filter_row(
-    f: int, line: bytes, prev: bytes, channels: int
+    f: int, line: bytes, prev: bytes, bpp: int
 ) -> bytes:
     """Apply PNG scanline filter ``f`` (0=None 1=Sub 2=Up 3=Average
     4=Paeth, RFC 2083 §6) to a raw row — the encoder side; the decoder
-    below inverts it."""
+    below inverts it. ``bpp`` is BYTES per pixel (channels at 8-bit,
+    channels*2 at 16-bit, 1 for palette indices), the filters' left
+    neighbor distance per the spec."""
     out = bytearray(len(line))
     for x in range(len(line)):
-        a = line[x - channels] if x >= channels else 0
+        a = line[x - bpp] if x >= bpp else 0
         b = prev[x]
-        c = prev[x - channels] if x >= channels else 0
+        c = prev[x - bpp] if x >= bpp else 0
         if f == 0:
             v = line[x]
         elif f == 1:
@@ -157,13 +159,16 @@ def _png_filter_row(
 def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
     """Zero-dependency PNG decode: stdlib ``zlib`` inflate of the IDAT
     stream plus scanline unfiltering (all five RFC 2083 filters).
-    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced —
-    the overwhelmingly common subset; palette and 16-bit raise the
-    plug-point error. Returns (width, height, channels, pixel_bytes).
-    CRCs are verified (a corrupt chunk should fail loudly, not decode
-    garbage). Per-pixel Python unfiltering is the honest cost of zero
-    dependencies — fine for planted test media; production pipelines
-    plug PIL here."""
+    Supports gray / gray+alpha / RGB / RGBA at 8- and 16-bit depths
+    and 8-bit palette (PLTE-indexed), non-interlaced — the
+    overwhelmingly common subset; sub-byte palette depths and
+    interlacing raise the plug-point error. 16-bit samples come back
+    as their high byte (the standard 16->8 downsample); palette
+    indices come back expanded to RGB. Returns (width, height,
+    channels, pixel_bytes). CRCs are verified (a corrupt chunk should
+    fail loudly, not decode garbage). Per-pixel Python unfiltering is
+    the honest cost of zero dependencies — fine for planted test
+    media; production pipelines plug PIL here."""
     import struct
     import zlib
 
@@ -189,17 +194,32 @@ def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", chunks[0][1]
     )
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError("palette PNG not supported")
     if interlace:
         raise NotImplementedError("interlaced PNG not supported")
+    plte = None
+    if ctype == 3:
+        if depth != 8:
+            raise NotImplementedError(
+                "sub-byte palette PNG not supported"
+            )
+        plte = next((d for t, d in chunks if t == b"PLTE"), None)
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("palette PNG missing or invalid PLTE")
+        nch = 1  # one index byte per pixel on the wire
+    else:
+        if depth not in (8, 16):
+            raise NotImplementedError("only 8/16-bit PNG supported")
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if nch is None:
+            raise NotImplementedError(f"PNG color type {ctype}")
     raw = zlib.decompress(
         b"".join(d for t, d in chunks if t == b"IDAT")
     )
-    stride = w * channels
+    # filters operate on BYTES with the left neighbor one whole pixel
+    # back: bpp bytes (RFC 2083 §6.2), which is channels at 8-bit but
+    # channels*2 at 16-bit
+    bpp = nch * (depth // 8)
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel stream size mismatch")
     out = bytearray()
@@ -211,20 +231,20 @@ def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
         line = bytearray(raw[pos : pos + stride])
         pos += stride
         if f == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif f == 2:  # Up
             for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
+                a = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = line[x - channels] if x >= channels else 0
+                a = line[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = (
@@ -237,7 +257,15 @@ def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter {f}")
         out += line
         prev = bytes(line)
-    return w, h, channels, bytes(out)
+    if depth == 16:
+        out = out[0::2]  # big-endian high byte per sample
+    if plte is not None:
+        for idx in out:
+            if 3 * idx + 3 > len(plte):
+                raise ValueError("palette index out of range")
+        out = b"".join(plte[3 * idx : 3 * idx + 3] for idx in out)
+        return w, h, 3, bytes(out)
+    return w, h, nch, bytes(out)
 
 
 def _encode_png(
@@ -246,11 +274,16 @@ def _encode_png(
     pix: bytes,
     channels: int = 3,
     row_filters: list[int] | None = None,
+    depth: int = 8,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Encode raw pixels as a valid PNG (stdlib zlib + CRC chunks).
     ``row_filters`` optionally sets the filter per scanline (cycled) —
     the test path uses it to plant payloads that exercise every
-    unfilter branch; default is filter 0 everywhere."""
+    unfilter branch; default is filter 0 everywhere. ``depth=16``
+    expects big-endian 16-bit samples in ``pix`` (2 bytes each);
+    ``palette`` switches to color type 3 with ``pix`` holding one
+    palette index byte per pixel (``channels`` ignored)."""
     import struct
     import zlib
 
@@ -262,19 +295,30 @@ def _encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
-    stride = width * channels
+    if palette is not None:
+        if depth != 8:
+            raise ValueError("palette PNG is 8-bit only here")
+        ctype, bpp = 3, 1
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        bpp = channels * (depth // 8)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
+    stride = width * bpp
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
         line = bytes(pix[y * stride : (y + 1) * stride])
         f = row_filters[y % len(row_filters)] if row_filters else 0
-        raw += bytes([f]) + _png_filter_row(f, line, prev, channels)
+        raw += bytes([f]) + _png_filter_row(f, line, prev, bpp)
         prev = line
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(
+            b"PLTE", b"".join(bytes(rgb) for rgb in palette)
+        )
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
+        + body
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -448,23 +492,32 @@ def _real_decode(content: bytes) -> tuple[int, str]:
         raw = struct.pack(f"<{len(samples)}h", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
-        "real decode supports binary PPM/PGM, PNG (8-bit, non-palette), "
-        "baseline JPEG, and PCM WAV; other formats (MP4, progressive "
-        "JPEG, ...) need PIL/ffmpeg, absent in this environment"
+        "real decode supports binary PPM/PGM, PNG (8/16-bit + palette, "
+        "non-interlaced), baseline JPEG, and PCM WAV; other formats "
+        "(MP4, progressive JPEG, ...) need PIL/ffmpeg, absent in this "
+        "environment"
     )
 
 
 def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a media table of REAL encoded payloads from any id
-    column: even ids become binary PPM images (width 4+id%5, height
-    3+id%4, pixel byte j = (id*7+j) % 256), odd ids become PCM WAV
-    audio (rate 8000+(id%3)*4000, 50+id%30 samples, sample j =
+    column. Even ids become images (width 4+id%5, height 3+id%4),
+    cycling four on-disk encodings by id%8 — 0: binary PPM (pixel
+    byte j = (id*7+j)%256), 2: 8-bit RGB PNG (same pixels, row
+    filters cycling 0..4), 4: 16-BIT grayscale PNG (sample j's high
+    byte = (id*7+j)%256, low byte = (id*13+j)%256 — the decoder must
+    recover the high bytes), 6: PALETTE PNG (16 entries, entry t
+    channel c = (id*11+t*3+c)%256; pixel j's index = (id*7+j)%16 —
+    the decoder must expand indices through PLTE). Odd ids become PCM
+    WAV audio (rate 8000+(id%3)*4000, 50+id%30 samples, sample j =
     ((id*31+j*17) % 4096) - 2048). Every field is integer arithmetic
     on the id, so a SQL oracle can replay what the DECODERS must
     recover from the bytes — the contract that proves the parse."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
 
     def batches(it):
+        import struct
+
         import pandas as pd
 
         for pdf in it:
@@ -479,21 +532,65 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mid = int(mid)
                 if mid % 2 == 0:
                     w, h = 4 + mid % 5, 3 + mid % 4
-                    pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
-                    if mid % 4 == 2:
+                    m8 = mid % 8
+                    if m8 == 2:
                         # PNG twin of the PPM recipe: same pixels, so
                         # the oracle's sum replays; row filters cycle
                         # 0..4 so every unfilter branch is exercised
+                        pix = bytes(
+                            (mid * 7 + j) % 256 for j in range(w * h * 3)
+                        )
                         rows["content"].append(
                             _encode_png(
                                 w, h, pix, 3, row_filters=[0, 1, 2, 3, 4]
                             )
                         )
-                    else:
+                    elif m8 == 4:
+                        # 16-bit grayscale: planted low bytes differ
+                        # from the high bytes, so a decoder that
+                        # slices the wrong half (or forgets the
+                        # 2-byte filter offset) shifts the sum
+                        pix16 = b"".join(
+                            struct.pack(
+                                ">H",
+                                (((mid * 7 + j) % 256) << 8)
+                                | ((mid * 13 + j) % 256),
+                            )
+                            for j in range(w * h)
+                        )
+                        rows["content"].append(
+                            _encode_png(
+                                w, h, pix16, 1,
+                                row_filters=[0, 1, 2, 3, 4], depth=16,
+                            )
+                        )
+                    elif m8 == 6:
+                        # palette: the decoded values are PLTE entries,
+                        # not indices — the oracle sums the expanded RGB
+                        pal = [
+                            tuple(
+                                (mid * 11 + t * 3 + c) % 256
+                                for c in range(3)
+                            )
+                            for t in range(16)
+                        ]
+                        idx = bytes(
+                            (mid * 7 + j) % 16 for j in range(w * h)
+                        )
+                        rows["content"].append(
+                            _encode_png(
+                                w, h, idx,
+                                row_filters=[0, 1, 2, 3, 4], palette=pal,
+                            )
+                        )
+                    else:  # m8 == 0
+                        pix = bytes(
+                            (mid * 7 + j) % 256 for j in range(w * h * 3)
+                        )
                         rows["content"].append(_encode_ppm(w, h, pix))
                     rows["modality"].append("image")
                     rows["mime"].append(
-                        "image/png" if mid % 4 == 2
+                        "image/png" if m8 in (2, 4, 6)
                         else "image/x-portable-pixmap"
                     )
                     rows["meta"].append(

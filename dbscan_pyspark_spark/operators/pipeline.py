@@ -2049,7 +2049,29 @@ def cms_estimates(
 
     The probe side joins the (depth x width)-row sketch broadcast on
     (row, bucket) — estimates cost one small join however large the
-    keyed corpus is."""
+    keyed corpus is.
+
+    A pre-built ``sketch`` must have been built with the SAME
+    depth/width as the probe parameters — otherwise the probe hashes
+    land in different buckets and the inner (row, bucket) join
+    silently drops rows or reads foreign counters. The sketch relation
+    is bounded (<= depth x width rows), so a cheap bounds agg
+    validates what it can observe and raises instead (ADVICE r9); a
+    same-shaped sketch over different data is indistinguishable and
+    remains the caller's contract."""
+    if sketch is not None:
+        b = sketch.agg(
+            F.max("row").alias("_mr"), F.max("bucket").alias("_mb")
+        ).first()
+        if b["_mr"] is not None and (
+            b["_mr"] >= depth or b["_mb"] >= width
+        ):
+            raise ValueError(
+                f"cms_estimates: sketch cells (max row {b['_mr']}, max "
+                f"bucket {b['_mb']}) exceed probe depth/width "
+                f"{depth}/{width} — the sketch was built with different "
+                "parameters"
+            )
     cms = (
         sketch
         if sketch is not None

@@ -97,15 +97,38 @@ def streaming_postings_index(
     )
 
 
-def read_index(spark, index_dir: str) -> tuple[DataFrame, DataFrame]:
+def read_index(
+    spark, index_dir: str, validate: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Load the maintained index: (postings, doclens) DataFrames with
     the ``ingest_batch`` partition column dropped — the union over all
     ingested batches, ready for :func:`bm25_serve` or any postings
-    consumer (phrase/proximity layers read the same relation)."""
+    consumer (phrase/proximity layers read the same relation).
+
+    INVARIANT: each doc_id arrives in exactly ONE micro-batch. Replays
+    of the same batch are safe (the batch-id partition is overwritten),
+    but a doc RE-INGESTED under a different batch id double-counts in
+    tf/df/N/avgdl — the accretion model has no cross-batch merge.
+    ``validate=True`` spends one count-vs-count_distinct agg over the
+    (bounded, one row per doc) doclens relation to detect exactly that
+    and raise (ADVICE r9); serving paths skip it by default."""
     postings = spark.read.parquet(f"{index_dir}/postings").drop(
         "ingest_batch"
     )
     doclens = spark.read.parquet(f"{index_dir}/doclens").drop("ingest_batch")
+    if validate:
+        id_c = next(c for c in doclens.columns if c != "dl")
+        c = doclens.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(id_c).alias("_d"),
+        ).first()
+        if c["_n"] != c["_d"]:
+            raise ValueError(
+                f"read_index: {c['_n'] - c['_d']} doc_id(s) appear in "
+                "more than one ingest_batch — a re-ingested doc "
+                "double-counts in tf/df/N/avgdl; re-ingest under the "
+                "original batch id (partition overwrite) instead"
+            )
     return postings, doclens
 
 
@@ -123,7 +146,13 @@ def bm25_serve(
 ) -> DataFrame:
     """BM25 top-k over the stream-maintained index: exactly
     ``bm25_topk`` on the full ingested corpus (same delegated scoring
-    math, pinned by test), without ever re-reading the corpus text."""
+    math, pinned by test), without ever re-reading the corpus text.
+
+    Inherits :func:`read_index`'s invariant — each doc_id in exactly
+    one ingest_batch; a doc re-ingested under a different batch id
+    double-counts in every BM25 statistic. Run
+    ``read_index(spark, index_dir, validate=True)`` after suspect
+    ingests to check."""
     from dbscan_pyspark_spark.operators.search import (
         bm25_topk_from_postings,
     )

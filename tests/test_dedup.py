@@ -632,3 +632,50 @@ def test_sorted_neighborhood_custom_key_and_validation(spark):
     assert {(r.a_id, r.b_id, r.dist) for r in out} == {(1, 2, 1)}
     with _pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(docs, window=0)
+
+
+def test_minhash_adaptive_guard_branch_equivalence(spark):
+    # The degenerate-bucket guard is adaptive: a clique-free corpus
+    # (reps == docs) takes the fast path that skips the restore
+    # semi-join and expansion joins. Both branches must emit the SAME
+    # pairs for the same near-dup structure — pin it by running a
+    # clique-free corpus and the same corpus plus exact copies, then
+    # checking the shared pairs carry identical jaccard and the copies
+    # only ADD expansion pairs.
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "the quick brown fox jumps over the lazy cat tonight"),
+        (5, "completely unrelated text about spark catalyst planning"),
+        (7, "another unrelated document mentioning parquet readers"),
+    ]
+    df_free = spark.createDataFrame(base, ["doc_id", "text"])
+    free = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(df_free, threshold=0.2).collect()
+    }
+    assert (1, 3) in free and free[(1, 3)] < 1.0
+
+    # add exact copies of docs 1 and 3, and run BOTH branches on the
+    # same corpus: contract_min_clique=2 forces the contraction,
+    # the default (256) keeps the uncontracted shape
+    df_cliq = spark.createDataFrame(
+        base + [(2, base[0][1]), (4, base[1][1])], ["doc_id", "text"]
+    )
+    results = {}
+    for mode, min_clique in (("contracted", 2), ("uncontracted", 256)):
+        results[mode] = {
+            (r["a_id"], r["b_id"]): r["jaccard"]
+            for r in minhash_near_dup_pairs(
+                df_cliq, threshold=0.2, contract_min_clique=min_clique
+            ).collect()
+        }
+    # the two branches are output-identical by construction
+    assert results["contracted"] == results["uncontracted"]
+    cliq = results["contracted"]
+    # intra-clique pairs are exact (jaccard 1), cross pairs inherit the
+    # reps' verified jaccard, and the original clique-free pairs are
+    # reproduced bit-identically
+    assert cliq[(1, 2)] == 1.0 and cliq[(3, 4)] == 1.0
+    for pair, j in free.items():
+        assert cliq[pair] == j
+    assert cliq[(2, 4)] == cliq[(1, 3)] == free[(1, 3)]

@@ -96,12 +96,29 @@ def test_real_codec_roundtrip_and_dimensions(spark):
     for mid, r in dims.items():
         if mid % 2 == 0:
             w, h = 4 + mid % 5, 3 + mid % 4
-            fmt = "png" if mid % 4 == 2 else "ppm"
+            m8 = mid % 8
+            fmt = "png" if m8 in (2, 4, 6) else "ppm"
             assert (r["fmt"], r["width"], r["height"]) == (fmt, w, h)
-            assert r["n_vals"] == w * h * 3
-            assert r["sum_vals"] == sum(
-                (mid * 7 + j) % 256 for j in range(w * h * 3)
-            )
+            if m8 == 4:
+                # 16-bit grayscale: one decoded value per pixel, the
+                # planted high byte
+                assert r["n_vals"] == w * h
+                assert r["sum_vals"] == sum(
+                    (mid * 7 + j) % 256 for j in range(w * h)
+                )
+            elif m8 == 6:
+                # palette: decoded values are the PLTE-expanded RGB
+                assert r["n_vals"] == w * h * 3
+                assert r["sum_vals"] == sum(
+                    (mid * 11 + ((mid * 7 + j) % 16) * 3 + c) % 256
+                    for j in range(w * h)
+                    for c in range(3)
+                )
+            else:
+                assert r["n_vals"] == w * h * 3
+                assert r["sum_vals"] == sum(
+                    (mid * 7 + j) % 256 for j in range(w * h * 3)
+                )
         else:
             n = 50 + mid % 30
             assert (r["fmt"], r["sample_rate"]) == (
@@ -132,8 +149,8 @@ def test_real_decode_and_resize_ppm(spark):
     dec = {r["media_id"]: r for r in decode_media(media, "real").collect()}
 
     # image rows: checksum is md5 of the PIXELS, not of the whole file
-    # (mid=4 is a PPM id under the mid%4 PPM/PNG split; mid%4==2 -> PNG)
-    mid = 4
+    # (mid % 8 == 0 -> PPM under the round-10 four-way image split)
+    mid = 0
     w, h = 4 + mid % 5, 3 + mid % 4
     pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
     assert dec[mid]["checksum"] == hashlib.md5(pix).hexdigest()
@@ -192,8 +209,9 @@ def test_png_roundtrip_all_filters():
 
 
 def test_png_crc_and_unsupported_variants():
-    """A corrupted chunk fails loudly (CRC verified); palette and
-    16-bit PNGs raise the plug-point error instead of mis-decoding."""
+    """A corrupted chunk fails loudly (CRC verified); the remaining
+    genuinely-unsupported variants (sub-byte depths, interlacing,
+    PLTE-less palette) raise instead of mis-decoding."""
     import struct
     import zlib
 
@@ -211,8 +229,8 @@ def test_png_crc_and_unsupported_variants():
     with _pytest.raises(ValueError, match="CRC"):
         _decode_png(bytes(bad))
 
-    def ihdr_png(depth, ctype):
-        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0)
+    def ihdr_png(depth, ctype, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, interlace)
         chunk = (
             struct.pack(">I", len(ihdr))
             + b"IHDR"
@@ -221,10 +239,62 @@ def test_png_crc_and_unsupported_variants():
         )
         return _PNG_SIG + chunk
 
-    with _pytest.raises(NotImplementedError, match="palette"):
+    with _pytest.raises(NotImplementedError, match="sub-byte palette"):
+        _decode_png(ihdr_png(4, 3))
+    with _pytest.raises(NotImplementedError, match="8/16-bit"):
+        _decode_png(ihdr_png(4, 0))
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_png(ihdr_png(8, 2, interlace=1))
+    # 8-bit palette is supported now — but only with a valid PLTE
+    with _pytest.raises(ValueError, match="PLTE"):
         _decode_png(ihdr_png(8, 3))
-    with _pytest.raises(NotImplementedError, match="8-bit"):
-        _decode_png(ihdr_png(16, 2))
+
+
+def test_png_palette_and_16bit_roundtrip():
+    """The two variants closed in round 10: 8-bit palette PNGs decode
+    through PLTE expansion to exact RGB, 16-bit PNGs decode to the
+    exact planted high bytes (low bytes differ, so a wrong-half slice
+    or a wrong filter bpp shifts every value) — under all five row
+    filters, plus corruption checks unique to each variant."""
+    import struct
+
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    w, h = 7, 6  # 6 rows -> filters 0,1,2,3,4,0
+    # palette: 16 entries, planted indices
+    pal = [((3 * t) % 256, (5 * t + 1) % 256, (7 * t + 2) % 256) for t in range(16)]
+    idx = bytes((j * 11) % 16 for j in range(w * h))
+    exp_rgb = b"".join(bytes(pal[i]) for i in idx)
+    got = _decode_png(
+        _encode_png(w, h, idx, row_filters=[0, 1, 2, 3, 4], palette=pal)
+    )
+    assert got == (w, h, 3, exp_rgb)
+
+    # an index past the palette end fails loudly
+    short_pal = pal[:4]
+    with _pytest.raises(ValueError, match="palette index"):
+        _decode_png(
+            _encode_png(w, h, bytes([9] * (w * h)), palette=short_pal)
+        )
+
+    # 16-bit: gray and RGBA, high byte recovered exactly
+    for ch in (1, 4):
+        hi = [(13 * ch + 7 * j) % 256 for j in range(w * h * ch)]
+        pix16 = b"".join(
+            struct.pack(">H", (v << 8) | ((j * 31) % 256))
+            for j, v in enumerate(hi)
+        )
+        got = _decode_png(
+            _encode_png(
+                w, h, pix16, ch, row_filters=[0, 1, 2, 3, 4], depth=16
+            )
+        )
+        assert got == (w, h, ch, bytes(hi))
 
 
 def test_real_decode_and_resize_png(spark):
@@ -244,11 +314,33 @@ def test_real_decode_and_resize_png(spark):
     ids = spark.range(8).selectExpr("id AS doc_id")
     media = synth_real_media(ids)
     dec = {r["media_id"]: r for r in decode_media(media, "real").collect()}
-    mid = 6  # mid % 4 == 2 -> PNG
+    mid = 2  # mid % 8 == 2 -> 8-bit RGB PNG
     w, h = 4 + mid % 5, 3 + mid % 4
     pix = bytes((mid * 7 + j) % 256 for j in range(w * h * 3))
     assert dec[mid]["checksum"] == hashlib.md5(pix).hexdigest()
     assert dec[mid]["n_bytes"] == len(pix)
+
+    # mid % 8 == 4 -> 16-bit grayscale PNG: decoded values are the
+    # planted HIGH bytes
+    gmid = 4
+    gw, gh = 4 + gmid % 5, 3 + gmid % 4
+    gpix = bytes((gmid * 7 + j) % 256 for j in range(gw * gh))
+    assert dec[gmid]["checksum"] == hashlib.md5(gpix).hexdigest()
+    assert dec[gmid]["n_bytes"] == len(gpix)
+
+    # mid % 8 == 6 -> palette PNG: decoded values are the PLTE-expanded
+    # RGB triples
+    pmid = 6
+    pw, ph = 4 + pmid % 5, 3 + pmid % 4
+    pal = [
+        tuple((pmid * 11 + t * 3 + c) % 256 for c in range(3))
+        for t in range(16)
+    ]
+    ppix = b"".join(
+        bytes(pal[(pmid * 7 + j) % 16]) for j in range(pw * ph)
+    )
+    assert dec[pmid]["checksum"] == hashlib.md5(ppix).hexdigest()
+    assert dec[pmid]["n_bytes"] == len(ppix)
 
     pngs = media.where("mime = 'image/png'")
     resized = resize_media(pngs, width=3, height=2, decode_mode="real")
@@ -443,3 +535,24 @@ def test_mp4_container_metadata(spark):
         )
         assert r["n_vals"] == 1  # track count
         assert r["sum_vals"] == 1000 * (mid + 1)  # duration_ms
+
+
+def test_jpeg_dri_detected_up_front():
+    """A JPEG carrying a DRI segment (restart markers in the entropy
+    stream) fails at the documented plug point BEFORE entropy decode,
+    not with a generic mid-decode marker error (ADVICE r9)."""
+    import struct
+
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    good = encode_jpeg(8, 8, bytes(range(192)), 3, 90)
+    # splice a DRI segment (FFDD, len 4, interval 8) right after SOI
+    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    patched = good[:2] + dri + good[2:]
+    with _pytest.raises(NotImplementedError, match="restart markers"):
+        decode_jpeg(patched)

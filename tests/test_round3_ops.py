@@ -1110,3 +1110,26 @@ def test_bloom_probe_no_false_negatives(spark):
         ).collect()
     }
     assert pre == out
+
+
+def test_cms_estimates_rejects_mismatched_sketch(spark):
+    """A pre-built sketch probed with different depth/width parameters
+    must raise instead of silently joining against foreign buckets
+    (ADVICE r9) — and a matching sketch passes the same gate."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import (
+        cms_estimates,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([(i % 23,) for i in range(300)], "k long")
+    sk = count_min_sketch(df, "k", depth=6, width=128)
+    with _pytest.raises(ValueError, match="different"):
+        cms_estimates(df, "k", depth=4, width=64, sketch=sk)
+
+    ok = count_min_sketch(df, "k", depth=4, width=64)
+    est = cms_estimates(df, "k", depth=4, width=64, sketch=ok)
+    rows = est.collect()
+    assert len(rows) == 23
+    assert all(r["overestimate"] >= 0 for r in rows)

@@ -563,3 +563,141 @@ def test_mutual_knn_clusters_properties(spark):
     assert got[0] == got[1] == got[2] == got[3] == 0
     assert got[10] == got[11] == got[12] == got[13] == 10
     assert got[99] == 99
+
+
+def _blob_vectors(spark, n, dim=8, blobs=8, spread=50):
+    b = F.col("id") % blobs
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                (b * spread).cast("double")
+                + (F.abs(F.xxhash64("id", j.cast("string"))) % 11 - 5)
+            ),
+        ).alias("embedding"),
+    )
+
+
+def test_two_level_ivf_deterministic_assignment(spark):
+    # Two independent fits of the hierarchical quantizer must produce
+    # byte-identical corpus assignments (fixed init, fixed iteration
+    # counts, integer arithmetic, (d, cid) tie-breaks) — the property
+    # every auto-sized IVF oracle relies on.
+    from dbscan_pyspark_spark.operators.similarity import ivf_fit_two_level
+
+    vecs = _blob_vectors(spark, 3000)
+    m1 = ivf_fit_two_level(vecs, 4100, n_iter=2)
+    m2 = ivf_fit_two_level(vecs, 4100, n_iter=2)
+    assert (m1.k1, m1.k2) == (65, 64)
+    a1 = sorted(tuple(r) for r in m1.assign.collect())
+    a2 = sorted(tuple(r) for r in m2.assign.collect())
+    assert a1 == a2
+    assert len(a1) == 3000
+    # global cell ids stay inside [0, k1*k2)
+    assert all(0 <= c < 65 * 64 for _, c in a1)
+
+
+def test_two_level_ivf_exhaustive_probe_equals_bruteforce(spark):
+    # With nprobe >= n_cells the coarse fan covers every cell, every
+    # vector is a candidate, and the hierarchical path must reproduce
+    # the brute-force quantized-cosine top-k EXACTLY (same round-6
+    # scores, same (score desc, id) tie-break).
+    from pyspark.sql import Window
+
+    from dbscan_pyspark_spark.functions.distance import dot
+    from dbscan_pyspark_spark.operators.kmeans import _quantized
+    from dbscan_pyspark_spark.operators.similarity import (
+        ivf_fit_two_level,
+        ivf_quantized_topk,
+    )
+
+    vecs = _blob_vectors(spark, 2000)
+    qs = vecs.where(F.col("vec_id") % 100 == 0)
+    model = ivf_fit_two_level(vecs, 4100, n_iter=2)
+    got = sorted(
+        tuple(r)
+        for r in ivf_quantized_topk(
+            vecs, qs, k=5, nprobe=4100, model=model
+        ).collect()
+    )
+
+    v = vecs.select("vec_id", _quantized("embedding", 1000).alias("_v"))
+    qv = qs.select(
+        F.col("vec_id").alias("query_id"),
+        _quantized("embedding", 1000).alias("_qv"),
+    )
+    scored = (
+        qv.crossJoin(v)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(
+                    (dot("_v", "_v") != 0) & (dot("_qv", "_qv") != 0),
+                    dot("_v", "_qv")
+                    / (
+                        F.sqrt(dot("_v", "_v").cast("double"))
+                        * F.sqrt(dot("_qv", "_qv").cast("double"))
+                    ),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("vec_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    assert got == want
+
+
+def test_two_level_ivf_narrow_probe_structure_and_recall(spark):
+    # Narrow-probe sanity on a deliberately SPARSE index (2000 vectors
+    # in ~4100 cells — ~1 vector per cell, far below the auto_n_cells
+    # occupancy this path is sized for): output structure must hold
+    # (<= k rows per query, no self, ranks contiguous) and a widened
+    # coarse beam must recover a solid fraction of the exhaustive
+    # top-k even in this worst-case occupancy.
+    from dbscan_pyspark_spark.operators.similarity import (
+        ivf_fit_two_level,
+        ivf_quantized_topk,
+    )
+
+    vecs = _blob_vectors(spark, 2000)
+    qs = vecs.where(F.col("vec_id") % 100 == 0)
+    model = ivf_fit_two_level(vecs, 4100, n_iter=2)
+    approx = ivf_quantized_topk(
+        vecs, qs, k=5, nprobe=100, model=model, nprobe_l1=20
+    ).collect()
+    by_q = {}
+    for r in approx:
+        assert r["query_id"] != r["vec_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_quantized_topk(
+            vecs, qs, k=5, nprobe=4100, model=model
+        ).collect()
+    }
+    hits = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(hits & exact) / len(exact) > 0.5
+
+
+def test_two_level_ivf_rejects_flat_sized_cell_counts(spark):
+    import pytest
+
+    from dbscan_pyspark_spark.operators.similarity import ivf_fit_two_level
+
+    vecs = _blob_vectors(spark, 100)
+    with pytest.raises(ValueError, match="single level"):
+        ivf_fit_two_level(vecs, 64)

@@ -129,3 +129,26 @@ def test_served_bm25_tracks_corpus_growth(spark, tmp_path):
             ).collect()
         )
         assert served == direct, f"diverged after batch {i}"
+
+
+def test_read_index_validate_detects_cross_batch_reingest(spark, tmp_path):
+    """validate=True raises when a doc_id appears under two different
+    ingest_batch ids (it would double-count in tf/df/N/avgdl); a clean
+    index passes the same gate (ADVICE r9)."""
+    import pytest as _pytest
+
+    idx = str(tmp_path / "idx")
+    b0 = spark.createDataFrame(DOCS[:3], "doc_id long, text string")
+    process_index_batch(b0, 0, idx)
+    b1 = spark.createDataFrame(DOCS[3:], "doc_id long, text string")
+    process_index_batch(b1, 1, idx)
+    read_index(spark, idx, validate=True)  # clean: no raise
+
+    # re-ingest doc 1 under a NEW batch id — the invariant breach
+    dup = spark.createDataFrame(DOCS[:1], "doc_id long, text string")
+    process_index_batch(dup, 2, idx)
+    with _pytest.raises(ValueError, match="more than one ingest_batch"):
+        read_index(spark, idx, validate=True)
+    # the default (serving) path still reads without the extra agg
+    postings, _ = read_index(spark, idx)
+    assert postings.count() > 0

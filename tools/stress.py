@@ -26,6 +26,7 @@ sys.path.insert(0, "/root/repo")
 N_POINTS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 N_VECS = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
 N_SKEW_DOCS = int(sys.argv[3]) if len(sys.argv) > 3 else 10_000_000
+N_2L_VECS = int(sys.argv[4]) if len(sys.argv) > 4 else 5_000_000
 
 
 def main() -> None:
@@ -1444,6 +1445,93 @@ def main() -> None:
                 "n_vectors": n_kg,
                 "n_edges": kg_agg["n_edges"],
                 "wall_s": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- two-level IVF at N_2L vectors with PURE DEFAULTS ---
+    # The regime past _FLAT_MAX_CELLS: auto_n_cells(5M) = 9766 > 4096,
+    # so n_cells='auto' must route to the hierarchical quantizer
+    # (k1 = k2 = 99) — a single-level literal/argmin here would embed
+    # a 9766-entry plan literal and evaluate 9766 distances per row.
+    # Asserts the verdict-r9 'done' bar: per-cell population held near
+    # the 512 target (mean exactly n/used; tail bounded), probes
+    # return sane top-k.
+    from dbscan_pyspark_spark.operators.similarity import (
+        _FLAT_MAX_CELLS,
+        auto_n_cells,
+        ivf_fit_two_level,
+        ivf_quantized_topk,
+    )
+
+    n_2l = N_2L_VECS
+    resolved = auto_n_cells(n_2l)
+    assert resolved > _FLAT_MAX_CELLS, (n_2l, resolved)
+    blob2 = F.col("id") % 64
+    tl_vecs = spark.range(n_2l).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: (
+                (blob2 * 40).cast("double")
+                + (F.abs(F.xxhash64("id", j.cast("string"))) % 21 - 10)
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    # exactly what ivf_quantized_topk(n_cells="auto", model=None)
+    # resolves to at this corpus size; fit explicitly so the cell
+    # population is assertable without training twice
+    model = ivf_fit_two_level(tl_vecs, resolved, n_iter=2)
+    fit_s = time.time() - t0
+    pops = model.assign.groupBy("cluster").count()
+    pop = pops.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum("count").alias("n"),
+        F.max("count").alias("max_pop"),
+        F.expr("percentile_approx(count, 0.5)").alias("p50"),
+        F.expr("percentile_approx(count, 0.9)").alias("p90"),
+    ).first()
+    assert pop["n"] == n_2l, pop
+    assert pop["used"] >= resolved // 2, pop
+    mean_pop = pop["n"] / pop["used"]
+    assert mean_pop <= 2 * 512, pop
+    assert pop["p90"] <= 8 * 512, pop
+    assert pop["max_pop"] <= 50 * 512, pop
+
+    t1 = time.time()
+    tl_qs = tl_vecs.where(F.col("vec_id") % (n_2l // 2000) == 0)
+    nn2 = ivf_quantized_topk(tl_vecs, tl_qs, k=5, n_cells="auto", model=model)
+    nn2_agg = nn2.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("query_id").alias("n_q"),
+        F.sum((F.col("query_id") == F.col("vec_id")).cast("long")).alias(
+            "n_self"
+        ),
+        F.max("rank").alias("max_rank"),
+        F.min("score").alias("min_score"),
+    ).first()
+    assert nn2_agg["n_self"] == 0 and nn2_agg["max_rank"] <= 5, nn2_agg
+    assert nn2_agg["n_q"] >= 1900, nn2_agg
+    # same-blob neighbors dominate: quantized cosine of same-blob
+    # vectors stays high (noise is +-10 on a 40*blob+ offset base)
+    print(
+        json.dumps(
+            {
+                "stage": "ivf_two_level_5m_auto",
+                "n_vectors": n_2l,
+                "n_cells": resolved,
+                "k1": model.k1,
+                "k2": model.k2,
+                "cells_used": pop["used"],
+                "mean_pop": round(mean_pop, 1),
+                "p50_pop": pop["p50"],
+                "p90_pop": pop["p90"],
+                "max_pop": pop["max_pop"],
+                "topk_rows": nn2_agg["rows"],
+                "fit_wall_s": round(fit_s, 1),
+                "probe_wall_s": round(time.time() - t1, 1),
             }
         ),
         flush=True,
