@@ -6,12 +6,13 @@ The Spark-side plumbing — schemas, batch iteration, partitioning-safe
 signatures — is real and tested. ``decode_mode='fake'`` produces a
 deterministic synthetic decode from the bytes so the pipeline shape is
 exercisable end-to-end. ``decode_mode='real'`` now carries FOUR real
-zero-dependency codecs — binary PPM/PGM images, 8-bit PNG (stdlib
-``zlib`` inflate + full five-filter scanline reconstruction, CRC
-verified), baseline JPEG (full entropy decode + dequant + IDCT, see
-``operators/jpeg.py``), and PCM WAV audio — so decode / dimension
-extraction / resize run genuine formats end-to-end, including two
-compressed ones; MP4 and the non-baseline JPEG variants still raise
+zero-dependency codecs — binary PPM/PGM images, PNG (stdlib ``zlib``
+inflate + full five-filter scanline reconstruction at 8/16-bit,
+palette/PLTE expansion, Adam7 interlacing, CRC verified), baseline
+JPEG (full entropy decode + dequant + IDCT, see ``operators/
+jpeg.py``), and PCM WAV audio — so decode / dimension extraction /
+resize run genuine formats end-to-end, including two compressed ones;
+MP4 sample decode and the non-baseline JPEG variants still raise
 ``NotImplementedError`` at the exact call site where PIL/ffmpeg would
 plug in (this container ships neither).
 
@@ -156,79 +157,39 @@ def _png_filter_row(
     return bytes(out)
 
 
-def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
-    """Zero-dependency PNG decode: stdlib ``zlib`` inflate of the IDAT
-    stream plus scanline unfiltering (all five RFC 2083 filters).
-    Supports gray / gray+alpha / RGB / RGBA at 8- and 16-bit depths
-    and 8-bit palette (PLTE-indexed), non-interlaced — the
-    overwhelmingly common subset; sub-byte palette depths and
-    interlacing raise the plug-point error. 16-bit samples come back
-    as their high byte (the standard 16->8 downsample); palette
-    indices come back expanded to RGB. Returns (width, height,
-    channels, pixel_bytes). CRCs are verified (a corrupt chunk should
-    fail loudly, not decode garbage). Per-pixel Python unfiltering is
-    the honest cost of zero dependencies — fine for planted test
-    media; production pipelines plug PIL here."""
-    import struct
-    import zlib
+# Adam7 interlace pass grid (RFC 2083 §2.6): (x_start, y_start,
+# x_step, y_step) per pass; each pass is filtered as an independent
+# sub-image, then scattered onto the full pixel grid.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if not content or content[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    chunks = []
-    i = 8
-    while i + 12 <= len(content):
-        (ln,) = struct.unpack(">I", content[i : i + 4])
-        typ = content[i + 4 : i + 8]
-        data = content[i + 8 : i + 8 + ln]
-        (crc,) = struct.unpack(
-            ">I", content[i + 8 + ln : i + 12 + ln]
-        )
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        chunks.append((typ, data))
-        i += 12 + ln
-        if typ == b"IEND":
-            break
-    if not chunks or chunks[0][0] != b"IHDR":
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", chunks[0][1]
-    )
-    if interlace:
-        raise NotImplementedError("interlaced PNG not supported")
-    plte = None
-    if ctype == 3:
-        if depth != 8:
-            raise NotImplementedError(
-                "sub-byte palette PNG not supported"
-            )
-        plte = next((d for t, d in chunks if t == b"PLTE"), None)
-        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
-            raise ValueError("palette PNG missing or invalid PLTE")
-        nch = 1  # one index byte per pixel on the wire
-    else:
-        if depth not in (8, 16):
-            raise NotImplementedError("only 8/16-bit PNG supported")
-        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-        if nch is None:
-            raise NotImplementedError(f"PNG color type {ctype}")
-    raw = zlib.decompress(
-        b"".join(d for t, d in chunks if t == b"IDAT")
-    )
-    # filters operate on BYTES with the left neighbor one whole pixel
-    # back: bpp bytes (RFC 2083 §6.2), which is channels at 8-bit but
-    # channels*2 at 16-bit
-    bpp = nch * (depth // 8)
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel stream size mismatch")
+
+def _png_unfilter(
+    raw: bytes, pos: int, width_px: int, height: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Invert the scanline filters of one (sub-)image: ``height`` rows
+    of ``1 + width_px * bpp`` bytes starting at ``pos`` in the inflated
+    stream. Returns (pixel bytes, next position). Shared by the
+    sequential path (one call) and the Adam7 path (one call per
+    non-empty pass)."""
+    stride = width_px * bpp
     out = bytearray()
     prev = bytes(stride)
-    pos = 0
-    for _y in range(h):
+    for _y in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG pixel stream truncated")
         f = raw[pos]
         pos += 1
         line = bytearray(raw[pos : pos + stride])
+        if len(line) != stride:
+            raise ValueError("PNG pixel stream truncated")
         pos += stride
         if f == 1:  # Sub
             for x in range(bpp, stride):
@@ -257,6 +218,94 @@ def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter {f}")
         out += line
         prev = bytes(line)
+    return out, pos
+
+
+def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Zero-dependency PNG decode: stdlib ``zlib`` inflate of the IDAT
+    stream plus scanline unfiltering (all five RFC 2083 filters).
+    Supports gray / gray+alpha / RGB / RGBA at 8- and 16-bit depths,
+    8-bit palette (PLTE-indexed), and Adam7 interlacing — the
+    overwhelmingly common subset; sub-byte palette depths raise the
+    plug-point error. 16-bit samples come back as their high byte
+    (the standard 16->8 downsample); palette indices come back
+    expanded to RGB. Returns (width, height, channels, pixel_bytes).
+    CRCs are verified (a corrupt chunk should fail loudly, not decode
+    garbage). Per-pixel Python unfiltering is the honest cost of zero
+    dependencies — fine for planted test media; production pipelines
+    plug PIL here."""
+    import struct
+    import zlib
+
+    if not content or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    chunks = []
+    i = 8
+    while i + 12 <= len(content):
+        (ln,) = struct.unpack(">I", content[i : i + 4])
+        typ = content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack(
+            ">I", content[i + 8 + ln : i + 12 + ln]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        chunks.append((typ, data))
+        i += 12 + ln
+        if typ == b"IEND":
+            break
+    if not chunks or chunks[0][0] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    plte = None
+    if ctype == 3:
+        if depth != 8:
+            raise NotImplementedError(
+                "sub-byte palette PNG not supported"
+            )
+        plte = next((d for t, d in chunks if t == b"PLTE"), None)
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("palette PNG missing or invalid PLTE")
+        nch = 1  # one index byte per pixel on the wire
+    else:
+        if depth not in (8, 16):
+            raise NotImplementedError("only 8/16-bit PNG supported")
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if nch is None:
+            raise NotImplementedError(f"PNG color type {ctype}")
+    raw = zlib.decompress(
+        b"".join(d for t, d in chunks if t == b"IDAT")
+    )
+    # filters operate on BYTES with the left neighbor one whole pixel
+    # back: bpp bytes (RFC 2083 §6.2), which is channels at 8-bit but
+    # channels*2 at 16-bit
+    bpp = nch * (depth // 8)
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            raise ValueError("PNG pixel stream size mismatch")
+        out, _ = _png_unfilter(raw, 0, w, h, bpp)
+    else:
+        # Adam7: unfilter each pass as its own sub-image, scatter the
+        # pass pixels onto the full grid by the pass's offset/stride
+        out = bytearray(w * h * bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no bytes at all
+            sub, pos = _png_unfilter(raw, pos, pw, ph, bpp)
+            for sy in range(ph):
+                for sx in range(pw):
+                    src = (sy * pw + sx) * bpp
+                    dst = ((y0 + sy * dy) * w + (x0 + sx * dx)) * bpp
+                    out[dst : dst + bpp] = sub[src : src + bpp]
+        if pos != len(raw):
+            raise ValueError("PNG pixel stream size mismatch")
     if depth == 16:
         out = out[0::2]  # big-endian high byte per sample
     if plte is not None:
@@ -276,6 +325,7 @@ def _encode_png(
     row_filters: list[int] | None = None,
     depth: int = 8,
     palette: list[tuple[int, int, int]] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode raw pixels as a valid PNG (stdlib zlib + CRC chunks).
     ``row_filters`` optionally sets the filter per scanline (cycled) —
@@ -283,7 +333,9 @@ def _encode_png(
     unfilter branch; default is filter 0 everywhere. ``depth=16``
     expects big-endian 16-bit samples in ``pix`` (2 bytes each);
     ``palette`` switches to color type 3 with ``pix`` holding one
-    palette index byte per pixel (``channels`` ignored)."""
+    palette index byte per pixel (``channels`` ignored);
+    ``interlace`` writes Adam7 passes (pixels still given in normal
+    row-major order — the encoder gathers them per pass)."""
     import struct
     import zlib
 
@@ -302,15 +354,39 @@ def _encode_png(
     else:
         ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
         bpp = channels * (depth // 8)
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
-    stride = width * bpp
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ctype, 0, 0, int(interlace)
+    )
     raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = bytes(pix[y * stride : (y + 1) * stride])
-        f = row_filters[y % len(row_filters)] if row_filters else 0
-        raw += bytes([f]) + _png_filter_row(f, line, prev, bpp)
-        prev = line
+    if interlace:
+        fy = 0  # filter choice cycles across all emitted rows
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prev = bytes(pw * bpp)
+            for sy in range(ph):
+                line = b"".join(
+                    pix[
+                        ((y0 + sy * dy) * width + (x0 + sx * dx)) * bpp :
+                        ((y0 + sy * dy) * width + (x0 + sx * dx)) * bpp
+                        + bpp
+                    ]
+                    for sx in range(pw)
+                )
+                f = row_filters[fy % len(row_filters)] if row_filters else 0
+                fy += 1
+                raw += bytes([f]) + _png_filter_row(f, line, prev, bpp)
+                prev = line
+    else:
+        stride = width * bpp
+        prev = bytes(stride)
+        for y in range(height):
+            line = bytes(pix[y * stride : (y + 1) * stride])
+            f = row_filters[y % len(row_filters)] if row_filters else 0
+            raw += bytes([f]) + _png_filter_row(f, line, prev, bpp)
+            prev = line
     body = chunk(b"IHDR", ihdr)
     if palette is not None:
         body += chunk(
@@ -492,8 +568,8 @@ def _real_decode(content: bytes) -> tuple[int, str]:
         raw = struct.pack(f"<{len(samples)}h", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
-        "real decode supports binary PPM/PGM, PNG (8/16-bit + palette, "
-        "non-interlaced), baseline JPEG, and PCM WAV; other formats "
+        "real decode supports binary PPM/PGM, PNG (8/16-bit, palette, "
+        "Adam7), baseline JPEG, and PCM WAV; other formats "
         "(MP4, progressive JPEG, ...) need PIL/ffmpeg, absent in this "
         "environment"
     )
@@ -507,8 +583,11 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     filters cycling 0..4), 4: 16-BIT grayscale PNG (sample j's high
     byte = (id*7+j)%256, low byte = (id*13+j)%256 — the decoder must
     recover the high bytes), 6: PALETTE PNG (16 entries, entry t
-    channel c = (id*11+t*3+c)%256; pixel j's index = (id*7+j)%16 —
-    the decoder must expand indices through PLTE). Odd ids become PCM
+    channel c = (id*11+t*3+c)%256; pixel j's index = (id*7+j)%16,
+    written ADAM7-INTERLACED — the decoder must reassemble the passes
+    and expand indices through PLTE; the decoded pixels are identical
+    either way, so the oracle needs no interlace arm). Odd ids become
+    PCM
     WAV audio (rate 8000+(id%3)*4000, 50+id%30 samples, sample j =
     ((id*31+j*17) % 4096) - 2048). Every field is integer arithmetic
     on the id, so a SQL oracle can replay what the DECODERS must
@@ -581,6 +660,7 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             _encode_png(
                                 w, h, idx,
                                 row_filters=[0, 1, 2, 3, 4], palette=pal,
+                                interlace=True,
                             )
                         )
                     else:  # m8 == 0

@@ -243,11 +243,57 @@ def test_png_crc_and_unsupported_variants():
         _decode_png(ihdr_png(4, 3))
     with _pytest.raises(NotImplementedError, match="8/16-bit"):
         _decode_png(ihdr_png(4, 0))
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        _decode_png(ihdr_png(8, 2, interlace=1))
+    with _pytest.raises(ValueError, match="interlace"):
+        _decode_png(ihdr_png(8, 2, interlace=2))  # bad method byte
     # 8-bit palette is supported now — but only with a valid PLTE
     with _pytest.raises(ValueError, match="PLTE"):
         _decode_png(ihdr_png(8, 3))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 interlaced PNGs decode to the exact source pixels across
+    awkward shapes (passes that are empty, single-pixel, or partial),
+    every channel layout, and composed with 16-bit and palette — the
+    last PNG variant closed in round 10."""
+    import struct
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    for (w, h) in [(1, 1), (2, 3), (8, 8), (9, 10), (16, 5), (13, 11)]:
+        for ch in (1, 3, 4):
+            pix = bytes((11 * ch + 13 * j) % 256 for j in range(w * h * ch))
+            enc = _encode_png(
+                w, h, pix, ch, row_filters=[0, 1, 2, 3, 4], interlace=True
+            )
+            assert _decode_png(enc) == (w, h, ch, pix)
+
+    # interlaced 16-bit: high bytes recovered per pass
+    w, h, ch = 9, 7, 2
+    hi = [(5 * j + 3) % 256 for j in range(w * h * ch)]
+    pix16 = b"".join(
+        struct.pack(">H", (v << 8) | ((j * 29) % 256))
+        for j, v in enumerate(hi)
+    )
+    got = _decode_png(
+        _encode_png(
+            w, h, pix16, ch, row_filters=[2, 4], depth=16, interlace=True
+        )
+    )
+    assert got == (w, h, ch, bytes(hi))
+
+    # interlaced palette: PLTE expansion after pass reassembly
+    pal = [((3 * t) % 256, (5 * t) % 256, (7 * t) % 256) for t in range(16)]
+    idx = bytes((j * 7) % 16 for j in range(w * h))
+    exp = b"".join(bytes(pal[i]) for i in idx)
+    got = _decode_png(
+        _encode_png(
+            w, h, idx, row_filters=[1, 3], palette=pal, interlace=True
+        )
+    )
+    assert got == (w, h, 3, exp)
 
 
 def test_png_palette_and_16bit_roundtrip():
