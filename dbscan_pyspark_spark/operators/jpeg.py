@@ -2,10 +2,10 @@
 
 Encoder + decoder for 8-bit baseline sequential JPEG (ITU-T T.81):
 grayscale or 4:4:4 YCbCr color, standard Annex-K quantization and
-Huffman tables, quality-scaled, byte stuffing, no subsampling, no
-restart markers. Progressive (SOF2), 12-bit, multi-scan, subsampled,
-and DRI/restart-marker payloads raise ``NotImplementedError`` (the
-DRI segment is detected up front, before entropy decode) — the honest
+Huffman tables, quality-scaled, byte stuffing, no subsampling, with
+DRI/RST0-7 restart-marker support (byte-aligned predictor resets,
+cycling marker verification). Progressive (SOF2), 12-bit, multi-scan,
+and subsampled payloads raise ``NotImplementedError`` — the honest
 boundary of the baseline subset; PIL plugs in beyond it.
 
 The encoder exists so tests and fixtures can PLANT real JPEGs without
@@ -255,10 +255,15 @@ def _encode_block(bw, coef, qtab, dc_codes, ac_codes, prev_dc):
     return zz[0]
 
 
-def encode_jpeg(width, height, pix, channels=3, quality=85):
+def encode_jpeg(
+    width, height, pix, channels=3, quality=85, restart_interval=0
+):
     """Encode raw 8-bit pixels (row-major, interleaved for RGB) as a
     baseline JPEG: grayscale (channels=1) or 4:4:4 YCbCr (channels=3),
-    Annex-K tables, quality-scaled quantization."""
+    Annex-K tables, quality-scaled quantization. ``restart_interval``
+    > 0 writes a DRI segment and emits byte-aligned RST0-7 markers
+    every that many MCUs, resetting the DC predictors — the
+    error-resilience feature cameras emit by default."""
     if channels not in (1, 3):
         raise NotImplementedError("JPEG encode supports 1 or 3 channels")
     qlum = _scale_quant(_Q_LUM, quality)
@@ -287,8 +292,18 @@ def encode_jpeg(width, height, pix, channels=3, quality=85):
     prev_dc = [0] * channels
     bx = (width + 7) // 8
     by = (height + 7) // 8
+    mcu = 0
+    rst = 0
     for mby in range(by):
         for mbx in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-pad), then the marker goes in RAW —
+                # markers are never byte-stuffed
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                prev_dc = [0] * channels
+            mcu += 1
             for c in range(channels):
                 plane = planes[c]
                 block = [0.0] * 64
@@ -330,6 +345,8 @@ def encode_jpeg(width, height, pix, channels=3, quality=85):
             tclass_id = []
         for tid, (bits, vals) in tclass_id:
             out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     scomp = b"".join(
         bytes([c + 1, 0x00 if c == 0 else 0x11]) for c in range(channels)
     )
@@ -369,6 +386,26 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self, n):
+        """Consume an expected RSTn marker: discard pad bits to the
+        byte boundary, skip any fully-padded stuffed 0xFF00 pair, then
+        require the exact cycling marker — a wrong or missing RST
+        means the stream is corrupt or the interval mismatched."""
+        self.n = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + n
+        ):
+            raise ValueError("expected JPEG restart marker RST%d" % n)
+        self.pos += 2
+
 
 def _read_huff_symbol(br, table):
     code = 0
@@ -389,8 +426,9 @@ def _extend(v, size):
 def decode_jpeg(content):
     """Decode a baseline JPEG: returns (width, height, channels,
     pixel_bytes). Supports 8-bit baseline sequential, 1 or 3
-    components, no subsampling (all sampling factors 1x1), no restart
-    markers; progressive / 12-bit / subsampled payloads raise."""
+    components, no subsampling (all sampling factors 1x1), with
+    DRI/RSTn restart markers (predictor reset + cycling-marker
+    verification); progressive / 12-bit / subsampled payloads raise."""
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -400,6 +438,7 @@ def decode_jpeg(content):
     ncomp = 0
     comps = []  # (id, qtab_id)
     scan = None
+    restart_interval = 0
     while i < len(content):
         if content[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -438,10 +477,7 @@ def decode_jpeg(content):
         elif m in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("only baseline sequential JPEG")
         elif m == 0xFFDD:
-            # a DRI segment announces RSTn markers inside the entropy
-            # stream; fail at the documented plug point up front
-            # instead of a generic mid-decode marker error (ADVICE r9)
-            raise NotImplementedError("restart markers not supported")
+            (restart_interval,) = struct.unpack(">H", payload[:2])
         elif m == 0xFFC4:
             j = 0
             while j < len(payload):
@@ -478,8 +514,15 @@ def decode_jpeg(content):
     by = (height + 7) // 8
     planes = [[0] * (bx * 8 * by * 8) for _ in range(ncomp)]
     prev_dc = [0] * ncomp
+    mcu = 0
+    rst_expect = 0
     for mby in range(by):
         for mbx in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart(rst_expect)
+                rst_expect = (rst_expect + 1) & 7
+                prev_dc = [0] * ncomp
+            mcu += 1
             for c in range(ncomp):
                 _, dc_t, ac_t = scan[c]
                 dct = htabs[0x00 | dc_t]

@@ -583,12 +583,12 @@ def test_mp4_container_metadata(spark):
         assert r["sum_vals"] == 1000 * (mid + 1)  # duration_ms
 
 
-def test_jpeg_dri_detected_up_front():
-    """A JPEG carrying a DRI segment (restart markers in the entropy
-    stream) fails at the documented plug point BEFORE entropy decode,
-    not with a generic mid-decode marker error (ADVICE r9)."""
-    import struct
-
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn restart markers are SUPPORTED (round-10 upgrade of the
+    r9 fail-fast): a restart-interval encode decodes to byte-identical
+    pixels as the plain layout (the coefficients are the same; only DC
+    prediction resets), across shapes, channel counts, and intervals —
+    and a marker out of cycle order fails loudly."""
     import pytest as _pytest
 
     from dbscan_pyspark_spark.operators.jpeg import (
@@ -596,9 +596,21 @@ def test_jpeg_dri_detected_up_front():
         encode_jpeg,
     )
 
-    good = encode_jpeg(8, 8, bytes(range(192)), 3, 90)
-    # splice a DRI segment (FFDD, len 4, interval 8) right after SOI
-    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
-    patched = good[:2] + dri + good[2:]
-    with _pytest.raises(NotImplementedError, match="restart markers"):
-        decode_jpeg(patched)
+    for (w, h, ch, ri) in [(19, 13, 3, 2), (24, 16, 1, 1), (33, 9, 3, 5)]:
+        pix = bytes(min(255, (7 * i + 3 * ch) % 256) for i in range(w * h * ch))
+        with_rst = encode_jpeg(w, h, pix, ch, 90, restart_interval=ri)
+        plain = encode_jpeg(w, h, pix, ch, 90)
+        assert b"\xFF\xDD" in with_rst and b"\xFF\xDD" not in plain
+        got = decode_jpeg(with_rst)
+        assert got[:3] == (w, h, ch)
+        assert got[3] == decode_jpeg(plain)[3]
+
+    # a wrong cycle index in the RST marker is corruption, not data
+    enc = bytearray(
+        encode_jpeg(24, 16, bytes(24 * 16 * 3), 3, 90, restart_interval=1)
+    )
+    i = enc.find(b"\xFF\xD0")
+    assert i > 0
+    enc[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(enc))
