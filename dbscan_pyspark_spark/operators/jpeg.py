@@ -1,20 +1,26 @@
-"""Zero-dependency baseline JPEG codec (multimodal real-decode path).
+"""Zero-dependency JPEG codec (multimodal real-decode path).
 
-Encoder + decoder for 8-bit baseline sequential JPEG (ITU-T T.81):
-grayscale or 4:4:4 YCbCr color, standard Annex-K quantization and
-Huffman tables, quality-scaled, byte stuffing, no subsampling, with
-DRI/RST0-7 restart-marker support (byte-aligned predictor resets,
-cycling marker verification). Progressive (SOF2), 12-bit, multi-scan,
-and subsampled payloads raise ``NotImplementedError`` — the honest
-boundary of the baseline subset; PIL plugs in beyond it.
+Encoder + decoder for 8-bit JPEG (ITU-T T.81): baseline sequential
+(SOF0) AND progressive (SOF2 — spectral selection, successive
+approximation, EOBn end-of-band runs), grayscale or 4:4:4 YCbCr,
+standard Annex-K quantization and Huffman tables (a flat custom AC
+table carries the progressive EOBn symbols Annex-K lacks),
+quality-scaled, byte stuffing, no subsampling, with DRI/RST0-7
+restart-marker support (byte-aligned predictor resets, cycling marker
+verification). 12-bit and subsampled payloads raise
+``NotImplementedError`` — the honest remaining boundary; PIL plugs in
+beyond it.
 
-The encoder exists so tests and fixtures can PLANT real JPEGs without
+The encoders exist so tests and fixtures can PLANT real JPEGs without
 any imaging library; the decoder is the production-path piece wired
-through ``operators/multimodal.py``. Round-trip is lossy by nature —
-tests pin dimension exactness and per-pixel error bounds (measured:
-max err 4 / mean 1.0 on a color gradient at quality 90), unlike the
-bit-exact PPM/PNG/WAV codecs. Pure-Python DCT per 8x8 block is the
-zero-dependency cost — fine for planted test media.
+through ``operators/multimodal.py``. Scans accumulate into
+per-component coefficient state, so a progressive payload decodes to
+byte-identical pixels as its baseline twin (the tests' anchor
+invariant). Round-trip is lossy by nature — tests pin dimension
+exactness and per-pixel error bounds (measured: max err 4 / mean 1.0
+on a color gradient at quality 90), unlike the bit-exact PPM/PNG/WAV
+codecs. Pure-Python DCT per 8x8 block is the zero-dependency cost —
+fine for planted test media.
 """
 
 
@@ -356,6 +362,268 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _component_zz_blocks(plane, width, height, qtab):
+    """FDCT + quantize one component plane into zigzag-order int
+    blocks (raster block order) — the shared front half of both the
+    baseline and progressive encoders; quantization rounding matches
+    `_encode_block` exactly."""
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    blocks = []
+    for mby in range(by):
+        for mbx in range(bx):
+            block = [0.0] * 64
+            for i in range(8):
+                yy = min(mby * 8 + i, height - 1)
+                for j in range(8):
+                    xx = min(mbx * 8 + j, width - 1)
+                    block[i * 8 + j] = plane[yy * width + xx] - 128
+            coef = _fdct8x8(block)
+            q = [0] * 64
+            for i in range(64):
+                c = coef[i] / qtab[i]
+                q[i] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+            blocks.append([q[_ZIGZAG[i]] for i in range(64)])
+    return blocks
+
+
+# Progressive scans need EOBn symbols ((r<<4)|0, r=1..14), which the
+# Annex-K baseline AC tables do not define — libjpeg ships optimized
+# tables with progressive output for the same reason. This flat custom
+# table assigns every (run, size) symbol an 8-bit code (canonical,
+# incomplete — the all-ones code stays unused as T.81 requires):
+# compression is irrelevant for planted test media, completeness isn't.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+class _ProgressiveWriter(_BitWriter):
+    """_BitWriter plus the progressive-scan bookkeeping of T.81 G.1.2:
+    a pending EOB run and the correction bits buffered inside it (they
+    are emitted together when the run breaks or the scan ends)."""
+
+    def __init__(self):
+        super().__init__()
+        self.eobrun = 0
+        self.corr = []  # buffered correction bits riding the EOB run
+
+    def emit_eobrun(self, ac_codes):
+        if self.eobrun > 0:
+            n = self.eobrun.bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            self.write(code, ln)
+            if n:
+                self.write(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+        for b in self.corr:
+            self.write(b, 1)
+        self.corr = []
+
+
+def encode_progressive_jpeg(
+    width, height, pix, channels=3, quality=85, dc_split=True,
+    ac_bands=((1, 5), (6, 63)), point_transform=1,
+):
+    """Encode raw 8-bit pixels as a PROGRESSIVE JPEG (SOF2) using a
+    libjpeg-shaped progression: DC first at Al=``point_transform``
+    then a DC refinement scan (if ``dc_split``), per-component AC
+    first scans over ``ac_bands`` at Al=``point_transform``, then one
+    AC refinement scan per component down to Al=0. Quantized
+    coefficients are identical to :func:`encode_jpeg`'s, so decoding
+    the progressive payload yields byte-identical pixels to decoding
+    the baseline one — the invariant the tests pin. Exercises all four
+    scan kinds the decoder implements (DC/AC x first/refine) plus
+    genuine EOBn runs across blocks."""
+    if channels not in (1, 3):
+        raise NotImplementedError("JPEG encode supports 1 or 3 channels")
+    if point_transform < (1 if dc_split else 0):
+        raise ValueError("refinement scans need point_transform >= 1")
+    qlum = _scale_quant(_Q_LUM, quality)
+    qchr = _scale_quant(_Q_CHR, quality)
+    npx = width * height
+    if channels == 1:
+        planes = [list(pix[:npx])]
+    else:
+        y = [0.0] * npx
+        cb = [0.0] * npx
+        cr = [0.0] * npx
+        for i in range(npx):
+            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+            y[i] = 0.299 * r + 0.587 * g + 0.114 * b
+            cb[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        planes = [y, cb, cr]
+    qtabs = [qlum] + ([qchr, qchr] if channels == 3 else [])
+    dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if channels == 3 else [])
+    dc_codes = [_huff_codes(*s) for s in dc_specs]
+    ac_prog = _huff_codes(*_AC_PROG)
+    ac_codes = [ac_prog] * channels  # one custom AC table serves all
+    blocks = [
+        _component_zz_blocks(planes[c], width, height, qtabs[c])
+        for c in range(channels)
+    ]
+    al = point_transform
+
+    def dc_first_scan():
+        bw = _BitWriter()
+        prev = [0] * channels
+        for bi in range(len(blocks[0])):
+            for c in range(channels):
+                v = blocks[c][bi][0] >> al  # arithmetic shift, T.81 DC
+                diff = v - prev[c]
+                prev[c] = v
+                size, bits = _category(diff)
+                code, ln = dc_codes[c][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+        bw.flush()
+        return bw.buf
+
+    def dc_refine_scan(bit_pos):
+        bw = _BitWriter()
+        for bi in range(len(blocks[0])):
+            for c in range(channels):
+                bw.write((blocks[c][bi][0] >> bit_pos) & 1, 1)
+        bw.flush()
+        return bw.buf
+
+    def ac_first_scan(c, ss, se, shift):
+        bw = _ProgressiveWriter()
+        codes = ac_codes[c]
+        for zz in blocks[c]:
+            run = 0
+            any_emitted = False
+            for k in range(ss, se + 1):
+                t = zz[k]
+                v = (t >> shift) if t >= 0 else -((-t) >> shift)
+                if v == 0:
+                    run += 1
+                    continue
+                bw.emit_eobrun(codes)
+                while run > 15:
+                    code, ln = codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size, bits = _category(v)
+                code, ln = codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+                any_emitted = True
+            if run or not any_emitted:
+                bw.eobrun += 1
+                if bw.eobrun == 0x7FFF:
+                    bw.emit_eobrun(codes)
+        bw.emit_eobrun(codes)
+        bw.flush()
+        return bw.buf
+
+    def ac_refine_scan(c, ss, se, ah, shift):
+        # T.81 G.1.2.3 encoder (the libjpeg encode_mcu_AC_refine
+        # shape): newly-significant coefficients emit (run, 1) + sign;
+        # already-significant ones buffer one correction bit each,
+        # released with the next emitted symbol or EOB-run flush
+        bw = _ProgressiveWriter()
+        codes = ac_codes[c]
+        for zz in blocks[c]:
+            absv = {}
+            eob = ss - 1  # last newly-significant position
+            for k in range(ss, se + 1):
+                a = -zz[k] if zz[k] < 0 else zz[k]
+                a >>= shift
+                absv[k] = a
+                if a == 1:
+                    eob = k
+            run = 0
+            pend = []  # this block's not-yet-released correction bits
+            for k in range(ss, se + 1):
+                a = absv[k]
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    bw.emit_eobrun(codes)
+                    code, ln = codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                if a > 1:
+                    pend.append(a & 1)
+                    continue
+                bw.emit_eobrun(codes)
+                code, ln = codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(0 if zz[k] < 0 else 1, 1)
+                run = 0
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+            if run > 0 or pend:
+                bw.eobrun += 1
+                bw.corr.extend(pend)
+                if bw.eobrun == 0x7FFF:
+                    bw.emit_eobrun(codes)
+        bw.emit_eobrun(codes)
+        bw.flush()
+        return bw.buf
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(scan_comps, ss, se, ah, al_):
+        head = bytes([len(scan_comps)])
+        for c in scan_comps:
+            # DC scans read Td (Annex-K 0/1); AC scans read Ta, always
+            # the shared custom table 0
+            head += bytes([c + 1, (0 if c == 0 else 1) << 4])
+        return seg(0xFFDA, head + bytes([ss, se, (ah << 4) | al_]))
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(qlum[_ZIGZAG[i]] for i in range(64)))
+    if channels == 3:
+        out += seg(
+            0xFFDB, bytes([1]) + bytes(qchr[_ZIGZAG[i]] for i in range(64))
+        )
+    comp = b"".join(
+        bytes([c + 1, 0x11, 0 if c == 0 else 1]) for c in range(channels)
+    )
+    out += seg(
+        0xFFC2,  # SOF2: progressive
+        bytes([8]) + struct.pack(">HH", height, width)
+        + bytes([channels]) + comp,
+    )
+    for tid, (bits, vals) in (
+        [(0x00, _DC_LUM), (0x10, _AC_PROG)]
+        + ([(0x01, _DC_CHR)] if channels == 3 else [])
+    ):
+        out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+
+    # scan 1: DC first for all components
+    out += sos(list(range(channels)), 0, 0, 0, al)
+    out += dc_first_scan()
+    # per component: AC first scans over the requested bands
+    for c in range(channels):
+        for ss, se in ac_bands:
+            out += sos([c], ss, se, 0, al)
+            out += ac_first_scan(c, ss, se, al)
+    # refinement down to Al=0, one bit position per scan
+    for bit_pos in range(al - 1, -1, -1):
+        if dc_split:
+            out += sos(list(range(channels)), 0, 0, bit_pos + 1, bit_pos)
+            out += dc_refine_scan(bit_pos)
+        for c in range(channels):
+            out += sos([c], 1, 63, bit_pos + 1, bit_pos)
+            out += ac_refine_scan(c, 1, 63, bit_pos + 1, bit_pos)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data):
         self.data = data
@@ -423,12 +691,151 @@ def _extend(v, size):
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_scan(
+    entropy, coefs, scomps, htabs, ss, se, ah, al, progressive,
+    bx, by, restart_interval,
+):
+    """Decode one entropy-coded scan into the persistent per-component
+    coefficient state (zigzag-order ints). Handles all four
+    progressive scan kinds (T.81 G.1.2: DC first / DC refine / AC
+    first with EOBn runs / AC refine with correction bits) plus the
+    baseline interleaved DC+AC scan, with RSTn restarts resetting
+    predictors and the EOB run."""
+    br = _BitReader(entropy)
+    prev_dc = {ci: 0 for ci, _, _ in scomps}
+    rst_expect = 0
+
+    if not progressive or ss == 0:
+        # interleaved over the scan's components, MCU = one block each
+        if progressive and se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        mcu = 0
+        for mby in range(by):
+            for mbx in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    br.restart(rst_expect)
+                    rst_expect = (rst_expect + 1) & 7
+                    prev_dc = {ci: 0 for ci, _, _ in scomps}
+                mcu += 1
+                for ci, dc_t, ac_t in scomps:
+                    zz = coefs[ci][mby * bx + mbx]
+                    if progressive and ah != 0:
+                        # DC refinement: one more magnitude bit
+                        if br.bit():
+                            zz[0] |= 1 << al
+                        continue
+                    dct = htabs[0x00 | dc_t]
+                    size = _read_huff_symbol(br, dct)
+                    prev_dc[ci] += _extend(br.bits(size), size)
+                    zz[0] = prev_dc[ci] << al
+                    if progressive:
+                        continue  # DC-only scan
+                    act = htabs[0x10 | ac_t]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huff_symbol(br, act)
+                        run, size = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+        return
+
+    # progressive AC scan: single component, non-interleaved raster
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ac_t = scomps[0]
+    act = htabs[0x10 | ac_t]
+    eobrun = 0
+    p1, n1 = 1 << al, -(1 << al)
+    for bi in range(bx * by):
+        if restart_interval and bi and bi % restart_interval == 0:
+            br.restart(rst_expect)
+            rst_expect = (rst_expect + 1) & 7
+            eobrun = 0
+        zz = coefs[ci][bi]
+        if ah == 0:
+            # first pass over this band: value bits at magnitude al
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_huff_symbol(br, act)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1  # EOBn: run of all-zero bands
+                    if run:
+                        eobrun += br.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("JPEG AC run overflow")
+                zz[k] = _extend(br.bits(size), size) * (1 << al)
+                k += 1
+        else:
+            # refinement pass (G.1.2.3): newly-significant coefficients
+            # arrive as (run, 1) symbols; already-significant ones each
+            # consume one correction bit as the scan passes over them
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_huff_symbol(br, act)
+                    run, size = rs >> 4, rs & 0xF
+                    val = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError(
+                                "bad JPEG refinement magnitude"
+                            )
+                        val = p1 if br.bit() else n1
+                    elif run != 15:
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += br.bits(run)
+                        break
+                    # advance over `run` zero-history positions,
+                    # refining every nonzero-history one on the way
+                    while k <= se:
+                        if zz[k] != 0:
+                            if br.bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else n1
+                        else:
+                            run -= 1
+                            if run < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        zz[k] = val
+                    k += 1
+            if eobrun > 0:
+                # inside an EOB run: only correction bits remain
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else n1
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg(content):
-    """Decode a baseline JPEG: returns (width, height, channels,
-    pixel_bytes). Supports 8-bit baseline sequential, 1 or 3
+    """Decode a JPEG: returns (width, height, channels, pixel_bytes).
+    Supports 8-bit baseline sequential (SOF0) AND progressive (SOF2 —
+    spectral selection, successive approximation, EOBn runs), 1 or 3
     components, no subsampling (all sampling factors 1x1), with
     DRI/RSTn restart markers (predictor reset + cycling-marker
-    verification); progressive / 12-bit / subsampled payloads raise."""
+    verification); 12-bit and subsampled payloads raise. Scans
+    accumulate into per-component coefficient state; dequantization +
+    IDCT run once after the last scan."""
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -437,7 +844,10 @@ def decode_jpeg(content):
     width = height = None
     ncomp = 0
     comps = []  # (id, qtab_id)
-    scan = None
+    progressive = False
+    coefs = None  # per comp: list of zigzag-order [64] int blocks
+    bx = by = 0
+    got_scan = False
     restart_interval = 0
     while i < len(content):
         if content[i] != 0xFF:
@@ -464,7 +874,10 @@ def decode_jpeg(content):
                     tab[_ZIGZAG[k]] = zz[k]
                 qtabs[tq] = tab
                 j += 65
-        elif m == 0xFFC0:
+        elif m in (0xFFC0, 0xFFC2):
+            progressive = m == 0xFFC2
+            if payload[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG samples")
             height, width = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
             for c in range(ncomp):
@@ -474,8 +887,15 @@ def decode_jpeg(content):
                         "subsampled JPEG not supported (4:4:4 only)"
                     )
                 comps.append((cid, tq))
-        elif m in (0xFFC1, 0xFFC2, 0xFFC3):
-            raise NotImplementedError("only baseline sequential JPEG")
+            bx = (width + 7) // 8
+            by = (height + 7) // 8
+            coefs = [
+                [[0] * 64 for _ in range(bx * by)] for _ in range(ncomp)
+            ]
+        elif m in (0xFFC1, 0xFFC3):
+            raise NotImplementedError(
+                "only baseline sequential or progressive JPEG"
+            )
         elif m == 0xFFDD:
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif m == 0xFFC4:
@@ -488,12 +908,25 @@ def decode_jpeg(content):
                 htabs[tc_th] = _huff_lookup(bits, vals)
                 j += 17 + nv
         elif m == 0xFFDA:
+            if coefs is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = payload[0]
-            scan = []
+            scomps = []
             for c in range(ns):
                 cs, tables = payload[1 + 2 * c : 3 + 2 * c]
-                scan.append((cs, tables >> 4, tables & 0xF))
-            # entropy data runs from i to the next marker (EOI)
+                ci = next(
+                    (
+                        idx
+                        for idx, (cid, _) in enumerate(comps)
+                        if cid == cs
+                    ),
+                    None,
+                )
+                if ci is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scomps.append((ci, tables >> 4, tables & 0xF))
+            ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            # entropy data runs from i to the next non-RST marker
             start = i
             j = i
             while j < len(content) - 1:
@@ -502,63 +935,33 @@ def decode_jpeg(content):
                 ) and not (0xD0 <= content[j + 1] <= 0xD7):
                     break
                 j += 1
-            entropy = content[start:j]
+            _decode_scan(
+                content[start:j], coefs, scomps, htabs,
+                ss, se, ahal >> 4, ahal & 0xF,
+                progressive, bx, by, restart_interval,
+            )
+            got_scan = True
             i = j
-            break
-    if width is None or scan is None:
+    if width is None or not got_scan:
         raise ValueError("JPEG missing SOF/SOS")
     if ncomp not in (1, 3):
         raise NotImplementedError("JPEG with 2 or >3 components")
-    br = _BitReader(entropy)
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
     planes = [[0] * (bx * 8 * by * 8) for _ in range(ncomp)]
-    prev_dc = [0] * ncomp
-    mcu = 0
-    rst_expect = 0
-    for mby in range(by):
-        for mbx in range(bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                br.restart(rst_expect)
-                rst_expect = (rst_expect + 1) & 7
-                prev_dc = [0] * ncomp
-            mcu += 1
-            for c in range(ncomp):
-                _, dc_t, ac_t = scan[c]
-                dct = htabs[0x00 | dc_t]
-                act = htabs[0x10 | ac_t]
-                qt = qtabs[comps[c][1]]
-                size = _read_huff_symbol(br, dct)
-                diff = _extend(br.bits(size), size)
-                prev_dc[c] += diff
-                zz = [0] * 64
-                zz[0] = prev_dc[c]
-                k = 1
-                while k < 64:
-                    rs = _read_huff_symbol(br, act)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflow")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = [0.0] * 64
-                for k in range(64):
-                    coef[_ZIGZAG[k]] = zz[k] * qt[_ZIGZAG[k]]
-                block = _idct8x8(coef)
-                plane = planes[c]
-                w8 = bx * 8
-                for r in range(8):
-                    base = (mby * 8 + r) * w8 + mbx * 8
-                    for s in range(8):
-                        v = int(round(block[r * 8 + s])) + 128
-                        plane[base + s] = 0 if v < 0 else (255 if v > 255 else v)
     w8 = bx * 8
+    for c in range(ncomp):
+        qt = qtabs[comps[c][1]]
+        plane = planes[c]
+        for bi, zz in enumerate(coefs[c]):
+            coef = [0.0] * 64
+            for k in range(64):
+                coef[_ZIGZAG[k]] = zz[k] * qt[_ZIGZAG[k]]
+            block = _idct8x8(coef)
+            mby, mbx = divmod(bi, bx)
+            for r in range(8):
+                base = (mby * 8 + r) * w8 + mbx * 8
+                for s in range(8):
+                    v = int(round(block[r * 8 + s])) + 128
+                    plane[base + s] = 0 if v < 0 else (255 if v > 255 else v)
     out = bytearray(width * height * ncomp)
     if ncomp == 1:
         p = planes[0]

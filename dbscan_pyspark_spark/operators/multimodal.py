@@ -569,9 +569,9 @@ def _real_decode(content: bytes) -> tuple[int, str]:
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
         "real decode supports binary PPM/PGM, PNG (8/16-bit, palette, "
-        "Adam7), baseline JPEG, and PCM WAV; other formats "
-        "(MP4, progressive JPEG, ...) need PIL/ffmpeg, absent in this "
-        "environment"
+        "Adam7), JPEG (baseline + progressive), and PCM WAV; other "
+        "formats (MP4 sample data, ...) need PIL/ffmpeg, absent in "
+        "this environment"
     )
 
 

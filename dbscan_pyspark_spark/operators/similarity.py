@@ -1174,6 +1174,11 @@ def ivf_fit_two_level(
     assign = (
         routed.join(F.broadcast(l2_cells), "_l1")
         .select(F.col("_tid").alias(id_col), nearest_sub.alias("cluster"))
+        # materialize once (kmeans_fit's discipline): every probe's
+        # candidate join reads the assignment, and without this each
+        # one re-runs the full-corpus k1+k2 argmin (measured 437 s ->
+        # seconds for a 2000-query probe at 5M vectors)
+        .localCheckpoint(eager=True)
     )
     return IVFTwoLevelModel(assign, cents1, l2_cells, k1, k2, n_cells)
 

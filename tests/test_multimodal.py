@@ -444,8 +444,11 @@ def test_jpeg_roundtrip_error_bounds():
 
 
 def test_jpeg_unsupported_variants_raise():
-    """Progressive (SOF2) and subsampled payloads raise the plug-point
-    error instead of mis-decoding; junk raises ValueError."""
+    """Lossless (SOF3) and subsampled payloads raise the plug-point
+    error instead of mis-decoding; junk raises ValueError; a
+    marker-flipped SOF2 whose scan header is baseline-shaped is
+    CORRUPTION under progressive semantics (a progressive DC scan
+    must have Se = 0), not silently decoded."""
     import struct
 
     import pytest as _pytest
@@ -461,10 +464,15 @@ def test_jpeg_unsupported_variants_raise():
     good = bytearray(encode_jpeg(8, 8, bytes(range(64)), 1, 90))
     sof = good.find(b"\xFF\xC0")
     assert sof > 0
-    prog = bytearray(good)
-    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    lossless = bytearray(good)
+    lossless[sof + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
     with _pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(lossless))
+
+    flipped = bytearray(good)
+    flipped[sof + 1] = 0xC2  # SOF0 -> SOF2 with a baseline scan header
+    with _pytest.raises(ValueError, match="Se = 0"):
+        decode_jpeg(bytes(flipped))
 
     sub = bytearray(good)
     # SOF payload: len(2) precision(1) h(2) w(2) ncomp(1) [id samp tq]
@@ -614,3 +622,42 @@ def test_jpeg_restart_markers_roundtrip():
     enc[i + 1] = 0xD5
     with _pytest.raises(ValueError, match="restart"):
         decode_jpeg(bytes(enc))
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive JPEG (SOF2) is fully decoded — spectral selection,
+    successive approximation (DC + AC refinement scans), and EOBn
+    end-of-band runs. The progressive encoder emits the SAME quantized
+    coefficients as the baseline encoder, so the decoded pixels must
+    be byte-identical across every progression shape."""
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    for (w, h, ch) in [(19, 13, 3), (24, 16, 1), (8, 8, 3), (17, 25, 3)]:
+        pix = bytes(
+            min(255, (5 * (i % w) + 3 * (i // w)) % 256)
+            for i in range(w * h * ch)
+        )
+        base = decode_jpeg(encode_jpeg(w, h, pix, ch, 85))
+        assert base[:3] == (w, h, ch)
+        # default progression: DC first+refine, 2 AC bands, AC refine
+        assert decode_jpeg(encode_progressive_jpeg(w, h, pix, ch, 85)) == base
+        # spectral selection only (no successive approximation)
+        assert decode_jpeg(
+            encode_progressive_jpeg(
+                w, h, pix, ch, 85, dc_split=False, point_transform=0
+            )
+        ) == base
+        # two successive-approximation levels and a finer band split
+        assert decode_jpeg(
+            encode_progressive_jpeg(w, h, pix, ch, 85, point_transform=2)
+        ) == base
+        assert decode_jpeg(
+            encode_progressive_jpeg(
+                w, h, pix, ch, 85,
+                ac_bands=((1, 2), (3, 8), (9, 30), (31, 63)),
+            )
+        ) == base
