@@ -4109,21 +4109,17 @@ _ROWS_ONLY_GREEN: set = set()
 # operator's plan rebuild, the chunked waterfill apply, and the
 # kmember core refactor.
 _FLAGSHIP_FIRST = [
-    # round-9 changed/new tier: queries whose operator internals
-    # changed this round (every one locally re-verified green) plus
-    # the two brand-new entries, so the r9 driver window re-checks
+    # round-10 changed tier: queries whose operator internals (or
+    # oracle!) changed this round, every one locally re-verified green
+    # via tools/check_oracle.py, so the r10 driver window re-checks
     # exactly what moved.
-    "doc_bpe_merges_deep", "doc_bm25_from_index",  # new this round
-    "doc_pmi_collocations", "part_demand_cms",  # new this round
-    "doc_lm_perplexity", "event_user_lpc",  # new this round
-    "order_bloom_probe",  # new this round
-    "doc_bpe_merges",  # bpe_learn driver-path dispatch
-    "doc_bm25_topk",  # scoring delegated to bm25_topk_from_postings
-    "minhash_near_dups", "dedup_near_docs",  # degenerate-bucket guard
-    "simhash_near_dup_pairs",  # signature contraction
-    "ivf_ann_topk_exact", "ivf_recall_eval",  # n_cells='auto' resolve
+    "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
+    "multimodal_stats",  # decode stage over the reworked codecs
+    "minhash_near_dups", "dedup_near_docs",  # adaptive contraction gate
+    "ivf_ann_topk_exact", "ivf_recall_eval",  # ivf_quantized_topk rework
     "embedding_knn_graph", "embedding_mutual_knn_clusters",
-    "multimodal_real_dimensions",  # planted PNGs (PNG codec)
+    "part_demand_cms",  # cms_estimates sketch-shape validation
+    "doc_bm25_from_index",  # read_index validate flag
 ]
 
 # Oldest driver greens re-entered for a regression re-check, strictly
