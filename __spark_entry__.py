@@ -3018,6 +3018,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_recall_eval"] = ivf_recall_eval
 
+    def ivf_two_level_topk(spark, sf):
+        # rows-only: the hierarchical quantizer's per-cell Lloyd fit
+        # (applyInPandas over coarse cells) isn't SQL-replayable —
+        # an unrolled-CTE oracle would need k1 independent k-means
+        # unrollings. Determinism, exhaustive-probe == brute-force
+        # equality, and the 5M-vector population bar are pinned in
+        # tests/test_similarity.py + the ivf_two_level_5m_auto stress
+        # stage; this entry runs the two-level path (forced past
+        # _FLAT_MAX_CELLS, since sf-scale corpora resolve flat) in the
+        # driver harness end-to-end.
+        from dbscan_pyspark_spark.operators.similarity import (
+            ivf_fit_two_level,
+            ivf_quantized_topk,
+        )
+
+        e = load_table(spark, sf, "embeddings")
+        qs = e.where(F.col("vec_id") % 100 == 0)
+        model = ivf_fit_two_level(e, 4100, n_iter=2)
+        return ivf_quantized_topk(
+            e, qs, k=5, nprobe=64, model=model, nprobe_l1=4
+        )
+
+    q["ivf_two_level_topk"] = ivf_two_level_topk
+
     def doc_bigram_fluency(spark, sf):
         # log-free n-gram-LM stand-in: per-doc mean bit-length of its
         # bigrams' corpus counts (floor(log2)+1 — exact integers, so
@@ -4087,7 +4111,7 @@ _DRIVER_CHECKED_GREEN = {
 # holding a tier-3 slot (the round-7 review trap).
 _ROWS_ONLY_ORDER = [
     "kmember_clusters", "embedding_pca", "approx_event_stats",
-    "approx_event_type_topk",
+    "approx_event_type_topk", "ivf_two_level_topk",
 ]
 _ROWS_ONLY = frozenset(_ROWS_ONLY_ORDER)
 # rows-only names whose LATEST driver record is green (rows+schema
@@ -4113,6 +4137,7 @@ _FLAGSHIP_FIRST = [
     # oracle!) changed this round, every one locally re-verified green
     # via tools/check_oracle.py, so the r10 driver window re-checks
     # exactly what moved.
+    "ivf_two_level_topk",  # new this round (rows-only by nature)
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
     "minhash_near_dups", "dedup_near_docs",  # adaptive contraction gate
