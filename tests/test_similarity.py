@@ -701,3 +701,27 @@ def test_two_level_ivf_rejects_flat_sized_cell_counts(spark):
     vecs = _blob_vectors(spark, 100)
     with pytest.raises(ValueError, match="single level"):
         ivf_fit_two_level(vecs, 64)
+
+
+def test_two_level_ivf_auto_dispatch(spark):
+    # n_cells past _FLAT_MAX_CELLS with model=None must route to the
+    # two-level fit internally and produce exactly what an explicit
+    # ivf_fit_two_level + probe produces (same deterministic
+    # construction).
+    from dbscan_pyspark_spark.operators.similarity import (
+        ivf_fit_two_level,
+        ivf_quantized_topk,
+    )
+
+    vecs = _blob_vectors(spark, 1500)
+    qs = vecs.where(F.col("vec_id") % 150 == 0)
+    auto = sorted(
+        tuple(r)
+        for r in ivf_quantized_topk(vecs, qs, k=5, n_cells=4100, nprobe=64).collect()
+    )
+    model = ivf_fit_two_level(vecs, 4100, n_iter=2)
+    explicit = sorted(
+        tuple(r)
+        for r in ivf_quantized_topk(vecs, qs, k=5, nprobe=64, model=model).collect()
+    )
+    assert auto == explicit and len(auto) > 0
