@@ -340,68 +340,73 @@ def minhash_near_dup_pairs(
     the output's own semantics — but it is produced by one equi-join,
     never shuffled through banding or verification.
 
-    The guard is ADAPTIVE: a bounded agg over the rep relation finds
-    the largest identical-content group, and the contraction engages
-    only at ``contract_min_clique`` or above (a size-g clique costs
-    ~C(g,2) x n_bands uncontracted candidate rows — trivial at g=256,
-    ruinous at g=50k). Below it the restore semi-join and expansion
-    joins are skipped entirely — the pre-guard pipeline shape,
-    identical output by construction.
+    The guard is ADAPTIVE and costs no extra corpus scan: identical
+    content implies an identical signature, so the largest
+    identical-SIGNATURE group — one agg over the signature relation
+    the pipeline computes anyway — upper-triggers the contraction at
+    ``contract_min_clique`` (a size-g clique costs ~C(g,2) x n_bands
+    uncontracted candidate rows — trivial at g=256, ruinous at g=50k).
+    Below it the uncontracted pipeline runs as-is; identical output by
+    construction. (A full-signature hash collision between distinct
+    contents can only FALSE-trigger — the contraction itself keys on
+    the md5 content, so output is never affected.)
     """
-    # Contract identical content first: a NARROW (key, id) groupBy
-    # picks min-id reps, then a semi-join restores the reps' text from
-    # the source. The semi-join is the adaptive piece: AQE broadcasts
-    # the rep-id side when it is small (the text column never moves),
-    # and falls back to a shuffle join when reps are corpus-sized —
-    # measured faster at sf0.1 than the one-exchange alternative
-    # (groupBy carrying first(text)), which forces every text through
-    # the aggregate exchange unconditionally. Docs with NULL text can
-    # never pair (no shingles) and are dropped here; short texts
-    # (< n chars) keep a rep but get no signature, and the intra
-    # expansion below requires the rep to HAVE a signature — matching
-    # the uncontracted pipeline, where such docs never reach the band
-    # join.
-    keyed = df.select(
-        F.col(id_col), F.md5(normalized(text_col)).alias("_k")
-    ).where(F.col("_k").isNotNull())
-    reps = keyed.groupBy("_k").agg(
-        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_gsize")
+    # One shingle relation serves both the signature groupBy and the
+    # exact-Jaccard verification joins — normalize/split/explode over
+    # the corpus runs once, not twice. Docs with NULL text vanish in
+    # the token explode; short texts (< n tokens) get no shingles, so
+    # they never reach the band join in either branch. The signature
+    # relation (1 slim row/doc) is persisted: it feeds the adaptive
+    # gate, the band projection, and the Jaccard denominators.
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(
+        df, num_hashes, n, text_col, id_col, shingles=sh, with_size=True
     ).persist()
-    # Adaptive gate (round-9 watch item): the contraction machinery —
-    # semi-join text restore plus two expansion joins — exists to bound
-    # the C(g,2) x n_bands band-join blowup of LARGE identical-content
+    # Adaptive gate (round-9 watch item, round-10 made scan-free): the
+    # contraction machinery — content-key groupBy, two semi-join
+    # restrictions, two expansion joins — exists to bound the
+    # C(g,2) x n_bands band-join blowup of LARGE identical-content
     # cliques (the planted 50k-copy stress). Small dup groups are
-    # handled correctly AND cheaply by the uncontracted pipeline:
-    # identical texts yield identical signatures, collide in every
-    # band, and verify at jaccard exactly 1 — a size-g group adds only
-    # ~C(g,2) x n_bands candidate rows. So contraction engages only
-    # when some group reaches ``contract_min_clique``; one bounded agg
-    # over the already-persisted rep relation decides. Output is
-    # identical either way; corpora without big cliques (most real
-    # ones) don't pay the contraction's ~3 s at sf0.1.
-    _max_g = reps.agg(F.max("_gsize").alias("_m")).first()["_m"] or 0
+    # handled correctly AND cheaply uncontracted: identical texts
+    # yield identical signatures, collide in every band, and verify at
+    # jaccard exactly 1. The gate rides the persisted sig relation —
+    # a map-side-combined groupBy over the signature columns — so the
+    # clique-free fast path pays one slim exchange, not a second
+    # normalize+md5 pass over the text column.
+    _mcols = [c for c in sig.columns if c.startswith("m")]
+    _max_g = (
+        sig.groupBy(*_mcols)
+        .count()
+        .agg(F.max("count").alias("_m"))
+        .first()["_m"]
+        or 0
+    )
     contract = _max_g >= contract_min_clique
     if contract:
-        rep_docs = df.join(reps.select(id_col), id_col, "left_semi")
+        # Contract identical content: a NARROW (key, id) groupBy picks
+        # min-id reps; the already-computed shingle/signature relations
+        # are RESTRICTED to rep ids by semi-join (no re-shingling —
+        # dup members' rows are identical to their rep's by
+        # construction). The intra expansion below requires the rep to
+        # HAVE a signature, matching the uncontracted pipeline where
+        # shingle-less docs never reach the band join.
+        keyed = df.select(
+            F.col(id_col), F.md5(normalized(text_col)).alias("_k")
+        ).where(F.col("_k").isNotNull())
+        reps = keyed.groupBy("_k").agg(
+            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_gsize")
+        ).persist()
+        rep_ids = reps.select(id_col)
+        sh_v = sh.join(rep_ids, id_col, "left_semi")
+        sig_v = sig.join(rep_ids, id_col, "left_semi")
     else:
-        reps.unpersist()
-        rep_docs = df.where(normalized(text_col).isNotNull())
+        sh_v, sig_v = sh, sig
     # The candidate set is referenced three times below (pairs + two
     # semi-join prunes); without materialization Catalyst would run the
     # whole signature->band->self-join subtree three times (measured 3x
     # wall at sf0.1). It is tiny (pairs of near-dups), so an eager
     # localCheckpoint both materializes it once and truncates lineage.
-    # The signature relation (1 row/distinct doc) is persisted for the
-    # same reason; n_sh rides its groupBy so the Jaccard denominators
-    # need no extra shingle pass.
-    # One shingle relation serves both the signature groupBy and the
-    # exact-Jaccard verification joins — normalize/split/explode over
-    # the distinct corpus runs once, not twice.
-    sh = _doc_shingles(rep_docs, text_col, id_col, n).persist()
-    sig = minhash_signatures(
-        rep_docs, num_hashes, n, text_col, id_col, shingles=sh, with_size=True
-    ).persist()
-    bands = minhash_bands(sig, rows_per_band, id_col)
+    bands = minhash_bands(sig_v, rows_per_band, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -417,10 +422,10 @@ def minhash_near_dup_pairs(
         .localCheckpoint()
     )
 
-    sizes = sig.select(id_col, "n_sh")
+    sizes = sig_v.select(id_col, "n_sh")
     # verification touches only candidate rep docs: semi-join prune
     rep_pairs = _verify_exact_jaccard(
-        sh, sizes, cand, id_col, threshold
+        sh_v, sizes, cand, id_col, threshold
     ).localCheckpoint(eager=True)
 
     if not contract:
@@ -450,7 +455,7 @@ def minhash_near_dup_pairs(
     )
     intra_keys = (
         reps.where(F.col("_gsize") >= 2)
-        .join(sig.select(id_col), id_col, "left_semi")
+        .join(sig_v.select(id_col), id_col, "left_semi")
         .select("_k")
     )
     # keys_needed touches sig/reps, so it must materialize BEFORE the
