@@ -4018,6 +4018,10 @@ _BPE_FIXED_MERGES = [
 # test_rotation_wastes_no_checked_slot pins that nothing green
 # displaces a waiting non-green query.
 _DRIVER_CHECKED_GREEN = {
+    # round-9 late additions, all hash-green in CORRECTNESS_r09
+    "part_demand_cms", "doc_bm25_from_index", "doc_pmi_collocations",
+    "doc_lm_perplexity", "event_user_lpc", "order_bloom_probe",
+    "doc_bpe_merges_deep",
     "anonymize_cells", "busy_customers", "clean_corpus_splits",
     "cube_order_status", "cumulative_customer_revenue",
     "customer_balance_quartiles", "customer_group_sample",
