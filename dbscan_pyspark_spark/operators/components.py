@@ -227,14 +227,11 @@ def connected_components(
     # exact-match single-JVM masters only: 'local-cluster[...]' runs
     # separate executor JVMs, where the driver heap is the wrong
     # denominator
-    master = spark.sparkContext.master
+    from ..compat import jvm_max_heap_bytes, master_url
+
+    master = master_url(spark)
     if master == "local" or master.startswith("local["):
-        try:
-            heap = int(
-                spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
-            )
-        except Exception:
-            heap = 0
+        heap = jvm_max_heap_bytes(spark)
         needed = n_edges * 500
         if heap and needed > heap:
             raise RuntimeError(

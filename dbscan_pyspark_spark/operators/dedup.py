@@ -50,11 +50,17 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     # A small-file scan can arrive as one partition; the shingle explode
     # multiplies rows ~100x, so spread the input first (cheap relative
     # to the explode; on a real cluster the scan is already wide).
-    target = df.sparkSession.sparkContext.defaultParallelism
+    # Connect-safe accessors (compat.py): defaultParallelism degrades
+    # to a conf read, getNumPartitions to an inputFiles lower bound —
+    # the guard can then only err toward repartitioning (one redundant
+    # exchange), never toward the one-partition explode pathology.
+    from ..compat import default_parallelism, num_scan_partitions
+
+    target = default_parallelism(df.sparkSession)
     toks = df.select(
         F.col(id_col), F.split(normalized(text_col), " ").alias("_toks")
     )
-    if df.rdd.getNumPartitions() < target:
+    if num_scan_partitions(df) < target:
         # repartition AFTER tokenizing: the exchange physically
         # materializes _toks, so the size-guard / distinct / lambda
         # references above all read the column instead of re-running

@@ -147,7 +147,9 @@ def _shuffle_partitions(spark) -> int:
     try:
         return int(raw)
     except (TypeError, ValueError):
-        return spark.sparkContext.defaultParallelism
+        from ..compat import default_parallelism
+
+        return default_parallelism(spark)
 
 
 def global_row_number(

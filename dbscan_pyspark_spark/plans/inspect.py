@@ -18,13 +18,22 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
-    )
+    from ..compat import formatted_plan_string
+
+    return formatted_plan_string(df)
 
 
 def _executed_plan_str(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """AQE-final physical plan string. Classic-only primary (the JVM
+    queryExecution handle); on Connect fall back to the formatted
+    explain text — it carries the same node names (BroadcastHashJoin,
+    Exchange hashpartitioning, CartesianProduct) the helpers below
+    grep for, minus whole-stage-codegen star markers, which
+    ``codegen_stage_count`` also matches by node name."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return formatted_plan(df)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

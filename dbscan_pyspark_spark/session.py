@@ -87,8 +87,9 @@ def get_session(
     # Iterative operators (connected components, k-member repair) truncate
     # lineage via localCheckpoint; a checkpoint dir also enables reliable
     # checkpointing when desired (reference: sc.setCheckpointDir, DBSCAN.py:171).
-    if spark.sparkContext.getCheckpointDir() is None:
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(tempfile.gettempdir(), "spark-graft-checkpoints")
-        )
+    from .compat import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(
+        spark, os.path.join(tempfile.gettempdir(), "spark-graft-checkpoints")
+    )
     return spark

@@ -167,7 +167,9 @@ def write_zordered(
             ).cast("long")
         )
     keyed = df.withColumn("_z", zorder_key(coords, bits=bits))
-    n = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    from ..compat import default_parallelism
+
+    n = num_files or max(default_parallelism(df.sparkSession), 1)
     (
         keyed.repartitionByRange(int(n), "_z")
         .sortWithinPartitions("_z")
