@@ -1261,6 +1261,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_real_dimensions"] = multimodal_real_dimensions
 
+    def multimodal_mjpeg_frames(spark, sf):
+        # REAL MP4 *video* sample decode end-to-end: synthesize genuine
+        # Motion-JPEG MP4s (each frame a complete baseline JPEG inside
+        # an ISO-BMFF 'vide' sample table), walk the container, decode
+        # every frame through the zero-dependency JPEG codec, and emit
+        # the recovered geometry. Every output field is id arithmetic
+        # the oracle replays — a hash match proves the stsd/stsz/stsc/
+        # stco walk found exactly the planted samples and each decoded
+        # to the declared dimensions. The lossy pixel VALUES are pinned
+        # separately by unit tests (frames == standalone decode_jpeg).
+        from dbscan_pyspark_spark.operators.multimodal import (
+            mjpeg_video_summary,
+            synth_mjpeg_media,
+        )
+
+        docs = (
+            load_table(spark, sf, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") < 400)
+        )
+        return mjpeg_video_summary(synth_mjpeg_media(docs))
+
+    q["multimodal_mjpeg_frames"] = multimodal_mjpeg_frames
+
     # ---- TPC-H Q7 shape: nation-pair trade volume. Two broadcast dims
     # joined twice under different aliases; the fact-side join keys
     # (l_suppkey, o_custkey) reach the scan as pushed filters ----
@@ -4147,6 +4171,7 @@ _FLAGSHIP_FIRST = [
     # via tools/check_oracle.py, so the r10 driver window re-checks
     # exactly what moved.
     "ivf_two_level_topk",  # new this round (rows-only by nature)
+    "multimodal_mjpeg_frames",  # new: MP4 video sample decode (MJPEG)
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
     "minhash_near_dups", "dedup_near_docs",  # adaptive contraction gate
@@ -7747,6 +7772,15 @@ FROM events GROUP BY event_type
 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS n_orders,
        round(CAST(sum(CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE), 2) AS revenue
 FROM orders GROUP BY 1
+""",
+        "multimodal_mjpeg_frames": """
+SELECT doc_id AS media_id,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+       CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+       CAST(2 + doc_id % 4 AS INT) AS n_frames,
+       CAST(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2) * 3
+            * (2 + doc_id % 4) AS BIGINT) AS n_vals
+FROM documents WHERE doc_id < 400
 """,
         "multimodal_real_dimensions": """
 WITH m AS (SELECT doc_id AS media_id FROM documents),

@@ -615,17 +615,13 @@ def _encode_mp4_pcm(
     return ftyp + build_moov(offsets) + _mp4_box(b"mdat", pcm)
 
 
-def _mp4_pcm_samples(content: bytes) -> tuple[int, int, list[int]]:
-    """REAL MP4 sample extraction for uncompressed audio: walk the
-    first 'soun' track's sample table (stsd/stts/stsc/stsz/stco) and
-    read the PCM frames out of mdat by chunk offset — the part of
-    'MP4 decode' that is pure ISO-BMFF parsing. Supports the
-    uncompressed 16-bit entries ('twos' big-endian, 'sowt'
-    little-endian); compressed entries (mp4a/AAC, avc1/H.264, ...)
-    raise the ffmpeg plug-point error — that half genuinely needs a
-    codec. Returns (sample_rate, channels, samples)."""
-    import struct as _s
-
+def _mp4_find_track(
+    content: bytes, handler: bytes
+) -> tuple[bytes, int, dict] | None:
+    """First track whose hdlr type matches: returns (sample-entry
+    fourcc, stsd payload offset, stbl box map) or None. Pure ISO-BMFF
+    box walking — shared by the audio (soun) and video (vide) sample
+    extractors."""
     if len(content) < 12 or content[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no ftyp)")
 
@@ -644,14 +640,14 @@ def _mp4_pcm_samples(content: bytes) -> tuple[int, int, list[int]]:
             )
             if mdia is None:
                 continue
-            handler = None
+            found = None
             minf = None
             for t4, o4, e4 in walk(*mdia):
                 if t4 == b"hdlr":
-                    handler = content[o4 + 8 : o4 + 12]
+                    found = content[o4 + 8 : o4 + 12]
                 elif t4 == b"minf":
                     minf = (o4, e4)
-            if handler != b"soun" or minf is None:
+            if found != handler or minf is None:
                 continue
             stbl = None
             for t5, o5, e5 in walk(*minf):
@@ -661,78 +657,254 @@ def _mp4_pcm_samples(content: bytes) -> tuple[int, int, list[int]]:
                 continue
             boxes = {t: (o, e) for t, o, e in walk(*stbl)}
             so, _se = boxes[b"stsd"]
-            fmt = content[so + 12 : so + 16]
-            if fmt not in (b"twos", b"sowt"):
-                raise NotImplementedError(
-                    f"MP4 audio sample entry {fmt!r} needs ffmpeg; only "
-                    "uncompressed PCM ('twos'/'sowt') decodes here"
-                )
-            channels, bits = _s.unpack(
-                ">HH", content[so + 32 : so + 36]
+            return content[so + 12 : so + 16], so, boxes
+    return None
+
+
+def _mp4_extract_samples(content: bytes, boxes: dict) -> list[bytes]:
+    """Raw sample payloads in sample order via the stsz/stco/stsc walk
+    (stsc's samples-per-chunk runs are 1-based and apply from their
+    first_chunk until the next entry)."""
+    import struct as _s
+
+    zo, _ze = boxes[b"stsz"]
+    const_size, n_samples = _s.unpack(">II", content[zo + 4 : zo + 12])
+    if const_size == 0:
+        sizes = [
+            _s.unpack(">I", content[zo + 12 + 4 * i : zo + 16 + 4 * i])[0]
+            for i in range(n_samples)
+        ]
+    else:
+        sizes = [const_size] * n_samples
+    co, _ce = boxes[b"stco"]
+    (n_chunks,) = _s.unpack(">I", content[co + 4 : co + 8])
+    chunk_offs = [
+        _s.unpack(">I", content[co + 8 + 4 * i : co + 12 + 4 * i])[0]
+        for i in range(n_chunks)
+    ]
+    sc, _sce = boxes[b"stsc"]
+    (n_stsc,) = _s.unpack(">I", content[sc + 4 : sc + 8])
+    stsc = [
+        _s.unpack(">III", content[sc + 8 + 12 * i : sc + 20 + 12 * i])
+        for i in range(n_stsc)
+    ]
+    frames: list[bytes] = []
+    si = 0
+    for ci in range(1, n_chunks + 1):
+        spc = 0
+        for fc, s_per_c, _sdi in stsc:
+            if fc <= ci:
+                spc = s_per_c
+        pos = chunk_offs[ci - 1]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            sz = sizes[si]
+            frame = content[pos : pos + sz]
+            if len(frame) != sz:
+                raise ValueError("MP4 mdat truncated")
+            frames.append(frame)
+            pos += sz
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"MP4 sample table mismatch: walked {si} of "
+            f"{n_samples} samples"
+        )
+    return frames
+
+
+def _mp4_pcm_samples(content: bytes) -> tuple[int, int, list[int]]:
+    """REAL MP4 sample extraction for uncompressed audio: walk the
+    first 'soun' track's sample table (stsd/stts/stsc/stsz/stco) and
+    read the PCM frames out of mdat by chunk offset — the part of
+    'MP4 decode' that is pure ISO-BMFF parsing. Supports the
+    uncompressed 16-bit entries ('twos' big-endian, 'sowt'
+    little-endian); compressed entries (mp4a/AAC, avc1/H.264, ...)
+    raise the ffmpeg plug-point error — that half genuinely needs a
+    codec. Returns (sample_rate, channels, samples)."""
+    import struct as _s
+
+    track = _mp4_find_track(content, b"soun")
+    if track is None:
+        raise NotImplementedError(
+            "MP4 has no uncompressed ('twos'/'sowt') audio track; "
+            "compressed tracks need ffmpeg"
+        )
+    fmt, so, boxes = track
+    if fmt not in (b"twos", b"sowt"):
+        raise NotImplementedError(
+            f"MP4 audio sample entry {fmt!r} needs ffmpeg; only "
+            "uncompressed PCM ('twos'/'sowt') decodes here"
+        )
+    channels, bits = _s.unpack(">HH", content[so + 32 : so + 36])
+    (rate_fp,) = _s.unpack(">I", content[so + 40 : so + 44])
+    rate = rate_fp >> 16
+    if bits != 16:
+        raise NotImplementedError("only 16-bit MP4 PCM")
+    endian = ">h" if fmt == b"twos" else "<h"
+    samples = [
+        _s.unpack(endian, frame[b0 : b0 + 2])[0]
+        for frame in _mp4_extract_samples(content, boxes)
+        for b0 in range(0, len(frame), 2)
+    ]
+    return rate, channels, samples
+
+
+def _mp4_mjpeg_frames(
+    content: bytes,
+) -> tuple[int, int, list[bytes]]:
+    """REAL MP4 *video* sample decode for Motion-JPEG tracks: walk the
+    first 'vide' track's sample table and decode each sample — a
+    complete baseline/progressive JPEG image in the 'jpeg'
+    (photo-JPEG) or 'mjpa' (Motion-JPEG A) sample-entry layouts —
+    through the zero-dependency JPEG codec (``operators/jpeg.py``).
+    Inter-frame-predicted codecs (avc1/H.264, hvc1, mp4v, vp09, av01)
+    raise the ffmpeg plug-point error: those genuinely need a video
+    codec. Returns (width, height, [RGB/gray pixel bytes per frame]),
+    with every frame checked against the stsd-declared dimensions —
+    a sample table pointing at mismatched images is a malformed file,
+    not a soft warning."""
+    import struct as _s
+
+    from dbscan_pyspark_spark.operators.jpeg import decode_jpeg
+
+    track = _mp4_find_track(content, b"vide")
+    if track is None:
+        raise NotImplementedError("MP4 has no video track")
+    fmt, so, boxes = track
+    if fmt not in (b"jpeg", b"mjpa"):
+        raise NotImplementedError(
+            f"MP4 video sample entry {fmt!r} needs ffmpeg; only "
+            "Motion-JPEG ('jpeg'/'mjpa') decodes here"
+        )
+    # VisualSampleEntry: width/height at entry+32/+34 (entry = so+8)
+    width, height = _s.unpack(">HH", content[so + 40 : so + 44])
+    frames = []
+    for i, sample in enumerate(_mp4_extract_samples(content, boxes)):
+        w, h, _ch, pix = decode_jpeg(bytes(sample))
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"MP4 MJPEG frame {i} is {w}x{h}, sample entry says "
+                f"{width}x{height}"
             )
-            (rate_fp,) = _s.unpack(">I", content[so + 40 : so + 44])
-            rate = rate_fp >> 16
-            if bits != 16:
-                raise NotImplementedError("only 16-bit MP4 PCM")
-            zo, _ze = boxes[b"stsz"]
-            const_size, n_samples = _s.unpack(
-                ">II", content[zo + 4 : zo + 12]
-            )
-            if const_size == 0:
-                sizes = [
-                    _s.unpack(
-                        ">I", content[zo + 12 + 4 * i : zo + 16 + 4 * i]
-                    )[0]
-                    for i in range(n_samples)
-                ]
-            else:
-                sizes = [const_size] * n_samples
-            co, _ce = boxes[b"stco"]
-            (n_chunks,) = _s.unpack(">I", content[co + 4 : co + 8])
-            chunk_offs = [
-                _s.unpack(">I", content[co + 8 + 4 * i : co + 12 + 4 * i])[0]
-                for i in range(n_chunks)
-            ]
-            sc, _sce = boxes[b"stsc"]
-            (n_stsc,) = _s.unpack(">I", content[sc + 4 : sc + 8])
-            stsc = [
-                _s.unpack(
-                    ">III", content[sc + 8 + 12 * i : sc + 20 + 12 * i]
-                )
-                for i in range(n_stsc)
-            ]
-            # samples-per-chunk for each chunk index (1-based walk)
-            endian = ">h" if fmt == b"twos" else "<h"
-            samples = []
-            si = 0
-            for ci in range(1, n_chunks + 1):
-                spc = 0
-                for fc, s_per_c, _sdi in stsc:
-                    if fc <= ci:
-                        spc = s_per_c
-                pos = chunk_offs[ci - 1]
-                for _ in range(spc):
-                    if si >= n_samples:
-                        break
-                    sz = sizes[si]
-                    frame = content[pos : pos + sz]
-                    if len(frame) != sz:
-                        raise ValueError("MP4 mdat truncated")
-                    for b0 in range(0, sz, 2):
-                        samples.append(
-                            _s.unpack(endian, frame[b0 : b0 + 2])[0]
-                        )
-                    pos += sz
-                    si += 1
-            if si != n_samples:
-                raise ValueError(
-                    f"MP4 sample table mismatch: walked {si} of "
-                    f"{n_samples} samples"
-                )
-            return rate, channels, samples
-    raise NotImplementedError(
-        "MP4 has no uncompressed ('twos'/'sowt') audio track; "
-        "compressed tracks need ffmpeg"
+        frames.append(pix)
+    return width, height, frames
+
+
+def _encode_mp4_mjpeg(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    chunk_frames: int = 4,
+) -> bytes:
+    """Synthesize a REAL Motion-JPEG MP4: one 'vide' track with a
+    'jpeg' (photo-JPEG) sample entry and a full stts/stsc/stsz/stco
+    sample table over an mdat holding the complete per-frame JPEG
+    payloads, chunked ``chunk_frames`` per chunk so the decoder's
+    stsc walk sees genuine multi-sample chunks. Each frame must be a
+    self-contained JPEG (``encode_jpeg`` output)."""
+    import struct as _s
+
+    n = len(jpeg_frames)
+    sizes = [len(f) for f in jpeg_frames]
+    n_full, rem = divmod(n, chunk_frames)
+    chunk_counts = [chunk_frames] * n_full + ([rem] if rem else [])
+    if not chunk_counts:
+        chunk_counts = [0]
+
+    def build_moov(offsets):
+        entry = (
+            _s.pack(">I", 86)
+            + b"jpeg"
+            + b"\x00" * 6
+            + _s.pack(">H", 1)  # data reference index
+            + _s.pack(">HH", 0, 0)  # pre_defined/reserved
+            + b"\x00" * 12  # pre_defined
+            + _s.pack(">HH", width, height)
+            + _s.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + _s.pack(">I", 0)
+            + _s.pack(">H", 1)  # frame count per sample
+            + b"\x00" * 32  # compressor name
+            + _s.pack(">Hh", 24, -1)  # depth, color table id
+        )
+        stsd = _full_box(b"stsd", _s.pack(">I", 1) + entry)
+        stts = _full_box(b"stts", _s.pack(">III", 1, n, 1))
+        stsc_entries = [(1, chunk_frames)] if n_full else []
+        if rem:
+            stsc_entries.append((n_full + 1, rem))
+        if not stsc_entries:
+            stsc_entries = [(1, 0)]
+        stsc = _full_box(
+            b"stsc",
+            _s.pack(">I", len(stsc_entries))
+            + b"".join(
+                _s.pack(">III", fc, spc, 1) for fc, spc in stsc_entries
+            ),
+        )
+        stsz = _full_box(
+            b"stsz",
+            _s.pack(">II", 0, n)
+            + b"".join(_s.pack(">I", s) for s in sizes),
+        )
+        stco = _full_box(
+            b"stco",
+            _s.pack(">I", len(offsets))
+            + b"".join(_s.pack(">I", o) for o in offsets),
+        )
+        stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full_box(
+            b"vmhd", _s.pack(">HHHH", 0, 0, 0, 0), flags=1
+        )
+        dref = _full_box(
+            b"dref", _s.pack(">I", 1) + _full_box(b"url ", b"", flags=1)
+        )
+        dinf = _mp4_box(b"dinf", dref)
+        minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+        mdhd = _full_box(
+            b"mdhd", _s.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0)
+        )
+        hdlr = _full_box(
+            b"hdlr", _s.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00"
+        )
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        dur = n * 1000 // fps if fps else 0
+        tkhd = _full_box(
+            b"tkhd",
+            _s.pack(">II", 0, 0)
+            + _s.pack(">I", 1)
+            + b"\x00" * 4
+            + _s.pack(">I", n)
+            + b"\x00" * 8
+            + _s.pack(">HHHH", 0, 0, 0, 0)
+            + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + _s.pack(">II", width << 16, height << 16),
+            flags=7,
+        )
+        mvhd = _full_box(
+            b"mvhd",
+            _s.pack(">IIII", 0, 0, 1000, dur)
+            + _s.pack(">I", 0x00010000)
+            + _s.pack(">H", 0x0100)
+            + b"\x00" * 10
+            + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + _s.pack(">I", 2),
+        )
+        return _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd + mdia))
+
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2mp41")
+    moov_len = len(build_moov([0] * len(chunk_counts)))
+    base = len(ftyp) + moov_len + 8  # + mdat header
+    offsets, fi = [], 0
+    acc = 0
+    for cc in chunk_counts:
+        offsets.append(base + acc)
+        acc += sum(sizes[fi : fi + cc])
+        fi += cc
+    return (
+        ftyp + build_moov(offsets) + _mp4_box(b"mdat", b"".join(jpeg_frames))
     )
 
 
@@ -795,16 +967,23 @@ def _real_decode(content: bytes) -> tuple[int, str]:
         raw = struct.pack(f"<{len(samples)}h", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     if content and len(content) >= 12 and content[4:8] == b"ftyp":
-        # real ISO-BMFF sample extraction for uncompressed audio
-        # tracks; compressed tracks raise the ffmpeg plug point inside
+        # real ISO-BMFF sample extraction: Motion-JPEG video tracks
+        # decode frame-by-frame through the JPEG codec; uncompressed
+        # PCM audio tracks unpack directly; inter-frame video and
+        # compressed audio raise the ffmpeg plug point inside
+        if _mp4_find_track(content, b"vide") is not None:
+            _, _, frames = _mp4_mjpeg_frames(content)
+            pix = b"".join(frames)
+            return len(pix), hashlib.md5(pix).hexdigest()
         _, _, samples = _mp4_pcm_samples(content)
         raw = struct.pack(f"<{len(samples)}h", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
         "real decode supports binary PPM/PGM, PNG (8/16-bit, palette, "
-        "Adam7), JPEG (baseline + progressive), PCM WAV, and "
-        "PCM-in-MP4; compressed MP4 sample data (H.264/AAC) needs "
-        "PIL/ffmpeg, absent in this environment"
+        "Adam7), JPEG (baseline + progressive), PCM WAV, PCM-in-MP4, "
+        "and Motion-JPEG-in-MP4; inter-frame MP4 video (H.264/AV1) "
+        "and compressed audio (AAC) need PIL/ffmpeg, absent in this "
+        "environment"
     )
 
 
@@ -930,6 +1109,101 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
+def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL Motion-JPEG MP4 videos from any id column: for
+    each id, ``2 + id%4`` frames of ``8*(1+id%3) x 8*(1+id%2)`` RGB
+    pixels (frame f value j = ``(id*13 + f*29 + j) % 256``), each
+    frame baseline-JPEG-encoded and boxed into an ISO-BMFF container
+    with a 'jpeg' visual sample entry and a full chunked sample table.
+    Dims and frame counts are id arithmetic a SQL oracle replays; the
+    (lossy) pixel VALUES are pinned by unit tests against standalone
+    ``decode_jpeg`` of the same frames."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batches(it):
+        import pandas as pd
+
+        from dbscan_pyspark_spark.operators.jpeg import encode_jpeg
+
+        for pdf in it:
+            rows = {
+                "media_id": [],
+                "modality": [],
+                "content": [],
+                "mime": [],
+                "meta": [],
+            }
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                n_frames = 2 + mid % 4
+                frames = [
+                    encode_jpeg(
+                        w,
+                        h,
+                        bytes(
+                            (mid * 13 + f * 29 + j) % 256
+                            for j in range(w * h * 3)
+                        ),
+                        3,
+                    )
+                    for f in range(n_frames)
+                ]
+                rows["media_id"].append(mid)
+                rows["modality"].append("video")
+                rows["content"].append(
+                    bytearray(
+                        _encode_mp4_mjpeg(frames, w, h, chunk_frames=3)
+                    )
+                )
+                rows["mime"].append("video/mp4")
+                rows["meta"].append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n_frames * 100,
+                        "sample_rate": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def mjpeg_video_summary(df: DataFrame) -> DataFrame:
+    """Per-video structural summary via REAL sample decode: walk each
+    MP4's 'vide' sample table, decode every Motion-JPEG frame through
+    the zero-dependency JPEG codec, and emit
+    ``(media_id, width, height, n_frames, n_vals)`` where ``n_vals``
+    counts the decoded pixel values — all integer facts a SQL oracle
+    replays from the synthesis recipe, so a hash match proves the
+    container walk found every sample AND every frame decoded to the
+    declared geometry. Arrow-batched, one row per video, no shuffle."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in ("media_id", "width", "height", "n_frames", "n_vals")
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, frames = _mp4_mjpeg_frames(bytes(content))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["n_vals"].append(sum(len(p) for p in frames))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        batches,
+        schema="media_id long, width int, height int, "
+        "n_frames int, n_vals long",
+    )
+
+
 _DIMENSION_FIELDS = (
     "media_id long, fmt string, width int, height int, "
     "sample_rate int, n_vals long, sum_vals long"
@@ -987,15 +1261,32 @@ def media_dimensions(df: DataFrame) -> DataFrame:
                     and bytes(content[4:8]) == b"ftyp"
                 ):
                     # REAL container-metadata parse (mvhd/tkhd box
-                    # walk). When the file carries an uncompressed
-                    # ('twos'/'sowt') audio track, the sample table is
-                    # walked too and n_vals/sum_vals carry the exact
-                    # PCM sample count/sum (the WAV discipline);
-                    # otherwise n_vals is the track count and sum_vals
-                    # the container duration in ms — compressed sample
-                    # DATA stays the ffmpeg plug point.
+                    # walk). Motion-JPEG video tracks decode frame by
+                    # frame through the JPEG codec (n_vals/sum_vals =
+                    # exact decoded pixel count/sum); uncompressed
+                    # ('twos'/'sowt') audio tracks walk the sample
+                    # table for the exact PCM sample count/sum (the
+                    # WAV discipline); otherwise n_vals is the track
+                    # count and sum_vals the container duration in ms
+                    # — inter-frame video / compressed audio stay the
+                    # ffmpeg plug point.
                     dur, n_tracks, w, h = _parse_mp4_meta(bytes(content))
                     out["fmt"].append("mp4")
+                    try:
+                        fw, fh, frames = _mp4_mjpeg_frames(bytes(content))
+                        out["width"].append(fw)
+                        out["height"].append(fh)
+                        out["sample_rate"].append(None)
+                        out["n_vals"].append(
+                            sum(len(p) for p in frames)
+                        )
+                        out["sum_vals"].append(
+                            sum(v for p in frames for v in p)
+                        )
+                        out["media_id"].append(mid)
+                        continue
+                    except NotImplementedError:
+                        pass
                     out["width"].append(w)
                     out["height"].append(h)
                     try:

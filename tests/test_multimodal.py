@@ -740,3 +740,91 @@ def test_mp4_pcm_flows_through_real_decode_and_dimensions(spark):
     assert dims[1]["sum_vals"] == sum(samples)
     assert dims[2]["n_vals"] == 1  # track count
     assert dims[2]["sum_vals"] == 7000  # duration_ms
+
+
+def test_mp4_mjpeg_roundtrip_and_plug_points():
+    """MJPEG-in-MP4 video sample decode: every extracted frame must be
+    byte-identical to decoding the same JPEG standalone (the container
+    walk adds nothing lossy), dims come from the stsd entry, and
+    inter-frame codecs stay the ffmpeg plug point."""
+    import pytest
+
+    from dbscan_pyspark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _encode_mp4_mjpeg,
+        _mp4_mjpeg_frames,
+        _parse_mp4_meta,
+        _real_decode,
+    )
+
+    w, h = 24, 16
+    jpegs, direct = [], []
+    for f in range(7):  # 7 frames, 3 per chunk -> 2 full + 1 partial
+        pix = bytes(((f * 31 + j * 7) % 256) for j in range(w * h * 3))
+        jp = encode_jpeg(w, h, pix, 3)
+        jpegs.append(jp)
+        direct.append(decode_jpeg(jp)[3])
+    mp4 = _encode_mp4_mjpeg(jpegs, w, h, fps=10, chunk_frames=3)
+
+    gw, gh, frames = _mp4_mjpeg_frames(mp4)
+    assert (gw, gh) == (w, h)
+    assert frames == direct
+    # container metadata stays parseable on the same payload
+    _dur, n_tracks, mw, mh = _parse_mp4_meta(mp4)
+    assert (n_tracks, mw, mh) == (1, w, h)
+    # _real_decode routes the vide track through the frame decoder
+    n, checksum = _real_decode(mp4)
+    assert n == sum(len(p) for p in frames)
+    import hashlib
+
+    assert checksum == hashlib.md5(b"".join(frames)).hexdigest()
+    # inter-frame codec fourcc raises the plug point, not a mis-decode
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _mp4_mjpeg_frames(mp4.replace(b"jpeg", b"avc1", 1))
+
+
+def test_mjpeg_video_summary_matches_recipe(spark):
+    """The oracled contract shape: structural fields of the synthesized
+    Motion-JPEG videos replay from id arithmetic, and the decoded frame
+    pixels equal standalone decode_jpeg of the recipe frames."""
+    from dbscan_pyspark_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _mp4_mjpeg_frames,
+        media_dimensions,
+        mjpeg_video_summary,
+        synth_mjpeg_media,
+    )
+
+    ids = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = synth_mjpeg_media(ids)
+    got = {r["media_id"]: r for r in mjpeg_video_summary(media).collect()}
+    assert len(got) == 12
+    for mid in range(12):
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        n_frames = 2 + mid % 4
+        r = got[mid]
+        assert (r["width"], r["height"], r["n_frames"], r["n_vals"]) == (
+            w, h, n_frames, w * h * 3 * n_frames,
+        )
+    # pixel values: container frames == standalone decode of the recipe
+    row = media.where("media_id = 5").collect()[0]
+    mid = 5
+    w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+    _, _, frames = _mp4_mjpeg_frames(bytes(row["content"]))
+    for f, pix in enumerate(frames):
+        jp = encode_jpeg(
+            w, h,
+            bytes((mid * 13 + f * 29 + j) % 256 for j in range(w * h * 3)),
+            3,
+        )
+        assert pix == decode_jpeg(jp)[3]
+    # media_dimensions routes MJPEG MP4s through the frame decoder too
+    dims = {
+        r["media_id"]: r
+        for r in media_dimensions(media.where("media_id = 5")).collect()
+    }
+    total = sum(len(p) for p in frames)
+    assert dims[5]["fmt"] == "mp4"
+    assert dims[5]["width"] == w and dims[5]["height"] == h
+    assert dims[5]["n_vals"] == total
+    assert dims[5]["sum_vals"] == sum(v for p in frames for v in p)

@@ -1641,6 +1641,91 @@ def main() -> None:
         flush=True,
     )
 
+    # --- substring dedup on the same skewed 10M-doc corpus ---
+    # The one dedup operator whose exchange is corpus-TOKEN-sized
+    # (round-9 verdict item 6): every k-gram row shuffles once on its
+    # fingerprint. On this corpus that is ~11 grams per clique/cluster
+    # doc + 3 per background doc (~30M gram rows at 10M docs), with
+    # the fingerprint distribution skewed exactly where the corpus is:
+    # the 20k-copy clique sends 11 fingerprints x 20k rows each
+    # through the count window. Exact expectations (k=10):
+    #   clique doc (20 toks, all 20k identical): positions 0..10 all
+    #     anchored -> one span (0, 20) per doc;
+    #   cluster doc (19 shared + 1-of-4 variant): positions 0..9
+    #     shared by all 20 members, position 10 by the 5 same-variant
+    #     members -> one span (0, 20) per doc;
+    #   background: every window holds a per-doc unique u-token ->
+    #     no anchors.
+    # keep_first=True exempts corpus-first grams (min (doc, pos)):
+    #   clique doc 0 and each cluster's member 0 survive intact;
+    #   cluster members 1-3 keep only their variant token (their
+    #   position-10 gram is its variant's first occurrence, so the
+    #   span stops at token 18); everything else strips fully.
+    from dbscan_pyspark_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    t0 = time.time()
+    sk_spans = duplicated_spans(sk_docs, k=10)
+    sk_span_agg = sk_spans.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("span_start").alias("mn_s"),
+        F.max("span_start").alias("mx_s"),
+        F.min("span_len").alias("mn_l"),
+        F.max("span_len").alias("mx_l"),
+    ).first()
+    t_spans = time.time() - t0
+    n_dup_docs = sk_clique + sk_nclust * sk_csize
+    assert (
+        sk_span_agg["n"],
+        sk_span_agg["mn_s"],
+        sk_span_agg["mx_s"],
+        sk_span_agg["mn_l"],
+        sk_span_agg["mx_l"],
+    ) == (n_dup_docs, 0, 0, 20, 20), sk_span_agg
+
+    t0 = time.time()
+    sk_clean = strip_duplicated_spans(sk_docs, k=10, keep_first=True)
+    sk_clean_agg = sk_clean.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_dropped").alias("dropped"),
+        F.sum((F.col("n_dropped") == F.col("n_tokens")).cast("long")).alias(
+            "gone"
+        ),
+        F.sum((F.col("n_dropped") == 19).cast("long")).alias("partial"),
+    ).first()
+    t_strip = time.time() - t0
+    exp_dropped = (sk_clique - 1) * 20 + sk_nclust * (3 * 19 + 16 * 20)
+    assert sk_clean_agg["n"] == n_sk, sk_clean_agg
+    assert sk_clean_agg["dropped"] == exp_dropped, sk_clean_agg
+    assert sk_clean_agg["gone"] == (sk_clique - 1) + sk_nclust * 16, (
+        sk_clean_agg
+    )
+    assert sk_clean_agg["partial"] == sk_nclust * 3, sk_clean_agg
+    survivors = sorted(
+        r["clean_text"]
+        for r in sk_clean.where(F.col("n_dropped") == 19)
+        .select("clean_text")
+        .distinct()
+        .collect()
+    )
+    assert survivors == ["v1", "v2", "v3"], survivors
+    print(
+        json.dumps(
+            {
+                "stage": "dup_spans_10m_zipf",
+                "n_docs": n_sk,
+                "n_grams": (n_sk - n_dup_docs) * 3 + n_dup_docs * 11,
+                "n_spans": sk_span_agg["n"],
+                "n_dropped_tokens": sk_clean_agg["dropped"],
+                "spans_wall_s": round(t_spans, 1),
+                "strip_keep_first_wall_s": round(t_strip, 1),
+            }
+        ),
+        flush=True,
+    )
+
     spark.stop()
 
 
