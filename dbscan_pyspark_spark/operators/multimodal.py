@@ -617,11 +617,13 @@ def _encode_mp4_pcm(
 
 def _mp4_find_track(
     content: bytes, handler: bytes
-) -> tuple[bytes, int, dict] | None:
+) -> tuple[bytes, int, dict, int] | None:
     """First track whose hdlr type matches: returns (sample-entry
-    fourcc, stsd payload offset, stbl box map) or None. Pure ISO-BMFF
-    box walking — shared by the audio (soun) and video (vide) sample
-    extractors."""
+    fourcc, stsd payload offset, stbl box map, mdhd timescale) or
+    None. Pure ISO-BMFF box walking — shared by the audio (soun) and
+    video (vide) sample extractors."""
+    import struct as _s
+
     if len(content) < 12 or content[4:8] != b"ftyp":
         raise ValueError("not an MP4 payload (no ftyp)")
 
@@ -642,11 +644,18 @@ def _mp4_find_track(
                 continue
             found = None
             minf = None
+            timescale = 0
             for t4, o4, e4 in walk(*mdia):
                 if t4 == b"hdlr":
                     found = content[o4 + 8 : o4 + 12]
                 elif t4 == b"minf":
                     minf = (o4, e4)
+                elif t4 == b"mdhd":
+                    version = content[o4]
+                    ts_off = o4 + (20 if version == 1 else 12)
+                    (timescale,) = _s.unpack(
+                        ">I", content[ts_off : ts_off + 4]
+                    )
             if found != handler or minf is None:
                 continue
             stbl = None
@@ -657,8 +666,27 @@ def _mp4_find_track(
                 continue
             boxes = {t: (o, e) for t, o, e in walk(*stbl)}
             so, _se = boxes[b"stsd"]
-            return content[so + 12 : so + 16], so, boxes
+            return content[so + 12 : so + 16], so, boxes, timescale
     return None
+
+
+def _mp4_sample_times(content: bytes, boxes: dict) -> list[int]:
+    """Per-sample start times in media-timescale ticks from the stts
+    (decoding time-to-sample) runs: run (count, delta) advances the
+    clock delta ticks per sample."""
+    import struct as _s
+
+    to, _te = boxes[b"stts"]
+    (n_runs,) = _s.unpack(">I", content[to + 4 : to + 8])
+    starts, t = [], 0
+    for i in range(n_runs):
+        count, delta = _s.unpack(
+            ">II", content[to + 8 + 8 * i : to + 16 + 8 * i]
+        )
+        for _ in range(count):
+            starts.append(t)
+            t += delta
+    return starts
 
 
 def _mp4_extract_samples(content: bytes, boxes: dict) -> list[bytes]:
@@ -731,7 +759,7 @@ def _mp4_pcm_samples(content: bytes) -> tuple[int, int, list[int]]:
             "MP4 has no uncompressed ('twos'/'sowt') audio track; "
             "compressed tracks need ffmpeg"
         )
-    fmt, so, boxes = track
+    fmt, so, boxes, _timescale = track
     if fmt not in (b"twos", b"sowt"):
         raise NotImplementedError(
             f"MP4 audio sample entry {fmt!r} needs ffmpeg; only "
@@ -772,7 +800,7 @@ def _mp4_mjpeg_frames(
     track = _mp4_find_track(content, b"vide")
     if track is None:
         raise NotImplementedError("MP4 has no video track")
-    fmt, so, boxes = track
+    fmt, so, boxes, _timescale = track
     if fmt not in (b"jpeg", b"mjpa"):
         raise NotImplementedError(
             f"MP4 video sample entry {fmt!r} needs ffmpeg; only "
@@ -1378,16 +1406,72 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
                   decode_mode: str = "fake") -> DataFrame:
     """Frame-sampling stage (video): one row per sampled frame (1->N).
 
-    Fake mode slices the payload deterministically; real mode = ffmpeg
+    Fake mode slices the payload deterministically. Real mode walks a
+    Motion-JPEG MP4's sample table: each target instant (multiples of
+    ``every_ms``, up to ``max_frames``) resolves to the frame displayed
+    then (last stts start <= target) and emits that sample's actual
+    JPEG payload at its true start offset — container-accurate timing,
+    no codec needed; inter-frame codecs (avc1/...) raise the ffmpeg
     plug point. Output partitioning follows the input — no shuffle."""
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
-            if decode_mode == "real":
-                raise NotImplementedError("real frame sampling needs ffmpeg")
             out = {"media_id": [], "frame_index": [], "frame_offset_ms": [], "frame": []}
+            if decode_mode == "real":
+                # REAL frame sampling for Motion-JPEG MP4s: resolve
+                # each target instant (0, every_ms, 2*every_ms, ...)
+                # to the frame DISPLAYED then — the last sample whose
+                # stts start time <= target — and emit that sample's
+                # actual JPEG payload with its true start offset.
+                # Consecutive targets inside one frame period emit the
+                # same frame (that is what's on screen); inter-frame
+                # codecs raise the ffmpeg plug point inside the track
+                # check.
+                for mid, content, _meta in zip(
+                    pdf["media_id"], pdf["content"], pdf["meta"]
+                ):
+                    content = bytes(content or b"")
+                    track = (
+                        _mp4_find_track(content, b"vide")
+                        if len(content) >= 12 and content[4:8] == b"ftyp"
+                        else None
+                    )
+                    if track is None:
+                        raise NotImplementedError(
+                            "real frame sampling decodes Motion-JPEG "
+                            "MP4 video tracks; other containers need "
+                            "ffmpeg"
+                        )
+                    fmt, _so, boxes, timescale = track
+                    if fmt not in (b"jpeg", b"mjpa"):
+                        raise NotImplementedError(
+                            f"MP4 video sample entry {fmt!r} needs "
+                            "ffmpeg; only Motion-JPEG samples here"
+                        )
+                    samples = _mp4_extract_samples(content, boxes)
+                    starts = _mp4_sample_times(content, boxes)
+                    times_ms = [
+                        t * 1000 // max(timescale, 1) for t in starts
+                    ]
+                    for i in range(max_frames):
+                        target = i * every_ms
+                        # last frame started at or before the target
+                        fi = 0
+                        for s, t in enumerate(times_ms):
+                            if t <= target:
+                                fi = s
+                            else:
+                                break
+                        if i > 0 and target > times_ms[-1]:
+                            break  # past the last frame's start
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(i)
+                        out["frame_offset_ms"].append(times_ms[fi])
+                        out["frame"].append(samples[fi])
+                yield pd.DataFrame(out)
+                continue
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 dur = int(meta["duration_ms"] or 0) if meta is not None else 0
                 n = min(max(dur // every_ms, 1), max_frames)

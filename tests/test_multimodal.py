@@ -828,3 +828,62 @@ def test_mjpeg_video_summary_matches_recipe(spark):
     assert dims[5]["width"] == w and dims[5]["height"] == h
     assert dims[5]["n_vals"] == total
     assert dims[5]["sum_vals"] == sum(v for p in frames for v in p)
+
+
+def test_sample_frames_real_mjpeg_timing(spark):
+    """Real frame sampling: container-accurate stts timing — each
+    target instant maps to the frame displayed then, the emitted
+    payload is the actual JPEG sample, and inter-frame codecs raise."""
+    import pytest
+
+    from dbscan_pyspark_spark.operators.jpeg import encode_jpeg
+    from dbscan_pyspark_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _encode_mp4_mjpeg,
+        sample_frames,
+    )
+
+    w, h = 16, 8
+    jpegs = [
+        encode_jpeg(
+            w, h,
+            bytes(((f * 31 + j * 7) % 256) for j in range(w * h * 3)),
+            3,
+        )
+        for f in range(7)  # fps=10 -> starts at 0..600 ms
+    ]
+    mp4 = _encode_mp4_mjpeg(jpegs, w, h, fps=10, chunk_frames=3)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4), "video/mp4",
+             {"width": w, "height": h, "duration_ms": 700,
+              "sample_rate": None}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        sample_frames(media, every_ms=250, max_frames=8, decode_mode="real")
+        .collect(),
+        key=lambda r: r["frame_index"],
+    )
+    # targets 0,250,500 -> frames starting 0,200,500; 750 > 600 stops
+    assert [(r["frame_index"], r["frame_offset_ms"]) for r in rows] == [
+        (0, 0), (1, 200), (2, 500),
+    ]
+    assert [bytes(r["frame"]) for r in rows] == [
+        jpegs[0], jpegs[2], jpegs[5],
+    ]
+    # max_frames caps the emitted rows
+    capped = sample_frames(
+        media, every_ms=100, max_frames=4, decode_mode="real"
+    ).collect()
+    assert sorted(r["frame_offset_ms"] for r in capped) == [0, 100, 200, 300]
+    # inter-frame codec -> plug point, surfaced through the Arrow stage
+    bad = spark.createDataFrame(
+        [(2, "video", bytearray(mp4.replace(b"jpeg", b"avc1", 1)),
+          "video/mp4", {"width": w, "height": h, "duration_ms": 700,
+                        "sample_rate": None})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(bad, decode_mode="real").collect()
