@@ -1285,6 +1285,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_mjpeg_frames"] = multimodal_mjpeg_frames
 
+    def multimodal_frame_sampling_real(spark, sf):
+        # REAL frame sampling timing contract: each target instant
+        # (multiples of 250 ms) resolves through the stts walk to the
+        # frame displayed then. With the synth recipe's fps=10 track
+        # (frame f starts at f*100 ms), the emitted (index, offset)
+        # pairs are pure id arithmetic: a row exists for target i iff
+        # i == 0 or 250*i <= (n_frames-1)*100, and its offset is
+        # floor(250*i/100)*100. The frame PAYLOAD (a real JPEG) is
+        # projected away — encoder bytes aren't SQL-replayable; the
+        # payload identity is pinned by unit tests (frame ==
+        # standalone sample bytes).
+        from dbscan_pyspark_spark.operators.multimodal import (
+            sample_frames,
+            synth_mjpeg_media,
+        )
+
+        docs = (
+            load_table(spark, sf, "documents")
+            .select("doc_id")
+            .where(F.col("doc_id") < 300)
+        )
+        return sample_frames(
+            synth_mjpeg_media(docs),
+            every_ms=250,
+            max_frames=8,
+            decode_mode="real",
+        ).select("media_id", "frame_index", "frame_offset_ms")
+
+    q["multimodal_frame_sampling_real"] = multimodal_frame_sampling_real
+
     # ---- TPC-H Q7 shape: nation-pair trade volume. Two broadcast dims
     # joined twice under different aliases; the fact-side join keys
     # (l_suppkey, o_custkey) reach the scan as pushed filters ----
@@ -4172,6 +4202,7 @@ _FLAGSHIP_FIRST = [
     # exactly what moved.
     "ivf_two_level_topk",  # new this round (rows-only by nature)
     "multimodal_mjpeg_frames",  # new: MP4 video sample decode (MJPEG)
+    "multimodal_frame_sampling_real",  # new: stts timing contract
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
     "minhash_near_dups", "dedup_near_docs",  # adaptive contraction gate
@@ -7781,6 +7812,18 @@ SELECT doc_id AS media_id,
        CAST(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2) * 3
             * (2 + doc_id % 4) AS BIGINT) AS n_vals
 FROM documents WHERE doc_id < 400
+""",
+        "multimodal_frame_sampling_real": """
+WITH v AS (
+  SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf
+  FROM documents WHERE doc_id < 300
+),
+i AS (SELECT range AS fi FROM range(0, 8))
+SELECT v.media_id,
+       CAST(i.fi AS INT) AS frame_index,
+       CAST((i.fi * 250) // 100 * 100 AS BIGINT) AS frame_offset_ms
+FROM v, i
+WHERE i.fi = 0 OR i.fi * 250 <= (v.nf - 1) * 100
 """,
         "multimodal_real_dimensions": """
 WITH m AS (SELECT doc_id AS media_id FROM documents),
