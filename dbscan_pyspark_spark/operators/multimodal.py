@@ -1452,6 +1452,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8,
                         )
                     samples = _mp4_extract_samples(content, boxes)
                     starts = _mp4_sample_times(content, boxes)
+                    if not samples:  # empty track: no frames to emit
+                        continue
                     times_ms = [
                         t * 1000 // max(timescale, 1) for t in starts
                     ]
