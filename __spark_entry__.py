@@ -4200,9 +4200,11 @@ _FLAGSHIP_FIRST = [
     # oracle!) changed this round, every one locally re-verified green
     # via tools/check_oracle.py, so the r10 driver window re-checks
     # exactly what moved.
-    "ivf_two_level_topk",  # new this round (rows-only by nature)
+    # new ORACLED queries first (a rows-only entry must never sit
+    # ahead of an oracled not-yet-green one — the rotation invariant)
     "multimodal_mjpeg_frames",  # new: MP4 video sample decode (MJPEG)
     "multimodal_frame_sampling_real",  # new: stts timing contract
+    "ivf_two_level_topk",  # new this round (rows-only by nature)
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
     "minhash_near_dups", "dedup_near_docs",  # adaptive contraction gate
