@@ -511,6 +511,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprints"] = doc_fingerprints
 
+    def doc_unicode_nfc(spark, sf):
+        # Unicode NFC canonicalization — the normalization exact dedup
+        # and fingerprinting assume upstream. Plant DECOMPOSED
+        # sequences from id arithmetic (combining marks U+0301..0305
+        # appended after an 'e'; 0301-0304 compose to é/ê/ẽ/ē, 0305
+        # has no precomposition and must survive as-is), normalize
+        # with the Arrow-vectorized stage, and hash the exact strings
+        # against DuckDB's nfc_normalize — same Unicode normal form,
+        # independent implementation.
+        from dbscan_pyspark_spark.operators.pipeline import (
+            normalize_unicode,
+        )
+
+        d = load_table(spark, sf, "documents")
+        marks = F.array(*[F.lit(chr(0x301 + i)) for i in range(5)])
+        planted = d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" e"),
+                F.element_at(
+                    marks, (F.col("doc_id") % 5 + 1).cast("int")
+                ),
+            ).alias("text"),
+        )
+        return normalize_unicode(planted).select(
+            "doc_id",
+            "norm_text",
+            F.length("norm_text").cast("long").alias("n_chars_nfc"),
+        )
+
+    q["doc_unicode_nfc"] = doc_unicode_nfc
+
     def doc_winnow_fingerprints(spark, sf):
         from dbscan_pyspark_spark.operators.dedup import winnow_fingerprints
 
@@ -4204,6 +4237,7 @@ _FLAGSHIP_FIRST = [
     # ahead of an oracled not-yet-green one — the rotation invariant)
     "multimodal_mjpeg_frames",  # new: MP4 video sample decode (MJPEG)
     "multimodal_frame_sampling_real",  # new: stts timing contract
+    "doc_unicode_nfc",  # new: Unicode NFC canonicalization stage
     "ivf_two_level_topk",  # new this round (rows-only by nature)
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
@@ -7814,6 +7848,13 @@ SELECT doc_id AS media_id,
        CAST(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2) * 3
             * (2 + doc_id % 4) AS BIGINT) AS n_vals
 FROM documents WHERE doc_id < 400
+""",
+        "doc_unicode_nfc": """
+SELECT doc_id,
+       nfc_normalize(text || ' e' || chr(CAST(769 + doc_id % 5 AS INTEGER))) AS norm_text,
+       CAST(length(nfc_normalize(text || ' e' || chr(CAST(769 + doc_id % 5 AS INTEGER))))
+            AS BIGINT) AS n_chars_nfc
+FROM documents
 """,
         "multimodal_frame_sampling_real": """
 WITH v AS (

@@ -2763,3 +2763,38 @@ def apply_allocation(
     )
     ranked = out_cold.unionByName(out_hot)
     return ranked.where(F.col("cum_tokens") <= F.col("alloc")).drop("alloc")
+
+
+def normalize_unicode(
+    df: "DataFrame",
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+) -> "DataFrame":
+    """Unicode canonicalization (NFC/NFKC/NFD/NFKD) of a text column —
+    the normalization every dedup/fingerprint family assumes upstream:
+    without it, ``'é'`` (U+00E9) and ``'e'+U+0301`` hash apart and the
+    same document escapes exact dedup, MinHash banding, and substring
+    spans. Appends ``out_col`` next to the input columns.
+
+    Spark has no JVM-side Unicode normalizer (collations compare, they
+    don't transform), so this is the one place the text family uses an
+    Arrow-vectorized scalar ``pandas_udf`` (pandas ``Series.str
+    .normalize`` — batched columnar transfer, NOT a row-at-a-time
+    Python UDF; the §2.9 discipline is about the latter). Exactly
+    oracle-able: DuckDB's ``nfc_normalize`` implements the same
+    Unicode normal form, pinned by the ``doc_unicode_nfc`` contract
+    query. Zero shuffle — a pure projection.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(
+            f"normalize_unicode: form must be NFC/NFKC/NFD/NFKD, got "
+            f"{form!r}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):  # pd.Series -> pd.Series
+        return s.str.normalize(form)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

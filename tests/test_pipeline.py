@@ -1240,3 +1240,31 @@ def test_apply_allocation_chunked_matches_single_window(spark):
 
     with _pytest.raises(ValueError, match="n_chunks"):
         apply_allocation(docs, alloc, chunked=True, n_chunks=1)
+
+
+def test_normalize_unicode_matches_unicodedata(spark):
+    """NFC stage == Python unicodedata on composed, decomposed,
+    non-composable-mark, None, and plain-ASCII inputs; bad form
+    raises."""
+    import unicodedata
+
+    import pytest
+
+    from dbscan_pyspark_spark.operators.pipeline import normalize_unicode
+
+    rows = [
+        (0, "Café mix"),       # decomposed -> composes
+        (1, "Café mix"),        # already NFC -> unchanged
+        (2, "e̅ overline"),     # U+0305 has no precomposition
+        (3, "Å angstrom"),      # Å sign -> NFC composed form
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["norm_text"] for r in normalize_unicode(df).collect()}
+    for i, t in rows:
+        exp = unicodedata.normalize("NFC", t) if t is not None else None
+        assert got[i] == exp, (i, got[i], exp)
+    assert got[0] == got[1]  # the dedup motivation: both hash together
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode(df, form="NFX")
