@@ -544,6 +544,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_unicode_nfc"] = doc_unicode_nfc
 
+    def doc_html_strip(spark, sf):
+        # First-pass web-crawl cleanup: markup tags dropped (tags must
+        # open with a letter/'!', so content angle brackets survive),
+        # the five core named entities decoded amp-last. Planted HTML
+        # is id arithmetic around the real text, so the oracle replays
+        # the exact cleaned strings through DuckDB's independent
+        # regexp_replace + replace chain.
+        from dbscan_pyspark_spark.functions.text import strip_html
+
+        d = load_table(spark, sf, "documents")
+        html = F.concat(
+            F.lit('<p id="'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.col("text"),
+            F.lit("</p> &amp; <b>tail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</b> 1 &lt; 2"),
+        )
+        s = strip_html(html)
+        return d.select(
+            "doc_id",
+            s["clean_text"].alias("clean_text"),
+            s["n_tags"].alias("n_tags"),
+        )
+
+    q["doc_html_strip"] = doc_html_strip
+
     def doc_winnow_fingerprints(spark, sf):
         from dbscan_pyspark_spark.operators.dedup import winnow_fingerprints
 
@@ -4238,6 +4266,7 @@ _FLAGSHIP_FIRST = [
     "multimodal_mjpeg_frames",  # new: MP4 video sample decode (MJPEG)
     "multimodal_frame_sampling_real",  # new: stts timing contract
     "doc_unicode_nfc",  # new: Unicode NFC canonicalization stage
+    "doc_html_strip",  # new: markup strip + entity decode
     "ivf_two_level_topk",  # new this round (rows-only by nature)
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
@@ -7848,6 +7877,22 @@ SELECT doc_id AS media_id,
        CAST(8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2) * 3
             * (2 + doc_id % 4) AS BIGINT) AS n_vals
 FROM documents WHERE doc_id < 400
+""",
+        "doc_html_strip": """
+WITH h AS (
+  SELECT doc_id,
+         '<p id="' || doc_id || '">' || text || '</p> &amp; <b>tail'
+           || (doc_id % 7) || '</b> 1 &lt; 2' AS html
+  FROM documents
+)
+SELECT doc_id,
+       replace(replace(replace(replace(replace(
+           regexp_replace(html, '</?[A-Za-z!][^<>]*>', '', 'g'),
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         '&#39;', chr(39)), '&amp;', '&') AS clean_text,
+       CAST(len(regexp_extract_all(html, '</?[A-Za-z!][^<>]*>')) AS INT)
+         AS n_tags
+FROM h
 """,
         "doc_unicode_nfc": """
 SELECT doc_id,

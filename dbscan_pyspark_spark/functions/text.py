@@ -205,3 +205,43 @@ def redactions(text: Column | str, pattern: str) -> Column:
             "n_redactions"
         ),
     )
+
+
+def strip_html(text: Column | str) -> Column:
+    """Struct(clean_text string, n_tags int): markup tags removed and
+    the five core named character entities decoded — the first-pass
+    HTML cleanup a web-crawl curation pipeline runs before any quality
+    or dedup stage sees the text.
+
+    Tag removal is split-on-pattern + rejoin (the ``redactions``
+    discipline: RegExpReplace executes class patterns ~50x slower than
+    StringSplit runs the same class — BASELINE.md round-8 A/B); the
+    pattern ``</?[A-Za-z!][^<>]*>`` drops well-formed element tags,
+    comments, and doctypes while leaving unbalanced or non-markup
+    angle brackets alone: a tag must open with a letter (or ``!``) as
+    real HTML requires, so ``a < b`` and ``< e >`` stay content, and
+    excluding ``<`` INSIDE the tag body stops a stray ``<`` from
+    swallowing everything up to the next real tag's ``>``. Entity decoding
+    is a chain of LITERAL ``replace`` calls — pure JVM StringReplace —
+    in the one order that cannot double-decode: ``&amp;`` last, so
+    ``&amp;lt;`` correctly yields the literal text ``&lt;``. Numeric
+    entities (``&#NNN;``) are NOT decoded — that needs a codepoint
+    constructor Spark SQL lacks JVM-side; documents needing it go
+    through the Arrow unicode stage. Fully ANSI-SQL-expressible
+    (DuckDB: ``regexp_replace(..., 'g')`` + the same replace chain),
+    so the ``doc_html_strip`` contract query is hash-exact."""
+    c = F.col(text) if isinstance(text, str) else text
+    tag = r"</?[A-Za-z!][^<>]*>"
+    untagged = F.array_join(F.split(c, tag, -1), "")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        untagged = F.replace(untagged, F.lit(ent), F.lit(ch))
+    return F.struct(
+        untagged.alias("clean_text"),
+        F.size(F.regexp_extract_all(c, F.lit(tag), 0)).alias("n_tags"),
+    )

@@ -68,3 +68,34 @@ def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([(1, "hello world42 !? foo-bar")], ["id", "t"])
     toks = df.select(bpe_ish_tokens("t").alias("x")).first()["x"]
     assert toks == ["hello", "world", "42", "!?", "foo", "-", "bar"]
+
+
+def test_strip_html_semantics(spark):
+    """Tag forms, content angle brackets, entity decode order,
+    comments/doctype, and the no-markup identity."""
+    from dbscan_pyspark_spark.functions.text import strip_html
+
+    rows = [
+        (0, '<p id="a">Hello <b>world</b></p>', "Hello world", 4),
+        (1, "a &lt; b &amp;&amp; c &gt; d", "a < b && c > d", 0),
+        # &amp;lt; decodes ONCE: the literal text '&lt;'
+        (2, "&amp;lt; stays", "&lt; stays", 0),
+        # a lone '<' cannot swallow forward to the next tag
+        (3, "lone < bracket <b>x", "lone < bracket x", 1),
+        (4, "no markup", "no markup", 0),
+        (5, "&quot;q&quot; &#39;s&#39;", "\"q\" 's'", 0),
+        # '< e >' is content (no letter after '<'), not a tag
+        (6, "a<b>c</b>d < e > f", "acd < e > f", 2),
+        (7, "<!-- c -->kept<!DOCTYPE html>", "kept", 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _c, _n in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["s"]["clean_text"], r["s"]["n_tags"])
+        for r in df.select(
+            "doc_id", strip_html("text").alias("s")
+        ).collect()
+    }
+    for i, _t, clean, n in rows:
+        assert got[i] == (clean, n), (i, got[i], (clean, n))
