@@ -7,17 +7,19 @@ signatures — is real and tested. ``decode_mode='fake'`` produces a
 deterministic synthetic decode from the bytes so the pipeline shape is
 exercisable end-to-end. ``decode_mode='real'`` now carries FIVE real
 zero-dependency codecs — binary PPM/PGM images, PNG (stdlib ``zlib``
-inflate + full five-filter scanline reconstruction at 8/16-bit,
-palette/PLTE expansion, Adam7 interlacing, CRC verified), JPEG
+inflate + full five-filter scanline reconstruction at every legal
+depth incl. bit-packed 1/2/4, palette/PLTE expansion, Adam7
+interlacing, CRC verified), JPEG
 (baseline AND progressive: full entropy decode + dequant + IDCT +
 restart markers, see ``operators/jpeg.py``), PCM WAV audio, and
 PCM-in-MP4 (real ISO-BMFF stts/stsc/stsz/stco sample-table walk for
 uncompressed 'twos'/'sowt' audio tracks) — so decode / dimension
 extraction / resize run genuine formats end-to-end, including two
-compressed image formats; COMPRESSED MP4 sample data (H.264/AAC) and
-12-bit/subsampled JPEG still raise ``NotImplementedError`` at the
-exact call site where PIL/ffmpeg would plug in (this container ships
-neither — those genuinely need a codec, not a parser).
+compressed image formats (JPEG at any legal chroma subsampling,
+baseline or progressive); COMPRESSED MP4 sample data (H.264/AAC) and
+12-bit JPEG still raise ``NotImplementedError`` at the exact call
+site where PIL/ffmpeg would plug in (this container ships neither —
+those genuinely need a codec, not a parser).
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of partition size; binary payloads never pass through a
@@ -175,14 +177,15 @@ _ADAM7 = (
 
 
 def _png_unfilter(
-    raw: bytes, pos: int, width_px: int, height: int, bpp: int
+    raw: bytes, pos: int, stride: int, height: int, bpp: int
 ) -> tuple[bytearray, int]:
     """Invert the scanline filters of one (sub-)image: ``height`` rows
-    of ``1 + width_px * bpp`` bytes starting at ``pos`` in the inflated
-    stream. Returns (pixel bytes, next position). Shared by the
-    sequential path (one call) and the Adam7 path (one call per
-    non-empty pass)."""
-    stride = width_px * bpp
+    of ``1 + stride`` bytes starting at ``pos`` in the inflated
+    stream. ``stride`` is the packed byte width of a row (pixels*bpp
+    at byte depths, bit-packed-and-padded at sub-byte depths, where
+    ``bpp`` is 1 per RFC 2083 §6.2). Returns (pixel bytes, next
+    position). Shared by the sequential path (one call) and the Adam7
+    path (one call per non-empty pass)."""
     out = bytearray()
     prev = bytes(stride)
     for _y in range(height):
@@ -224,15 +227,41 @@ def _png_unfilter(
     return out, pos
 
 
+def _png_unpack_bits(row: bytes, width: int, depth: int) -> bytes:
+    """Unpack sub-byte samples (depth 1/2/4, MSB-first within each
+    byte per RFC 2083 §2.3) into one byte per sample, no scaling —
+    trailing pad bits in the last byte of a row are dropped."""
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    out = bytearray(width)
+    for x in range(width):
+        out[x] = (row[x // per] >> (8 - depth * (x % per + 1))) & mask
+    return bytes(out)
+
+
+def _png_pack_bits(samples: bytes, depth: int) -> bytes:
+    """Inverse of :func:`_png_unpack_bits`: pack one-byte-per-sample
+    values (each already < 2**depth) MSB-first, zero-padding the last
+    byte — one call per scanline so rows stay byte-aligned."""
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    out = bytearray((len(samples) + per - 1) // per)
+    for i, v in enumerate(samples):
+        out[i // per] |= (v & mask) << (8 - depth * (i % per + 1))
+    return bytes(out)
+
+
 def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
     """Zero-dependency PNG decode: stdlib ``zlib`` inflate of the IDAT
     stream plus scanline unfiltering (all five RFC 2083 filters).
     Supports gray / gray+alpha / RGB / RGBA at 8- and 16-bit depths,
-    8-bit palette (PLTE-indexed), and Adam7 interlacing — the
-    overwhelmingly common subset; sub-byte palette depths raise the
-    plug-point error. 16-bit samples come back as their high byte
-    (the standard 16->8 downsample); palette indices come back
-    expanded to RGB. Returns (width, height, channels, pixel_bytes).
+    palette (PLTE-indexed) and grayscale at ALL legal depths
+    (1/2/4/8 for palette, 1/2/4/8/16 for gray), and Adam7
+    interlacing — the full RFC 2083 depth/type matrix. 16-bit
+    samples come back as their high byte (the standard 16->8
+    downsample); sub-byte gray scales to the full 0..255 range
+    (left-bit replication); palette indices come back expanded to
+    RGB. Returns (width, height, channels, pixel_bytes).
     CRCs are verified (a corrupt chunk should fail loudly, not decode
     garbage). Per-pixel Python unfiltering is the honest cost of zero
     dependencies — fine for planted test media; production pipelines
@@ -266,51 +295,76 @@ def _decode_png(content: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"bad PNG interlace method {interlace}")
     plte = None
     if ctype == 3:
-        if depth != 8:
-            raise NotImplementedError(
-                "sub-byte palette PNG not supported"
-            )
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"bad palette PNG bit depth {depth}")
         plte = next((d for t, d in chunks if t == b"PLTE"), None)
         if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
             raise ValueError("palette PNG missing or invalid PLTE")
-        nch = 1  # one index byte per pixel on the wire
+        nch = 1  # one index per pixel on the wire (bit-packed < 8)
     else:
-        if depth not in (8, 16):
-            raise NotImplementedError("only 8/16-bit PNG supported")
         nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
         if nch is None:
             raise NotImplementedError(f"PNG color type {ctype}")
+        if depth not in ((1, 2, 4, 8, 16) if ctype == 0 else (8, 16)):
+            raise ValueError(
+                f"bad PNG bit depth {depth} for color type {ctype}"
+            )
     raw = zlib.decompress(
         b"".join(d for t, d in chunks if t == b"IDAT")
     )
     # filters operate on BYTES with the left neighbor one whole pixel
-    # back: bpp bytes (RFC 2083 §6.2), which is channels at 8-bit but
-    # channels*2 at 16-bit
-    bpp = nch * (depth // 8)
+    # back: bpp bytes (RFC 2083 §6.2) — channels at 8-bit, channels*2
+    # at 16-bit, and rounded up to 1 at the sub-byte depths (where
+    # rows are bit-packed MSB-first and padded to a byte boundary)
+    bpp = max(1, nch * depth // 8)
+    sub_byte = depth < 8  # only gray (0) / palette (3) reach here
     if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
+        stride = (w * nch * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel stream size mismatch")
-        out, _ = _png_unfilter(raw, 0, w, h, bpp)
+        out, _ = _png_unfilter(raw, 0, stride, h, bpp)
+        if sub_byte:
+            out = b"".join(
+                _png_unpack_bits(
+                    out[y * stride : (y + 1) * stride], w, depth
+                )
+                for y in range(h)
+            )
     else:
-        # Adam7: unfilter each pass as its own sub-image, scatter the
+        # Adam7: unfilter each pass as its own sub-image (sub-byte
+        # passes unpack to one byte per sample first), scatter the
         # pass pixels onto the full grid by the pass's offset/stride
-        out = bytearray(w * h * bpp)
+        obpp = 1 if sub_byte else bpp
+        out = bytearray(w * h * obpp)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass carries no bytes at all
-            sub, pos = _png_unfilter(raw, pos, pw, ph, bpp)
+            pstride = (pw * nch * depth + 7) // 8
+            sub, pos = _png_unfilter(raw, pos, pstride, ph, bpp)
+            if sub_byte:
+                sub = b"".join(
+                    _png_unpack_bits(
+                        sub[sy * pstride : (sy + 1) * pstride], pw, depth
+                    )
+                    for sy in range(ph)
+                )
             for sy in range(ph):
                 for sx in range(pw):
-                    src = (sy * pw + sx) * bpp
-                    dst = ((y0 + sy * dy) * w + (x0 + sx * dx)) * bpp
-                    out[dst : dst + bpp] = sub[src : src + bpp]
+                    src = (sy * pw + sx) * obpp
+                    dst = ((y0 + sy * dy) * w + (x0 + sx * dx)) * obpp
+                    out[dst : dst + obpp] = sub[src : src + obpp]
         if pos != len(raw):
             raise ValueError("PNG pixel stream size mismatch")
     if depth == 16:
         out = out[0::2]  # big-endian high byte per sample
+    if sub_byte and plte is None:
+        # grayscale sub-byte: scale to full 8-bit range (0..mask ->
+        # 0..255, the exact left-bit-replication value)
+        mask = (1 << depth) - 1
+        out = bytes(v * 255 // mask for v in out)
     if plte is not None:
         for idx in out:
             if 3 * idx + 3 > len(plte):
@@ -336,9 +390,12 @@ def _encode_png(
     unfilter branch; default is filter 0 everywhere. ``depth=16``
     expects big-endian 16-bit samples in ``pix`` (2 bytes each);
     ``palette`` switches to color type 3 with ``pix`` holding one
-    palette index byte per pixel (``channels`` ignored);
-    ``interlace`` writes Adam7 passes (pixels still given in normal
-    row-major order — the encoder gathers them per pass)."""
+    palette index byte per pixel (``channels`` ignored); sub-byte
+    depths (1/2/4, palette or single-channel gray) also take one
+    byte per sample in ``pix`` — each value < 2**depth — and are
+    bit-packed per scanline; ``interlace`` writes Adam7 passes
+    (pixels still given in normal row-major order — the encoder
+    gathers them per pass)."""
     import struct
     import zlib
 
@@ -351,12 +408,23 @@ def _encode_png(
         )
 
     if palette is not None:
-        if depth != 8:
-            raise ValueError("palette PNG is 8-bit only here")
-        ctype, bpp = 3, 1
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("palette PNG depth must be 1/2/4/8")
+        ctype, nch = 3, 1
     else:
         ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-        bpp = channels * (depth // 8)
+        if depth < 8 and channels != 1:
+            raise ValueError("sub-byte PNG depth needs 1 channel")
+        nch = channels
+    # unit = bytes per pixel in the CALLER's pix buffer; bpp = the
+    # filter left-neighbor distance on the wire (1 at sub-byte depths)
+    unit = nch * (2 if depth == 16 else 1)
+    bpp = max(1, nch * depth // 8)
+
+    def filtered_row(samples, f, prev):
+        line = _png_pack_bits(samples, depth) if depth < 8 else samples
+        return line, bytes([f]) + _png_filter_row(f, line, prev, bpp)
+
     ihdr = struct.pack(
         ">IIBBBBB", width, height, depth, ctype, 0, 0, int(interlace)
     )
@@ -368,28 +436,28 @@ def _encode_png(
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            prev = bytes(pw * bpp)
+            prev = bytes((pw * nch * depth + 7) // 8)
             for sy in range(ph):
-                line = b"".join(
+                samples = b"".join(
                     pix[
-                        ((y0 + sy * dy) * width + (x0 + sx * dx)) * bpp :
-                        ((y0 + sy * dy) * width + (x0 + sx * dx)) * bpp
-                        + bpp
+                        ((y0 + sy * dy) * width + (x0 + sx * dx)) * unit :
+                        ((y0 + sy * dy) * width + (x0 + sx * dx)) * unit
+                        + unit
                     ]
                     for sx in range(pw)
                 )
                 f = row_filters[fy % len(row_filters)] if row_filters else 0
                 fy += 1
-                raw += bytes([f]) + _png_filter_row(f, line, prev, bpp)
-                prev = line
+                prev, enc = filtered_row(samples, f, prev)
+                raw += enc
     else:
-        stride = width * bpp
-        prev = bytes(stride)
+        stride = width * unit
+        prev = bytes((width * nch * depth + 7) // 8)
         for y in range(height):
-            line = bytes(pix[y * stride : (y + 1) * stride])
+            samples = bytes(pix[y * stride : (y + 1) * stride])
             f = row_filters[y % len(row_filters)] if row_filters else 0
-            raw += bytes([f]) + _png_filter_row(f, line, prev, bpp)
-            prev = line
+            prev, enc = filtered_row(samples, f, prev)
+            raw += enc
     body = chunk(b"IHDR", ihdr)
     if palette is not None:
         body += chunk(
@@ -1024,9 +1092,11 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     byte = (id*7+j)%256, low byte = (id*13+j)%256 — the decoder must
     recover the high bytes), 6: PALETTE PNG (16 entries, entry t
     channel c = (id*11+t*3+c)%256; pixel j's index = (id*7+j)%16,
-    written ADAM7-INTERLACED — the decoder must reassemble the passes
-    and expand indices through PLTE; the decoded pixels are identical
-    either way, so the oracle needs no interlace arm). Odd ids become
+    written ADAM7-INTERLACED, and BIT-PACKED at depth 4 when
+    id%16==14 — the decoder must reassemble the passes, unpack the
+    sub-byte indices, and expand them through PLTE; the decoded
+    pixels are identical either way, so the oracle needs no
+    interlace or depth arm). Odd ids become
     PCM
     WAV audio (rate 8000+(id%3)*4000, 50+id%30 samples, sample j =
     ((id*31+j*17) % 4096) - 2048). Every field is integer arithmetic
@@ -1096,11 +1166,17 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         idx = bytes(
                             (mid * 7 + j) % 16 for j in range(w * h)
                         )
+                        # indices fit in 4 bits, so every other
+                        # palette id is written BIT-PACKED (depth 4,
+                        # still interlaced: per-pass packed strides) —
+                        # decoded pixels are identical, so the oracle
+                        # is depth-blind by construction
                         rows["content"].append(
                             _encode_png(
                                 w, h, idx,
                                 row_filters=[0, 1, 2, 3, 4], palette=pal,
                                 interlace=True,
+                                depth=4 if mid % 16 == 14 else 8,
                             )
                         )
                     else:  # m8 == 0
@@ -1141,7 +1217,8 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL Motion-JPEG MP4 videos from any id column: for
     each id, ``2 + id%4`` frames of ``8*(1+id%3) x 8*(1+id%2)`` RGB
     pixels (frame f value j = ``(id*13 + f*29 + j) % 256``), each
-    frame baseline-JPEG-encoded and boxed into an ISO-BMFF container
+    frame baseline-JPEG-encoded at id-cycled chroma subsampling
+    (4:4:4/4:2:2/4:2:0 by id%3) and boxed into an ISO-BMFF container
     with a 'jpeg' visual sample entry and a full chunked sample table.
     Dims and frame counts are id arithmetic a SQL oracle replays; the
     (lossy) pixel VALUES are pinned by unit tests against standalone
@@ -1165,6 +1242,10 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mid = int(mid)
                 w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
                 n_frames = 2 + mid % 4
+                # chroma subsampling cycles by id, so the contract
+                # query decodes real 4:2:2/4:2:0 MCU layouts too —
+                # the summary fields are full-res geometry either way
+                sub = ("4:4:4", "4:2:2", "4:2:0")[mid % 3]
                 frames = [
                     encode_jpeg(
                         w,
@@ -1174,6 +1255,7 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                             for j in range(w * h * 3)
                         ),
                         3,
+                        subsampling=sub,
                     )
                     for f in range(n_frames)
                 ]

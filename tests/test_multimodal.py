@@ -209,9 +209,9 @@ def test_png_roundtrip_all_filters():
 
 
 def test_png_crc_and_unsupported_variants():
-    """A corrupted chunk fails loudly (CRC verified); the remaining
-    genuinely-unsupported variants (sub-byte depths, interlacing,
-    PLTE-less palette) raise instead of mis-decoding."""
+    """A corrupted chunk fails loudly (CRC verified); illegal
+    depth/type combinations and PLTE-less palettes raise instead of
+    mis-decoding."""
     import struct
     import zlib
 
@@ -239,15 +239,20 @@ def test_png_crc_and_unsupported_variants():
         )
         return _PNG_SIG + chunk
 
-    with _pytest.raises(NotImplementedError, match="sub-byte palette"):
-        _decode_png(ihdr_png(4, 3))
-    with _pytest.raises(NotImplementedError, match="8/16-bit"):
-        _decode_png(ihdr_png(4, 0))
+    # illegal depth/type pairs per the RFC 2083 matrix fail loudly
+    with _pytest.raises(ValueError, match="bit depth"):
+        _decode_png(ihdr_png(16, 3))  # palette has no 16-bit form
+    with _pytest.raises(ValueError, match="bit depth"):
+        _decode_png(ihdr_png(3, 0))  # depth 3 does not exist
+    with _pytest.raises(ValueError, match="bit depth"):
+        _decode_png(ihdr_png(4, 2))  # RGB has no sub-byte form
     with _pytest.raises(ValueError, match="interlace"):
         _decode_png(ihdr_png(8, 2, interlace=2))  # bad method byte
-    # 8-bit palette is supported now — but only with a valid PLTE
+    # palette is supported at every legal depth — but needs a PLTE
     with _pytest.raises(ValueError, match="PLTE"):
         _decode_png(ihdr_png(8, 3))
+    with _pytest.raises(ValueError, match="PLTE"):
+        _decode_png(ihdr_png(4, 3))
 
 
 def test_png_adam7_interlaced_roundtrip():
@@ -341,6 +346,62 @@ def test_png_palette_and_16bit_roundtrip():
             )
         )
         assert got == (w, h, ch, bytes(hi))
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """Bit-packed PNGs (depth 1/2/4 — the last PNG plug point, closed
+    round 10) decode exactly: palette indices unpack MSB-first and
+    expand through PLTE; sub-byte grayscale scales 0..mask to the full
+    0..255 range (left-bit replication). Odd widths force nonzero pad
+    bits in every row; Adam7 composes (per-pass bit-packed strides);
+    all five filters cycle (filter bpp is 1 at sub-byte depths — a
+    wrong neighbor distance shifts every Sub/Paeth row)."""
+    import random
+
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = random.Random(41)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        pal = [((17 * t) % 256, (31 * t) % 256, (7 * t + 3) % 256)
+               for t in range(n)]
+        for interlace in (False, True):
+            for (w, h) in [(1, 1), (7, 5), (9, 10), (13, 11)]:
+                idx = bytes(rng.randrange(n) for _ in range(w * h))
+                got = _decode_png(
+                    _encode_png(
+                        w, h, idx, row_filters=[0, 1, 2, 3, 4],
+                        depth=depth, palette=pal, interlace=interlace,
+                    )
+                )
+                exp = b"".join(bytes(pal[i]) for i in idx)
+                assert got == (w, h, 3, exp), (depth, interlace, w, h)
+
+                mask = n - 1
+                g = bytes(rng.randrange(n) for _ in range(w * h))
+                got = _decode_png(
+                    _encode_png(
+                        w, h, g, channels=1, row_filters=[4, 3, 2, 1, 0],
+                        depth=depth, interlace=interlace,
+                    )
+                )
+                exp = bytes(v * 255 // mask for v in g)
+                assert got == (w, h, 1, exp), (depth, interlace, w, h)
+
+    # out-of-range index at depth 2 still fails loudly after unpack
+    with _pytest.raises(ValueError, match="palette index"):
+        _decode_png(
+            _encode_png(4, 2, bytes([3] * 8), depth=2,
+                        palette=[(0, 0, 0), (1, 1, 1)])
+        )
+    # sub-byte multi-channel encode is rejected up front
+    with _pytest.raises(ValueError, match="1 channel"):
+        _encode_png(2, 2, bytes(12), channels=3, depth=4)
 
 
 def test_real_decode_and_resize_png(spark):
@@ -444,11 +505,11 @@ def test_jpeg_roundtrip_error_bounds():
 
 
 def test_jpeg_unsupported_variants_raise():
-    """Lossless (SOF3) and subsampled payloads raise the plug-point
-    error instead of mis-decoding; junk raises ValueError; a
-    marker-flipped SOF2 whose scan header is baseline-shaped is
-    CORRUPTION under progressive semantics (a progressive DC scan
-    must have Se = 0), not silently decoded."""
+    """Lossless (SOF3) payloads raise the plug-point error instead of
+    mis-decoding; junk raises ValueError; a marker-flipped SOF2 whose
+    scan header is baseline-shaped is CORRUPTION under progressive
+    semantics (a progressive DC scan must have Se = 0), not silently
+    decoded; out-of-range sampling factors fail loudly."""
     import struct
 
     import pytest as _pytest
@@ -478,9 +539,14 @@ def test_jpeg_unsupported_variants_raise():
     # SOF payload: len(2) precision(1) h(2) w(2) ncomp(1) [id samp tq]
     samp_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
     assert sub[samp_off] == 0x11
-    sub[samp_off] = 0x22  # 2x2 subsampling
-    with _pytest.raises(NotImplementedError, match="subsampled"):
+    sub[samp_off] = 0x51  # h=5: outside T.81's 1..4
+    with _pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(sub))
+    # grayscale has no chroma: the encoder refuses to subsample it
+    with _pytest.raises(ValueError, match="no chroma"):
+        encode_jpeg(8, 8, bytes(64), 1, subsampling="4:2:0")
+    with _pytest.raises(ValueError, match="unknown JPEG subsampling"):
+        encode_jpeg(8, 8, bytes(192), 3, subsampling="4:1:1")
     assert struct  # quiet lint
 
 
@@ -663,6 +729,85 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
         ) == base
 
 
+def test_jpeg_chroma_subsampling_roundtrip():
+    """4:2:2 and 4:2:0 chroma subsampling — what real cameras and web
+    JPEGs overwhelmingly emit — encode and decode for real (closed
+    round 10): multi-block MCUs (T.81 A.2.3 interleaved layout),
+    box-averaged chroma down, nearest-neighbor chroma up. Pins: exact
+    dims at awkward (non-MCU-multiple) sizes, error bounds on a color
+    gradient, luma near-losslessness on a gray ramp painted into RGB
+    (luma is NOT subsampled — a decoder that mixes up the component
+    grids shifts every Y block), restart markers composing per-MCU,
+    and progressive == baseline at every subsampling (the progressive
+    DC scans interleave h x v blocks per MCU while AC scans raster
+    each component's own ceil grid — the A.2.2/A.2.3 split)."""
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    def gradient(w, h):
+        return bytes(
+            v for j in range(w * h)
+            for v in (
+                (j % w) * 255 // max(1, w - 1),
+                (j // w) * 255 // max(1, h - 1),
+                ((j % w) + (j // w)) * 255 // max(1, w + h - 2),
+            )
+        )
+
+    for sub, max_err, mean_err in [("4:2:2", 24, 6.0), ("4:2:0", 36, 10.0)]:
+        for (w, h) in [(16, 16), (17, 13), (9, 22), (31, 7), (1, 1)]:
+            pix = gradient(w, h)
+            enc = encode_jpeg(w, h, pix, 3, 90, subsampling=sub)
+            rw, rh, rch, rpix = decode_jpeg(enc)
+            assert (rw, rh, rch) == (w, h, 3), (sub, w, h)
+            errs = [abs(a - b) for a, b in zip(pix, rpix)]
+            assert max(errs) <= max_err, (sub, w, h, max(errs))
+            assert sum(errs) / len(errs) <= mean_err, (sub, w, h)
+
+    # gray-in-RGB: chroma is constant 128, so subsampling costs ~zero
+    # — any residual error is the luma path, which must stay 4:4:4
+    w, h = 24, 17
+    ramp = bytes(
+        v
+        for j in range(w * h)
+        for v in (min(255, 9 * (j % w)),) * 3
+    )
+    for sub in ("4:2:2", "4:2:0"):
+        _, _, _, rpix = decode_jpeg(
+            encode_jpeg(w, h, ramp, 3, 95, subsampling=sub)
+        )
+        assert max(abs(a - b) for a, b in zip(ramp, rpix)) <= 6, sub
+
+    # restarts reset DC per MCU — identical output with or without
+    w, h = 33, 18
+    pix = gradient(w, h)
+    for sub in ("4:2:2", "4:2:0"):
+        a = decode_jpeg(encode_jpeg(w, h, pix, 3, subsampling=sub))
+        b = decode_jpeg(
+            encode_jpeg(w, h, pix, 3, subsampling=sub, restart_interval=2)
+        )
+        assert a == b, sub
+
+    # progressive twin emits the same quantized coefficients at every
+    # subsampling, so decode must be byte-identical to baseline
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        for (w, h) in [(16, 16), (17, 13), (31, 7)]:
+            pix = gradient(w, h)
+            base = decode_jpeg(encode_jpeg(w, h, pix, 3, subsampling=sub))
+            assert decode_jpeg(
+                encode_progressive_jpeg(w, h, pix, 3, subsampling=sub)
+            ) == base, (sub, w, h)
+            assert decode_jpeg(
+                encode_progressive_jpeg(
+                    w, h, pix, 3, subsampling=sub, point_transform=2,
+                    ac_bands=((1, 2), (3, 20), (21, 63)),
+                )
+            ) == base, (sub, w, h)
+
+
 def test_mp4_pcm_sample_extraction():
     """MP4 'decode' is no longer metadata-only: an uncompressed
     ('twos'/'sowt') audio track's PCM frames are extracted by a real
@@ -806,7 +951,9 @@ def test_mjpeg_video_summary_matches_recipe(spark):
         assert (r["width"], r["height"], r["n_frames"], r["n_vals"]) == (
             w, h, n_frames, w * h * 3 * n_frames,
         )
-    # pixel values: container frames == standalone decode of the recipe
+    # pixel values: container frames == standalone decode of the
+    # recipe (mid 5 -> id-cycled subsampling picks 4:2:0, so this also
+    # pins that the container walk is subsampling-transparent)
     row = media.where("media_id = 5").collect()[0]
     mid = 5
     w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
@@ -816,6 +963,7 @@ def test_mjpeg_video_summary_matches_recipe(spark):
             w, h,
             bytes((mid * 13 + f * 29 + j) % 256 for j in range(w * h * 3)),
             3,
+            subsampling=("4:4:4", "4:2:2", "4:2:0")[mid % 3],
         )
         assert pix == decode_jpeg(jp)[3]
     # media_dimensions routes MJPEG MP4s through the frame decoder too
