@@ -2,14 +2,17 @@
 
 Encoder + decoder for 8-bit JPEG (ITU-T T.81): baseline sequential
 (SOF0) AND progressive (SOF2 — spectral selection, successive
-approximation, EOBn end-of-band runs), grayscale or 4:4:4 YCbCr,
-standard Annex-K quantization and Huffman tables (a flat custom AC
-table carries the progressive EOBn symbols Annex-K lacks),
-quality-scaled, byte stuffing, no subsampling, with DRI/RST0-7
-restart-marker support (byte-aligned predictor resets, cycling marker
-verification). 12-bit and subsampled payloads raise
-``NotImplementedError`` — the honest remaining boundary; PIL plugs in
-beyond it.
+approximation, EOBn end-of-band runs), grayscale or YCbCr at 4:4:4,
+4:2:2, or 4:2:0 chroma subsampling (multi-block interleaved MCUs per
+A.2.3; non-interleaved scans raster each component's own ceil grid
+per A.2.2; box-average down, nearest-neighbor up — the decoder
+accepts ANY legal 1-4 sampling factors), standard Annex-K
+quantization and Huffman tables (a flat custom AC table carries the
+progressive EOBn symbols Annex-K lacks), quality-scaled, byte
+stuffing, with DRI/RST0-7 restart-marker support (byte-aligned
+predictor resets, cycling marker verification). 12-bit payloads
+raise ``NotImplementedError`` — the honest remaining boundary; PIL
+plugs in beyond it.
 
 The encoders exist so tests and fixtures can PLANT real JPEGs without
 any imaging library; the decoder is the production-path piece wired
@@ -261,33 +264,85 @@ def _encode_block(bw, coef, qtab, dc_codes, ac_codes, prev_dc):
     return zz[0]
 
 
+def _parse_subsampling(subsampling):
+    """Map a subsampling name to the luma sampling factors (h, v):
+    4:4:4 -> 1x1, 4:2:2 -> 2x1 (half horizontal chroma), 4:2:0 -> 2x2
+    (the ubiquitous quarter-chroma mode). Chroma is always 1x1."""
+    table = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if subsampling not in table:
+        raise ValueError(f"unknown JPEG subsampling {subsampling!r}")
+    return table[subsampling]
+
+
+def _subsample_planes(width, height, pix, hy, vy):
+    """RGB -> YCbCr planes with chroma box-averaged over hy x vy pixel
+    groups (edge groups clamp). Returns (planes, dims): the full-res Y
+    plane plus the two downsampled chroma planes with their dims."""
+    npx = width * height
+    y = [0.0] * npx
+    cbf = [0.0] * npx
+    crf = [0.0] * npx
+    for i in range(npx):
+        r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+        y[i] = 0.299 * r + 0.587 * g + 0.114 * b
+        cbf[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        crf[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    if hy == 1 and vy == 1:
+        return (
+            [y, cbf, crf],
+            [(width, height)] * 3,
+        )
+    cw = (width + hy - 1) // hy
+    ch = (height + vy - 1) // vy
+    cb = [0.0] * (cw * ch)
+    cr = [0.0] * (cw * ch)
+    for sy in range(ch):
+        y0 = sy * vy
+        y1 = min(y0 + vy, height)
+        for sx in range(cw):
+            x0 = sx * hy
+            x1 = min(x0 + hy, width)
+            n = (y1 - y0) * (x1 - x0)
+            sb = sr = 0.0
+            for yy in range(y0, y1):
+                row = yy * width
+                for xx in range(x0, x1):
+                    sb += cbf[row + xx]
+                    sr += crf[row + xx]
+            cb[sy * cw + sx] = sb / n
+            cr[sy * cw + sx] = sr / n
+    return [y, cb, cr], [(width, height), (cw, ch), (cw, ch)]
+
+
 def encode_jpeg(
-    width, height, pix, channels=3, quality=85, restart_interval=0
+    width, height, pix, channels=3, quality=85, restart_interval=0,
+    subsampling="4:4:4",
 ):
     """Encode raw 8-bit pixels (row-major, interleaved for RGB) as a
-    baseline JPEG: grayscale (channels=1) or 4:4:4 YCbCr (channels=3),
-    Annex-K tables, quality-scaled quantization. ``restart_interval``
-    > 0 writes a DRI segment and emits byte-aligned RST0-7 markers
-    every that many MCUs, resetting the DC predictors — the
-    error-resilience feature cameras emit by default."""
+    baseline JPEG: grayscale (channels=1) or YCbCr (channels=3) at
+    4:4:4, 4:2:2, or 4:2:0 chroma ``subsampling`` (box-averaged
+    chroma, interleaved h x v-blocks-per-MCU entropy layout per T.81
+    A.2.3), Annex-K tables, quality-scaled quantization.
+    ``restart_interval`` > 0 writes a DRI segment and emits
+    byte-aligned RST0-7 markers every that many MCUs, resetting the
+    DC predictors — the error-resilience feature cameras emit by
+    default."""
     if channels not in (1, 3):
         raise NotImplementedError("JPEG encode supports 1 or 3 channels")
+    hy, vy = _parse_subsampling(subsampling)
+    if channels == 1 and (hy, vy) != (1, 1):
+        raise ValueError("grayscale JPEG has no chroma to subsample")
     qlum = _scale_quant(_Q_LUM, quality)
     qchr = _scale_quant(_Q_CHR, quality)
     # component planes in YCbCr (or the single gray plane)
     npx = width * height
     if channels == 1:
         planes = [list(pix[:npx])]
+        dims = [(width, height)]
+        factors = [(1, 1)]
     else:
-        y = [0.0] * npx
-        cb = [0.0] * npx
-        cr = [0.0] * npx
-        for i in range(npx):
-            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
-            y[i] = 0.299 * r + 0.587 * g + 0.114 * b
-            cb[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-            cr[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        planes = [y, cb, cr]
+        planes, dims = _subsample_planes(width, height, pix, hy, vy)
+        factors = [(hy, vy), (1, 1), (1, 1)]
     qtabs = [qlum] + ([qchr, qchr] if channels == 3 else [])
     dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if channels == 3 else [])
     ac_specs = [_AC_LUM] + ([_AC_CHR, _AC_CHR] if channels == 3 else [])
@@ -296,12 +351,12 @@ def encode_jpeg(
 
     bw = _BitWriter()
     prev_dc = [0] * channels
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * vy - 1) // (8 * vy)
     mcu = 0
     rst = 0
-    for mby in range(by):
-        for mbx in range(bx):
+    for mby in range(mcuy):
+        for mbx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-align (1-pad), then the marker goes in RAW —
                 # markers are never byte-stuffed
@@ -312,17 +367,21 @@ def encode_jpeg(
             mcu += 1
             for c in range(channels):
                 plane = planes[c]
-                block = [0.0] * 64
-                for i in range(8):
-                    yy = min(mby * 8 + i, height - 1)
-                    for j in range(8):
-                        xx = min(mbx * 8 + j, width - 1)
-                        block[i * 8 + j] = plane[yy * width + xx] - 128
-                coef = _fdct8x8(block)
-                prev_dc[c] = _encode_block(
-                    bw, coef, qtabs[c], dc_codes[c], ac_codes[c],
-                    prev_dc[c],
-                )
+                pw, ph = dims[c]
+                hc, vc = factors[c]
+                for r8 in range(vc):
+                    for q8 in range(hc):
+                        block = [0.0] * 64
+                        for i in range(8):
+                            yy = min((mby * vc + r8) * 8 + i, ph - 1)
+                            for j in range(8):
+                                xx = min((mbx * hc + q8) * 8 + j, pw - 1)
+                                block[i * 8 + j] = plane[yy * pw + xx] - 128
+                        coef = _fdct8x8(block)
+                        prev_dc[c] = _encode_block(
+                            bw, coef, qtabs[c], dc_codes[c],
+                            ac_codes[c], prev_dc[c],
+                        )
     bw.flush()
 
     def seg(marker, payload):
@@ -336,7 +395,12 @@ def encode_jpeg(
             0xFFDB, bytes([1]) + bytes(qchr[_ZIGZAG[i]] for i in range(64))
         )
     comp = b"".join(
-        bytes([c + 1, 0x11, 0 if c == 0 else 1]) for c in range(channels)
+        bytes([
+            c + 1,
+            (factors[c][0] << 4) | factors[c][1],
+            0 if c == 0 else 1,
+        ])
+        for c in range(channels)
     )
     out += seg(
         0xFFC0,
@@ -362,13 +426,16 @@ def encode_jpeg(
     return bytes(out)
 
 
-def _component_zz_blocks(plane, width, height, qtab):
+def _component_zz_blocks(plane, width, height, qtab, bx=None, by=None):
     """FDCT + quantize one component plane into zigzag-order int
     blocks (raster block order) — the shared front half of both the
     baseline and progressive encoders; quantization rounding matches
-    `_encode_block` exactly."""
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
+    `_encode_block` exactly. ``bx``/``by`` optionally force a LARGER
+    grid than the plane's own ceil grid (MCU padding under
+    subsampling — pad blocks edge-replicate, as in the baseline
+    interleaved layout)."""
+    bx = bx if bx is not None else (width + 7) // 8
+    by = by if by is not None else (height + 7) // 8
     blocks = []
     for mby in range(by):
         for mbx in range(bx):
@@ -425,75 +492,111 @@ class _ProgressiveWriter(_BitWriter):
 def encode_progressive_jpeg(
     width, height, pix, channels=3, quality=85, dc_split=True,
     ac_bands=((1, 5), (6, 63)), point_transform=1,
+    subsampling="4:4:4",
 ):
     """Encode raw 8-bit pixels as a PROGRESSIVE JPEG (SOF2) using a
     libjpeg-shaped progression: DC first at Al=``point_transform``
     then a DC refinement scan (if ``dc_split``), per-component AC
     first scans over ``ac_bands`` at Al=``point_transform``, then one
-    AC refinement scan per component down to Al=0. Quantized
-    coefficients are identical to :func:`encode_jpeg`'s, so decoding
-    the progressive payload yields byte-identical pixels to decoding
-    the baseline one — the invariant the tests pin. Exercises all four
+    AC refinement scan per component down to Al=0. ``subsampling``
+    (4:4:4/4:2:2/4:2:0) composes: DC scans interleave h x v blocks
+    per MCU, AC scans raster each component's own ceil grid (T.81
+    A.2.2/A.2.3). Quantized coefficients are identical to
+    :func:`encode_jpeg`'s at the same subsampling, so decoding the
+    progressive payload yields byte-identical pixels to decoding the
+    baseline one — the invariant the tests pin. Exercises all four
     scan kinds the decoder implements (DC/AC x first/refine) plus
     genuine EOBn runs across blocks."""
     if channels not in (1, 3):
         raise NotImplementedError("JPEG encode supports 1 or 3 channels")
     if point_transform < (1 if dc_split else 0):
         raise ValueError("refinement scans need point_transform >= 1")
+    hy, vy = _parse_subsampling(subsampling)
+    if channels == 1 and (hy, vy) != (1, 1):
+        raise ValueError("grayscale JPEG has no chroma to subsample")
     qlum = _scale_quant(_Q_LUM, quality)
     qchr = _scale_quant(_Q_CHR, quality)
     npx = width * height
     if channels == 1:
         planes = [list(pix[:npx])]
+        dims = [(width, height)]
+        factors = [(1, 1)]
     else:
-        y = [0.0] * npx
-        cb = [0.0] * npx
-        cr = [0.0] * npx
-        for i in range(npx):
-            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
-            y[i] = 0.299 * r + 0.587 * g + 0.114 * b
-            cb[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-            cr[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        planes = [y, cb, cr]
+        planes, dims = _subsample_planes(width, height, pix, hy, vy)
+        factors = [(hy, vy), (1, 1), (1, 1)]
     qtabs = [qlum] + ([qchr, qchr] if channels == 3 else [])
     dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if channels == 3 else [])
     dc_codes = [_huff_codes(*s) for s in dc_specs]
     ac_prog = _huff_codes(*_AC_PROG)
     ac_codes = [ac_prog] * channels  # one custom AC table serves all
+    mcux = (width + 8 * hy - 1) // (8 * hy)
+    mcuy = (height + 8 * vy - 1) // (8 * vy)
+    # blocks over the MCU-PADDED grid, so the interleaved DC scans
+    # cover the same block set (in the same order) as the baseline
+    # encoder — pad blocks edge-replicate identically
     blocks = [
-        _component_zz_blocks(planes[c], width, height, qtabs[c])
+        _component_zz_blocks(
+            planes[c], dims[c][0], dims[c][1], qtabs[c],
+            bx=mcux * factors[c][0], by=mcuy * factors[c][1],
+        )
         for c in range(channels)
     ]
     al = point_transform
 
+    def comp_ac_blocks(c):
+        # the component's OWN ceil grid mapped into the padded grid —
+        # exactly the raster a non-interleaved decoder walks
+        hc, vc = factors[c]
+        ncols = mcux * hc
+        cw = ((width * hc + hy - 1) // hy + 7) // 8
+        chh = ((height * vc + vy - 1) // vy + 7) // 8
+        for bi in range(cw * chh):
+            yield blocks[c][(bi // cw) * ncols + (bi % cw)]
+
     def dc_first_scan():
         bw = _BitWriter()
         prev = [0] * channels
-        for bi in range(len(blocks[0])):
-            for c in range(channels):
-                v = blocks[c][bi][0] >> al  # arithmetic shift, T.81 DC
-                diff = v - prev[c]
-                prev[c] = v
-                size, bits = _category(diff)
-                code, ln = dc_codes[c][size]
-                bw.write(code, ln)
-                if size:
-                    bw.write(bits, size)
+        for mby in range(mcuy):
+            for mbx in range(mcux):
+                for c in range(channels):
+                    hc, vc = factors[c]
+                    ncols = mcux * hc
+                    for r in range(vc):
+                        for q in range(hc):
+                            zz = blocks[c][
+                                (mby * vc + r) * ncols + (mbx * hc + q)
+                            ]
+                            v = zz[0] >> al  # arithmetic shift, T.81 DC
+                            diff = v - prev[c]
+                            prev[c] = v
+                            size, bits = _category(diff)
+                            code, ln = dc_codes[c][size]
+                            bw.write(code, ln)
+                            if size:
+                                bw.write(bits, size)
         bw.flush()
         return bw.buf
 
     def dc_refine_scan(bit_pos):
         bw = _BitWriter()
-        for bi in range(len(blocks[0])):
-            for c in range(channels):
-                bw.write((blocks[c][bi][0] >> bit_pos) & 1, 1)
+        for mby in range(mcuy):
+            for mbx in range(mcux):
+                for c in range(channels):
+                    hc, vc = factors[c]
+                    ncols = mcux * hc
+                    for r in range(vc):
+                        for q in range(hc):
+                            zz = blocks[c][
+                                (mby * vc + r) * ncols + (mbx * hc + q)
+                            ]
+                            bw.write((zz[0] >> bit_pos) & 1, 1)
         bw.flush()
         return bw.buf
 
     def ac_first_scan(c, ss, se, shift):
         bw = _ProgressiveWriter()
         codes = ac_codes[c]
-        for zz in blocks[c]:
+        for zz in comp_ac_blocks(c):
             run = 0
             any_emitted = False
             for k in range(ss, se + 1):
@@ -528,7 +631,7 @@ def encode_progressive_jpeg(
         # released with the next emitted symbol or EOB-run flush
         bw = _ProgressiveWriter()
         codes = ac_codes[c]
-        for zz in blocks[c]:
+        for zz in comp_ac_blocks(c):
             absv = {}
             eob = ss - 1  # last newly-significant position
             for k in range(ss, se + 1):
@@ -591,7 +694,12 @@ def encode_progressive_jpeg(
             0xFFDB, bytes([1]) + bytes(qchr[_ZIGZAG[i]] for i in range(64))
         )
     comp = b"".join(
-        bytes([c + 1, 0x11, 0 if c == 0 else 1]) for c in range(channels)
+        bytes([
+            c + 1,
+            (factors[c][0] << 4) | factors[c][1],
+            0 if c == 0 else 1,
+        ])
+        for c in range(channels)
     )
     out += seg(
         0xFFC2,  # SOF2: progressive
@@ -693,73 +801,102 @@ def _extend(v, size):
 
 def _decode_scan(
     entropy, coefs, scomps, htabs, ss, se, ah, al, progressive,
-    bx, by, restart_interval,
+    geom, mcux, mcuy, restart_interval,
 ):
     """Decode one entropy-coded scan into the persistent per-component
     coefficient state (zigzag-order ints). Handles all four
     progressive scan kinds (T.81 G.1.2: DC first / DC refine / AC
     first with EOBn runs / AC refine with correction bits) plus the
     baseline interleaved DC+AC scan, with RSTn restarts resetting
-    predictors and the EOB run."""
+    predictors and the EOB run. ``geom[ci]`` is the component's
+    (h, v, ncols, cw, ch): sampling factors, the MCU-padded block-grid
+    column count, and the NON-padded block-grid dims that
+    single-component (non-interleaved) scans raster over — T.81 A.2.2
+    vs A.2.3; they only differ when subsampling pads the MCU grid."""
     br = _BitReader(entropy)
     prev_dc = {ci: 0 for ci, _, _ in scomps}
     rst_expect = 0
 
-    if not progressive or ss == 0:
-        # interleaved over the scan's components, MCU = one block each
+    def decode_dc_ac(zz, ci, dc_t, ac_t):
+        # one block of a baseline scan or a progressive DC scan
+        if progressive and ah != 0:
+            # DC refinement: one more magnitude bit
+            if br.bit():
+                zz[0] |= 1 << al
+            return
+        dct = htabs[0x00 | dc_t]
+        size = _read_huff_symbol(br, dct)
+        prev_dc[ci] += _extend(br.bits(size), size)
+        zz[0] = prev_dc[ci] << al
+        if progressive:
+            return  # DC-only scan
+        act = htabs[0x10 | ac_t]
+        k = 1
+        while k < 64:
+            rs = _read_huff_symbol(br, act)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run overflow")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+
+    if (not progressive or ss == 0) and len(scomps) > 1:
+        # interleaved: MCU = h x v blocks per component (T.81 A.2.3)
         if progressive and se != 0:
             raise ValueError("progressive DC scan must have Se = 0")
         mcu = 0
-        for mby in range(by):
-            for mbx in range(bx):
+        for mby in range(mcuy):
+            for mbx in range(mcux):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     br.restart(rst_expect)
                     rst_expect = (rst_expect + 1) & 7
                     prev_dc = {ci: 0 for ci, _, _ in scomps}
                 mcu += 1
                 for ci, dc_t, ac_t in scomps:
-                    zz = coefs[ci][mby * bx + mbx]
-                    if progressive and ah != 0:
-                        # DC refinement: one more magnitude bit
-                        if br.bit():
-                            zz[0] |= 1 << al
-                        continue
-                    dct = htabs[0x00 | dc_t]
-                    size = _read_huff_symbol(br, dct)
-                    prev_dc[ci] += _extend(br.bits(size), size)
-                    zz[0] = prev_dc[ci] << al
-                    if progressive:
-                        continue  # DC-only scan
-                    act = htabs[0x10 | ac_t]
-                    k = 1
-                    while k < 64:
-                        rs = _read_huff_symbol(br, act)
-                        run, size = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run overflow")
-                        zz[k] = _extend(br.bits(size), size)
-                        k += 1
+                    h, v, ncols, _, _ = geom[ci]
+                    for r in range(v):
+                        for q in range(h):
+                            zz = coefs[ci][
+                                (mby * v + r) * ncols + (mbx * h + q)
+                            ]
+                            decode_dc_ac(zz, ci, dc_t, ac_t)
         return
 
-    # progressive AC scan: single component, non-interleaved raster
+    # single-component scan: non-interleaved raster over the
+    # component's OWN (non-MCU-padded) block grid (T.81 A.2.2) —
+    # baseline per-component scans and progressive DC all land here
+    # too, sharing decode_dc_ac
     if len(scomps) != 1:
         raise ValueError("progressive AC scan must be single-component")
-    ci, _, ac_t = scomps[0]
+    ci, dc_t, ac_t = scomps[0]
+    _, _, ncols, cw, chh = geom[ci]
+    if not progressive or ss == 0:
+        if progressive and se != 0:
+            raise ValueError("progressive DC scan must have Se = 0")
+        for bi in range(cw * chh):
+            if restart_interval and bi and bi % restart_interval == 0:
+                br.restart(rst_expect)
+                rst_expect = (rst_expect + 1) & 7
+                prev_dc = {ci: 0}
+            zz = coefs[ci][(bi // cw) * ncols + (bi % cw)]
+            decode_dc_ac(zz, ci, dc_t, ac_t)
+        return
+
     act = htabs[0x10 | ac_t]
     eobrun = 0
     p1, n1 = 1 << al, -(1 << al)
-    for bi in range(bx * by):
+    for bi in range(cw * chh):
         if restart_interval and bi and bi % restart_interval == 0:
             br.restart(rst_expect)
             rst_expect = (rst_expect + 1) & 7
             eobrun = 0
-        zz = coefs[ci][bi]
+        zz = coefs[ci][(bi // cw) * ncols + (bi % cw)]
         if ah == 0:
             # first pass over this band: value bits at magnitude al
             if eobrun > 0:
@@ -831,11 +968,12 @@ def decode_jpeg(content):
     """Decode a JPEG: returns (width, height, channels, pixel_bytes).
     Supports 8-bit baseline sequential (SOF0) AND progressive (SOF2 —
     spectral selection, successive approximation, EOBn runs), 1 or 3
-    components, no subsampling (all sampling factors 1x1), with
-    DRI/RSTn restart markers (predictor reset + cycling-marker
-    verification); 12-bit and subsampled payloads raise. Scans
-    accumulate into per-component coefficient state; dequantization +
-    IDCT run once after the last scan."""
+    components, ANY legal chroma subsampling (sampling factors 1-4,
+    incl. the ubiquitous 4:2:0 and 4:2:2 — subsampled planes upsample
+    by nearest-neighbor sample replication), with DRI/RSTn restart
+    markers (predictor reset + cycling-marker verification); 12-bit
+    payloads raise. Scans accumulate into per-component coefficient
+    state; dequantization + IDCT run once after the last scan."""
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -846,7 +984,8 @@ def decode_jpeg(content):
     comps = []  # (id, qtab_id)
     progressive = False
     coefs = None  # per comp: list of zigzag-order [64] int blocks
-    bx = by = 0
+    geom = None  # per comp: (h, v, ncols, cw, ch)
+    mcux = mcuy = 0
     got_scan = False
     restart_interval = 0
     while i < len(content):
@@ -880,17 +1019,31 @@ def decode_jpeg(content):
                 raise NotImplementedError("only 8-bit JPEG samples")
             height, width = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
+            factors = []
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG not supported (4:4:4 only)"
-                    )
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {samp:#x}")
                 comps.append((cid, tq))
-            bx = (width + 7) // 8
-            by = (height + 7) // 8
+                factors.append((hs, vs))
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            geom = []
+            for hs, vs in factors:
+                # MCU-padded grid (interleaved scans) vs the
+                # component's own ceil grid (non-interleaved scans)
+                cw = ((width * hs + hmax - 1) // hmax + 7) // 8
+                chh = ((height * vs + vmax - 1) // vmax + 7) // 8
+                geom.append((hs, vs, mcux * hs, cw, chh))
             coefs = [
-                [[0] * 64 for _ in range(bx * by)] for _ in range(ncomp)
+                [
+                    [0] * 64
+                    for _ in range(mcux * hs * mcuy * vs)
+                ]
+                for hs, vs in factors
             ]
         elif m in (0xFFC1, 0xFFC3):
             raise NotImplementedError(
@@ -938,7 +1091,7 @@ def decode_jpeg(content):
             _decode_scan(
                 content[start:j], coefs, scomps, htabs,
                 ss, se, ahal >> 4, ahal & 0xF,
-                progressive, bx, by, restart_interval,
+                progressive, geom, mcux, mcuy, restart_interval,
             )
             got_scan = True
             i = j
@@ -946,37 +1099,50 @@ def decode_jpeg(content):
         raise ValueError("JPEG missing SOF/SOS")
     if ncomp not in (1, 3):
         raise NotImplementedError("JPEG with 2 or >3 components")
-    planes = [[0] * (bx * 8 * by * 8) for _ in range(ncomp)]
-    w8 = bx * 8
+    hmax = max(g[0] for g in geom)
+    vmax = max(g[1] for g in geom)
+    planes = []
+    widths8 = []
     for c in range(ncomp):
+        hs, vs, ncols, _, _ = geom[c]
+        nrows = mcuy * vs
+        w8 = ncols * 8
+        plane = [0] * (w8 * nrows * 8)
         qt = qtabs[comps[c][1]]
-        plane = planes[c]
         for bi, zz in enumerate(coefs[c]):
             coef = [0.0] * 64
             for k in range(64):
                 coef[_ZIGZAG[k]] = zz[k] * qt[_ZIGZAG[k]]
             block = _idct8x8(coef)
-            mby, mbx = divmod(bi, bx)
+            mby, mbx = divmod(bi, ncols)
             for r in range(8):
                 base = (mby * 8 + r) * w8 + mbx * 8
                 for s in range(8):
                     v = int(round(block[r * 8 + s])) + 128
                     plane[base + s] = 0 if v < 0 else (255 if v > 255 else v)
+        planes.append(plane)
+        widths8.append(w8)
+
+    def sample(c, x, y):
+        # nearest-neighbor upsample of a subsampled plane (sample
+        # replication — the classic no-smoothing reconstruction)
+        hs, vs = geom[c][0], geom[c][1]
+        return planes[c][(y * vs // vmax) * widths8[c] + (x * hs // hmax)]
+
     out = bytearray(width * height * ncomp)
     if ncomp == 1:
         p = planes[0]
+        w8 = widths8[0]
         for r in range(height):
             row = r * w8
             for c in range(width):
                 out[r * width + c] = p[row + c]
     else:
-        py, pcb, pcr = planes
         for r in range(height):
-            row = r * w8
             for c in range(width):
-                y = py[row + c]
-                cb = pcb[row + c] - 128
-                cr = pcr[row + c] - 128
+                y = sample(0, c, r)
+                cb = sample(1, c, r) - 128
+                cr = sample(2, c, r) - 128
                 rr = int(round(y + 1.402 * cr))
                 gg = int(round(y - 0.344136 * cb - 0.714136 * cr))
                 bb = int(round(y + 1.772 * cb))
