@@ -1,18 +1,22 @@
 """Zero-dependency JPEG codec (multimodal real-decode path).
 
-Encoder + decoder for 8-bit JPEG (ITU-T T.81): baseline sequential
-(SOF0) AND progressive (SOF2 — spectral selection, successive
+Encoder + decoder for JPEG (ITU-T T.81): baseline sequential (SOF0)
+AND progressive (SOF2 — spectral selection, successive
 approximation, EOBn end-of-band runs), grayscale or YCbCr at 4:4:4,
 4:2:2, or 4:2:0 chroma subsampling (multi-block interleaved MCUs per
 A.2.3; non-interleaved scans raster each component's own ceil grid
 per A.2.2; box-average down, nearest-neighbor up — the decoder
-accepts ANY legal 1-4 sampling factors), standard Annex-K
-quantization and Huffman tables (a flat custom AC table carries the
-progressive EOBn symbols Annex-K lacks), quality-scaled, byte
-stuffing, with DRI/RST0-7 restart-marker support (byte-aligned
-predictor resets, cycling marker verification). 12-bit payloads
-raise ``NotImplementedError`` — the honest remaining boundary; PIL
-plugs in beyond it.
+accepts ANY legal 1-4 sampling factors), 8-bit AND 12-bit sample
+precision (12-bit: Pq=1 16-bit DQT entries, extended DC-category-15
+/ AC-size-14 Huffman coverage, decoded pixels take the standard
+high-byte downsample), standard Annex-K quantization and Huffman
+tables (flat custom tables carry the progressive EOBn symbols and
+the 12-bit categories Annex-K lacks), quality-scaled, byte stuffing,
+with DRI/RST0-7 restart-marker support (byte-aligned predictor
+resets, cycling marker verification). The progressive ENCODER stays
+8-bit (the decoder accepts 12-bit SOF2 streams structurally);
+arithmetic coding, lossless, and hierarchical modes are the honest
+remaining boundary — PIL plugs in beyond it.
 
 The encoders exist so tests and fixtures can PLANT real JPEGs without
 any imaging library; the decoder is the production-path piece wired
@@ -125,6 +129,21 @@ _AC_CHR = (
 )
 
 
+# 12-bit sample tables: DC diff categories reach 15 and AC sizes 14
+# (T.81 F.1.2 / Table F.2), beyond what the 8-bit Annex-K tables
+# define, so 12-bit streams carry flat custom tables in the _AC_PROG
+# spirit — canonical, incomplete (the all-ones code stays unused),
+# compression-irrelevant for planted media.
+_DC_EXT = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_AC_EXT = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
+)
+
+
 def _huff_codes(bits, values):
     """Canonical Huffman code assignment (T.81 C.2): returns
     {symbol: (code, length)}."""
@@ -192,9 +211,18 @@ def _idct8x8(coef):
     return out
 
 
-def _scale_quant(table, quality):
+def _scale_quant(table, quality, precision=8):
+    """Quality-scale a base quant table. At 12-bit precision the base
+    entries scale by 16 (the sample range grew 16x) with a floor of
+    16, which keeps quantized DC diffs within category 15 and AC
+    magnitudes within size 14 (T.81 Table F.2) at every quality."""
     quality = max(1, min(100, quality))
     scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    if precision == 12:
+        return [
+            max(16, min(65535, (q * 16 * scale + 50) // 100))
+            for q in table
+        ]
     return [max(1, min(255, (q * scale + 50) // 100)) for q in table]
 
 
@@ -274,10 +302,11 @@ def _parse_subsampling(subsampling):
     return table[subsampling]
 
 
-def _subsample_planes(width, height, pix, hy, vy):
+def _subsample_planes(width, height, pix, hy, vy, half=128):
     """RGB -> YCbCr planes with chroma box-averaged over hy x vy pixel
     groups (edge groups clamp). Returns (planes, dims): the full-res Y
-    plane plus the two downsampled chroma planes with their dims."""
+    plane plus the two downsampled chroma planes with their dims.
+    ``half`` is the chroma zero point (128 at 8-bit, 2048 at 12)."""
     npx = width * height
     y = [0.0] * npx
     cbf = [0.0] * npx
@@ -285,8 +314,8 @@ def _subsample_planes(width, height, pix, hy, vy):
     for i in range(npx):
         r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
         y[i] = 0.299 * r + 0.587 * g + 0.114 * b
-        cbf[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-        crf[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        cbf[i] = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        crf[i] = 0.5 * r - 0.418688 * g - 0.081312 * b + half
     if hy == 1 and vy == 1:
         return (
             [y, cbf, crf],
@@ -316,24 +345,30 @@ def _subsample_planes(width, height, pix, hy, vy):
 
 def encode_jpeg(
     width, height, pix, channels=3, quality=85, restart_interval=0,
-    subsampling="4:4:4",
+    subsampling="4:4:4", precision=8,
 ):
-    """Encode raw 8-bit pixels (row-major, interleaved for RGB) as a
+    """Encode raw pixels (row-major, interleaved for RGB) as a
     baseline JPEG: grayscale (channels=1) or YCbCr (channels=3) at
     4:4:4, 4:2:2, or 4:2:0 chroma ``subsampling`` (box-averaged
     chroma, interleaved h x v-blocks-per-MCU entropy layout per T.81
     A.2.3), Annex-K tables, quality-scaled quantization.
-    ``restart_interval`` > 0 writes a DRI segment and emits
-    byte-aligned RST0-7 markers every that many MCUs, resetting the
-    DC predictors — the error-resilience feature cameras emit by
-    default."""
+    ``precision=12`` takes 0..4095 integer samples in ``pix`` (any
+    indexable sequence) and emits the extended-sequential 12-bit
+    form: 16-bit DQT entries (Pq=1) and flat custom Huffman tables
+    covering DC category 15 / AC size 14. ``restart_interval`` > 0
+    writes a DRI segment and emits byte-aligned RST0-7 markers every
+    that many MCUs, resetting the DC predictors — the
+    error-resilience feature cameras emit by default."""
     if channels not in (1, 3):
         raise NotImplementedError("JPEG encode supports 1 or 3 channels")
+    if precision not in (8, 12):
+        raise NotImplementedError("JPEG encode supports 8/12-bit samples")
     hy, vy = _parse_subsampling(subsampling)
     if channels == 1 and (hy, vy) != (1, 1):
         raise ValueError("grayscale JPEG has no chroma to subsample")
-    qlum = _scale_quant(_Q_LUM, quality)
-    qchr = _scale_quant(_Q_CHR, quality)
+    half = 1 << (precision - 1)
+    qlum = _scale_quant(_Q_LUM, quality, precision)
+    qchr = _scale_quant(_Q_CHR, quality, precision)
     # component planes in YCbCr (or the single gray plane)
     npx = width * height
     if channels == 1:
@@ -341,11 +376,15 @@ def encode_jpeg(
         dims = [(width, height)]
         factors = [(1, 1)]
     else:
-        planes, dims = _subsample_planes(width, height, pix, hy, vy)
+        planes, dims = _subsample_planes(width, height, pix, hy, vy, half)
         factors = [(hy, vy), (1, 1), (1, 1)]
     qtabs = [qlum] + ([qchr, qchr] if channels == 3 else [])
-    dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if channels == 3 else [])
-    ac_specs = [_AC_LUM] + ([_AC_CHR, _AC_CHR] if channels == 3 else [])
+    if precision == 12:
+        dc_specs = [_DC_EXT] * channels
+        ac_specs = [_AC_EXT] * channels
+    else:
+        dc_specs = [_DC_LUM] + ([_DC_CHR, _DC_CHR] if channels == 3 else [])
+        ac_specs = [_AC_LUM] + ([_AC_CHR, _AC_CHR] if channels == 3 else [])
     dc_codes = [_huff_codes(*s) for s in dc_specs]
     ac_codes = [_huff_codes(*s) for s in ac_specs]
 
@@ -376,7 +415,7 @@ def encode_jpeg(
                             yy = min((mby * vc + r8) * 8 + i, ph - 1)
                             for j in range(8):
                                 xx = min((mbx * hc + q8) * 8 + j, pw - 1)
-                                block[i * 8 + j] = plane[yy * pw + xx] - 128
+                                block[i * 8 + j] = plane[yy * pw + xx] - half
                         coef = _fdct8x8(block)
                         prev_dc[c] = _encode_block(
                             bw, coef, qtabs[c], dc_codes[c],
@@ -387,13 +426,22 @@ def encode_jpeg(
     def seg(marker, payload):
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    def dqt(tq, tab):
+        # Pq=1 (16-bit entries) iff any value needs it — the 12-bit path
+        if max(tab) > 255:
+            body = b"".join(
+                struct.pack(">H", tab[_ZIGZAG[i]]) for i in range(64)
+            )
+            return seg(0xFFDB, bytes([0x10 | tq]) + body)
+        return seg(
+            0xFFDB, bytes([tq]) + bytes(tab[_ZIGZAG[i]] for i in range(64))
+        )
+
     out = bytearray(b"\xFF\xD8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(qlum[_ZIGZAG[i]] for i in range(64)))
+    out += dqt(0, qlum)
     if channels == 3:
-        out += seg(
-            0xFFDB, bytes([1]) + bytes(qchr[_ZIGZAG[i]] for i in range(64))
-        )
+        out += dqt(1, qchr)
     comp = b"".join(
         bytes([
             c + 1,
@@ -404,17 +452,19 @@ def encode_jpeg(
     )
     out += seg(
         0xFFC0,
-        bytes([8]) + struct.pack(">HH", height, width)
+        bytes([precision]) + struct.pack(">HH", height, width)
         + bytes([channels]) + comp,
     )
-    for c in range(channels):
-        tclass_id = [(0x00, _DC_LUM), (0x10, _AC_LUM)] if c == 0 else []
-        if c == 1:
-            tclass_id = [(0x01, _DC_CHR), (0x11, _AC_CHR)]
-        if c == 2:
-            tclass_id = []
-        for tid, (bits, vals) in tclass_id:
-            out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if precision == 12:
+        huffs = [(0x00, _DC_EXT), (0x10, _AC_EXT)]
+        if channels == 3:
+            huffs += [(0x01, _DC_EXT), (0x11, _AC_EXT)]
+    else:
+        huffs = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+        if channels == 3:
+            huffs += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tid, (bits, vals) in huffs:
+        out += seg(0xFFC4, bytes([tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     scomp = b"".join(
@@ -970,10 +1020,12 @@ def decode_jpeg(content):
     spectral selection, successive approximation, EOBn runs), 1 or 3
     components, ANY legal chroma subsampling (sampling factors 1-4,
     incl. the ubiquitous 4:2:0 and 4:2:2 — subsampled planes upsample
-    by nearest-neighbor sample replication), with DRI/RSTn restart
-    markers (predictor reset + cycling-marker verification); 12-bit
-    payloads raise. Scans accumulate into per-component coefficient
-    state; dequantization + IDCT run once after the last scan."""
+    by nearest-neighbor sample replication), 8- or 12-bit samples
+    (12-bit pixels come back as their high byte, the PNG-16
+    discipline), with DRI/RSTn restart markers (predictor reset +
+    cycling-marker verification). Scans accumulate into per-component
+    coefficient state; dequantization + IDCT run once after the last
+    scan."""
     if content[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     i = 2
@@ -986,6 +1038,7 @@ def decode_jpeg(content):
     coefs = None  # per comp: list of zigzag-order [64] int blocks
     geom = None  # per comp: (h, v, ncols, cw, ch)
     mcux = mcuy = 0
+    prec = 8
     got_scan = False
     restart_interval = 0
     while i < len(content):
@@ -1005,18 +1058,23 @@ def decode_jpeg(content):
             j = 0
             while j < len(payload):
                 pq, tq = payload[j] >> 4, payload[j] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant table")
-                zz = payload[j + 1 : j + 65]
+                if pq == 1:  # 16-bit entries (12-bit sample streams)
+                    zz = struct.unpack(">64H", payload[j + 1 : j + 129])
+                    j += 129
+                elif pq == 0:
+                    zz = payload[j + 1 : j + 65]
+                    j += 65
+                else:
+                    raise ValueError(f"bad JPEG quant precision {pq}")
                 tab = [0] * 64
                 for k in range(64):
                     tab[_ZIGZAG[k]] = zz[k]
                 qtabs[tq] = tab
-                j += 65
         elif m in (0xFFC0, 0xFFC2):
             progressive = m == 0xFFC2
-            if payload[0] != 8:
-                raise NotImplementedError("only 8-bit JPEG samples")
+            prec = payload[0]
+            if prec not in (8, 12):
+                raise NotImplementedError("only 8/12-bit JPEG samples")
             height, width = struct.unpack(">HH", payload[1:5])
             ncomp = payload[5]
             factors = []
@@ -1109,6 +1167,10 @@ def decode_jpeg(content):
         w8 = ncols * 8
         plane = [0] * (w8 * nrows * 8)
         qt = qtabs[comps[c][1]]
+        # 12-bit samples clamp at their own range, then take the
+        # standard high-byte downsample (the PNG-16 discipline) so the
+        # byte-pixel contract holds at every precision
+        half, maxv, shift = 1 << (prec - 1), (1 << prec) - 1, prec - 8
         for bi, zz in enumerate(coefs[c]):
             coef = [0.0] * 64
             for k in range(64):
@@ -1118,8 +1180,9 @@ def decode_jpeg(content):
             for r in range(8):
                 base = (mby * 8 + r) * w8 + mbx * 8
                 for s in range(8):
-                    v = int(round(block[r * 8 + s])) + 128
-                    plane[base + s] = 0 if v < 0 else (255 if v > 255 else v)
+                    v = int(round(block[r * 8 + s])) + half
+                    v = 0 if v < 0 else (maxv if v > maxv else v)
+                    plane[base + s] = v >> shift
         planes.append(plane)
         widths8.append(w8)
 

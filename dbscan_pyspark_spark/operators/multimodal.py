@@ -96,7 +96,9 @@ def _decode_ppm(content: bytes) -> tuple[int, int, int, bytes]:
     """Parse a binary PPM (P6, RGB) or PGM (P5, gray) image: returns
     (width, height, channels, pixel_bytes). Pure bytes parsing of the
     Netpbm format — magic, whitespace/comment-separated width height
-    maxval, one whitespace byte, then raw samples."""
+    maxval, one whitespace byte, then raw samples. maxval > 255 means
+    two-byte big-endian samples (Netpbm "plain raster" extension);
+    those come back as their high byte, the PNG-16 discipline."""
     if not content or content[:2] not in (b"P6", b"P5"):
         raise ValueError("not a binary PPM/PGM payload")
     channels = 3 if content[:2] == b"P6" else 1
@@ -116,14 +118,17 @@ def _decode_ppm(content: bytes) -> tuple[int, int, int, bytes]:
         i = j
     i += 1  # single whitespace after maxval
     width, height, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("16-bit Netpbm samples not supported")
-    n = width * height * channels
+    if not 0 < maxval < 65536:
+        raise ValueError(f"bad Netpbm maxval {maxval}")
+    bps = 2 if maxval > 255 else 1
+    n = width * height * channels * bps
     pix = content[i : i + n]
     if len(pix) != n:
         raise ValueError(
             f"truncated PPM payload: expected {n} bytes, got {len(pix)}"
         )
+    if bps == 2:
+        pix = pix[0::2]  # big-endian high byte per sample
     return width, height, channels, pix
 
 
@@ -1021,9 +1026,14 @@ def _decode_wav(content: bytes) -> tuple[int, int, int, list[int]]:
     return rate, nch, nfr, samples
 
 
-def _encode_ppm(width: int, height: int, pix: bytes, channels: int = 3) -> bytes:
+def _encode_ppm(
+    width: int, height: int, pix: bytes, channels: int = 3,
+    maxval: int = 255,
+) -> bytes:
+    """``maxval`` > 255 switches to the two-byte big-endian sample
+    form; ``pix`` then carries 2 bytes per sample."""
     magic = b"P6" if channels == 3 else b"P5"
-    return magic + f"\n{width} {height}\n255\n".encode() + pix
+    return magic + f"\n{width} {height}\n{maxval}\n".encode() + pix
 
 
 def _encode_wav(rate: int, samples: list[int]) -> bytes:

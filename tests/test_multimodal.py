@@ -808,6 +808,102 @@ def test_jpeg_chroma_subsampling_roundtrip():
             ) == base, (sub, w, h)
 
 
+def test_ppm_16bit_samples_decode():
+    """maxval > 255 Netpbm payloads (two-byte big-endian samples)
+    decode to their high bytes — the PNG-16 discipline — instead of
+    raising; planted low bytes differ so a wrong-half slice shifts
+    every value. Bad maxvals fail loudly."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_ppm,
+        _encode_ppm,
+    )
+
+    w, h = 5, 4
+    for ch in (1, 3):
+        hi = [(7 * j + 3) % 256 for j in range(w * h * ch)]
+        pix16 = b"".join(
+            bytes([v, (j * 31) % 256]) for j, v in enumerate(hi)
+        )
+        got = _decode_ppm(_encode_ppm(w, h, pix16, ch, maxval=65535))
+        assert got == (w, h, ch, bytes(hi))
+    # truncation is detected at the 2-byte width
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(_encode_ppm(w, h, pix16[:-1], 3, maxval=65535))
+    with _pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P5\n2 2\n70000\n" + bytes(8))
+    with _pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P5\n2 2\n0\n" + bytes(4))
+
+
+def test_jpeg_12bit_precision_roundtrip():
+    """12-bit extended-sequential JPEG (the last sample-precision plug
+    point, closed round 10): Pq=1 16-bit DQT entries parse, the flat
+    extended Huffman tables carry DC category 15 / AC size 14, level
+    shift and clamp run at 2048/4095, and decoded pixels take the
+    standard high-byte downsample — so a smooth 12-bit gradient must
+    come back within the same bounds as the 8-bit codec, and a flat
+    field exactly. Composes with chroma subsampling and restarts."""
+    import pytest as _pytest
+
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # gray ramp: quantization relative to the 16x range matches 8-bit
+    w, h = 19, 13
+    g12 = [min(4095, 180 * (j % w) + 23 * (j // w)) for j in range(w * h)]
+    rw, rh, rch, rpix = decode_jpeg(
+        encode_jpeg(w, h, g12, 1, 90, precision=12)
+    )
+    assert (rw, rh, rch) == (w, h, 1)
+    exp = [v >> 4 for v in g12]
+    assert max(abs(a - b) for a, b in zip(exp, rpix)) <= 3
+
+    # color gradient at 4:4:4 and 4:2:0 (subsampling composes)
+    w, h = 24, 16
+    pix12 = [
+        v for j in range(w * h)
+        for v in (
+            (j % w) * 4095 // (w - 1),
+            (j // w) * 4095 // (h - 1),
+            ((j % w) + (j // w)) * 4095 // (w + h - 2),
+        )
+    ]
+    exp = [v >> 4 for v in pix12]
+    for sub, bound in [("4:4:4", 8), ("4:2:0", 40)]:
+        _, _, _, rpix = decode_jpeg(
+            encode_jpeg(w, h, pix12, 3, 90, precision=12, subsampling=sub)
+        )
+        assert max(abs(a - b) for a, b in zip(exp, rpix)) <= bound, sub
+
+    # flat 12-bit field survives exactly at quality 95
+    flat = [3000] * 256
+    _, _, _, rpix = decode_jpeg(
+        encode_jpeg(16, 16, flat, 1, 95, precision=12)
+    )
+    assert all(v == (3000 >> 4) for v in rpix)
+
+    # restarts compose at 12-bit too
+    a = decode_jpeg(encode_jpeg(w, h, pix12, 3, precision=12))
+    b = decode_jpeg(
+        encode_jpeg(w, h, pix12, 3, precision=12, restart_interval=2)
+    )
+    assert a == b
+
+    # unsupported precisions still fail loudly on both sides
+    with _pytest.raises(NotImplementedError, match="8/12-bit"):
+        encode_jpeg(8, 8, [0] * 64, 1, precision=10)
+    good = bytearray(encode_jpeg(8, 8, bytes(range(64)), 1, 90))
+    sof = good.find(b"\xFF\xC0")
+    bad = bytearray(good)
+    bad[sof + 4] = 16  # SOF precision byte
+    with _pytest.raises(NotImplementedError, match="8/12-bit"):
+        decode_jpeg(bytes(bad))
+
+
 def test_mp4_pcm_sample_extraction():
     """MP4 'decode' is no longer metadata-only: an uncompressed
     ('twos'/'sowt') audio track's PCM frames are extracted by a real
