@@ -706,3 +706,131 @@ def test_budget_waterfill_invariants(spark, avails, budget):
             assert all(
                 alloc_hi <= alloc_lo + 1 for alloc_hi, _ in vals
             ), (budget, got)
+
+
+# PNG is the one bit-exact codec with a combinatorial surface (color
+# type x depth x filters x interlace x awkward dims) — a pure-Python
+# property needs no Spark session, so it affords many examples.
+png_config_strategy = st.tuples(
+    st.integers(1, 17),  # width
+    st.integers(1, 13),  # height
+    st.sampled_from(
+        [  # (channels-or-palette, depth)
+            (1, 1), (1, 2), (1, 4), (1, 8), (1, 16),
+            (2, 8), (2, 16), (3, 8), (3, 16), (4, 8), (4, 16),
+            ("pal", 1), ("pal", 2), ("pal", 4), ("pal", 8),
+        ]
+    ),
+    st.booleans(),  # interlace
+    st.lists(st.integers(0, 4), min_size=1, max_size=7),  # row filters
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(cfg=png_config_strategy)
+def test_png_roundtrip_property(cfg):
+    """decode(encode(pixels)) is exact for EVERY legal PNG layout: any
+    dims (incl. Adam7 passes that are empty or partial and sub-byte
+    rows with pad bits), any filter sequence, every depth/type pair —
+    16-bit comes back as high bytes, sub-byte gray scales 0..255,
+    palette expands through PLTE."""
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    w, h, (kind, depth), interlace, filters, rng = cfg
+    if kind == "pal":
+        n = 1 << depth
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(n)
+        ]
+        pix = bytes(rng.randrange(n) for _ in range(w * h))
+        enc = _encode_png(
+            w, h, pix, row_filters=filters, depth=depth, palette=pal,
+            interlace=interlace,
+        )
+        exp = (w, h, 3, b"".join(bytes(pal[i]) for i in pix))
+    elif depth < 8:
+        mask = (1 << depth) - 1
+        pix = bytes(rng.randrange(mask + 1) for _ in range(w * h))
+        enc = _encode_png(
+            w, h, pix, channels=1, row_filters=filters, depth=depth,
+            interlace=interlace,
+        )
+        exp = (w, h, 1, bytes(v * 255 // mask for v in pix))
+    elif depth == 16:
+        ch = kind
+        hi = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        pix = b"".join(
+            bytes([v, rng.randrange(256)]) for v in hi
+        )
+        enc = _encode_png(
+            w, h, pix, channels=ch, row_filters=filters, depth=16,
+            interlace=interlace,
+        )
+        exp = (w, h, ch, hi)
+    else:
+        ch = kind
+        pix = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        enc = _encode_png(
+            w, h, pix, channels=ch, row_filters=filters,
+            interlace=interlace,
+        )
+        exp = (w, h, ch, pix)
+    assert _decode_png(enc) == exp
+
+
+jpeg_config_strategy = st.tuples(
+    st.integers(1, 20),  # width
+    st.integers(1, 18),  # height
+    st.sampled_from(
+        [  # (channels, subsampling, precision)
+            (1, "4:4:4", 8), (3, "4:4:4", 8), (3, "4:2:2", 8),
+            (3, "4:2:0", 8), (1, "4:4:4", 12), (3, "4:4:4", 12),
+            (3, "4:2:0", 12),
+        ]
+    ),
+    st.booleans(),  # progressive (8-bit only; falls back to baseline)
+    st.sampled_from([0, 2, 5]),  # restart interval
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(cfg=jpeg_config_strategy)
+def test_jpeg_structural_property(cfg):
+    """Across the full encode matrix (channels x subsampling x
+    precision x progressive x restarts x awkward dims): decode
+    recovers exact dimensions/channels, and a FLAT image — DC only,
+    quantization-immune at q95 — survives within 1 level per channel
+    (subsampled chroma included: a flat field box-averages and
+    replicates to itself)."""
+    from dbscan_pyspark_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    w, h, (ch, sub, prec), progressive, rst, rng = cfg
+    maxv = (1 << prec) - 1
+    flat = [rng.randrange(maxv + 1)] * (w * h * ch)
+    if prec == 8:
+        flat_in = bytes(flat)
+    else:
+        flat_in = flat
+    if progressive and prec == 8 and rst == 0:
+        payload = encode_progressive_jpeg(
+            w, h, flat_in, ch, 95, subsampling=sub
+        )
+    else:
+        payload = encode_jpeg(
+            w, h, flat_in, ch, 95, subsampling=sub,
+            restart_interval=rst, precision=prec,
+        )
+    rw, rh, rch, rpix = decode_jpeg(payload)
+    assert (rw, rh, rch) == (w, h, ch)
+    exp = flat[0] >> (prec - 8)
+    assert all(abs(v - exp) <= 1 for v in rpix), (cfg, flat[0])
