@@ -1011,18 +1011,32 @@ def _encode_mp4_mjpeg(
 
 def _decode_wav(content: bytes) -> tuple[int, int, int, list[int]]:
     """Parse a PCM WAV payload via the stdlib ``wave`` module: returns
-    (sample_rate, n_channels, n_frames, samples) with 16-bit samples
-    unpacked to ints."""
+    (sample_rate, n_channels, n_frames, samples) with samples unpacked
+    to SIGNED ints at every PCM width — 16/24/32-bit are little-endian
+    signed as stored; 8-bit WAV is unsigned on the wire and comes back
+    centered (v - 128), so silence is 0 at every width."""
     import io
     import struct
     import wave
 
     with wave.open(io.BytesIO(content)) as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV supported")
+        sw = w.getsampwidth()
         rate, nch, nfr = w.getframerate(), w.getnchannels(), w.getnframes()
         raw = w.readframes(nfr)
-    samples = list(struct.unpack(f"<{nfr * nch}h", raw))
+    n = nfr * nch
+    if sw == 2:
+        samples = list(struct.unpack(f"<{n}h", raw))
+    elif sw == 1:
+        samples = [v - 128 for v in raw]
+    elif sw == 4:
+        samples = list(struct.unpack(f"<{n}i", raw))
+    elif sw == 3:
+        samples = [
+            int.from_bytes(raw[3 * i : 3 * i + 3], "little", signed=True)
+            for i in range(n)
+        ]
+    else:
+        raise ValueError(f"bad WAV sample width {sw}")
     return rate, nch, nfr, samples
 
 
@@ -1036,17 +1050,34 @@ def _encode_ppm(
     return magic + f"\n{width} {height}\n{maxval}\n".encode() + pix
 
 
-def _encode_wav(rate: int, samples: list[int]) -> bytes:
+def _encode_wav(
+    rate: int, samples: list[int], sampwidth: int = 2, channels: int = 1
+) -> bytes:
+    """``samples`` are the SIGNED values `_decode_wav` returns
+    (channel-interleaved when ``channels`` > 1); 8-bit re-offsets to
+    the unsigned wire form."""
     import io
     import struct
     import wave
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
         w.setframerate(rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        if sampwidth == 2:
+            raw = struct.pack(f"<{len(samples)}h", *samples)
+        elif sampwidth == 1:
+            raw = bytes(v + 128 for v in samples)
+        elif sampwidth == 4:
+            raw = struct.pack(f"<{len(samples)}i", *samples)
+        elif sampwidth == 3:
+            raw = b"".join(
+                v.to_bytes(3, "little", signed=True) for v in samples
+            )
+        else:
+            raise ValueError(f"bad WAV sample width {sampwidth}")
+        w.writeframes(raw)
     return buf.getvalue()
 
 
@@ -1097,7 +1128,9 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a media table of REAL encoded payloads from any id
     column. Even ids become images (width 4+id%5, height 3+id%4),
     cycling four on-disk encodings by id%8 — 0: binary PPM (pixel
-    byte j = (id*7+j)%256), 2: 8-bit RGB PNG (same pixels, row
+    byte j = (id*7+j)%256; 16-BIT two-byte samples when id%16==8,
+    same high bytes with low byte (id*13+j)%256, so the oracle is
+    depth-blind), 2: 8-bit RGB PNG (same pixels, row
     filters cycling 0..4), 4: 16-BIT grayscale PNG (sample j's high
     byte = (id*7+j)%256, low byte = (id*13+j)%256 — the decoder must
     recover the high bytes), 6: PALETTE PNG (16 entries, entry t
@@ -1106,10 +1139,11 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     id%16==14 — the decoder must reassemble the passes, unpack the
     sub-byte indices, and expand them through PLTE; the decoded
     pixels are identical either way, so the oracle needs no
-    interlace or depth arm). Odd ids become
-    PCM
+    interlace or depth arm). Odd ids become PCM
     WAV audio (rate 8000+(id%3)*4000, 50+id%30 samples, sample j =
-    ((id*31+j*17) % 4096) - 2048). Every field is integer arithmetic
+    ((id*31+j*17) % 4096) - 2048; the PCM width cycles 16/24/32-bit
+    by id%8 — values fit every width, so the oracle is width-blind).
+    Every field is integer arithmetic
     on the id, so a SQL oracle can replay what the DECODERS must
     recover from the bytes — the contract that proves the parse."""
     ids = df.select(F.col(id_col).cast("long").alias("media_id"))
@@ -1193,7 +1227,22 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         pix = bytes(
                             (mid * 7 + j) % 256 for j in range(w * h * 3)
                         )
-                        rows["content"].append(_encode_ppm(w, h, pix))
+                        if mid % 16 == 8:
+                            # every other PPM id goes 16-BIT (maxval
+                            # 65535, two-byte big-endian samples):
+                            # planted high bytes are the same recipe,
+                            # low bytes differ — the decoder must take
+                            # the high half, so the oracle is
+                            # depth-blind by construction
+                            pix16 = b"".join(
+                                bytes([v, (mid * 13 + j) % 256])
+                                for j, v in enumerate(pix)
+                            )
+                            rows["content"].append(
+                                _encode_ppm(w, h, pix16, maxval=65535)
+                            )
+                        else:
+                            rows["content"].append(_encode_ppm(w, h, pix))
                     rows["modality"].append("image")
                     rows["mime"].append(
                         "image/png" if m8 in (2, 4, 6)
@@ -1209,7 +1258,14 @@ def synth_real_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     samples = [
                         ((mid * 31 + j * 17) % 4096) - 2048 for j in range(n)
                     ]
-                    rows["content"].append(_encode_wav(rate, samples))
+                    # PCM width cycles by id (16-bit default, 24-bit
+                    # when id%8==7, 32-bit when id%8==3): the planted
+                    # values fit every width, so the decoded samples —
+                    # and with them the oracle — are width-blind
+                    sw = {7: 3, 3: 4}.get(mid % 8, 2)
+                    rows["content"].append(
+                        _encode_wav(rate, samples, sampwidth=sw)
+                    )
                     rows["modality"].append("audio")
                     rows["mime"].append("audio/wav")
                     rows["meta"].append(

@@ -808,6 +808,33 @@ def test_jpeg_chroma_subsampling_roundtrip():
             ) == base, (sub, w, h)
 
 
+def test_wav_pcm_width_matrix():
+    """PCM WAV decodes at every width the format defines — 8-bit
+    (unsigned wire, centered signed out: silence is 0 at every
+    width), 16/24/32-bit little-endian signed — mono and stereo,
+    exact sample round-trips; 24-bit covers the no-struct-code
+    3-byte path including negatives."""
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    cases = [
+        (1, [0, -128, 127, 5, -5]),
+        (2, [0, -32768, 32767, 1234, -4321]),
+        (3, [0, -(1 << 23), (1 << 23) - 1, 99999, -77777]),
+        (4, [0, -(1 << 31), (1 << 31) - 1, 7_000_000, -123]),
+    ]
+    for sw, samples in cases:
+        for ch in (1, 2):
+            s = samples * ch  # interleaved frames
+            rate, nch, nfr, got = _decode_wav(
+                _encode_wav(8000, s, sampwidth=sw, channels=ch)
+            )
+            assert (rate, nch, nfr) == (8000, ch, len(s) // ch), (sw, ch)
+            assert got == s, (sw, ch)
+
+
 def test_ppm_16bit_samples_decode():
     """maxval > 255 Netpbm payloads (two-byte big-endian samples)
     decode to their high bytes — the PNG-16 discipline — instead of
