@@ -572,6 +572,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_html_strip"] = doc_html_strip
 
+    def doc_url_domains(spark, sf):
+        # Crawl-curation URL stage: extract every http(s) URL (planted
+        # as id arithmetic around the real text — userinfo-free and
+        # userinfo-bearing forms, ports, mixed-case hosts, paths with
+        # query strings), resolve the lowercased host and its
+        # registrable domain, and flag blocklisted domains. The
+        # pattern strings use quote-free character classes so the
+        # IDENTICAL regex text runs under Java regex (Spark) and RE2
+        # (DuckDB) — hash-exact parity.
+        from dbscan_pyspark_spark.functions.text import (
+            extract_urls,
+            url_host,
+            url_registrable_domain,
+        )
+
+        d = load_table(spark, sf, "documents")
+        planted = F.concat(
+            F.col("text"),
+            F.lit(" see https://sub"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://Mirror"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Test.org:8080/x?q="),
+            (F.col("doc_id") % 11).cast("string"),
+            F.lit(" end"),
+        )
+        u = d.select(
+            "doc_id", F.explode(extract_urls(planted)).alias("url")
+        )
+        dom = url_registrable_domain(F.col("url"))
+        return u.select(
+            "doc_id",
+            "url",
+            url_host(F.col("url")).alias("host"),
+            dom.alias("domain"),
+            dom.isin("test.org", "example2.com").cast("int").alias(
+                "blocked"
+            ),
+        )
+
+    q["doc_url_domains"] = doc_url_domains
+
     def doc_winnow_fingerprints(spark, sf):
         from dbscan_pyspark_spark.operators.dedup import winnow_fingerprints
 
@@ -4267,6 +4313,7 @@ _FLAGSHIP_FIRST = [
     "multimodal_frame_sampling_real",  # new: stts timing contract
     "doc_unicode_nfc",  # new: Unicode NFC canonicalization stage
     "doc_html_strip",  # new: markup strip + entity decode
+    "doc_url_domains",  # new: URL extraction + domain blocklist
     "ivf_two_level_topk",  # new this round (rows-only by nature)
     "multimodal_real_dimensions",  # id%8 recipe + palette/16-bit/Adam7
     "multimodal_stats",  # decode stage over the reworked codecs
@@ -7893,6 +7940,32 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(html, '</?[A-Za-z!][^<>]*>')) AS INT)
          AS n_tags
 FROM h
+""",
+        "doc_url_domains": r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' see https://sub' || (doc_id % 5) || '.example'
+              || (doc_id % 3) || '.com/p/' || doc_id
+              || ' and http://Mirror' || (doc_id % 7)
+              || '.Test.org:8080/x?q=' || (doc_id % 11) || ' end' AS t2
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(t2,
+           'https?://(?:[^\s<>@/\x22\x27]*@)?[\w.\-]+(?::\d+)?(?:/[^\s<>\x22\x27]*)?'))
+           AS url
+  FROM t
+), hu AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           'https?://(?:[^\s<>@/\x22\x27]*@)?([\w.\-]+)', 1)) AS host
+  FROM u
+)
+SELECT doc_id, url, host,
+       regexp_extract(host, '([\w\-]+\.[\w\-]+)$', 1) AS domain,
+       CAST(regexp_extract(host, '([\w\-]+\.[\w\-]+)$', 1)
+            IN ('test.org', 'example2.com') AS INT) AS blocked
+FROM hu
 """,
         "doc_unicode_nfc": """
 SELECT doc_id,

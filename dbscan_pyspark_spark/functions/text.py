@@ -245,3 +245,40 @@ def strip_html(text: Column | str) -> Column:
         untagged.alias("clean_text"),
         F.size(F.regexp_extract_all(c, F.lit(tag), 0)).alias("n_tags"),
     )
+
+
+# http(s) URL shape: optional userinfo (no spaces/slashes before the
+# @), host of word/dot/dash chars, optional :port, optional path up to
+# whitespace, an angle bracket, or a quote. Quote characters appear
+# only as \x22/\x27 escapes so the IDENTICAL pattern string embeds in
+# a single-quoted SQL literal and runs under both Java regex (Spark)
+# and RE2 (DuckDB) — the oracle parity requirement.
+URL_PATTERN = (
+    r"https?://(?:[^\s<>@/\x22\x27]*@)?[\w.\-]+(?::\d+)?"
+    r"(?:/[^\s<>\x22\x27]*)?"
+)
+_HOST_PATTERN = r"https?://(?:[^\s<>@/\x22\x27]*@)?([\w.\-]+)"
+
+
+def extract_urls(text: Column | str) -> Column:
+    """All http(s) URLs in document order (array<string>) — JVM-side
+    ``regexp_extract_all``, the crawl-curation primitive feeding
+    domain frequency, blocklists, and link-graph stages."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of an http(s) URL: the authority minus
+    userinfo and port. Empty string for non-URL input (regexp_extract
+    semantics — same in DuckDB)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, _HOST_PATTERN, 1))
+
+
+def url_registrable_domain(url: Column | str) -> Column:
+    """Last-two-label domain of the URL's host ('sub.example.com' ->
+    'example.com') — the public-suffix-list-free heuristic that is
+    exact for generic TLDs; a PSL join refines ccTLDs when one is
+    available. Empty for hosts with fewer than two labels."""
+    return F.regexp_extract(url_host(url), r"([\w\-]+\.[\w\-]+)$", 1)

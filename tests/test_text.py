@@ -99,3 +99,63 @@ def test_strip_html_semantics(spark):
     }
     for i, _t, clean, n in rows:
         assert got[i] == (clean, n), (i, got[i], (clean, n))
+
+
+def test_url_extraction_semantics(spark):
+    """URL matching shapes: plain, port, path+query, userinfo,
+    mixed-case hosts (host lowercases, path case survives), http vs
+    https, trailing content exclusion at whitespace/angle brackets,
+    and non-URLs yielding empty arrays; registrable domain is the
+    last-two-label heuristic, empty below two labels."""
+    from dbscan_pyspark_spark.functions.text import (
+        extract_urls,
+        url_host,
+        url_registrable_domain,
+    )
+
+    rows = [
+        (0, "see https://sub.Example.com/P/9 end",
+         ["https://sub.Example.com/P/9"],
+         [("sub.example.com", "example.com")]),
+        (1, "a http://x.org:8080/q?a=1&b=2 b",
+         ["http://x.org:8080/q?a=1&b=2"], [("x.org", "x.org")]),
+        (2, "u https://user:pw@deep.host.net/secret v",
+         ["https://user:pw@deep.host.net/secret"],
+         [("deep.host.net", "host.net")]),
+        (3, '<a href="https://a.io/x">link</a>',
+         ["https://a.io/x"], [("a.io", "a.io")]),
+        (4, "two https://a.com and http://b.de/ here",
+         ["https://a.com", "http://b.de/"],
+         [("a.com", "a.com"), ("b.de", "b.de")]),
+        (5, "no urls here, not even ftp://old.school", [], []),
+        (6, "bare http://localhost/x", ["http://localhost/x"],
+         [("localhost", "")]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _u, _h in rows], "doc_id long, text string"
+    )
+    got_urls = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", extract_urls("text").alias("u")
+        ).collect()
+    }
+    for i, _t, urls, _h in rows:
+        assert got_urls[i] == urls, (i, got_urls[i])
+
+    from pyspark.sql import functions as F
+
+    exploded = df.select(
+        "doc_id", F.explode(extract_urls("text")).alias("url")
+    ).select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        url_registrable_domain(F.col("url")).alias("domain"),
+    )
+    got_hosts: dict[int, list] = {}
+    for r in exploded.collect():
+        got_hosts.setdefault(r["doc_id"], []).append(
+            (r["host"], r["domain"])
+        )
+    for i, _t, urls, hosts in rows:
+        assert got_hosts.get(i, []) == hosts, (i, got_hosts.get(i))
