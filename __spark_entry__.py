@@ -7952,13 +7952,13 @@ WITH t AS (
 ), u AS (
   SELECT doc_id,
          unnest(regexp_extract_all(t2,
-           'https?://(?:[^\s<>@/\x22\x27]*@)?[\w.\-]+(?::\d+)?(?:/[^\s<>\x22\x27]*)?'))
+           'https?://(?:[^ \t\n\x0B\f\r<>@/\x22\x27]*@)?[\w.\-]+(?::\d+)?(?:/[^ \t\n\x0B\f\r<>\x22\x27]*)?'))
            AS url
   FROM t
 ), hu AS (
   SELECT doc_id, url,
          lower(regexp_extract(url,
-           'https?://(?:[^\s<>@/\x22\x27]*@)?([\w.\-]+)', 1)) AS host
+           'https?://(?:[^ \t\n\x0B\f\r<>@/\x22\x27]*@)?([\w.\-]+)', 1)) AS host
   FROM u
 )
 SELECT doc_id, url, host,

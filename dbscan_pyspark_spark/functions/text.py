@@ -249,15 +249,19 @@ def strip_html(text: Column | str) -> Column:
 
 # http(s) URL shape: optional userinfo (no spaces/slashes before the
 # @), host of word/dot/dash chars, optional :port, optional path up to
-# whitespace, an angle bracket, or a quote. Quote characters appear
-# only as \x22/\x27 escapes so the IDENTICAL pattern string embeds in
-# a single-quoted SQL literal and runs under both Java regex (Spark)
-# and RE2 (DuckDB) — the oracle parity requirement.
+# whitespace, an angle bracket, or a quote. The pattern text is
+# engine-parity-hardened: quote characters appear only as \x22/\x27
+# escapes (so the IDENTICAL string embeds in a single-quoted SQL
+# literal) and whitespace is the EXPLICIT Java \s set — spelled out
+# because RE2's \s lacks vertical tab (\x0B), the one character where
+# the shorthands disagree. Java regex (Spark) and RE2 (DuckDB) then
+# extract identical spans — the hash-exact oracle requirement.
+_WS = r" \t\n\x0B\f\r"
 URL_PATTERN = (
-    r"https?://(?:[^\s<>@/\x22\x27]*@)?[\w.\-]+(?::\d+)?"
-    r"(?:/[^\s<>\x22\x27]*)?"
+    r"https?://(?:[^" + _WS + r"<>@/\x22\x27]*@)?[\w.\-]+(?::\d+)?"
+    r"(?:/[^" + _WS + r"<>\x22\x27]*)?"
 )
-_HOST_PATTERN = r"https?://(?:[^\s<>@/\x22\x27]*@)?([\w.\-]+)"
+_HOST_PATTERN = r"https?://(?:[^" + _WS + r"<>@/\x22\x27]*@)?([\w.\-]+)"
 
 
 def extract_urls(text: Column | str) -> Column:

@@ -1059,6 +1059,8 @@ def decode_jpeg(content):
             while j < len(payload):
                 pq, tq = payload[j] >> 4, payload[j] & 0xF
                 if pq == 1:  # 16-bit entries (12-bit sample streams)
+                    if j + 129 > len(payload):
+                        raise ValueError("truncated JPEG quant table")
                     zz = struct.unpack(">64H", payload[j + 1 : j + 129])
                     j += 129
                 elif pq == 0:
@@ -1186,12 +1188,6 @@ def decode_jpeg(content):
         planes.append(plane)
         widths8.append(w8)
 
-    def sample(c, x, y):
-        # nearest-neighbor upsample of a subsampled plane (sample
-        # replication — the classic no-smoothing reconstruction)
-        hs, vs = geom[c][0], geom[c][1]
-        return planes[c][(y * vs // vmax) * widths8[c] + (x * hs // hmax)]
-
     out = bytearray(width * height * ncomp)
     if ncomp == 1:
         p = planes[0]
@@ -1201,11 +1197,27 @@ def decode_jpeg(content):
             for c in range(width):
                 out[r * width + c] = p[row + c]
     else:
+        py_, pcb, pcr = planes
+        wy, wcb, wcr = widths8
+        (hy_, vy_), (hb, vb), (hr_, vr_) = (g[:2] for g in geom)
+        full_h = hy_ == hmax and hb == hmax and hr_ == hmax
         for r in range(height):
+            # per-plane row bases hoisted: nearest-neighbor chroma
+            # upsample (sample replication) costs two divisions per
+            # ROW, not per pixel; horizontally-full layouts (incl.
+            # the ubiquitous 4:4:4) keep direct row indexing
+            ry = (r * vy_ // vmax) * wy
+            rb = (r * vb // vmax) * wcb
+            rr_ = (r * vr_ // vmax) * wcr
             for c in range(width):
-                y = sample(0, c, r)
-                cb = sample(1, c, r) - 128
-                cr = sample(2, c, r) - 128
+                if full_h:
+                    y = py_[ry + c]
+                    cb = pcb[rb + c] - 128
+                    cr = pcr[rr_ + c] - 128
+                else:
+                    y = py_[ry + c * hy_ // hmax]
+                    cb = pcb[rb + c * hb // hmax] - 128
+                    cr = pcr[rr_ + c * hr_ // hmax] - 128
                 rr = int(round(y + 1.402 * cr))
                 gg = int(round(y - 0.344136 * cb - 0.714136 * cr))
                 bb = int(round(y + 1.772 * cb))

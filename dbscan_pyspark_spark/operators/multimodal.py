@@ -1084,7 +1084,11 @@ def _encode_wav(
 def _real_decode(content: bytes) -> tuple[int, str]:
     """decode_media's 'real' path: parse the payload with the matching
     zero-dependency codec and return (n_decoded_values, md5 of the
-    decoded sample bytes) — a real parse, not the byte-level fake."""
+    decoded sample bytes) — a real parse, not the byte-level fake.
+    Audio samples checksum in a canonical little-endian int32 form,
+    independent of the on-wire PCM width (8/16/24/32-bit payloads of
+    the same values hash identically — and 24/32-bit values cannot
+    overflow the pack)."""
     import hashlib
     import struct
 
@@ -1101,7 +1105,7 @@ def _real_decode(content: bytes) -> tuple[int, str]:
         return len(pix), hashlib.md5(pix).hexdigest()
     if content and content[:4] == b"RIFF":
         _, _, _, samples = _decode_wav(content)
-        raw = struct.pack(f"<{len(samples)}h", *samples)
+        raw = struct.pack(f"<{len(samples)}i", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     if content and len(content) >= 12 and content[4:8] == b"ftyp":
         # real ISO-BMFF sample extraction: Motion-JPEG video tracks
@@ -1113,7 +1117,7 @@ def _real_decode(content: bytes) -> tuple[int, str]:
             pix = b"".join(frames)
             return len(pix), hashlib.md5(pix).hexdigest()
         _, _, samples = _mp4_pcm_samples(content)
-        raw = struct.pack(f"<{len(samples)}h", *samples)
+        raw = struct.pack(f"<{len(samples)}i", *samples)
         return len(samples), hashlib.md5(raw).hexdigest()
     raise NotImplementedError(
         "real decode supports binary PPM/PGM, PNG (8/16-bit, palette, "

@@ -834,6 +834,21 @@ def test_wav_pcm_width_matrix():
             assert (rate, nch, nfr) == (8000, ch, len(s) // ch), (sw, ch)
             assert got == s, (sw, ch)
 
+    # the real-decode checksum path must survive values past int16 —
+    # and the canonical int32 form makes it WIDTH-blind: the same
+    # values at different on-wire widths hash identically
+    import hashlib
+    import struct
+
+    from dbscan_pyspark_spark.operators.multimodal import _real_decode
+
+    wide = [0, 100000, -7000000, (1 << 23) - 1]
+    n24, sum24 = _real_decode(_encode_wav(8000, wide, sampwidth=3))
+    n32, sum32 = _real_decode(_encode_wav(8000, wide, sampwidth=4))
+    exp = hashlib.md5(struct.pack("<4i", *wide)).hexdigest()
+    assert (n24, sum24) == (4, exp)
+    assert (n32, sum32) == (4, exp)
+
 
 def test_ppm_16bit_samples_decode():
     """maxval > 255 Netpbm payloads (two-byte big-endian samples)
@@ -993,7 +1008,8 @@ def test_mp4_pcm_flows_through_real_decode_and_dimensions(spark):
             media.where("media_id = 1"), "real"
         ).collect()
     }
-    raw = struct.pack(f"<{len(samples)}h", *samples)
+    # canonical int32 sample checksum (width-blind — see _real_decode)
+    raw = struct.pack(f"<{len(samples)}i", *samples)
     assert dec[1]["checksum"] == hashlib.md5(raw).hexdigest()
     assert dec[1]["n_bytes"] == len(samples)
     import pytest as _pytest
