@@ -36,6 +36,17 @@ from __future__ import annotations
 import math
 import struct
 
+# NumPy accelerates the bulk numeric stages (color transform, FDCT/IDCT,
+# quantization, pixel reconstruction) when present; every vectorized
+# stage reproduces the scalar path's float operations in the SAME order
+# and association, so outputs are bit-identical either way (pinned by
+# tests/test_jpeg_vector_parity.py). The scalar path remains the
+# zero-dependency fallback.
+try:  # pragma: no cover - import guard
+    import numpy as _np
+except ImportError:  # pragma: no cover
+    _np = None
+
 # zigzag scan order: index i of the scan -> (row, col) flattened offset
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -144,9 +155,17 @@ _AC_EXT = (
 )
 
 
+_HUFF_MEMO: dict = {}
+
+
 def _huff_codes(bits, values):
     """Canonical Huffman code assignment (T.81 C.2): returns
-    {symbol: (code, length)}."""
+    {symbol: (code, length)}. Memoized — encoders rebuild the same
+    static Annex-K / flat tables for every image."""
+    key = ("codes", tuple(bits), tuple(values))
+    hit = _HUFF_MEMO.get(key)
+    if hit is not None:
+        return hit
     out = {}
     code = 0
     k = 0
@@ -156,11 +175,18 @@ def _huff_codes(bits, values):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_MEMO) < 512:  # bound growth under adversarial tables
+        _HUFF_MEMO[key] = out
     return out
 
 
 def _huff_lookup(bits, values):
-    """Decoder-side map {(length, code): symbol}."""
+    """Decoder-side map {(length, code): symbol}. Memoized — decoders
+    re-parse the same DHT payloads for every image of a fixture set."""
+    key = ("lookup", tuple(bits), tuple(values))
+    hit = _HUFF_MEMO.get(key)
+    if hit is not None:
+        return hit
     out = {}
     code = 0
     k = 0
@@ -170,6 +196,8 @@ def _huff_lookup(bits, values):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_MEMO) < 512:  # bound growth under adversarial tables
+        _HUFF_MEMO[key] = out
     return out
 
 
@@ -178,6 +206,23 @@ _DCT_COS = [
     for u in range(8)
 ]
 _DCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+if _np is not None:
+    _NP_ZIGZAG = _np.asarray(_ZIGZAG, dtype=_np.int64)
+    _NP_COS = _np.asarray(_DCT_COS, dtype=_np.float64)  # COS[u][x]
+    _NP_C = _np.asarray(_DCT_C, dtype=_np.float64)
+    # ((0.25 * C[u]) * C[v]) — the scalar FDCT's exact association
+    _NP_FDCT_SCALE = (0.25 * _NP_C)[:, None] * _NP_C[None, :]
+    # C[u] * COS[u][x] — the scalar IDCT's hoisted ``cu`` product
+    _NP_CU = _NP_C[:, None] * _NP_COS
+    # Flattened per-term factor tables for the tensorized DCTs: index
+    # t = x*8+y (FDCT) or u*8+v (IDCT) enumerates the scalar loops'
+    # accumulation order; the two factors of each term stay separate
+    # so the multiply association matches the scalar expression.
+    _NP_FD_XU = _np.repeat(_NP_COS.T, 8, axis=0)  # [(x8+y), u] = COS[u][x]
+    _NP_FD_YV = _np.tile(_NP_COS.T, (8, 1))       # [(x8+y), v] = COS[v][y]
+    _NP_ID_UX = _np.repeat(_NP_CU, 8, axis=0)     # [(u8+v), x] = C[u]*COS[u][x]
+    _NP_ID_VY = _np.tile(_NP_COS, (8, 1))         # [(u8+v), y] = COS[v][y]
 
 
 def _fdct8x8(block):
@@ -209,6 +254,54 @@ def _idct8x8(coef):
                     s += _DCT_C[v] * coef[row + v] * cu * _DCT_COS[v][y]
             out[x * 8 + y] = 0.25 * s
     return out
+
+
+def _gather_blocks_np(plane, width, height, bx, by, half):
+    """Edge-replicated 8x8 block gather: plane (len width*height,
+    list or ndarray) -> float64 array (by*bx, 8, 8) of level-shifted
+    samples, blocks in raster order. Reproduces the scalar loop's
+    ``plane[min(...)*width + min(...)] - half`` exactly (one float
+    subtraction per sample, same operand order)."""
+    p = _np.asarray(plane, dtype=_np.float64).reshape(height, width)
+    rows = _np.minimum(_np.arange(by * 8), height - 1)
+    cols = _np.minimum(_np.arange(bx * 8), width - 1)
+    padded = p[_np.ix_(rows, cols)] - float(half)
+    return (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8)
+    )
+
+
+def _fdct_quant_zz_np(blocks, qtab):
+    """Vectorized FDCT + quantize + zigzag over a (nb, 8, 8) float64
+    block array -> int zigzag blocks as an (nb, 64) int64 array.
+
+    Bit-exact replication of ``_fdct8x8`` + ``_encode_block``'s
+    quantizer: terms are formed with the scalar code's association
+    ``(block[x,y] * COS[u][x]) * COS[v][y]``, accumulated SEQUENTIALLY
+    in the scalar loop's (x, y) order (64 in-place vector adds — NOT
+    numpy's pairwise ``sum``, whose different reduction tree would
+    round differently), scaled by ``((0.25 * C[u]) * C[v])`` exactly as
+    the scalar expression associates, and quantized with the same
+    round-half-away-from-zero construction."""
+    nb = blocks.shape[0]
+    # term[b, t=(x8+y), u, v] = (block[x, y] * COS[u][x]) * COS[v][y]
+    # — built in two whole-tensor multiplies (association preserved),
+    # then accumulated with 64 sequential in-place adds in the scalar
+    # loop's (x, y) order.
+    t = (
+        blocks.reshape(nb, 64)[:, :, None, None] * _NP_FD_XU[None, :, :, None]
+    ) * _NP_FD_YV[None, :, None, :]
+    s = _np.zeros((nb, 8, 8), dtype=_np.float64)
+    for k in range(64):
+        s += t[:, k]
+    coef = _NP_FDCT_SCALE[None, :, :] * s
+    q = coef.reshape(nb, 64) / _np.asarray(qtab, dtype=_np.float64)[None, :]
+    qi = _np.where(
+        q >= 0.0,
+        _np.floor(q + 0.5),
+        -_np.floor(-q + 0.5),
+    ).astype(_np.int64)
+    return qi[:, _NP_ZIGZAG]
 
 
 def _scale_quant(table, quality, precision=8):
@@ -265,6 +358,13 @@ def _encode_block(bw, coef, qtab, dc_codes, ac_codes, prev_dc):
         c = coef[i] / qtab[i]
         q[i] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
     zz = [q[_ZIGZAG[i]] for i in range(64)]
+    return _encode_block_zz(bw, zz, dc_codes, ac_codes, prev_dc)
+
+
+def _encode_block_zz(bw, zz, dc_codes, ac_codes, prev_dc):
+    """Entropy-code one already-quantized zigzag block (the back half
+    of _encode_block, split out so encode_jpeg can feed vectorized
+    _component_zz_blocks output straight into the bit writer)."""
     diff = zz[0] - prev_dc
     size, bits = _category(diff)
     code, ln = dc_codes[size]
@@ -302,12 +402,60 @@ def _parse_subsampling(subsampling):
     return table[subsampling]
 
 
+def _subsample_planes_np(width, height, pix, hy, vy, half):
+    """Vectorized twin of the scalar ``_subsample_planes`` body.
+    Color-transform expressions keep the scalar association
+    (``((0.299*r + 0.587*g) + 0.114*b)`` etc.), and the box average
+    accumulates its (yy, xx)-ordered group members with sequential
+    in-place adds (masked cells contribute an exact ``+0.0``), so the
+    planes are bit-identical to the scalar path's."""
+    if isinstance(pix, (bytes, bytearray)):
+        arr = _np.frombuffer(bytes(pix), dtype=_np.uint8)[: width * height * 3]
+        arr = arr.astype(_np.float64)
+    else:
+        arr = _np.asarray(list(pix[: width * height * 3]), dtype=_np.float64)
+    r = arr[0::3]
+    g = arr[1::3]
+    b = arr[2::3]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cbf = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+    crf = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+    if hy == 1 and vy == 1:
+        return [y, cbf, crf], [(width, height)] * 3
+    cw = (width + hy - 1) // hy
+    ch = (height + vy - 1) // vy
+    cb2 = cbf.reshape(height, width)
+    cr2 = crf.reshape(height, width)
+    sb = _np.zeros((ch, cw), dtype=_np.float64)
+    sr = _np.zeros((ch, cw), dtype=_np.float64)
+    n = _np.zeros((ch, cw), dtype=_np.int64)
+    ys = _np.arange(ch) * vy
+    xs = _np.arange(cw) * hy
+    for dy in range(vy):
+        yy = ys + dy
+        ymask = yy < height
+        yidx = _np.minimum(yy, height - 1)
+        for dx in range(hy):
+            xx = xs + dx
+            xmask = xx < width
+            xidx = _np.minimum(xx, width - 1)
+            mask = ymask[:, None] & xmask[None, :]
+            sb += _np.where(mask, cb2[_np.ix_(yidx, xidx)], 0.0)
+            sr += _np.where(mask, cr2[_np.ix_(yidx, xidx)], 0.0)
+            n += mask
+    cb = (sb / n).reshape(-1)
+    cr = (sr / n).reshape(-1)
+    return [y, cb, cr], [(width, height), (cw, ch), (cw, ch)]
+
+
 def _subsample_planes(width, height, pix, hy, vy, half=128):
     """RGB -> YCbCr planes with chroma box-averaged over hy x vy pixel
     groups (edge groups clamp). Returns (planes, dims): the full-res Y
     plane plus the two downsampled chroma planes with their dims.
     ``half`` is the chroma zero point (128 at 8-bit, 2048 at 12)."""
     npx = width * height
+    if _np is not None:
+        return _subsample_planes_np(width, height, pix, hy, vy, half)
     y = [0.0] * npx
     cbf = [0.0] * npx
     crf = [0.0] * npx
@@ -392,6 +540,23 @@ def encode_jpeg(
     prev_dc = [0] * channels
     mcux = (width + 8 * hy - 1) // (8 * hy)
     mcuy = (height + 8 * vy - 1) // (8 * vy)
+    # FDCT + quantization for every component runs up front over the
+    # full MCU-padded block grid (vectorized when numpy is present —
+    # bit-identical to the inline scalar loop, which gathered block
+    # (mby*vc+r8, mbx*hc+q8) of exactly this grid); the MCU loop below
+    # is then pure entropy coding.
+    comp_blocks = []
+    comp_bx = []
+    for c in range(channels):
+        pw, ph = dims[c]
+        hc, vc = factors[c]
+        comp_blocks.append(
+            _component_zz_blocks(
+                planes[c], pw, ph, qtabs[c],
+                bx=mcux * hc, by=mcuy * vc, half=half,
+            )
+        )
+        comp_bx.append(mcux * hc)
     mcu = 0
     rst = 0
     for mby in range(mcuy):
@@ -405,21 +570,15 @@ def encode_jpeg(
                 prev_dc = [0] * channels
             mcu += 1
             for c in range(channels):
-                plane = planes[c]
-                pw, ph = dims[c]
                 hc, vc = factors[c]
+                gbx = comp_bx[c]
                 for r8 in range(vc):
                     for q8 in range(hc):
-                        block = [0.0] * 64
-                        for i in range(8):
-                            yy = min((mby * vc + r8) * 8 + i, ph - 1)
-                            for j in range(8):
-                                xx = min((mbx * hc + q8) * 8 + j, pw - 1)
-                                block[i * 8 + j] = plane[yy * pw + xx] - half
-                        coef = _fdct8x8(block)
-                        prev_dc[c] = _encode_block(
-                            bw, coef, qtabs[c], dc_codes[c],
-                            ac_codes[c], prev_dc[c],
+                        zz = comp_blocks[c][
+                            (mby * vc + r8) * gbx + (mbx * hc + q8)
+                        ]
+                        prev_dc[c] = _encode_block_zz(
+                            bw, zz, dc_codes[c], ac_codes[c], prev_dc[c],
                         )
     bw.flush()
 
@@ -476,16 +635,21 @@ def encode_jpeg(
     return bytes(out)
 
 
-def _component_zz_blocks(plane, width, height, qtab, bx=None, by=None):
+def _component_zz_blocks(plane, width, height, qtab, bx=None, by=None, half=128):
     """FDCT + quantize one component plane into zigzag-order int
     blocks (raster block order) — the shared front half of both the
     baseline and progressive encoders; quantization rounding matches
     `_encode_block` exactly. ``bx``/``by`` optionally force a LARGER
     grid than the plane's own ceil grid (MCU padding under
     subsampling — pad blocks edge-replicate, as in the baseline
-    interleaved layout)."""
+    interleaved layout). Vectorized over all blocks when numpy is
+    present (bit-identical — see _fdct_quant_zz_np); scalar fallback
+    otherwise."""
     bx = bx if bx is not None else (width + 7) // 8
     by = by if by is not None else (height + 7) // 8
+    if _np is not None:
+        gathered = _gather_blocks_np(plane, width, height, bx, by, half)
+        return _fdct_quant_zz_np(gathered, qtab).tolist()
     blocks = []
     for mby in range(by):
         for mbx in range(bx):
@@ -494,7 +658,7 @@ def _component_zz_blocks(plane, width, height, qtab, bx=None, by=None):
                 yy = min(mby * 8 + i, height - 1)
                 for j in range(8):
                     xx = min(mbx * 8 + j, width - 1)
-                    block[i * 8 + j] = plane[yy * width + xx] - 128
+                    block[i * 8 + j] = plane[yy * width + xx] - half
             coef = _fdct8x8(block)
             q = [0] * 64
             for i in range(64):
@@ -789,28 +953,36 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
+    def _pull(self):
+        """Refill one byte into the accumulator (handles 0xFF00 byte
+        stuffing). Byte-pull trigger points — and therefore the
+        truncation / unexpected-marker error positions — are identical
+        to reading bit-by-bit: a byte is only ever pulled when a
+        requested bit needs it."""
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError("unexpected marker in entropy stream")
+        self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | b
+        self.n += 8
+
     def bit(self):
         if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise ValueError("unexpected marker in entropy stream")
-            self.acc = b
-            self.n = 8
+            self._pull()
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def bits(self, k):
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        while self.n < k:
+            self._pull()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def restart(self, n):
         """Consume an expected RSTn marker: discard pad bits to the
@@ -834,12 +1006,35 @@ class _BitReader:
 
 
 def _read_huff_symbol(br, table):
+    """Walk the canonical code lengths bit by bit (state kept in
+    locals; bytes pulled lazily exactly when the next bit is needed,
+    so marker/truncation behavior matches the naive per-bit read)."""
+    acc, n, pos, data = br.acc, br.n, br.pos, br.data
+    get = table.get
     code = 0
     for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
+        if n == 0:
+            if pos >= len(data):
+                br.acc, br.n, br.pos = acc, n, pos
+                raise ValueError("JPEG entropy stream truncated")
+            b = data[pos]
+            pos += 1
+            if b == 0xFF:
+                nxt = data[pos] if pos < len(data) else 0
+                if nxt == 0x00:
+                    pos += 1  # stuffed byte
+                else:
+                    br.acc, br.n, br.pos = acc, n, pos
+                    raise ValueError("unexpected marker in entropy stream")
+            acc = b
+            n = 8
+        n -= 1
+        code = (code << 1) | ((acc >> n) & 1)
+        sym = get((length, code))
         if sym is not None:
+            br.acc, br.n, br.pos = acc, n, pos
             return sym
+    br.acc, br.n, br.pos = acc, n, pos
     raise ValueError("invalid JPEG Huffman code")
 
 
@@ -1014,6 +1209,88 @@ def _decode_scan(
                 eobrun -= 1
 
 
+def _idct_blocks_np(zzarr, qt):
+    """Vectorized dequantize + IDCT over (nb, 64) zigzag-order int
+    coefficient rows -> (nb, 8, 8) float64 spatial blocks.
+
+    Bit-exact replication of the scalar ``_idct8x8`` call sites:
+    dequantization multiplies integers (exact), terms are formed with
+    the scalar association ``((C[v]*coef) * (C[u]*COS[u][x])) *
+    COS[v][y]`` and accumulated SEQUENTIALLY in the scalar (u, v) loop
+    order (64 in-place vector adds, not a pairwise-summed ``sum``),
+    then scaled by 0.25."""
+    qt_np = _np.asarray(qt, dtype=_np.int64)
+    dq_zz = _np.asarray(zzarr, dtype=_np.int64) * qt_np[_NP_ZIGZAG][None, :]
+    nb = dq_zz.shape[0]
+    coef = _np.zeros((nb, 64), dtype=_np.int64)
+    coef[:, _NP_ZIGZAG] = dq_zz
+    # A[b, t=(u8+v)] = C[v] * coef[b, u*8+v] — the scalar term's first
+    # product; then term[b, t, x, y] = (A * (C[u]*COS[u][x])) * COS[v][y]
+    # in two whole-tensor multiplies, accumulated with 64 sequential
+    # in-place adds in the scalar loop's (u, v) order.
+    a = _np.tile(_NP_C, 8)[None, :] * coef.astype(_np.float64)
+    t = (
+        a[:, :, None, None] * _NP_ID_UX[None, :, :, None]
+    ) * _NP_ID_VY[None, :, None, :]
+    p = _np.zeros((nb, 8, 8), dtype=_np.float64)
+    for k in range(64):
+        p += t[:, k]
+    return 0.25 * p
+
+
+def _reconstruct_np(width, height, ncomp, coefs, geom, comps, qtabs, mcuy, prec):
+    """Vectorized back half of ``decode_jpeg`` (dequant + IDCT + plane
+    assembly + chroma upsample + color transform). Bit-identical to the
+    scalar path: rounding is round-half-even (``round`` and ``np.rint``
+    agree), clamps and shifts are integer-exact, and the YCbCr->RGB
+    expressions keep the scalar association."""
+    hmax = max(g[0] for g in geom)
+    vmax = max(g[1] for g in geom)
+    half, maxv, shift = 1 << (prec - 1), (1 << prec) - 1, prec - 8
+    planes = []
+    for c in range(ncomp):
+        hs, vs, ncols, _, _ = geom[c]
+        nrows = mcuy * vs
+        qt = qtabs[comps[c][1]]
+        blocks = _idct_blocks_np(coefs[c], qt)
+        v = _np.rint(blocks).astype(_np.int64) + half
+        v = _np.clip(v, 0, maxv) >> shift
+        plane = (
+            v.reshape(nrows, ncols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nrows * 8, ncols * 8)
+        )
+        planes.append(plane)
+    if ncomp == 1:
+        out = planes[0][:height, :width].astype(_np.uint8)
+        return width, height, 1, out.tobytes()
+    rows_idx = [
+        (_np.arange(height) * g[1]) // vmax for g in geom
+    ]
+    cols_idx = [
+        (_np.arange(width) * g[0]) // hmax for g in geom
+    ]
+    y = planes[0][_np.ix_(rows_idx[0], cols_idx[0])].astype(_np.float64)
+    cb = (
+        planes[1][_np.ix_(rows_idx[1], cols_idx[1])] - 128
+    ).astype(_np.float64)
+    cr = (
+        planes[2][_np.ix_(rows_idx[2], cols_idx[2])] - 128
+    ).astype(_np.float64)
+    rr = _np.rint(y + 1.402 * cr).astype(_np.int64)
+    gg = _np.rint(y - 0.344136 * cb - 0.714136 * cr).astype(_np.int64)
+    bb = _np.rint(y + 1.772 * cb).astype(_np.int64)
+    rgb = _np.stack(
+        [
+            _np.clip(rr, 0, 255),
+            _np.clip(gg, 0, 255),
+            _np.clip(bb, 0, 255),
+        ],
+        axis=-1,
+    ).astype(_np.uint8)
+    return width, height, 3, rgb.tobytes()
+
+
 def decode_jpeg(content):
     """Decode a JPEG: returns (width, height, channels, pixel_bytes).
     Supports 8-bit baseline sequential (SOF0) AND progressive (SOF2 —
@@ -1159,6 +1436,10 @@ def decode_jpeg(content):
         raise ValueError("JPEG missing SOF/SOS")
     if ncomp not in (1, 3):
         raise NotImplementedError("JPEG with 2 or >3 components")
+    if _np is not None:
+        return _reconstruct_np(
+            width, height, ncomp, coefs, geom, comps, qtabs, mcuy, prec
+        )
     hmax = max(g[0] for g in geom)
     vmax = max(g[1] for g in geom)
     planes = []
