@@ -153,3 +153,27 @@ def formatted_plan_string(df: DataFrame) -> str:
         with contextlib.redirect_stdout(buf):
             df.explain(mode="formatted")
         return buf.getvalue()
+
+
+def concurrent_map_ordered(fn, items, max_workers: int = 3):
+    """Run ``fn`` over ``items`` from a small driver thread pool,
+    returning results in input order (spark_optimization_guide §2.6:
+    independent actions submitted concurrently back-fill executors
+    freed by each job's straggler tail; 2-3 in flight is enough).
+
+    Each item's computation is unchanged — only job SUBMISSION
+    overlaps — so results are bit-identical to the sequential loop.
+    Used by the sweep-family operators (eps_sweep, kmember_search),
+    whose per-configuration bodies are many small dependent jobs:
+    overlapping two or three configurations hides the per-job driver
+    and stage-scheduling latency that dominates them at any scale.
+    Falls back to a plain loop for a single item (or worker)."""
+    items = list(items)
+    if len(items) <= 1 or max_workers <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(items))
+    ) as pool:
+        return list(pool.map(fn, items))

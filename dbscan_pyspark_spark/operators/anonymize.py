@@ -246,9 +246,11 @@ def eps_sweep(
     n_total = points.count()
     inf = float("inf")
 
-    rows = []
-    try:
-        for eps in sorted(eps_values):
+    def _one_eps(eps):
+            # one ε's filters + CC + weighted metrics — unchanged math;
+            # bodies for different ε run concurrently (guide §2.6: the
+            # per-ε chain is many small dependent jobs, so overlapping
+            # sweeps hides per-job scheduling latency; 2-3 in flight)
             pairs = all_pairs.where(F.col("distance") < F.lit(float(eps)))
             counts = pairs.groupBy("a_id").agg(F.sum("_mult_b").alias("n"))
             cores = counts.where(F.col("n") >= min_pts).select(
@@ -299,10 +301,6 @@ def eps_sweep(
             )
 
             clustered = rep_labels.where(F.col("cluster_id").isNotNull())
-            if clustered.isEmpty():
-                rows.append((float(eps), 0, n_total, 0.0, inf, inf))
-                rep_labels.unpersist()
-                continue
 
             # weighted centroids
             cents = (
@@ -321,39 +319,46 @@ def eps_sweep(
                     F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
                 )
             )
-            cluster_stats = (
-                clustered.join(cents, "cluster_id")
-                .agg(
-                    F.count_distinct("cluster_id").alias("n_clusters"),
-                    F.sum(F.col("_mult") * dist(features, "centroid")).alias("err"),
-                )
-                .first()
+            cluster_agg = clustered.join(cents, "cluster_id").agg(
+                F.count_distinct("cluster_id").alias("n_clusters"),
+                F.sum(F.col("_mult") * dist(features, "centroid")).alias("err"),
             )
             noise = rep_labels.where(F.col("cluster_id").isNull())
-            noise_stats = (
+            noise_agg = (
                 assign_nearest(
-                    noise, cents, metric=metric, features=features, id_col=id_col
+                    noise, cents, metric=metric, features=features,
+                    id_col=id_col, dim=dim,
                 )
                 .join(noise.select(id_col, "_mult"), id_col)
                 .agg(
                     F.coalesce(F.sum("_mult"), F.lit(0)).alias("n_noise"),
-                    F.coalesce(F.sum(F.col("_mult") * F.col("distance")), F.lit(0.0)).alias("err"),
-                )
-                .first()
-            )
-            ce = float(cluster_stats["err"] or 0.0)
-            ne = float(noise_stats["err"] or 0.0)
-            rows.append(
-                (
-                    float(eps),
-                    int(cluster_stats["n_clusters"]),
-                    int(noise_stats["n_noise"]),
-                    ce,
-                    ne,
-                    ce + ne,
+                    F.coalesce(F.sum(F.col("_mult") * F.col("distance")), F.lit(0.0)).alias("nerr"),
                 )
             )
+            # ONE action per ε: both 1-row aggregates ride a single
+            # crossJoin job (replacing isEmpty + two .first()s — the
+            # per-ε cost is job-scheduling latency, not data)
+            stats = cluster_agg.crossJoin(noise_agg).first()
             rep_labels.unpersist()
+            if not stats["n_clusters"]:
+                # zero clusters at this ε: every original row is noise
+                # and there is no centroid to measure error against
+                return (float(eps), 0, n_total, 0.0, inf, inf)
+            ce = float(stats["err"] or 0.0)
+            ne = float(stats["nerr"] or 0.0)
+            return (
+                float(eps),
+                int(stats["n_clusters"]),
+                int(stats["n_noise"]),
+                ce,
+                ne,
+                ce + ne,
+            )
+
+    try:
+        from dbscan_pyspark_spark.compat import concurrent_map_ordered
+
+        rows = concurrent_map_ordered(_one_eps, sorted(eps_values))
     finally:
         all_pairs.unpersist()
         reps.unpersist()

@@ -259,19 +259,31 @@ def kmember_search(
     if candidates is None:
         lo, hi = (3 * n) // (4 * k), n // k
         candidates = sorted({max(c, 1) for c in (lo, (lo + hi) // 2, hi)})
+    def _one_run(cr):
+        # one (n_clusters, restart) configuration — unchanged math;
+        # configurations overlap from a small thread pool (guide §2.6)
+        c, r = cr
+        return c, r, kmember_kmeans(
+            points, k, n_clusters=c, max_iter=max_iter, seed=42 + r,
+            metric=metric, features=features, id_col=id_col,
+        )
+
+    from dbscan_pyspark_spark.compat import concurrent_map_ordered
+
+    results = concurrent_map_ordered(
+        _one_run,
+        [(c, r) for c in sorted(set(candidates)) for r in range(restarts)],
+    )
+    # best-so-far selection replayed in submission order: the strict <
+    # keeps the earlier run on ties, exactly as the sequential loop did
     best: KMemberResult | None = None
     rows: list[tuple[int, int, float, int]] = []
     best_idx = -1
-    for c in sorted(set(candidates)):
-        for r in range(restarts):
-            res = kmember_kmeans(
-                points, k, n_clusters=c, max_iter=max_iter, seed=42 + r,
-                metric=metric, features=features, id_col=id_col,
-            )
-            rows.append((c, r, res.cost, res.n_iter))
-            if best is None or res.cost < best.cost:
-                best = res
-                best_idx = len(rows) - 1
+    for c, r, res in results:
+        rows.append((c, r, res.cost, res.n_iter))
+        if best is None or res.cost < best.cost:
+            best = res
+            best_idx = len(rows) - 1
     assert best is not None
     metrics = points.sparkSession.createDataFrame(
         [
@@ -580,17 +592,27 @@ def kmember_search_quantized(
             raise ValueError(
                 f"infeasible candidates {bad}: n={n} < k*n_clusters"
             )
-        rows: list[tuple[int, int, int]] = []
-        runs: dict[tuple[int, int], DataFrame] = {}
-        for c in candidates:
-            for r in range(restarts):
-                out = _kmember_quantized_core(
-                    q, k, c, n_iter, repair_rounds, id_col,
-                    init_salt=f"{seed_salt}:{r}",
-                )
-                cost = out.agg(F.sum("distance").alias("c")).first()["c"]
-                rows.append((c, r, int(cost)))
-                runs[(c, r)] = out
+        def _one_run(cr):
+            # one (n_clusters, restart) configuration — unchanged math;
+            # configurations run concurrently from a small thread pool
+            # (guide §2.6: each run is a chain of small dependent jobs,
+            # so overlapping 2-3 runs hides per-job scheduling latency)
+            c, r = cr
+            out = _kmember_quantized_core(
+                q, k, c, n_iter, repair_rounds, id_col,
+                init_salt=f"{seed_salt}:{r}",
+            )
+            cost = out.agg(F.sum("distance").alias("c")).first()["c"]
+            return (c, r, int(cost), out)
+
+        from dbscan_pyspark_spark.compat import concurrent_map_ordered
+
+        results = concurrent_map_ordered(
+            _one_run,
+            [(c, r) for c in candidates for r in range(restarts)],
+        )
+        rows = [(c, r, cost) for c, r, cost, _ in results]
+        runs = {(c, r): out for c, r, cost, out in results}
         best_c, best_r, _ = min(rows, key=lambda t: (t[2], t[0], t[1]))
         metrics = points.sparkSession.createDataFrame(
             [
