@@ -230,9 +230,20 @@ def eps_sweep(
     max_eps = max(eps_values)
     spark = points.sparkSession
 
+    # scalar per-dimension group keys — see dbscan.py's contraction note
+    _kc = [f"_f{i}" for i in range(dim)]
     reps = (
-        points.groupBy(features)
+        points.select(
+            F.col(id_col),
+            *[F.col(features)[i].alias(k) for i, k in enumerate(_kc)],
+        )
+        .groupBy(*_kc)
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult"))
+        .select(
+            F.array(*[F.col(k) for k in _kc]).alias(features),
+            F.col(id_col),
+            F.col("_mult"),
+        )
         .persist()
     )
     from dbscan_pyspark_spark.operators.eps_join import eps_join

@@ -105,10 +105,35 @@ def dbscan(
     # The input lineage (often a window/exchange-bearing view) feeds both
     # the contraction and the final expansion join — cache it once.
     points = points.persist()
+    if dim is None:
+        from dbscan_pyspark_spark.operators.eps_join import _dim_of
+
+        dim = _dim_of(points, features)
 
     if contract_duplicates:
-        reps = points.groupBy(features).agg(
-            F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult")
+        # Group by one SCALAR double column per dimension, not by the
+        # array: the array key runs an interpreted normalize lambda per
+        # row per aggregation pass, scalar keys stay in codegen. Same
+        # equivalence classes (per-element NaN/-0.0 normalization both
+        # ways; feature arrays are non-null fixed-dim by construction
+        # at every call site) and the rebuilt array carries the same
+        # normalized element values the array key emitted.
+        key_cols = [f"_f{i}" for i in range(dim)]
+        reps = (
+            points.select(
+                F.col(id_col),
+                *[
+                    F.col(features)[i].alias(k)
+                    for i, k in enumerate(key_cols)
+                ],
+            )
+            .groupBy(*key_cols)
+            .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult"))
+            .select(
+                F.array(*[F.col(k) for k in key_cols]).alias(features),
+                F.col(id_col),
+                F.col("_mult"),
+            )
         )
     else:
         reps = points.select(features, id_col).withColumn("_mult", F.lit(1))

@@ -61,38 +61,6 @@ def _dim_of(df: DataFrame, features: str) -> int:
     return int(row["d"])
 
 
-def _cell(features: str, eps: float) -> Column:
-    return F.transform(F.col(features), lambda x: F.floor(x / F.lit(float(eps))))
-
-
-def _neighbor_offsets(dim: int) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.lit(o) for o in offs])
-            for offs in product((-1, 0, 1), repeat=dim)
-        ]
-    )
-
-
-def _half_offset_entries(dim: int) -> Column:
-    """Zero offset (flagged) + the lexicographically-positive half of the
-    3^d neighbor offsets: (3^d+1)/2 entries instead of 3^d.
-
-    For any unordered pair with cell delta δ != 0, exactly one of δ/−δ is
-    lex-positive, so the pair matches exactly once; same-cell pairs (δ=0)
-    are de-duplicated by the id order in the join condition."""
-    zero = (0,) * dim
-    entries = [
-        F.struct(
-            F.array(*[F.lit(o) for o in offs]).alias("off"),
-            F.lit(offs == zero).alias("z"),
-        )
-        for offs in product((-1, 0, 1), repeat=dim)
-        if offs >= zero
-    ]
-    return F.array(*entries)
-
-
 def eps_join(
     build: DataFrame,
     probe: DataFrame,
@@ -137,48 +105,68 @@ def eps_join(
             "is cell-determined; payloads swap with ids)"
         )
 
+    # Grid-cell coordinates as ONE SCALAR LONG COLUMN PER DIMENSION —
+    # not an array<bigint>. The array form paid interpreted
+    # higher-order-function lambdas per probe row (27 x zip_with at
+    # d=3) to build each neighbor cell, plus array hashing in the join;
+    # scalar columns keep the cell arithmetic and the composite join
+    # keys inside whole-stage codegen (measured ~35% off the dbscan
+    # pair phase at sf0.1).
+    def cell_cols(prefix: str) -> list:
+        return [
+            F.floor(F.col(features)[i] / F.lit(float(eps))).alias(f"{prefix}{i}")
+            for i in range(dim)
+        ]
+
     a = build.select(
         F.col(id_col).alias("a_id"),
         F.col(features).alias("a_features"),
         *[F.col(c).alias(f"a_{c}") for c in payload_a],
-        _cell(features, eps).alias("_cell"),
+        *cell_cols("_ac"),
     )
     b = probe.select(
         F.col(id_col).alias("b_id"),
         F.col(features).alias("b_features"),
         *[F.col(c).alias(f"b_{c}") for c in payload_b],
-        _cell(features, eps).alias("_bcell"),
+        *cell_cols("_bc"),
     )
 
+    zero = (0,) * dim
     if unique_pairs:
-        b = b.withColumn(
-            "_e",
-            F.explode(
-                F.transform(
-                    _half_offset_entries(dim),
-                    lambda e: F.struct(
-                        F.zip_with("_bcell", e["off"], lambda c, o: c + o).alias("pc"),
-                        e["z"].alias("z"),
-                    ),
+        # zero offset (flagged) + the lex-positive half: (3^d+1)/2
+        # struct literals, exploded once; probe cell = base + offset
+        # per dimension, all scalar adds.
+        entries = F.array(
+            *[
+                F.struct(
+                    *[F.lit(o).alias(f"o{i}") for i, o in enumerate(offs)],
+                    F.lit(offs == zero).alias("z"),
                 )
-            ),
+                for offs in product((-1, 0, 1), repeat=dim)
+                if offs >= zero
+            ]
         )
+        b = b.withColumn("_e", F.explode(entries))
+        cell_eq = [
+            a[f"_ac{i}"] == (b[f"_bc{i}"] + b["_e"][f"o{i}"]) for i in range(dim)
+        ]
         # same-cell (zero-offset) matches de-dup on id order; cross-cell
         # matches are already unique because only one of ±δ is exploded.
-        cond = (a["_cell"] == b["_e"]["pc"]) & (
-            ~b["_e"]["z"] | (a["a_id"] < b["b_id"])
-        )
+        cond = (~b["_e"]["z"] | (a["a_id"] < b["b_id"]))
+        for eq in cell_eq:
+            cond = eq & cond
     else:
-        b = b.withColumn(
-            "_probe_cell",
-            F.explode(
-                F.transform(
-                    _neighbor_offsets(dim),
-                    lambda off: F.zip_with("_bcell", off, lambda c, o: c + o),
-                )
-            ),
+        offsets = F.array(
+            *[
+                F.struct(*[F.lit(o).alias(f"o{i}") for i, o in enumerate(offs)])
+                for offs in product((-1, 0, 1), repeat=dim)
+            ]
         )
-        cond = a["_cell"] == b["_probe_cell"]
+        b = b.withColumn("_e", F.explode(offsets))
+        cond = None
+        for i in range(dim):
+            eq = a[f"_ac{i}"] == (b[f"_bc{i}"] + b["_e"][f"o{i}"])
+            cond = eq if cond is None else cond & eq
 
     pairs = a.join(b, cond).withColumn(
         "distance", dist("a_features", "b_features")
@@ -290,10 +278,27 @@ def neighbor_counts(
     # rep id = min member id: deterministic, so the id is consistent
     # even when the (unpersisted) contraction subtree is re-executed in
     # different join branches — exchange reuse makes that rare, but
-    # correctness must not depend on it.
-    reps = points.groupBy(features).agg(
-        F.min(id_col).alias("_rid"),
-        F.count(F.lit(1)).alias("_mult"),
+    # correctness must not depend on it. Scalar per-dimension group
+    # keys (not the array) keep the hash-agg in codegen — see
+    # dbscan.py's contraction note.
+    if dim is None:
+        dim = _dim_of(points, features)
+    key_cols = [f"_f{i}" for i in range(dim)]
+    reps = (
+        points.select(
+            F.col(id_col),
+            *[F.col(features)[i].alias(k) for i, k in enumerate(key_cols)],
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.min(id_col).alias("_rid"),
+            F.count(F.lit(1)).alias("_mult"),
+        )
+        .select(
+            F.array(*[F.col(k) for k in key_cols]).alias(features),
+            F.col("_rid"),
+            F.col("_mult"),
+        )
     )
     pairs = eps_join(
         reps, reps, eps, metric=metric, features=features, id_col="_rid", dim=dim,
