@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 import struct
+from types import MappingProxyType
 
 # NumPy accelerates the bulk numeric stages (color transform, FDCT/IDCT,
 # quantization, pixel reconstruction) when present; every vectorized
@@ -175,6 +176,7 @@ def _huff_codes(bits, values):
             code += 1
             k += 1
         code <<= 1
+    out = MappingProxyType(out)  # memo entries are shared: no mutation
     if len(_HUFF_MEMO) < 512:  # bound growth under adversarial tables
         _HUFF_MEMO[key] = out
     return out
@@ -196,6 +198,32 @@ def _huff_lookup(bits, values):
             code += 1
             k += 1
         code <<= 1
+    out = MappingProxyType(out)  # memo entries are shared: no mutation
+    if len(_HUFF_MEMO) < 512:  # bound growth under adversarial tables
+        _HUFF_MEMO[key] = out
+    return out
+
+
+def _huff_decoder(bits, values):
+    """Decode tables for one DHT: ``(lookup, fast)`` where ``lookup``
+    is the {(length, code): symbol} walk map (the lazy fallback near
+    markers / end of data) and ``fast`` is a 65536-entry list mapping
+    every possible 16-bit window to ``(symbol << 5) | code_length``
+    (-1 where no code matches — T.81 codes are at most 16 bits, so one
+    list index replaces the per-bit dict walk). Memoized like the
+    other table builders; entries are shared, so callers must not
+    mutate ``fast``."""
+    key = ("decoder", tuple(bits), tuple(values))
+    hit = _HUFF_MEMO.get(key)
+    if hit is not None:
+        return hit
+    lookup = _huff_lookup(bits, values)
+    fast = [-1] * 65536
+    for (length, code), sym in lookup.items():
+        start = code << (16 - length)
+        span = 1 << (16 - length)
+        fast[start : start + span] = [(sym << 5) | length] * span
+    out = (lookup, fast)
     if len(_HUFF_MEMO) < 512:  # bound growth under adversarial tables
         _HUFF_MEMO[key] = out
     return out
@@ -206,6 +234,11 @@ _DCT_COS = [
     for u in range(8)
 ]
 _DCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+# Vectorized FDCT/IDCT term tensors cost 64*64*8 = 32 KB per block;
+# bounding a pass at 2048 blocks caps the transient at ~64 MB however
+# large the image (a 12 MP photo is ~190k blocks).
+_DCT_CHUNK_BLOCKS = 2048
 
 if _np is not None:
     _NP_ZIGZAG = _np.asarray(_ZIGZAG, dtype=_np.int64)
@@ -223,6 +256,7 @@ if _np is not None:
     _NP_FD_YV = _np.tile(_NP_COS.T, (8, 1))       # [(x8+y), v] = COS[v][y]
     _NP_ID_UX = _np.repeat(_NP_CU, 8, axis=0)     # [(u8+v), x] = C[u]*COS[u][x]
     _NP_ID_VY = _np.tile(_NP_COS, (8, 1))         # [(u8+v), y] = COS[v][y]
+    _NP_C_TILED = _np.tile(_NP_C, 8)              # [(u8+v)] = C[v]
 
 
 def _fdct8x8(block):
@@ -263,9 +297,13 @@ def _gather_blocks_np(plane, width, height, bx, by, half):
     ``plane[min(...)*width + min(...)] - half`` exactly (one float
     subtraction per sample, same operand order)."""
     p = _np.asarray(plane, dtype=_np.float64).reshape(height, width)
-    rows = _np.minimum(_np.arange(by * 8), height - 1)
-    cols = _np.minimum(_np.arange(bx * 8), width - 1)
-    padded = p[_np.ix_(rows, cols)] - float(half)
+    if height == by * 8 and width == bx * 8:
+        # exact block multiple: no edge replication needed
+        padded = p - float(half)
+    else:
+        rows = _np.minimum(_np.arange(by * 8), height - 1)
+        cols = _np.minimum(_np.arange(bx * 8), width - 1)
+        padded = p[_np.ix_(rows, cols)] - float(half)
     return (
         padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8)
     )
@@ -282,26 +320,39 @@ def _fdct_quant_zz_np(blocks, qtab):
     numpy's pairwise ``sum``, whose different reduction tree would
     round differently), scaled by ``((0.25 * C[u]) * C[v])`` exactly as
     the scalar expression associates, and quantized with the same
-    round-half-away-from-zero construction."""
+    round-half-away-from-zero construction.
+
+    Blocks are processed in bounded chunks: the (chunk, 64, 8, 8) term
+    tensor costs ~32 KB per block, so one unbounded pass over a large
+    image would materialize GBs of transient memory. Chunking is
+    bit-exact — every block's result depends only on its own row."""
     nb = blocks.shape[0]
-    # term[b, t=(x8+y), u, v] = (block[x, y] * COS[u][x]) * COS[v][y]
-    # — built in two whole-tensor multiplies (association preserved),
-    # then accumulated with 64 sequential in-place adds in the scalar
-    # loop's (x, y) order.
-    t = (
-        blocks.reshape(nb, 64)[:, :, None, None] * _NP_FD_XU[None, :, :, None]
-    ) * _NP_FD_YV[None, :, None, :]
-    s = _np.zeros((nb, 8, 8), dtype=_np.float64)
-    for k in range(64):
-        s += t[:, k]
-    coef = _NP_FDCT_SCALE[None, :, :] * s
-    q = coef.reshape(nb, 64) / _np.asarray(qtab, dtype=_np.float64)[None, :]
-    qi = _np.where(
-        q >= 0.0,
-        _np.floor(q + 0.5),
-        -_np.floor(-q + 0.5),
-    ).astype(_np.int64)
-    return qi[:, _NP_ZIGZAG]
+    flat = blocks.reshape(nb, 64)
+    qt = _np.asarray(qtab, dtype=_np.float64)[None, :]
+    out = _np.empty((nb, 64), dtype=_np.int64)
+    for lo in range(0, nb, _DCT_CHUNK_BLOCKS):
+        chunk = flat[lo : lo + _DCT_CHUNK_BLOCKS]
+        # term[b, t=(x8+y), u, v] = (block[x, y] * COS[u][x]) * COS[v][y]
+        # — built in two whole-tensor multiplies (association
+        # preserved), then accumulated with 64 sequential in-place
+        # adds in the scalar loop's (x, y) order.
+        t = (
+            chunk[:, :, None, None] * _NP_FD_XU[None, :, :, None]
+        ) * _NP_FD_YV[None, :, None, :]
+        # ufunc accumulate IS the sequential left fold (each prefix is
+        # previous + next, in index order), so its last slice is
+        # bit-identical to the 64 in-place adds — in ONE dispatch
+        _np.add.accumulate(t, axis=1, out=t)
+        s = t[:, 63]
+        coef = _NP_FDCT_SCALE[None, :, :] * s
+        q = coef.reshape(-1, 64) / qt
+        qi = _np.where(
+            q >= 0.0,
+            _np.floor(q + 0.5),
+            -_np.floor(-q + 0.5),
+        ).astype(_np.int64)
+        out[lo : lo + chunk.shape[0]] = qi[:, _NP_ZIGZAG]
+    return out
 
 
 def _scale_quant(table, quality, precision=8):
@@ -364,31 +415,58 @@ def _encode_block(bw, coef, qtab, dc_codes, ac_codes, prev_dc):
 def _encode_block_zz(bw, zz, dc_codes, ac_codes, prev_dc):
     """Entropy-code one already-quantized zigzag block (the back half
     of _encode_block, split out so encode_jpeg can feed vectorized
-    _component_zz_blocks output straight into the bit writer)."""
+    _component_zz_blocks output straight into the bit writer).
+
+    The block's symbols accumulate in a LOCAL arbitrary-precision int
+    and flush to ``bw.buf`` as whole stuffed bytes once per block —
+    the emitted byte stream (values, order, 0xFF00 stuffing) is
+    identical to per-symbol ``bw.write`` calls, just without the
+    per-symbol method/flush overhead. ``bw``'s (acc, n) carry the
+    sub-byte remainder across blocks exactly as before (n stays < 8)."""
+    acc, n = bw.acc, bw.n
     diff = zz[0] - prev_dc
-    size, bits = _category(diff)
+    if diff == 0:
+        size = 0
+    else:
+        size = abs(diff).bit_length()
     code, ln = dc_codes[size]
-    bw.write(code, ln)
+    acc = (acc << ln) | code
+    n += ln
     if size:
-        bw.write(bits, size)
+        bits = diff if diff > 0 else diff + (1 << size) - 1
+        acc = (acc << size) | bits
+        n += size
     run = 0
+    zrl_code, zrl_ln = ac_codes[0xF0]
     for i in range(1, 64):
         v = zz[i]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_codes[0xF0]  # ZRL
-            bw.write(code, ln)
+            acc = (acc << zrl_ln) | zrl_code  # ZRL
+            n += zrl_ln
             run -= 16
-        size, bits = _category(v)
+        size = abs(v).bit_length()
+        bits = v if v > 0 else v + (1 << size) - 1
         code, ln = ac_codes[(run << 4) | size]
-        bw.write(code, ln)
-        bw.write(bits, size)
+        acc = ((acc << ln) | code) << size | bits
+        n += ln + size
         run = 0
     if run:
         code, ln = ac_codes[0x00]  # EOB
-        bw.write(code, ln)
+        acc = (acc << ln) | code
+        n += ln
+    nb = n >> 3
+    if nb:
+        rem = n & 7
+        chunk = (acc >> rem).to_bytes(nb, "big")
+        if b"\xff" in chunk:
+            chunk = chunk.replace(b"\xff", b"\xff\x00")  # byte stuffing
+        bw.buf += chunk
+        acc &= (1 << rem) - 1
+        n = rem
+    bw.acc, bw.n = acc, n
     return zz[0]
 
 
@@ -1006,11 +1084,56 @@ class _BitReader:
 
 
 def _read_huff_symbol(br, table):
-    """Walk the canonical code lengths bit by bit (state kept in
-    locals; bytes pulled lazily exactly when the next bit is needed,
-    so marker/truncation behavior matches the naive per-bit read)."""
+    """Decode one Huffman symbol via the 16-bit peek table: bytes are
+    pulled SPECULATIVELY until 16 bits are buffered, the window is
+    matched with ONE list index, then the reader state is rewound to
+    exactly what the lazy bit-by-bit walk would have left (same
+    acc/n/pos — only the bytes the walk itself would have pulled stay
+    consumed), so stuffing, restart and truncation behavior are
+    bit-identical. Near a marker or the end of data (where 16 bits
+    cannot be buffered without observing the failure early) it falls
+    back to the original lazy walk, preserving error positions."""
+    lookup, fast = table
     acc, n, pos, data = br.acc, br.n, br.pos, br.data
-    get = table.get
+    n0, pos0 = n, pos
+    p1 = -1  # pos after the first speculative byte pull
+    ln = len(data)
+    while n < 16:
+        if pos >= ln:
+            break
+        b = data[pos]
+        npos = pos + 1
+        if b == 0xFF:
+            nxt = data[npos] if npos < ln else 0
+            if nxt == 0x00:
+                npos += 1  # stuffed byte
+            else:
+                break  # marker: the lazy walk raises only when needed
+        acc = ((acc & ((1 << n) - 1)) << 8) | b
+        n += 8
+        if p1 < 0:
+            p1 = npos
+        pos = npos
+    if n >= 16:
+        e = fast[(acc >> (n - 16)) & 0xFFFF]
+        # no match for any prefix: the lazy walk consumes all 16 bits
+        # before raising, so treat the miss as a 16-bit consume
+        length = 16 if e < 0 else e & 31
+        # rewind: keep only the bytes the lazy walk would have pulled
+        need = 0 if length <= n0 else (length - n0 + 7) >> 3
+        extra = ((n - n0) >> 3) - need
+        if extra:
+            acc >>= 8 * extra
+            n -= 8 * extra
+            pos = pos0 if need == 0 else p1
+        br.acc, br.n, br.pos = acc, n - length, pos
+        if e < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        return e >> 5
+    # tail / marker fallback: the original lazy walk from the pre-call
+    # state (the speculative pulls above are discarded untouched)
+    acc, n, pos = br.acc, br.n, br.pos
+    get = lookup.get
     code = 0
     for length in range(1, 17):
         if n == 0:
@@ -1042,6 +1165,157 @@ def _extend(v, size):
     if size == 0:
         return 0
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_block_baseline(br, zz, htabs, dc_key, ac_key, pred, al):
+    """Decode one baseline block (DC diff + AC run-length) with the
+    bit-reader state held in LOCALS and synced to ``br`` once at block
+    end — the per-symbol/per-bits method and state-restore overhead of
+    the general path is the bulk of baseline decode cost.
+
+    Semantics are bit-identical to the lazy per-bit reader:
+
+    - bytes are pulled speculatively (up to 32 bits buffered — one
+      symbol plus its value bits never need more), and the final sync
+      rewinds (acc, n, pos) so only the bytes the lazy walk would have
+      pulled stay consumed — restart markers and subsequent reads see
+      exactly the lazy state;
+    - a refill stopped by a marker / end of data only raises when a
+      consumed bit actually needs it, with the lazy reader's message;
+    - near the stream tail the 16-bit window is zero-padded LOW: the
+      code set is prefix-free, so the padded window matches a real
+      code iff the lazy walk would match it within the available bits,
+      and a match longer than the available bits means the lazy walk
+      would have hit the recorded refill failure.
+
+    Returns the new DC predictor."""
+    data = br.data
+    nd = len(data)
+    acc, n, pos = br.acc, br.n, br.pos
+    n0, pos0 = n, pos
+    pulls = []
+    consumed = 0
+    stop = None  # pending refill-failure message, raised only if hit
+    dfast = htabs[dc_key][1]
+    # --- DC coefficient ---
+    while n < 32 and stop is None:
+        if pos >= nd:
+            stop = "JPEG entropy stream truncated"
+            break
+        b = data[pos]
+        npos = pos + 1
+        if b == 0xFF:
+            nxt = data[npos] if npos < nd else 0
+            if nxt == 0x00:
+                npos += 1  # stuffed byte
+            else:
+                stop = "unexpected marker in entropy stream"
+                break
+        acc = ((acc & ((1 << n) - 1)) << 8) | b
+        n += 8
+        pos = npos
+        pulls.append(pos)
+    if n >= 16:
+        e = dfast[(acc >> (n - 16)) & 0xFFFF]
+    else:
+        e = dfast[(acc << (16 - n)) & 0xFFFF]
+    length = 16 if e < 0 else e & 31
+    if length > n:
+        raise ValueError(stop)
+    if e < 0:
+        raise ValueError("invalid JPEG Huffman code")
+    n -= length
+    consumed += length
+    size = e >> 5
+    if size:
+        # a (corrupt) DC slot can carry AC-style symbols up to 255, so
+        # the value-bit count is NOT bounded by the 32-bit refill above
+        # — keep pulling like the lazy reader would
+        while size > n and stop is None:
+            if pos >= nd:
+                stop = "JPEG entropy stream truncated"
+                break
+            b = data[pos]
+            npos = pos + 1
+            if b == 0xFF:
+                nxt = data[npos] if npos < nd else 0
+                if nxt == 0x00:
+                    npos += 1  # stuffed byte
+                else:
+                    stop = "unexpected marker in entropy stream"
+                    break
+            acc = ((acc & ((1 << n) - 1)) << 8) | b
+            n += 8
+            pos = npos
+            pulls.append(pos)
+        if size > n:
+            raise ValueError(stop)
+        n -= size
+        consumed += size
+        v = (acc >> n) & ((1 << size) - 1)
+        pred += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+    zz[0] = pred << al
+    # --- AC coefficients ---
+    afast = htabs[ac_key][1]
+    k = 1
+    while k < 64:
+        while n < 32 and stop is None:
+            if pos >= nd:
+                stop = "JPEG entropy stream truncated"
+                break
+            b = data[pos]
+            npos = pos + 1
+            if b == 0xFF:
+                nxt = data[npos] if npos < nd else 0
+                if nxt == 0x00:
+                    npos += 1  # stuffed byte
+                else:
+                    stop = "unexpected marker in entropy stream"
+                    break
+            acc = ((acc & ((1 << n) - 1)) << 8) | b
+            n += 8
+            pos = npos
+            pulls.append(pos)
+        if n >= 16:
+            e = afast[(acc >> (n - 16)) & 0xFFFF]
+        else:
+            e = afast[(acc << (16 - n)) & 0xFFFF]
+        length = 16 if e < 0 else e & 31
+        if length > n:
+            raise ValueError(stop)
+        if e < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        n -= length
+        consumed += length
+        rs = e >> 5
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        if k > 63:
+            raise ValueError("JPEG AC run overflow")
+        size = rs & 0xF
+        if size:
+            if size > n:
+                raise ValueError(stop)
+            n -= size
+            consumed += size
+            v = (acc >> n) & ((1 << size) - 1)
+            zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        else:
+            zz[k] = 0
+        k += 1
+    # --- sync: rewind to the lazy walk's exact state ---
+    needed = 0 if consumed <= n0 else (consumed - n0 + 7) >> 3
+    extra = len(pulls) - needed
+    if extra:
+        acc >>= 8 * extra
+        n -= 8 * extra
+        pos = pos0 if needed == 0 else pulls[needed - 1]
+    br.acc, br.n, br.pos = acc, n, pos
+    return pred
 
 
 def _decode_scan(
@@ -1110,7 +1384,14 @@ def _decode_scan(
                             zz = coefs[ci][
                                 (mby * v + r) * ncols + (mbx * h + q)
                             ]
-                            decode_dc_ac(zz, ci, dc_t, ac_t)
+                            if progressive:
+                                decode_dc_ac(zz, ci, dc_t, ac_t)
+                            else:
+                                prev_dc[ci] = _decode_block_baseline(
+                                    br, zz, htabs,
+                                    0x00 | dc_t, 0x10 | ac_t,
+                                    prev_dc[ci], al,
+                                )
         return
 
     # single-component scan: non-interleaved raster over the
@@ -1130,7 +1411,13 @@ def _decode_scan(
                 rst_expect = (rst_expect + 1) & 7
                 prev_dc = {ci: 0}
             zz = coefs[ci][(bi // cw) * ncols + (bi % cw)]
-            decode_dc_ac(zz, ci, dc_t, ac_t)
+            if progressive:
+                decode_dc_ac(zz, ci, dc_t, ac_t)
+            else:
+                prev_dc[ci] = _decode_block_baseline(
+                    br, zz, htabs, 0x00 | dc_t, 0x10 | ac_t,
+                    prev_dc[ci], al,
+                )
         return
 
     act = htabs[0x10 | ac_t]
@@ -1227,15 +1514,20 @@ def _idct_blocks_np(zzarr, qt):
     # A[b, t=(u8+v)] = C[v] * coef[b, u*8+v] — the scalar term's first
     # product; then term[b, t, x, y] = (A * (C[u]*COS[u][x])) * COS[v][y]
     # in two whole-tensor multiplies, accumulated with 64 sequential
-    # in-place adds in the scalar loop's (u, v) order.
-    a = _np.tile(_NP_C, 8)[None, :] * coef.astype(_np.float64)
-    t = (
-        a[:, :, None, None] * _NP_ID_UX[None, :, :, None]
-    ) * _NP_ID_VY[None, :, None, :]
-    p = _np.zeros((nb, 8, 8), dtype=_np.float64)
-    for k in range(64):
-        p += t[:, k]
-    return 0.25 * p
+    # in-place adds in the scalar loop's (u, v) order. Chunked like
+    # _fdct_quant_zz_np to bound the (chunk, 64, 8, 8) term tensor
+    # (bit-exact: per-block independent).
+    a = _NP_C_TILED[None, :] * coef.astype(_np.float64)
+    out = _np.empty((nb, 8, 8), dtype=_np.float64)
+    for lo in range(0, nb, _DCT_CHUNK_BLOCKS):
+        chunk = a[lo : lo + _DCT_CHUNK_BLOCKS]
+        t = (
+            chunk[:, :, None, None] * _NP_ID_UX[None, :, :, None]
+        ) * _NP_ID_VY[None, :, None, :]
+        # sequential left fold in one dispatch (see _fdct_quant_zz_np)
+        _np.add.accumulate(t, axis=1, out=t)
+        out[lo : lo + chunk.shape[0]] = 0.25 * t[:, 63]
+    return out
 
 
 def _reconstruct_np(width, height, ncomp, coefs, geom, comps, qtabs, mcuy, prec):
@@ -1395,7 +1687,7 @@ def decode_jpeg(content):
                 bits = list(payload[j + 1 : j + 17])
                 nv = sum(bits)
                 vals = list(payload[j + 17 : j + 17 + nv])
-                htabs[tc_th] = _huff_lookup(bits, vals)
+                htabs[tc_th] = _huff_decoder(bits, vals)
                 j += 17 + nv
         elif m == 0xFFDA:
             if coefs is None:

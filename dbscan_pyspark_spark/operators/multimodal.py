@@ -1300,6 +1300,11 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         from dbscan_pyspark_spark.operators.jpeg import encode_jpeg
 
+        try:  # vectorized frame synthesis (exact same bytes)
+            import numpy as np
+        except ImportError:
+            np = None
+
         for pdf in it:
             rows = {
                 "media_id": [],
@@ -1316,18 +1321,27 @@ def synth_mjpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 # query decodes real 4:2:2/4:2:0 MCU layouts too —
                 # the summary fields are full-res geometry either way
                 sub = ("4:4:4", "4:2:2", "4:2:0")[mid % 3]
-                frames = [
-                    encode_jpeg(
-                        w,
-                        h,
+                if np is not None:
+                    # (base + j) % 256 == (mid*13 + f*29 + j) % 256:
+                    # identical bytes, no per-value Python loop
+                    ramp = np.arange(w * h * 3, dtype=np.int64)
+                    frame_pix = [
+                        (
+                            ((mid * 13 + f * 29) % 256 + ramp) % 256
+                        ).astype(np.uint8).tobytes()
+                        for f in range(n_frames)
+                    ]
+                else:
+                    frame_pix = [
                         bytes(
                             (mid * 13 + f * 29 + j) % 256
                             for j in range(w * h * 3)
-                        ),
-                        3,
-                        subsampling=sub,
-                    )
-                    for f in range(n_frames)
+                        )
+                        for f in range(n_frames)
+                    ]
+                frames = [
+                    encode_jpeg(w, h, pix_f, 3, subsampling=sub)
+                    for pix_f in frame_pix
                 ]
                 rows["media_id"].append(mid)
                 rows["modality"].append("video")

@@ -81,3 +81,59 @@ def test_progressive_np_equals_scalar(sub, scalar_path):
     pg_sc = scalar_path(encode_progressive_jpeg, w, h, pix, 3, subsampling=sub)
     assert pg_np == pg_sc
     assert decode_jpeg(pg_np) == scalar_path(decode_jpeg, pg_np)
+
+
+def test_huff_fast_table_agrees_with_walk_map():
+    """The 16-bit peek table must resolve EVERY window exactly as the
+    canonical (length, code) walk map: same symbol via the shortest
+    matching prefix, -1 iff no code prefixes the window. The baseline
+    block decoder reads symbols exclusively through this table."""
+    specs = [
+        jpeg_mod._DC_LUM, jpeg_mod._DC_CHR,
+        jpeg_mod._AC_LUM, jpeg_mod._AC_CHR,
+        jpeg_mod._AC_PROG, jpeg_mod._DC_EXT, jpeg_mod._AC_EXT,
+    ]
+    for bits, values in specs:
+        lookup, fast = jpeg_mod._huff_decoder(bits, values)
+        # every code's full span maps to (symbol, length)
+        covered = 0
+        for (length, code), sym in lookup.items():
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            packed = (sym << 5) | length
+            assert fast[start] == packed
+            assert fast[start + span - 1] == packed
+            assert fast[start + span // 2] == packed
+            covered += span
+        # everything outside the code spans is a miss
+        assert fast.count(-1) == 65536 - covered
+
+
+def test_baseline_truncation_errors_match_lazy_reader():
+    """Truncating a baseline payload anywhere in the entropy segment
+    must keep raising the lazy bit-reader's exact errors (the inlined
+    block decoder pulls bytes speculatively but only reports a failure
+    a consumed bit actually needs)."""
+    pix = _pix(24, 16, 3, 9)
+    blob = encode_jpeg(24, 16, pix, 3, quality=85, restart_interval=2)
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0
+    allowed = {
+        "JPEG entropy stream truncated",
+        "unexpected marker in entropy stream",
+        "invalid JPEG Huffman code",
+        "JPEG missing SOF/SOS",
+        "bad JPEG marker stream",
+        "JPEG AC run overflow",
+        "expected JPEG restart marker",
+    }
+    n_err = 0
+    for cut in range(sos + 16, len(blob) - 1, 7):
+        try:
+            decode_jpeg(blob[:cut])
+        except ValueError as exc:
+            assert any(str(exc).startswith(a) for a in allowed), exc
+            n_err += 1
+        except NotImplementedError:
+            pass
+    assert n_err > 0
