@@ -17,8 +17,42 @@ is a star forest whose centers are component minima.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Refcounted guard for the session-global AQE-coalescing flip in the
+# star-contraction loop: concurrent CC runs (e.g. eps_sweep's thread
+# pool overlapping configurations) must not race on save/restore — the
+# FIRST concurrent entry snapshots the caller's setting, the LAST exit
+# restores it. Keyed per session so independent sessions stay isolated.
+_COALESCE_KEY = "spark.sql.adaptive.coalescePartitions.enabled"
+_COALESCE_LOCK = threading.Lock()
+_COALESCE_STATE: dict[int, list] = {}  # id(session) -> [depth, prev]
+
+
+def _coalesce_flip_enter(spark) -> None:
+    with _COALESCE_LOCK:
+        state = _COALESCE_STATE.get(id(spark))
+        if state is None:
+            prev = spark.conf.get(_COALESCE_KEY, None)
+            spark.conf.set(_COALESCE_KEY, "false")
+            _COALESCE_STATE[id(spark)] = [1, prev]
+        else:
+            state[0] += 1
+
+
+def _coalesce_flip_exit(spark) -> None:
+    with _COALESCE_LOCK:
+        state = _COALESCE_STATE[id(spark)]
+        state[0] -= 1
+        if state[0] == 0:
+            del _COALESCE_STATE[id(spark)]
+            if state[1] is None:
+                spark.conf.unset(_COALESCE_KEY)
+            else:
+                spark.conf.set(_COALESCE_KEY, state[1])
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -247,12 +281,10 @@ def connected_components(
 
     # NOTE: SQL confs are session-global — flipping coalescing off for
     # the loop also affects queries running CONCURRENTLY in this
-    # session. Iterative operators assume they own the session while
-    # iterating (the same contract as the reference's driver loops);
-    # run concurrent workloads in a separate session if that matters.
-    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coalesce = spark.conf.get(_coalesce_key, None)
-    spark.conf.set(_coalesce_key, "false")
+    # session. The refcounted guard makes overlapping CC runs (sweep
+    # thread pools) restore the CALLER's setting exactly once, at the
+    # last exit, instead of racing on save/restore.
+    _coalesce_flip_enter(spark)
     labels = None
     try:
         e = _canonical(e).localCheckpoint(eager=True)
@@ -292,10 +324,7 @@ def connected_components(
                 f"connected_components did not converge in {max_iter} rounds"
             )
     finally:
-        if prev_coalesce is None:
-            spark.conf.unset(_coalesce_key)
-        else:
-            spark.conf.set(_coalesce_key, prev_coalesce)
+        _coalesce_flip_exit(spark)
 
     if labels is None:
         # Star forest: u(>v) -> center v. Node that appears only as
@@ -456,12 +485,10 @@ def pagerank(
     # partition coalescing off — each round's exchanges are small, and
     # coalescing them to 1-2 tasks serializes the iteration (measured
     # on CC: 78 s -> 37 s; here 59 s -> ~20 s at 2M nodes / 4M edges).
-    # session-global conf toggle: same single-owner contract as the CC
-    # loop above (see the NOTE there)
+    # session-global conf toggle: refcounted like the CC loop above
+    # (see the NOTE there)
     spark = edges.sparkSession
-    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coalesce = spark.conf.get(_coalesce_key, None)
-    spark.conf.set(_coalesce_key, "false")
+    _coalesce_flip_enter(spark)
     try:
         if seeds is None:
             init = F.lit(p0).cast("long")
@@ -508,10 +535,7 @@ def pagerank(
                 .localCheckpoint(eager=True)
             )
     finally:
-        if prev_coalesce is None:
-            spark.conf.unset(_coalesce_key)
-        else:
-            spark.conf.set(_coalesce_key, prev_coalesce)
+        _coalesce_flip_exit(spark)
     return p.select(
         "node", F.round(F.col("p") / F.lit(float(scale)), 8).alias("pagerank")
     )
@@ -978,9 +1002,7 @@ def label_propagation(
         F.col(dst_col).cast("long").alias("dst"),
     )
     spark = edges.sparkSession
-    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    prev_coalesce = spark.conf.get(_coalesce_key, None)
-    spark.conf.set(_coalesce_key, "false")
+    _coalesce_flip_enter(spark)
     try:
         # undirected neighbor relation: both orientations, no self-loops
         nbr = (
@@ -1018,8 +1040,5 @@ def label_propagation(
                 .localCheckpoint(eager=True)
             )
     finally:
-        if prev_coalesce is None:
-            spark.conf.unset(_coalesce_key)
-        else:
-            spark.conf.set(_coalesce_key, prev_coalesce)
+        _coalesce_flip_exit(spark)
     return labels.select("node", F.col("lbl").alias("community"))

@@ -118,15 +118,11 @@ def dbscan(
         # ways; feature arrays are non-null fixed-dim by construction
         # at every call site) and the rebuilt array carries the same
         # normalized element values the array key emitted.
+        from dbscan_pyspark_spark.operators.eps_join import _contract_key_cols
+
         key_cols = [f"_f{i}" for i in range(dim)]
         reps = (
-            points.select(
-                F.col(id_col),
-                *[
-                    F.col(features)[i].alias(k)
-                    for i, k in enumerate(key_cols)
-                ],
-            )
+            points.select(F.col(id_col), *_contract_key_cols(features, dim))
             .groupBy(*key_cols)
             .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_mult"))
             .select(

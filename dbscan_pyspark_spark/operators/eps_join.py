@@ -61,6 +61,30 @@ def _dim_of(df: DataFrame, features: str) -> int:
     return int(row["d"])
 
 
+def _contract_key_cols(features: str, dim: int) -> list:
+    """Per-dimension scalar key columns (``_f0``.. ``_f{dim-1}``) for
+    duplicate contraction, with a ragged-input guard folded into
+    dimension 0: indexing a short (or null) feature array yields equal
+    NULL keys, which would silently merge distinct vectors — a wrong
+    length raises instead. One ``size()`` comparison per row, still
+    whole-stage codegen."""
+    f = F.col(features)
+    guard = F.when(F.size(f) == dim, f[0]).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "duplicate contraction expects fixed "
+                    f"{dim}-dim feature vectors, got size "
+                ),
+                F.size(f).cast("string"),
+            )
+        )
+    )
+    return [guard.alias("_f0")] + [
+        f[i].alias(f"_f{i}") for i in range(1, dim)
+    ]
+
+
 def eps_join(
     build: DataFrame,
     probe: DataFrame,
@@ -285,10 +309,7 @@ def neighbor_counts(
         dim = _dim_of(points, features)
     key_cols = [f"_f{i}" for i in range(dim)]
     reps = (
-        points.select(
-            F.col(id_col),
-            *[F.col(features)[i].alias(k) for i, k in enumerate(key_cols)],
-        )
+        points.select(F.col(id_col), *_contract_key_cols(features, dim))
         .groupBy(*key_cols)
         .agg(
             F.min(id_col).alias("_rid"),

@@ -98,3 +98,36 @@ def test_eps_sweep_matches_single_runs(spark):
         assert r["n_clusters"] == single["n_clusters"]
         assert r["n_noise"] == single["n_noise"]
         assert abs(r["total_error"] - single["total_error"]) < 1e-6
+
+
+def test_eps_sweep_kruskal_matches_per_eps_chain(spark):
+    """The driver Kruskal sweep (one union-find pass labeling every
+    eps level) must produce the same metrics as the per-eps
+    counts/cores/edges/CC chain it replaces (forced via
+    driver_threshold=0)."""
+    rng = random.Random(31)
+    pts = _blobs(rng, [(0, 0), (15, 15), (40, 0)], 18, 2.0)
+    # add exact duplicates so the contraction multiplicities matter
+    pts = pts + [(10_000 + i, list(pts[i][1]), pts[i][2]) for i in range(12)]
+    df = spark.createDataFrame(pts, ["id", "features", "sensitive"])
+    for eps_values, min_pts, mcs in [
+        ([0.5, 2.0, 6.0], 4, None),
+        ([2.0, 5.0], 1, 1),       # mcs<=1: edgeless singleton clusters
+        ([0.01], 40, None),       # degenerate zero-cluster row
+    ]:
+        m_new, b_new = eps_sweep(df, eps_values, min_pts, min_cluster_size=mcs)
+        m_old, b_old = eps_sweep(
+            df, eps_values, min_pts, min_cluster_size=mcs, driver_threshold=0
+        )
+        assert b_new == b_old
+        rn = sorted(m_new.collect(), key=lambda r: r["eps"])
+        ro = sorted(m_old.collect(), key=lambda r: r["eps"])
+        for a, b in zip(rn, ro):
+            assert a["eps"] == b["eps"]
+            assert a["n_clusters"] == b["n_clusters"]
+            assert a["n_noise"] == b["n_noise"]
+            for col in ("cluster_error", "noise_error", "total_error"):
+                if a[col] == float("inf"):
+                    assert b[col] == float("inf")
+                else:
+                    assert abs(a[col] - b[col]) < 1e-6

@@ -420,3 +420,43 @@ def test_weighted_pagerank_overflow_guard(spark):
     )
     with _pytest.raises(ValueError, match="overflow"):
         pagerank(df, n_iter=1, weight_col="w")
+
+
+def test_coalesce_flip_guard_is_refcounted():
+    """Concurrent/nested CC runs share the session-global AQE
+    coalescing flip: the first entry snapshots, the LAST exit restores
+    (an interleaved save/restore pair must not leave the session with
+    coalescing disabled)."""
+    from dbscan_pyspark_spark.operators import components as C
+
+    class FakeConf:
+        def __init__(self):
+            self.d = {C._COALESCE_KEY: "true"}
+
+        def get(self, k, dflt=None):
+            return self.d.get(k, dflt)
+
+        def set(self, k, v):
+            self.d[k] = v
+
+        def unset(self, k):
+            self.d.pop(k, None)
+
+    class FakeSpark:
+        def __init__(self):
+            self.conf = FakeConf()
+
+    s = FakeSpark()
+    C._coalesce_flip_enter(s)
+    C._coalesce_flip_enter(s)  # overlapping second run
+    assert s.conf.get(C._COALESCE_KEY) == "false"
+    C._coalesce_flip_exit(s)
+    assert s.conf.get(C._COALESCE_KEY) == "false"  # still held by run 2
+    C._coalesce_flip_exit(s)
+    assert s.conf.get(C._COALESCE_KEY) == "true"  # restored exactly once
+    # previously-unset conf is unset again on last exit
+    s2 = FakeSpark()
+    s2.conf.d.clear()
+    C._coalesce_flip_enter(s2)
+    C._coalesce_flip_exit(s2)
+    assert C._COALESCE_KEY not in s2.conf.d

@@ -147,3 +147,17 @@ def test_dbscan_assign_tie_breaks_deterministically(spark):
     a = dbscan_assign(new, train, labels, eps=2.5).first()
     b = dbscan_assign(new, train, labels, eps=2.5).first()
     assert a["cluster_id"] == b["cluster_id"] == 0  # lower cluster id wins
+
+
+def test_ragged_features_fail_loudly(spark):
+    """The scalar contraction keys assume fixed-dim vectors; ragged
+    input must raise instead of silently contracting distinct vectors
+    into one rep (ADVICE r10)."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0]), (3, [1.0, 2.0, 3.0])],
+        "id long, features array<double>",
+    )
+    with _pytest.raises(Exception, match="duplicate contraction expects"):
+        dbscan(bad, eps=1.5, min_pts=2).count()
