@@ -77,15 +77,40 @@ def _repair(
     features: str,
     max_rounds: int,
 ) -> DataFrame:
-    """Enforce 'every cluster >= k members' by ranked moves."""
+    """Enforce 'every cluster >= k members' by ranked moves.
+
+    ONE job per round (guide §5; the CC loop's signature-agg pattern):
+    each round's moved assignment is localCheckpointed NON-eagerly and
+    the next round's cluster-count collect is the single action that
+    both materializes it and decides the exit — replacing the previous
+    isEmpty + eager-checkpoint pair. The count table (n_clusters rows)
+    lives on the driver, so surplus / deficient / need become broadcast
+    literals instead of re-aggregating the assignment inside every
+    subtree of the round job."""
+    spark = assign.sparkSession
+    # materialize the incoming argmin assignment once: the first count
+    # collect is its action, and the round job then reads the
+    # checkpoint instead of recomputing the crossJoin-argmin lineage
+    # per subtree
+    assign = assign.localCheckpoint(eager=False)
     for _ in range(max_rounds):
-        counts = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_cnt"))
-        deficient = counts.where(F.col("_cnt") < k)
-        if deficient.isEmpty():
+        counts = {
+            int(r["cluster_id"]): int(r["_cnt"])
+            for r in assign.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .collect()
+        }
+        deficient = {c: k - cnt for c, cnt in counts.items() if cnt < k}
+        if not deficient:
             return assign
 
         # farthest-beyond-k members of surplus clusters are up for grabs
-        surplus_ids = counts.where(F.col("_cnt") > k).select("cluster_id")
+        surplus_ids = F.broadcast(
+            spark.createDataFrame(
+                [(c,) for c, cnt in counts.items() if cnt > k],
+                "cluster_id int",
+            )
+        )
         surplus_members = assign.join(surplus_ids, "cluster_id", "left_semi")
         w = Window.partitionBy("cluster_id").orderBy(
             F.col("distance").asc(), F.col(id_col).asc()
@@ -97,7 +122,12 @@ def _repair(
         )
 
         # claim: nearest deficient centroid per released point
-        deficient_cents = centroids.join(deficient, "cluster_id", "left_semi")
+        deficient_df = F.broadcast(
+            spark.createDataFrame(
+                [(c,) for c in deficient], "cluster_id int"
+            )
+        )
+        deficient_cents = centroids.join(deficient_df, "cluster_id", "left_semi")
         claims = assign_nearest(
             points.join(released, id_col, "left_semi"),
             deficient_cents,
@@ -107,7 +137,11 @@ def _repair(
         )  # (id, cluster_id, distance) vs deficient centroids
 
         # cap: each deficient cluster takes only its (k - cnt) nearest claimants
-        need = deficient.select("cluster_id", (F.lit(k) - F.col("_cnt")).alias("_need"))
+        need = F.broadcast(
+            spark.createDataFrame(
+                list(deficient.items()), "cluster_id int, _need int"
+            )
+        )
         wc = Window.partitionBy("cluster_id").orderBy(
             F.col("distance").asc(), F.col(id_col).asc()
         )
@@ -122,7 +156,7 @@ def _repair(
         assign = (
             assign.join(moved, id_col, "left_anti")
             .unionByName(accepted)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # next count collect is the action
         )
     raise RuntimeError(f"k-member repair did not converge in {max_rounds} rounds")
 
@@ -179,7 +213,7 @@ def kmember_kmeans(
         )
         new_centroids = _recompute_centroids(
             points, assign, id_col, features, dim
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # the drift .first() is the action
 
         # |drift|: max L1 movement of any centroid (abs version of F6)
         drift_row = (
@@ -210,10 +244,10 @@ def kmember_kmeans(
     dist = _metric_fn(metric, dim)
     final_assign = final_assign.select(
         id_col, "cluster_id", dist(features, "centroid").alias("distance")
-    )
+    ).localCheckpoint(eager=False)  # the cost agg materializes it
     cost = final_assign.agg(F.sum("distance").alias("c")).first()["c"]
     return KMemberResult(
-        assignments=final_assign.localCheckpoint(eager=True),
+        assignments=final_assign,
         centroids=centroids,
         cost=float(cost) if cost is not None else 0.0,
         n_iter=n_iter,
@@ -343,7 +377,14 @@ def _repair_quantized(
     Clusters with ZERO members never appear in the count table and are
     therefore never repaired — mirrored deliberately by the oracle
     (and by :func:`_repair`); an empty cluster has no rows to
-    de-anonymize, so the k-anonymity contract is vacuous for it."""
+    de-anonymize, so the k-anonymity contract is vacuous for it.
+
+    One job per round: the non-eager round checkpoint is materialized
+    by the next count collect (or the caller's next action) — and the
+    incoming literal-argmin assignment is checkpointed up front so the
+    round job reads it instead of re-evaluating the per-row centroid
+    scan in every subtree."""
+    assign = assign.localCheckpoint(eager=False)
     for _ in range(repair_rounds):
         counts = [
             (int(r["cluster"]), int(r["_cnt"]))
@@ -397,7 +438,9 @@ def _repair_quantized(
         assign = (
             assign.join(accepted.select(id_col), id_col, "left_anti")
             .unionByName(accepted)
-            .localCheckpoint(eager=True)
+            # non-eager: the next round's count collect (or the caller's
+            # next action) materializes it — one job per round
+            .localCheckpoint(eager=False)
         )
     return assign
 
