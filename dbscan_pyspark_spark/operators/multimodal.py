@@ -37,6 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# NumPy accelerates the PNG scanline unfilter (and frame synthesis)
+# when present; every vectorized path has a bit-exact pure-Python twin.
+try:
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy-free fallback
+    _np = None
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -190,7 +197,67 @@ def _png_unfilter(
     at byte depths, bit-packed-and-padded at sub-byte depths, where
     ``bpp`` is 1 per RFC 2083 §6.2). Returns (pixel bytes, next
     position). Shared by the sequential path (one call) and the Adam7
-    path (one call per non-empty pass)."""
+    path (one call per non-empty pass).
+
+    With numpy, Sub rows invert as a per-lane modulo-256 cumulative
+    sum and Up rows as one wrapping vector add — bit-identical to the
+    byte loops (uint8 arithmetic IS the & 0xFF). Average and Paeth
+    carry a left dependency through the decoded byte, so those rows
+    keep the scalar loop. Truncated or bad-filter streams delegate to
+    the scalar path so error order and messages stay identical."""
+    if _np is not None and height > 0 and stride % bpp == 0:
+        need = height * (1 + stride)
+        block = None
+        if len(raw) - pos >= need:
+            block = _np.frombuffer(
+                raw, dtype=_np.uint8, count=need, offset=pos
+            ).reshape(height, 1 + stride)
+            if (block[:, 0] > 4).any():
+                block = None  # bad filter: scalar path raises in order
+        if block is not None:
+            ftypes = block[:, 0]
+            data = block[:, 1:].copy()
+            prev = _np.zeros(stride, dtype=_np.uint8)
+            for y in range(height):
+                f = ftypes[y]
+                line = data[y]
+                if f == 1:  # Sub: per-lane prefix sum mod 256
+                    line[:] = _np.cumsum(
+                        line.reshape(-1, bpp), axis=0, dtype=_np.uint8
+                    ).reshape(-1)
+                elif f == 2:  # Up
+                    line += prev
+                elif f == 3 or f == 4:  # left-carried: scalar row
+                    lb = bytearray(line.tobytes())
+                    pb = prev.tobytes()
+                    if f == 3:
+                        for x in range(stride):
+                            a = lb[x - bpp] if x >= bpp else 0
+                            lb[x] = (lb[x] + ((a + pb[x]) >> 1)) & 0xFF
+                    else:
+                        for x in range(stride):
+                            a = lb[x - bpp] if x >= bpp else 0
+                            b = pb[x]
+                            c = pb[x - bpp] if x >= bpp else 0
+                            p = a + b - c
+                            pa, pb_, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pr = (
+                                a
+                                if (pa <= pb_ and pa <= pc)
+                                else (b if pb_ <= pc else c)
+                            )
+                            lb[x] = (lb[x] + pr) & 0xFF
+                    line[:] = _np.frombuffer(bytes(lb), dtype=_np.uint8)
+                prev = line
+            return bytearray(data.tobytes()), pos + need
+    return _png_unfilter_scalar(raw, pos, stride, height, bpp)
+
+
+def _png_unfilter_scalar(
+    raw: bytes, pos: int, stride: int, height: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Pure-Python twin of :func:`_png_unfilter` (and the exact-error
+    path for truncated / bad-filter streams)."""
     out = bytearray()
     prev = bytes(stride)
     for _y in range(height):

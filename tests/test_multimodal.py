@@ -1174,3 +1174,74 @@ def test_sample_frames_real_mjpeg_timing(spark):
     )
     with pytest.raises(Exception, match="ffmpeg"):
         sample_frames(bad, decode_mode="real").collect()
+
+
+def test_png_unfilter_numpy_equals_scalar():
+    """The vectorized unfilter (per-lane modulo-256 cumsum for Sub, one
+    wrapping add for Up) must be BYTE-identical to the scalar loops
+    across the full filter/depth/interlace matrix, and truncated
+    streams must raise the same errors (the numpy path delegates
+    anomalies to the scalar twin)."""
+    import random as _random
+
+    import pytest as _pytest
+
+    import dbscan_pyspark_spark.operators.multimodal as mm
+    from dbscan_pyspark_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    if mm._np is None:
+        _pytest.skip("numpy not available")
+    rng = _random.Random(17)
+    for _ in range(25):
+        w, h = rng.randint(1, 24), rng.randint(1, 18)
+        filters = [rng.randint(0, 4) for _ in range(2 * h)]
+        mode = rng.choice(["rgb8", "gray16", "pal4", "rgb8i", "gray1"])
+        if mode == "rgb8":
+            pix = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            blob = _encode_png(w, h, pix, 3, row_filters=filters)
+        elif mode == "rgb8i":
+            pix = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            blob = _encode_png(w, h, pix, 3, row_filters=filters, interlace=True)
+        elif mode == "gray16":
+            pix = bytes(rng.randrange(256) for _ in range(w * h * 2))
+            blob = _encode_png(w, h, pix, 1, row_filters=filters, depth=16)
+        elif mode == "gray1":
+            pix = bytes(rng.randrange(2) for _ in range(w * h))
+            blob = _encode_png(w, h, pix, 1, row_filters=filters, depth=1)
+        else:
+            pal = [(rng.randrange(256),) * 3 for _ in range(16)]
+            idx = bytes(rng.randrange(16) for _ in range(w * h))
+            blob = _encode_png(
+                w, h, idx, row_filters=filters, palette=pal, depth=4,
+                interlace=True,
+            )
+        dec_np = _decode_png(blob)
+        saved = mm._np
+        mm._np = None
+        try:
+            dec_sc = _decode_png(blob)
+        finally:
+            mm._np = saved
+        assert dec_np == dec_sc
+    # truncation error parity
+    pix = bytes(rng.randrange(256) for _ in range(20 * 12 * 3))
+    blob = _encode_png(20, 12, pix, 3, row_filters=[0, 1, 2, 3, 4])
+    for cut in range(40, len(blob), 31):
+        res_np = err_np = res_sc = err_sc = None
+        try:
+            res_np = _decode_png(blob[:cut])
+        except Exception as exc:
+            err_np = (type(exc).__name__, str(exc))
+        saved = mm._np
+        mm._np = None
+        try:
+            try:
+                res_sc = _decode_png(blob[:cut])
+            except Exception as exc:
+                err_sc = (type(exc).__name__, str(exc))
+        finally:
+            mm._np = saved
+        assert res_np == res_sc and err_np == err_sc
