@@ -1374,21 +1374,25 @@ def ivf_quantized_topk(
         .where(F.col("query_id") != F.col(id_col))
         .distinct()
     )
+    # per-side integer norms computed ONCE per vector/query row (n + q
+    # evaluations) instead of re-derived inside every candidate pair
+    # (the scored-pair relation is the volume driver): the per-pair
+    # expression shrinks to the single cross dot product. Bit-exact —
+    # the same integer dots feed the same float expression shape.
     v = vectors.select(
         F.col(id_col), _quantized(vec_col, scale).alias("_v")
-    )
-    scored = cand.join(v, id_col).join(
-        qv.select("query_id", "_qv"), "query_id"
-    ).select(
+    ).withColumn("_vn2", dot("_v", "_v"))
+    qn = qv.select("query_id", "_qv").withColumn("_qn2", dot("_qv", "_qv"))
+    scored = cand.join(v, id_col).join(qn, "query_id").select(
         "query_id",
         id_col,
         F.round(
             F.when(
-                (dot("_v", "_v") != 0) & (dot("_qv", "_qv") != 0),
+                (F.col("_vn2") != 0) & (F.col("_qn2") != 0),
                 dot("_v", "_qv")
                 / (
-                    F.sqrt(dot("_v", "_v").cast("double"))
-                    * F.sqrt(dot("_qv", "_qv").cast("double"))
+                    F.sqrt(F.col("_vn2").cast("double"))
+                    * F.sqrt(F.col("_qn2").cast("double"))
                 ),
             ),
             6,
