@@ -111,9 +111,10 @@ def test_eps_sweep_kruskal_matches_per_eps_chain(spark):
     pts = pts + [(10_000 + i, list(pts[i][1]), pts[i][2]) for i in range(12)]
     df = spark.createDataFrame(pts, ["id", "features", "sensitive"])
     for eps_values, min_pts, mcs in [
-        ([0.5, 2.0, 6.0], 4, None),
+        # 0.01 is the degenerate zero-cluster level (covered by
+        # test_information_loss_and_sweep's assertion of that branch)
+        ([0.01, 0.5, 2.0, 6.0], 4, None),
         ([2.0, 5.0], 1, 1),       # mcs<=1: edgeless singleton clusters
-        ([0.01], 40, None),       # degenerate zero-cluster row
     ]:
         m_new, b_new = eps_sweep(df, eps_values, min_pts, min_cluster_size=mcs)
         m_old, b_old = eps_sweep(

@@ -1,3 +1,4 @@
+import pytest
 from pyspark.sql import functions as F
 
 from dbscan_pyspark_spark.operators.dedup import (
@@ -533,6 +534,7 @@ def test_strip_keep_first_same_doc_repeats(spark):
     assert out["n_dropped"] == 5
 
 
+@pytest.mark.slow
 def test_simhash_near_dups_pigeonhole_exact(spark):
     """The block join loses NO pair within max_hamming (pigeonhole
     guarantee): compare against brute-force all-pairs Hamming on a

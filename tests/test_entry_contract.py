@@ -54,6 +54,7 @@ def query_frames(spark, entry):
     return {name: fn(spark, SF_DIR) for name, fn in entry.queries().items()}
 
 
+@pytest.mark.slow
 def test_query_and_oracle_columns_match(query_frames, entry, duck):
     oracles = entry.oracle_sql()
     mismatches = {}
@@ -88,6 +89,7 @@ def test_contract_outputs_are_scalar_and_decimal_free(query_frames):
     assert not bad, bad
 
 
+@pytest.mark.slow
 def test_oracle_output_types_are_portable(entry, duck):
     """DESCRIBE every oracle and reject output types the driver's
     pandas fetch mangles: DuckDB types any integer sum() as HUGEINT,

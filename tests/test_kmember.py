@@ -63,6 +63,7 @@ def test_kmember_anonymize_shape(spark, blob_points):
         assert r["an_features"] == cents[r["cluster_id"]]
 
 
+@pytest.mark.slow
 def test_kmember_search_picks_feasible_best(spark, blob_points):
     metrics, res = kmember_search(
         blob_points, k=15, candidates=[3, 6], restarts=2, max_iter=4

@@ -142,6 +142,7 @@ def test_disjunctive_predicates_push_to_both_scans(spark):
     assert_no_cartesian(df)
 
 
+@pytest.mark.slow
 def test_no_contract_query_degenerates_to_cartesian(spark):
     """Every contract query's physical plan is cartesian-free — the
     reference's fatal mistake (DBSCAN.py:161) can't re-enter through any

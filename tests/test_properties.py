@@ -8,6 +8,7 @@ distributed star-contraction path that sf-scale tests rarely touch.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -31,6 +32,7 @@ points_strategy = st.lists(
 eps_strategy = st.sampled_from([0.5, 1.0, 2.0, 2.5, 3.0, 5.5])
 
 
+@pytest.mark.slow
 @SET
 @given(pts=points_strategy, eps=eps_strategy)
 def test_eps_join_matches_bruteforce(spark, pts, eps):
@@ -49,6 +51,7 @@ def test_eps_join_matches_bruteforce(spark, pts, eps):
     assert got == want
 
 
+@pytest.mark.slow
 @SET
 @given(pts=points_strategy, eps=eps_strategy)
 def test_eps_join_unique_pairs_is_half_relation(spark, pts, eps):
@@ -114,6 +117,7 @@ def test_components_driver_path_matches_union_find(spark, edges):
     assert got == _python_components(edges)
 
 
+@pytest.mark.slow
 @SET
 @given(edges=edges_strategy)
 def test_components_star_contraction_matches_union_find(spark, edges):
@@ -193,6 +197,7 @@ def _funnel_bruteforce(events, steps):
     ]
 
 
+@pytest.mark.slow
 @SET
 @given(events=events_strategy)
 def test_funnel_matches_bruteforce(spark, events):
@@ -219,6 +224,7 @@ kdist_points = st.lists(
 )
 
 
+@pytest.mark.slow
 @SET
 @given(pts=kdist_points, k=st.integers(1, 3))
 def test_k_distance_matches_bruteforce(spark, pts, k):
@@ -402,6 +408,7 @@ bfs_edges = st.lists(
 )
 
 
+@pytest.mark.slow
 @SET
 @given(edges=bfs_edges, hops=st.sampled_from([1, 2, 3]))
 def test_bfs_hops_matches_bruteforce(spark, edges, hops):
@@ -433,6 +440,7 @@ def test_bfs_hops_matches_bruteforce(spark, edges, hops):
     assert got == expect
 
 
+@pytest.mark.slow
 @SET
 @given(edges=bfs_edges)
 def test_triangle_counts_matches_bruteforce(spark, edges):
@@ -468,6 +476,7 @@ docs_strategy = st.lists(
 )
 
 
+@pytest.mark.slow
 @SET
 @given(docs=docs_strategy, cap=st.integers(1, 5))
 def test_source_cap_matches_bruteforce(spark, docs, cap):
@@ -500,6 +509,7 @@ def test_source_cap_matches_bruteforce(spark, docs, cap):
         assert got == want, (buckets, got, want)
 
 
+@pytest.mark.slow
 @SET
 @given(docs=docs_strategy, target=st.integers(1, 20))
 def test_temperature_sample_matches_bruteforce(spark, docs, target):
@@ -538,6 +548,7 @@ snapshot_strategy = st.lists(
 )
 
 
+@pytest.mark.slow
 @SET
 @given(old=snapshot_strategy, new=snapshot_strategy)
 def test_snapshot_diff_matches_dict_diff(spark, old, new):
@@ -567,6 +578,7 @@ def test_snapshot_diff_matches_dict_diff(spark, old, new):
     assert got == want
 
 
+@pytest.mark.slow
 @SET
 @given(
     a=st.lists(st.integers(-20, 120), min_size=1, max_size=25),
@@ -594,6 +606,7 @@ directed_edges_strategy = st.lists(
 )
 
 
+@pytest.mark.slow
 @SET
 @given(edges=directed_edges_strategy, n_iter=st.integers(1, 3))
 def test_hits_matches_integer_replay(spark, edges, n_iter):
@@ -672,6 +685,7 @@ def test_duplicated_spans_matches_bruteforce(spark, docs, k):
     assert got == sorted(want)
 
 
+@pytest.mark.slow
 @SET
 @given(
     avails=st.lists(st.integers(0, 50), min_size=1, max_size=8),

@@ -168,6 +168,7 @@ def test_data_csv_eps_sweep_metrics(spark):
 
 
 @needs_reference
+@pytest.mark.slow
 def test_data10k_6attr_scale_run(spark):
     """The 10k x 6-dim dataset is the one whose cartesian pair join
     crashed the reference's JVM (hs_err_pid*.log, BASELINE.md). The
@@ -250,6 +251,7 @@ def test_golden_parquet_schema_and_payload_invariants(spark):
 
 
 @needs_reference
+@pytest.mark.slow
 def test_kmember_anonymize_matches_golden_semantics(spark):
     """Our kmember pipeline's parquet-output twin (kmember_anonymize)
     exhibits the SAME centroid-substitution invariants as the golden

@@ -1,3 +1,4 @@
+import pytest
 import math
 import random
 
@@ -579,6 +580,7 @@ def _blob_vectors(spark, n, dim=8, blobs=8, spread=50):
     )
 
 
+@pytest.mark.slow
 def test_two_level_ivf_deterministic_assignment(spark):
     # Two independent fits of the hierarchical quantizer must produce
     # byte-identical corpus assignments (fixed init, fixed iteration
@@ -703,6 +705,7 @@ def test_two_level_ivf_rejects_flat_sized_cell_counts(spark):
         ivf_fit_two_level(vecs, 64)
 
 
+@pytest.mark.slow
 def test_two_level_ivf_auto_dispatch(spark):
     # n_cells past _FLAT_MAX_CELLS with model=None must route to the
     # two-level fit internally and produce exactly what an explicit

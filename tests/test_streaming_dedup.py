@@ -47,6 +47,7 @@ def _doc(doc_id, text):
     return {"doc_id": doc_id, "text": text}
 
 
+@pytest.mark.slow
 def test_near_dup_batch_filter_across_batches(spark, tmp_path):
     from dbscan_pyspark_spark.streaming.dedup import process_near_dup_batch
 
@@ -174,6 +175,7 @@ def test_semantic_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(store).count() == 1
 
 
+@pytest.mark.slow
 def test_semantic_streaming_matches_batch_on_cliques(spark, tmp_path):
     """The per-batch ≡ batch pin: with id-ordered arrival and
     duplicate groups that are cliques (exact duplicates — every member

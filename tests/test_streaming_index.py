@@ -105,6 +105,7 @@ def test_index_batch_replay_is_idempotent(spark, tmp_path):
     assert {r["dl"] for r in doclens.where("doc_id = 4").collect()} == {3}
 
 
+@pytest.mark.slow
 def test_served_bm25_tracks_corpus_growth(spark, tmp_path):
     """df/N/avgdl are derived at query time, so a new batch shifts the
     global statistics without touching earlier partitions: serving
